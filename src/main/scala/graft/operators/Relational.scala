@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Exact, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans, projections, filters, predicates — SURVEY.md §2.1/§2.2.
+  *
+  * The reference's only "relational" ops are projection/rename with constant
+  * columns (`/root/reference/main.py:94-107`) and null-tolerant extraction;
+  * the general WHERE surface is the [S] rows of §2.2. All queries here are
+  * single-table, shuffle-free except for the final aggregation where one
+  * exists: at 100 TB they are embarrassingly parallel scans whose filters and
+  * projections push into the parquet reader (PushedFilters / ReadSchema).
+  */
+object Relational extends QueryModule {
+
+  /** q01: TPC-H Q1-shaped pricing summary. Exercises scan + filter +
+    * group-agg with exact decimal money math. One shuffle on the 6-value
+    * group key; partial aggregation makes the shuffle O(groups), not O(rows).
+    */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(
+          (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+            .cast(DecimalType(24, 6)) * (lit(1) + rate(col("l_tax"))).cast(Exact.Rate)
+        ).cast(DecimalType(30, 6)).cast(DoubleType).as("sum_charge"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Exact.sqlSumMoney("l_quantity")} AS sum_qty,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4))) AS DECIMAL(24,6)) * CAST(1 + CAST(l_tax AS DECIMAL(9,4)) AS DECIMAL(9,4))) AS DECIMAL(30,6)) AS DOUBLE) AS sum_charge,
+       |  ${Exact.sqlAvgMoney("l_quantity")} AS avg_qty,
+       |  ${Exact.sqlAvgMoney("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: filter + narrow projection. The point at scale: both predicates and
+    * the 3-column ReadSchema reach the parquet scan — a 100 TB table is read
+    * as 3 columns of the row groups that survive min/max pruning.
+    */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_size") >= 15 && col("p_size") <= 25 && col("p_type") === "MEDIUM")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  private val q02Sql =
+    """SELECT p_partkey, p_brand, p_size FROM part
+      |WHERE p_size BETWEEN 15 AND 25 AND p_type = 'MEDIUM'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q03: projection with constant-column injection, rename, string concat —
+    * the reference's P1/P3 shape (`main.py:94-107`, constant at `main.py:96`).
+    */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey").as("custkey"),
+        upper(col("c_name")).as("name_uc"),
+        concat_ws("#", col("c_mktsegment"), col("c_custkey").cast(StringType)).as("tag"),
+        lit("TPCH").as("indexation"),
+        Exact.money(col("c_acctbal")).cast(DoubleType).as("acctbal")
+      )
+      .filter(col("acctbal") > 0)
+      .orderBy(col("custkey"))
+
+  private val q03Sql =
+    """SELECT c_custkey AS custkey, UPPER(c_name) AS name_uc,
+      |  c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tag,
+      |  'TPCH' AS indexation,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+      |FROM customer
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > 0
+      |ORDER BY custkey""".stripMargin
+
+  /** q04: the general predicate surface — IN, LIKE, BETWEEN, disjunction,
+    * negation (§2.2 P7). All sargable; pushed to the scan.
+    */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(
+        col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(1000.0, 200000.0) &&
+          (col("o_orderpriority").like("1-%") || col("o_orderpriority").like("2-%")) &&
+          !col("o_orderpriority").isNull
+      )
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private val q04Sql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_orderstatus IN ('O','F')
+       |  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+       |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+       |  AND o_orderpriority IS NOT NULL
+       |GROUP BY o_orderstatus, o_orderpriority
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** q05: multi-selector coalesce + nullif — the reference's P4/P5 semantics
+    * (`mainn.py:73-82`): first non-empty candidate wins, '' treated as
+    * missing. Exercised over real columns by blanking some values first.
+    */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey").as("custkey"),
+        // simulate the scraper's empty-string sentinel, then coalesce it away
+        coalesce(
+          nullif(when(col("c_custkey") % 3 === 0, lit("")).otherwise(col("c_name")), lit("")),
+          nullif(col("c_mktsegment"), lit("")),
+          lit("(missing)")
+        ).as("display_name")
+      )
+      .orderBy(col("custkey"))
+
+  private val q05Sql =
+    """SELECT c_custkey AS custkey,
+      |  COALESCE(
+      |    NULLIF(CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_name END, ''),
+      |    NULLIF(c_mktsegment, ''),
+      |    '(missing)') AS display_name
+      |FROM customer
+      |ORDER BY custkey""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_pushdown" -> q02,
+    "q03_projection_const" -> q03,
+    "q04_predicates" -> q04,
+    "q05_coalesce_nullif" -> q05
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_pushdown" -> q02Sql,
+    "q03_projection_const" -> q03Sql,
+    "q04_predicates" -> q04Sql,
+    "q05_coalesce_nullif" -> q05Sql
+  )
+}
