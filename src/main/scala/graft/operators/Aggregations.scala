@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.{Exact, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation surface — SURVEY.md §2.4.
+  *
+  * The reference never groups (rows are appended at `main.py:109` and dumped
+  * whole); everything here is the [S] capability set. Every groupBy below
+  * compiles to hash aggregation with map-side partial aggregation — the
+  * shuffle moves O(groups) rows, not O(input), which is what makes these
+  * viable on a 100 TB fact table. `countDistinct` rewrites to expand+two-
+  * phase agg; `approx_count_distinct` is single-pass mergeable HLL++ for when
+  * the exact rewrite's shuffle is too wide.
+  */
+object Aggregations extends QueryModule {
+
+  /** q20: multi-aggregate with exact and distinct measures. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        Exact.avgMoney(col("o_totalprice")).as("avg_price")
+      )
+      .orderBy(col("o_orderpriority"))
+
+  private val q20Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  COUNT(DISTINCT o_custkey) AS n_custs,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price,
+       |  ${Exact.sqlAvgMoney("o_totalprice")} AS avg_price
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** q21: ROLLUP over the region→nation hierarchy. Grouping-null slots are
+    * folded to a sentinel so the output carries no nulls (stable ordering in
+    * both engines, SURVEY.md §7.3 null-ordering drift).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_custs"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_custs")
+      )
+      .orderBy(col("region"), col("nation"))
+  }
+
+  private val q21Sql =
+    """SELECT COALESCE(r_name, '(all)') AS region,
+      |       COALESCE(n_name, '(all)') AS nation,
+      |       COUNT(*) AS n_custs
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** q22: CUBE over two independent dimensions. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total")
+      )
+      .orderBy(col("status"), col("priority"))
+
+  private val q22Sql =
+    s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       |       COALESCE(o_orderpriority, '(all)') AS priority,
+       |       COUNT(*) AS n,
+       |       ${Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** q23: distinct / dropDuplicates — the dedup primitive named in the north
+    * star. Distinct is itself a hash aggregation (shuffle on all columns).
+    */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  private val q23Sql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** q24: approximate distinct (HLL++, rsd 5%). No SQL oracle — DuckDB's
+    * approx_count_distinct uses a different sketch, so values legitimately
+    * differ; AggregationsSpec pins the estimate against the exact count.
+    */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** q25: collect-agg repacking (the author-list shape, §1.2) with a total
+    * order inside the packed value so the result is deterministic.
+    */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"),
+        count(lit(1)).as("n_supp")
+      )
+      .orderBy(col("s_nationkey"))
+
+  private val q25Sql =
+    """SELECT s_nationkey,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+      |  COUNT(*) AS n_supp
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** q26: GROUPING SETS via the SQL entry point (the DataFrame API has no
+    * grouping-sets verb) — also exercises `spark.sql` + temp views.
+    */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        |       COALESCE(l_linestatus, '(all)') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  private val q26Sql =
+    """SELECT COALESCE(l_returnflag, '(all)') AS rf,
+      |       COALESCE(l_linestatus, '(all)') AS ls,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_group_multi_agg" -> q20,
+    "q21_rollup" -> q21,
+    "q22_cube" -> q22,
+    "q23_distinct" -> q23,
+    "q24_approx_distinct" -> q24,
+    "q25_collect_agg" -> q25,
+    "q26_grouping_sets" -> q26
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q20_group_multi_agg" -> q20Sql,
+    "q21_rollup" -> q21Sql,
+    "q22_cube" -> q22Sql,
+    "q23_distinct" -> q23Sql,
+    "q25_collect_agg" -> q25Sql,
+    "q26_grouping_sets" -> q26Sql
+  )
+}

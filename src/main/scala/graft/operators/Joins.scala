@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.{Exact, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join surface — SURVEY.md §2.3 (J1–J7).
+  *
+  * The reference only *implies* joins (the stubbed quartile/country
+  * enrichments, `/root/reference/main.py:173-185`, and the per-row detail
+  * fetch at `main.py:78-87` which is a 1:1 left join done over HTTP). Here is
+  * the full engine surface. Scale shapes:
+  *   - fact⋈fact (lineitem⋈orders) shuffles both sides on the join key once;
+  *     AQE picks shuffled-hash vs sort-merge at runtime.
+  *   - fact⋈dim is always `broadcast()` — a 100 TB fact never shuffles for a
+  *     dimension that fits on one executor.
+  *   - range/as-of conditions ride on an equi-key (user_id) so they stay
+  *     shuffle-partitionable; the range predicate is a post-join filter, and
+  *     the as-of is a window over one shuffle, not an O(n²) join.
+  */
+object Joins extends QueryModule {
+
+  /** q10: 3-way join, dims broadcast — revenue per market segment. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(Exact.money(col("l_extendedprice")) * (lit(1) - Exact.rate(col("l_discount"))))
+          .cast(DoubleType).as("revenue")
+      )
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q10Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q11: left outer join preserving customers with zero orders, folded to a
+    * histogram so the result stays O(distinct counts) at any scale.
+    */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("n_orders"))
+  }
+
+  private val q11Sql =
+    """SELECT n_orders, COUNT(*) AS n_custs FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |) GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  /** q12: left-semi join (SQL EXISTS) — customers with a finished order. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'AUTOMOBILE'
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q13: left-anti join (SQL NOT EXISTS) — customers with no orders. */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q13Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q14: full outer join of two pre-aggregated sides. Aggregating *before*
+    * the join keeps the outer join O(groups) — the right shape when both
+    * inputs are huge but low-cardinality on the key.
+    */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    val cus = Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    sup.join(cus, sup("s_nationkey") === cus("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust")
+      )
+      .orderBy(col("nationkey"))
+  }
+
+  private val q14Sql =
+    """SELECT COALESCE(s.k, c.k) AS nationkey,
+      |       COALESCE(s.n_supp, 0) AS n_supp,
+      |       COALESCE(c.n_cust, 0) AS n_cust
+      |FROM (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      |FULL OUTER JOIN (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |  ON s.k = c.k
+      |ORDER BY nationkey""".stripMargin
+
+  /** q15: range join riding an equi-key — purchases within 2 h of a signup by
+    * the same user. The equi-key keeps it hash-partitionable; the time range
+    * is a residual predicate, not a nested-loop join.
+    */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    signup.join(
+        purchase,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("signup_ts") &&
+          col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS")
+      )
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q15Sql =
+    s"""SELECT s.user_id, COUNT(*) AS n_pairs,
+       |  ${Exact.sqlSumMoney("p.value")} AS total_value
+       |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup') s
+       |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'purchase') p
+       |  ON s.user_id = p.user_id
+       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+       |GROUP BY s.user_id
+       |ORDER BY s.user_id""".stripMargin
+
+  /** q16: as-of join (SURVEY.md §2.3 J7) composed from built-ins: one window
+    * over one shuffle carries the most recent prior 'view' value forward to
+    * each 'purchase' — no O(n²) join, no custom strategy needed (§4.2).
+    */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn(
+        "last_view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w)
+      )
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q16Sql =
+    """SELECT event_id, user_id, last_view_value FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+      |  FROM events
+      |) WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_join_broadcast" -> q10,
+    "q11_join_left_outer" -> q11,
+    "q12_join_semi" -> q12,
+    "q13_join_anti" -> q13,
+    "q14_join_full_outer" -> q14,
+    "q15_join_range" -> q15,
+    "q16_join_asof" -> q16
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q10_join_broadcast" -> q10Sql,
+    "q11_join_left_outer" -> q11Sql,
+    "q12_join_semi" -> q12Sql,
+    "q13_join_anti" -> q13Sql,
+    "q14_join_full_outer" -> q14Sql,
+    "q15_join_range" -> q15Sql,
+    "q16_join_asof" -> q16Sql
+  )
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Exact, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function surface — SURVEY.md §2.5 (all [S]; the reference has no
+  * window concept).
+  *
+  * Scale note: a window = one shuffle on partitionBy + a per-partition sort.
+  * Partition keys here (priority, user_id) have bounded per-key row counts,
+  * so no single window partition can blow an executor at 100 TB. The one
+  * global window (q33, ordered by day) runs over a *pre-aggregated* daily
+  * series — O(days) rows on one partition, fine at any fact-table size.
+  *
+  * Determinism rules: rank/dense_rank/percent_rank order only by real values
+  * (ties share a rank — well-defined); row_number/ntile get a unique
+  * tie-break key appended to the ordering.
+  */
+object Windows extends QueryModule {
+
+  /** q30: top-3 per group via row_number — the per-group top-k idiom that
+    * avoids a global sort.
+    */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private val q30Sql =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** q31: running total over an exact decimal daily series. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(Exact.money(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_rev", sum(col("rev_dec")).over(w).cast(DoubleType))
+      .select(col("o_orderpriority"), col("day"),
+        col("rev_dec").cast(DoubleType).as("day_rev"), col("cum_rev"))
+      .orderBy(col("o_orderpriority"), col("day"))
+  }
+
+  private val q31Sql =
+    """SELECT o_orderpriority, day,
+      |  CAST(rev_dec AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev_dec) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+      |FROM (
+      |  SELECT o_orderpriority, DATE_TRUNC('day', o_orderdate) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |ORDER BY o_orderpriority, day""".stripMargin
+
+  /** q32: lag/lead — inter-event gap in exact integer microseconds plus the
+    * next event type, per user.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("gap_us"), col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q32Sql =
+    """SELECT event_id, user_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP))
+      |    - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q33: 7-row moving average over the global daily revenue series —
+    * exact decimal sum over the frame, one double division at the end.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(Exact.money(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("mov_avg",
+        sum(col("rev_dec")).over(w).cast(DoubleType) / count(lit(1)).over(w))
+      .select(col("day"), col("rev_dec").cast(DoubleType).as("day_rev"), col("mov_avg"))
+      .orderBy(col("day"))
+  }
+
+  private val q33Sql =
+    """SELECT day, CAST(rev_dec AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+      |FROM (
+      |  SELECT DATE_TRUNC('day', o_orderdate) AS day,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM orders GROUP BY 1
+      |)
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
+  /** q34: ranking family — rank/dense_rank/percent_rank tie on equal values
+    * (deterministic), ntile gets a unique tie-break.
+    */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val byBal = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+    val byBalKey = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        rank().over(byBal).cast(LongType).as("rnk"),
+        dense_rank().over(byBal).cast(LongType).as("drnk"),
+        percent_rank().over(byBal).as("prnk"),
+        ntile(4).over(byBalKey).cast(LongType).as("quartile")
+      )
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q34Sql =
+    """SELECT c_custkey, c_mktsegment,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  PERCENT_RANK() OVER w AS prnk,
+      |  NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+      |ORDER BY c_custkey""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_window_topn_group" -> q30,
+    "q31_window_running_sum" -> q31,
+    "q32_window_lag_lead" -> q32,
+    "q33_window_moving_avg" -> q33,
+    "q34_window_ranks" -> q34
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q30_window_topn_group" -> q30Sql,
+    "q31_window_running_sum" -> q31Sql,
+    "q32_window_lag_lead" -> q32Sql,
+    "q33_window_moving_avg" -> q33Sql,
+    "q34_window_ranks" -> q34Sql
+  )
+}
