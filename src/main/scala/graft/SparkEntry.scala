@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    operators.Relational
+    operators.Relational,
+    operators.Joins,
+    operators.Aggregations,
+    operators.Windows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -40,8 +43,13 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val flat = modules.flatMap(_.queries)
+    require(flat.size == flat.map(_._1).distinct.size,
+      s"duplicate query names across modules: " +
+        flat.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
+    flat.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -46,7 +46,7 @@ object Windows extends QueryModule {
   /** q31: running total over an exact decimal daily series. */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"), date_trunc("day", col("o_orderdate")).as("day"))
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(Exact.money(col("o_totalprice"))).as("rev_dec"))
     val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -63,7 +63,7 @@ object Windows extends QueryModule {
       |  CAST(SUM(rev_dec) OVER (PARTITION BY o_orderpriority ORDER BY day
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
       |FROM (
-      |  SELECT o_orderpriority, DATE_TRUNC('day', o_orderdate) AS day,
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
       |  FROM orders GROUP BY 1, 2
       |)
@@ -95,7 +95,7 @@ object Windows extends QueryModule {
     */
   private def q33(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
-      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(Exact.money(col("o_totalprice"))).as("rev_dec"))
     val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
     daily
@@ -109,7 +109,7 @@ object Windows extends QueryModule {
     """SELECT day, CAST(rev_dec AS DOUBLE) AS day_rev,
       |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
       |FROM (
-      |  SELECT DATE_TRUNC('day', o_orderdate) AS day,
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
       |  FROM orders GROUP BY 1
       |)

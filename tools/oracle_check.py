@@ -75,7 +75,9 @@ def main():
                     print(f"   oracle-only: {r}")
                     diff_shown += 1
             if gset == eset:
-                print("   (same sets — row ORDER differs)")
+                # rows are compared sorted, so reaching here with equal sets
+                # means duplicate-row multiplicity differs, not ordering
+                print("   (same sets — duplicate multiplicity differs)")
             continue
         n_pass += 1
         print(f"PASS {name} ({len(gdata)} rows)")
