@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the aggregation queries that have no DuckDB oracle, plus spot
+  * invariants on the oracle-checked ones (the oracle run is the full gate;
+  * these are fast local regressions at sf0.001).
+  */
+class AggregationsSpec extends SparkSpec {
+
+  test("q24 HLL estimate stays within rsd bounds of the exact distinct count") {
+    val approx = SparkEntry.queries("q24_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // rsd=0.05; allow 5 sigma => 25% relative error, far tighter than chance
+    for ((k, (ep, eo)) <- exact) {
+      val (ap, ao) = approx(k)
+      assert(math.abs(ap - ep).toDouble / ep < 0.25, s"$k parts: approx=$ap exact=$ep")
+      assert(math.abs(ao - eo).toDouble / eo < 0.25, s"$k orders: approx=$ao exact=$eo")
+    }
+  }
+
+  test("q23 distinct output carries no duplicate rows") {
+    val df = SparkEntry.queries("q23_distinct")(spark, sf0001)
+    assert(df.count() == df.distinct().count())
+  }
+
+  test("q21 rollup grand total equals the customer row count") {
+    val rows = SparkEntry.queries("q21_rollup")(spark, sf0001).collect()
+    val grand = rows.find(r => r.getString(0) == "(all)" && r.getString(1) == "(all)").get
+    assert(grand.getLong(2) == Tables.customer(spark, sf0001).count())
+  }
+}
