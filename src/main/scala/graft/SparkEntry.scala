@@ -17,7 +17,9 @@ object SparkEntry {
     operators.Relational,
     operators.Joins,
     operators.Aggregations,
-    operators.Windows
+    operators.Windows,
+    operators.SortsSets,
+    operators.Scalars
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
