@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Aggregations,
     operators.Windows,
     operators.SortsSets,
-    operators.Scalars
+    operators.Scalars,
+    operators.Articles
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
