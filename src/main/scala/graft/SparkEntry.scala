@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Windows,
     operators.SortsSets,
     operators.Scalars,
-    operators.Articles
+    operators.Articles,
+    operators.TextOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

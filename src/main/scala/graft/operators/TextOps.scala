@@ -1,0 +1,372 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + deduplication surface over the `documents` table — the
+  * training-data-pipeline operators (north star in BASELINE.json; SURVEY.md
+  * §2.8 F9, §7.2 step 5).
+  *
+  * Hashing policy: every hash here is md5 (identical bytes in Spark and
+  * DuckDB), so even MinHash/SimHash/fingerprint sketches are replayable by
+  * the SQL oracle — the whole dedup family is hash-compare-verified, not
+  * just rows-counted. A production deployment would swap md5 for xxhash64
+  * (same plan shape, ~5× cheaper per token); the choice is a constant
+  * factor on an embarrassingly parallel map stage.
+  *
+  * Scale shapes:
+  *   - token/quality/langid/fingerprint queries are per-row projections —
+  *     no shuffle except the deterministic ORDER BY for the oracle.
+  *   - exact dedup is a hash aggregation on the fingerprint: O(docs)
+  *     shuffle of fingerprint-sized rows, never full text.
+  *   - n-gram Jaccard and LSH candidate generation are inverted-index
+  *     self-joins: shuffle on shingle/band-key, never an all-pairs cross
+  *     join. Hot shingles at 100 TB get AQE skew splitting; a document-
+  *     frequency cap on shingles (drop shingles in >X% of docs) bounds the
+  *     worst key before it matters.
+  */
+object TextOps extends QueryModule {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word-3-gram shingle set; empty below 3 tokens. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+      )).as("shingles"))
+
+  private val shingledSql =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 3""".stripMargin
+
+  /** q70: token counting — whitespace split plus a BPE-ish regex lexer
+    * (word / number / other-symbol classes), cross-checked against the
+    * stored n_chars.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("lex_tokens"),
+        length(col("text")).cast(LongType).as("len_chars"),
+        (length(col("text")) === col("n_chars")).as("len_consistent")
+      )
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS lex_tokens,
+      |  CAST(length(text) AS BIGINT) AS len_chars,
+      |  length(text) = n_chars AS len_consistent
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q71: quality scoring — length, stopword ratio, uniqueness ratio,
+    * composite score. Pure double arithmetic from exact integers, same
+    * operation order both engines.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        (size(filter(col("t"), t => t.isin("the", "a"))).cast(DoubleType)
+          / size(col("t"))).as("stop_ratio"),
+        (size(array_distinct(col("t"))).cast(DoubleType) / size(col("t"))).as("uniq_ratio")
+      )
+      .withColumn("quality",
+        col("uniq_ratio") * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(col("n_tokens").cast(DoubleType) / 256.0, lit(1.0)) * 0.2)
+      .orderBy(col("doc_id"))
+
+  private val q71Sql =
+    """SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
+      |  uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |    + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |) ORDER BY doc_id""".stripMargin
+
+  /** q72: language identification by marker-token profile — argmax over
+    * per-language marker counts with a fixed precedence tie-break, reported
+    * as a confusion matrix against the stored lang label. (The synthetic
+    * corpus shares one vocabulary across langs, so accuracy is meaningless;
+    * the operator shape — profile count + deterministic argmax — is what a
+    * real n-gram identifier runs.)
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a"), "de" -> Seq("table", "row"),
+      "es" -> Seq("data", "query"), "fr" -> Seq("filter", "join"),
+      "zh" -> Seq("spark", "stream"))
+    val withCounts = markers.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+    ) { case (df, (l, ws)) =>
+      df.withColumn(s"c_$l", size(filter(col("t"), t => t.isin(ws: _*))).cast(LongType))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (l, i)) =>
+        val rest = langs.drop(i + 1).map(r => col(s"c_$r"))
+        acc.when(col(s"c_$l") >= (if (rest.size == 1) rest.head else greatest(rest: _*)), lit(l))
+    }.otherwise(langs.last)
+    withCounts
+      .withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  private val q72Sql = {
+    val markers = Seq(
+      "en" -> Seq("the", "a"), "de" -> Seq("table", "row"),
+      "es" -> Seq("data", "query"), "fr" -> Seq("filter", "join"),
+      "zh" -> Seq("spark", "stream"))
+    val counts = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(t, x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS c_$l"
+    }.mkString(",\n    ")
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map("c_" + _)
+      val g = if (rest.size == 1) rest.head else s"GREATEST(${rest.mkString(",")})"
+      s"WHEN c_$l >= $g THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
+       |  SELECT lang, $pred AS pred_lang FROM (
+       |    SELECT doc_id, lang, $counts
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+       |  )
+       |) GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** q73: exact deduplication on a bag-of-words fingerprint (md5 of the
+    * sorted distinct token set) — group-size histogram plus survivor count.
+    * The shuffle carries 32-byte fingerprints, not documents.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("group_size"))
+
+  private val q73Sql =
+    """SELECT group_size, COUNT(*) AS n_groups FROM (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |         COUNT(*) AS group_size
+      |  FROM documents GROUP BY fp
+      |) GROUP BY group_size ORDER BY group_size""".stripMargin
+
+  /** q74: exact n-gram Jaccard near-dup pairs via an inverted-index
+    * self-join on shingles (NOT an all-pairs cross join): explode the
+    * distinct 3-gram sets, join on shingle, count intersections per pair,
+    * then Jaccard from the per-doc set sizes. Linear in total postings.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("inter"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val q74Sql =
+    s"""WITH sh AS ($shingledSql),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+       |SELECT da, db, inter,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+       |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+       |ORDER BY da, db""".stripMargin
+
+  /** q75: MinHash + LSH near-dup detection — 16 md5 permutations, 4 bands
+    * of 4 rows: signature → band keys → bucket self-join for candidates →
+    * exact Jaccard verification of candidates only. The candidate join
+    * shuffles on band key; no all-pairs stage exists anywhere.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).cache()
+    val sig = sh.select(col("doc_id"), col("shingles"), expr(
+      "transform(sequence(0, 15), i -> array_min(transform(shingles, x -> md5(concat(cast(i AS string), '#', x)))))"
+    ).as("sig"))
+    val bands = sig.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b*4+1, 4)))"
+    )).as(Seq("band", "bk")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
+      .select(
+        col("da"), col("db"),
+        (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))))
+          .as("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val q75Sql =
+    s"""WITH sh AS ($shingledSql),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '#' || s)) AS h
+       |  FROM ex CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band, string_agg(h, '|' ORDER BY i) AS bk
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT da, db,
+       |  CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       |    / (len(sa.shingles) + len(sb.shingles)
+       |       - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) AS jac
+       |FROM cand JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id
+       |ORDER BY da, db""".stripMargin
+
+  private val SimBits = 32
+
+  /** q76: SimHash near-dup detection — 32-bit signatures from per-token md5
+    * bit votes, candidate pairs via 2×16-bit band buckets, Hamming distance
+    * ≤ 6 verified with xor + bit_count. Signature build is one hash agg;
+    * candidate join shuffles on 16-bit chunk keys.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      .withColumn("h", conv(substring(md5(col("tk")), 1, 8), 16, 10).cast(LongType))
+    val votes = (0 until SimBits).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until SimBits).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    val sigs = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"), posexplode(array(
+      expr("sig % 65536"), expr("(sig div 65536) % 65536"))).as(Seq("ci", "chunk")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.sig ^ b.sig)").cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val q76Sql = {
+    val votes = (0 until SimBits).map { b =>
+      s"SUM(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val sig = (0 until SimBits).map { b =>
+      s"CASE WHEN v$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    // md5 hex prefix -> integer via per-char parse (DuckDB has no conv())
+    val hexval = (1 to 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(hh, $i, 1)) - 1) * ${1L << ((8 - i) * 4)}"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS hh FROM documents),
+       |tokh AS (SELECT doc_id, CAST($hexval AS BIGINT) AS h FROM (SELECT doc_id, substr(hh, 1, 8) AS hh FROM tok)),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM tokh GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, sig, 0 AS ci, sig % 65536 AS chunk FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, sig, 1 AS ci, (sig // 65536) % 65536 AS chunk FROM sigs)
+       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** q77: document fingerprinting — a bottom-4 sketch over shingle hashes
+    * (winnowing-style selection of extremal hashes), collided groups
+    * reported as near-dup clusters.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .select(col("doc_id"), md5(array_join(
+        slice(array_sort(transform(col("shingles"), x => md5(x))), 1, 4), "|")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
+  private val q77Sql =
+    s"""WITH sh AS ($shingledSql)
+       |SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS keeper, MAX(doc_id) AS max_doc
+       |FROM (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_transform(shingles, x -> md5(x)))[1:4], '|')) AS fp
+       |  FROM sh
+       |) GROUP BY fp HAVING COUNT(*) > 1
+       |ORDER BY fp""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_token_count" -> q70,
+    "q71_quality_score" -> q71,
+    "q72_langid" -> q72,
+    "q73_exact_dedup" -> q73,
+    "q74_ngram_jaccard" -> q74,
+    "q75_minhash_lsh" -> q75,
+    "q76_simhash" -> q76,
+    "q77_fingerprint" -> q77
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q70_token_count" -> q70Sql,
+    "q71_quality_score" -> q71Sql,
+    "q72_langid" -> q72Sql,
+    "q73_exact_dedup" -> q73Sql,
+    "q74_ngram_jaccard" -> q74Sql,
+    "q75_minhash_lsh" -> q75Sql,
+    "q76_simhash" -> q76Sql,
+    "q77_fingerprint" -> q77Sql
+  )
+}
