@@ -21,7 +21,8 @@ object SparkEntry {
     operators.SortsSets,
     operators.Scalars,
     operators.Articles,
-    operators.TextOps
+    operators.TextOps,
+    operators.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (north star: ANN for a
+  * training-data pipeline).
+  *
+  * Determinism policy: embeddings are quantized to integers
+  * (`floor(x * 1000)`) before any arithmetic, so dot products and squared
+  * norms are exact BIGINT sums in both engines — order of summation cannot
+  * matter — and the only floating-point steps (sqrt, one division) are
+  * IEEE-deterministic on identical inputs. This makes even the ANN queries
+  * hash-compare-verifiable against DuckDB.
+  *
+  * The random-hyperplane matrix for LSH is derived from md5 at PLAN TIME in
+  * Scala and inlined as literals into both the Spark plan and the oracle
+  * SQL — zero per-row hashing, and a 1000-executor cluster ships the matrix
+  * inside the serialized plan.
+  *
+  * Scale shapes:
+  *   - q80 brute force joins a SMALL query set against the corpus: the
+  *     query side broadcasts; the corpus is scanned once, partition-local.
+  *     This is the correctness baseline, linear per query.
+  *   - q81/q82 are the scale path: 16-bit hypercube sketches, candidates
+  *     from 8-bit band buckets (shuffle on band key, O(collisions) work),
+  *     exact re-scoring of candidates only. No all-pairs stage anywhere.
+  */
+object Similarity extends QueryModule {
+
+  private val Dims = 64
+  private val Planes = 16
+
+  /** ±1 hyperplane components: sign of md5("p#d")'s first byte. */
+  private val planeMatrix: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Planes, Dims) { (p, d) =>
+      val h = md.digest(s"$p#$d".getBytes("UTF-8"))
+      if ((h(0) & 0xff) >= 0x80) 1 else -1
+    }
+  }
+
+  /** Quantized integer vector column (exact arithmetic domain). */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+
+  private val quantizedSql =
+    """SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |FROM embeddings""".stripMargin
+
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  /** 16-bit hypercube sketch from the inlined plane matrix. */
+  private def sketchCol: Column = {
+    val bits = (0 until Planes).map { p =>
+      val dot = (0 until Dims).map { dd =>
+        lit(planeMatrix(p)(dd).toLong) * element_at(col("v"), dd + 1)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private val sketchSql: String =
+    (0 until Planes).map { p =>
+      val dot = (0 until Dims).map { dd =>
+        s"(${planeMatrix(p)(dd)})*v[${dd + 1}]"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** q80: brute-force cosine top-5 — the exact baseline. Query set (10
+    * vectors) broadcasts against the corpus; ranking is per-query top-k.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val vecs = quantized(s, d)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val scored = q.join(broadcast(c), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        dotExpr("qv", "nv").as("dot"),
+        dotExpr("qv", "qv").as("na"),
+        dotExpr("nv", "nv").as("nb"))
+      .withColumn("cos", col("dot").cast(DoubleType) / (sqrt(col("na")) * sqrt(col("nb"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q80Sql =
+    s"""WITH q AS ($quantizedSql),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+       |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+       |SELECT qid, rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q81: LSH-bucketed ANN — hypercube sketch, 2×8-bit band buckets for
+    * candidates, exact cosine re-score, top-5 per query among candidates.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val sk = quantized(s, d).withColumn("sketch", sketchCol)
+    val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
+      expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
+    val q = bands.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"), col("bk"))
+    val c = bands.select(col("vec_id").as("nid"), col("v").as("nv"), col("band"), col("bk"))
+    val cand = q.join(c, Seq("band", "bk"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .distinct()
+    val scored = cand
+      .withColumn("cos", dotExpr("qv", "nv").cast(DoubleType)
+        / (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv"))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q81Sql =
+    s"""WITH q AS ($quantizedSql),
+       |sk AS (SELECT vec_id, v, $sketchSql AS sketch FROM q),
+       |bands AS (
+       |  SELECT vec_id, v, 0 AS band, sketch % 256 AS bk FROM sk
+       |  UNION ALL
+       |  SELECT vec_id, v, 1 AS band, (sketch // 256) % 256 AS bk FROM sk),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, a.v AS qv, b.vec_id AS nid, b.v AS nv
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT qid, nid,
+       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(nv, x -> x*x)))) AS cos
+       |  FROM cand)
+       |SELECT qid, rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q82: embedding-cosine near-dup sweep over the whole corpus via LSH
+    * band collisions, reported as a cosine histogram (decile bands) — the
+    * dedup-by-embedding shape with candidate generation bounded by bucket
+    * collisions, never n².
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val sk = quantized(s, d).withColumn("sketch", sketchCol)
+    val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
+      expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("a.v").as("va"),
+        col("b.vec_id").as("db"), col("b.v").as("vb"))
+      .distinct()
+    cand
+      .withColumn("cos", dotExpr("va", "vb").cast(DoubleType)
+        / (sqrt(dotExpr("va", "va")) * sqrt(dotExpr("vb", "vb"))))
+      .groupBy(floor(col("cos") * 10).cast(LongType).as("cos_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("cos_decile"))
+  }
+
+  private val q82Sql =
+    s"""WITH q AS ($quantizedSql),
+       |sk AS (SELECT vec_id, v, $sketchSql AS sketch FROM q),
+       |bands AS (
+       |  SELECT vec_id, v, 0 AS band, sketch % 256 AS bk FROM sk
+       |  UNION ALL
+       |  SELECT vec_id, v, 1 AS band, (sketch // 256) % 256 AS bk FROM sk),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS da, a.v AS va, b.vec_id AS db, b.v AS vb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |    AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT da, db,
+       |    CAST(list_sum(list_transform(range(1, len(va)+1), i -> va[i]*vb[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(va, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(vb, x -> x*x)))) AS cos
+       |  FROM cand)
+       |SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_decile, COUNT(*) AS n_pairs
+       |FROM scored GROUP BY 1 ORDER BY cos_decile""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_ann_bruteforce" -> q80,
+    "q81_ann_lsh" -> q81,
+    "q82_embed_neardup" -> q82
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q80_ann_bruteforce" -> q80Sql,
+    "q81_ann_lsh" -> q81Sql,
+    "q82_embed_neardup" -> q82Sql
+  )
+}
