@@ -22,7 +22,8 @@ object SparkEntry {
     operators.Scalars,
     operators.Articles,
     operators.TextOps,
-    operators.Similarity
+    operators.Similarity,
+    streaming.Streams
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

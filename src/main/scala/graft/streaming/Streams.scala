@@ -1,0 +1,212 @@
+package graft.streaming
+
+import graft.{Exact, QueryModule}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Structured Streaming surface — SURVEY.md §2.9 (all [S]; the reference's
+  * page loop is the batch-shaped analog of a micro-batch stream).
+  *
+  * Each query here runs a REAL streaming pipeline over the events parquet
+  * (file stream source → transforms → sink) bounded with
+  * `Trigger.AvailableNow`, then hands the materialized result to the driver
+  * contract — so the streaming runtime itself goes through the same
+  * DuckDB-oracle hash gate, each oracle being the batch-equivalent SQL
+  * (stream–batch parity, SURVEY.md §5.2).
+  *
+  * Scale notes: windowed aggregations keyed by (window, type) or user_id
+  * partition the state store by key — 1000 executors hold disjoint key
+  * ranges; watermarks bound state growth. `AvailableNow` is the batch
+  * backfill mode of the same pipeline a production cluster would run with a
+  * continuous trigger.
+  */
+object Streams extends QueryModule {
+
+  /** Raw parquet schema of the events table (ts is INT64 nanos on disk —
+    * see Tables.events) for the schema-mandatory streaming file source.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of the events table: one file = one backfill batch;
+    * a production deployment points the same code at an arriving directory.
+    */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source wants a DIRECTORY of arriving files — stage a
+    // symlink to the single test parquet under tmp (a real deployment
+    // points this at the landing directory)
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(d.hashCode))
+    stage.mkdirs()
+    val link = new java.io.File(stage, "events.parquet").toPath
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, new java.io.File(s"$d/events.parquet").toPath)
+    s.readStream.schema(rawSchema).parquet(stage.getAbsolutePath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a bounded stream into a memory sink and return the result. */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** q90: tumbling event-time window — per-hour, per-type count and exact
+    * sum, with a watermark (complete mode keeps every window so the bounded
+    * run emits all of them).
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
+    runToMemory(s, agg, "q90_sink", "complete")
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  private val q90Sql =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+       |  COUNT(*) AS n, ${Exact.sqlSumMoney("value")} AS total
+       |FROM events GROUP BY 1, 2
+       |ORDER BY hour_start, event_type""".stripMargin
+
+  /** q91: session windows (30-minute gap) per user — Spark merges events
+    * whose gap is strictly under the timeout; the oracle replays the same
+    * rule as a gaps-and-islands SQL.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(s, agg, "q91_sink", "complete")
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val q91Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** q92: streaming dedup + aggregate via foreachBatch — the
+    * bad-row-tolerant micro-batch pattern (`main.py:117-123` analog):
+    * each batch is deduplicated on (user_id, event_type) and folded into
+    * a distinct-pair histogram.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val buf = ArrayBuffer.empty[Row]
+    val q = streamEvents(s, d)
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        buf.synchronized { buf ++= batch.dropDuplicates("user_id", "event_type").collect() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    s.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+      .dropDuplicates("user_id", "event_type") // cross-batch dedup
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q92Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q93: custom stateful sessionization with flatMapGroupsWithState —
+    * per-user session count and event count, state = sorted event times per
+    * user, emitted at end of input. The oracle is the same gaps-and-islands
+    * rule in SQL (30-minute gap, new session at gap >= timeout).
+    */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buf = ArrayBuffer.empty[Row]
+    val sessions = streamEvents(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[List[Long]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
+          state.update(all)
+          val gapUs = 30L * 60 * 1000 * 1000
+          val nSessions = if (all.isEmpty) 0L
+          else 1L + all.zip(all.tail).count { case (a, b) => b - a >= gapUs }
+          Iterator.single((uid, nSessions, all.size.toLong))
+      }
+    val q = sessions.toDF("user_id", "n_sessions", "n_events")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        buf.synchronized { buf ++= batch.collect() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("n_sessions", LongType), StructField("n_events", LongType)))
+    val df = s.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+    // keep the final emission per user (re-emissions update earlier ones)
+    df.groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q93Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (
+      |  SELECT user_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+      |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_stream_tumbling" -> q90,
+    "q91_stream_session" -> q91,
+    "q92_stream_dedup" -> q92,
+    "q93_stream_stateful" -> q93
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q90_stream_tumbling" -> q90Sql,
+    "q91_stream_session" -> q91Sql,
+    "q92_stream_dedup" -> q92Sql,
+    "q93_stream_stateful" -> q93Sql
+  )
+}
