@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Articles,
     operators.TextOps,
     operators.Similarity,
+    operators.Multimodal,
     streaming.Streams
   )
 

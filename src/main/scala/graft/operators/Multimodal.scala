@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A decoded media record: opaque payload + typed metadata. */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String,
+                       declared_len: Long)
+
+/** Features extracted from one media payload. */
+case class MediaFeatures(doc_id: Long, format: String, byte_len: Long,
+                         content_hash: String, feat_norm: Long)
+
+/** Multimodal-column surface (north star: image/audio/video as opaque
+  * binary + typed metadata, decoded per partition in batches).
+  *
+  * The real decoders (image/audio libs) are NOT in this container, so the
+  * decode step is a clearly-marked deterministic stand-in (see
+  * [[Multimodal.decodeStub]]); everything around it — binary column +
+  * metadata struct schema, partition-batched processing through a typed
+  * `mapPartitions` (the Scala analog of `mapInPandas` batch shape),
+  * per-frame sampling — is real Spark plumbing and oracle-verified.
+  *
+  * Scale shape: payload bytes never shuffle. The decode/feature stage is a
+  * per-partition map; only fixed-width features and hashes leave the scan
+  * stage. Frame sampling explodes bounded sequences (n_frames per row), not
+  * unbounded data.
+  */
+object Multimodal extends QueryModule {
+
+  /** ====== STUB ======
+    * Deterministic stand-in for a media decoder: a real implementation
+    * would parse the container format and run the codec (e.g. libjpeg /
+    * ffmpeg via JNI). Here: md5 content hash + a fake "feature" (sum of
+    * payload bytes) so results are reproducible and oracle-checkable.
+    */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(r.payload).map("%02x".format(_)).mkString
+    val featNorm = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+    MediaFeatures(r.doc_id, r.format, r.payload.length.toLong, hash, featNorm)
+  }
+
+  /** The documents table dressed as a media table: payload = utf-8 bytes of
+    * the text (stand-in for image/audio bytes), metadata from real columns.
+    */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      concat(lit("fake/"), col("source")).as("format"),
+      col("n_chars").cast(LongType).as("declared_len"))
+
+  /** q95: partition-batched decode + feature extraction through a typed
+    * Dataset `mapPartitions` — the decoder runs once per partition batch,
+    * exactly how a heavyweight codec handle would be amortized.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).as[MediaRecord]
+      .mapPartitions(_.map(decodeStub)) // one decoder per partition batch
+      .toDF()
+      .select(col("doc_id"), col("format"), col("byte_len"),
+        col("content_hash"), col("feat_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  // documents text is ascii (single-byte) — byte_len == length(text); the
+  // byte-sum "feature" is the sum of code points for ascii payloads
+  private val q95Sql =
+    """SELECT doc_id, 'fake/' || source AS format,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  md5(text) AS content_hash,
+      |  CAST(list_sum(list_transform(range(1, strlen(text)+1),
+      |       i -> ord(substr(text, i, 1)))) AS BIGINT) AS feat_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q96: frame sampling — split each payload into fixed 64-byte frames,
+    * keep every 4th, hash each kept frame (video keyframe-sampling shape:
+    * explode a bounded per-row sequence, never materialize all frames).
+    */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("n_frames", ceil(col("declared_len") / lit(64.0)).cast(LongType))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(expr("filter(sequence(0, CAST(n_frames AS INT) - 1), f -> f % 4 = 0)")).as("frame"))
+      .select(
+        col("doc_id"), col("n_frames"), col("frame").cast(LongType).as("frame"),
+        md5(expr("substring(payload, CAST(frame AS INT) * 64 + 1, 64)")).as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame"))
+
+  private val q96Sql =
+    """SELECT doc_id, n_frames, frame, md5(substr(text, frame * 64 + 1, 64)) AS frame_hash
+      |FROM (
+      |  SELECT doc_id, text, CAST(CEIL(strlen(text) / 64.0) AS BIGINT) AS n_frames,
+      |         unnest(list_filter(range(0, CAST(CEIL(strlen(text) / 64.0) AS BIGINT)),
+      |                f -> f % 4 = 0)) AS frame
+      |  FROM documents
+      |) ORDER BY doc_id, frame""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_multimodal_decode" -> q95,
+    "q96_multimodal_frames" -> q96
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q95_multimodal_decode" -> q95Sql,
+    "q96_multimodal_frames" -> q96Sql
+  )
+}
