@@ -119,14 +119,20 @@ object Similarity extends QueryModule {
     val sk = quantized(s, d).withColumn("sketch", sketchCol)
     val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
       expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
+    // candidate IDS only flow through the bucket join + distinct — the
+    // 64-wide vectors are joined back just once per surviving pair
     val q = bands.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"), col("bk"))
-    val c = bands.select(col("vec_id").as("nid"), col("v").as("nv"), col("band"), col("bk"))
+      .select(col("vec_id").as("qid"), col("band"), col("bk"))
+    val c = bands.select(col("vec_id").as("nid"), col("band"), col("bk"))
     val cand = q.join(c, Seq("band", "bk"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .select(col("qid"), col("nid"))
       .distinct()
+    val vecs = quantized(s, d)
     val scored = cand
+      .join(broadcast(vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))), "qid")
+      .join(vecs.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
       .withColumn("cos", dotExpr("qv", "nv").cast(DoubleType)
         / (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv"))))
     scored
@@ -169,13 +175,17 @@ object Similarity extends QueryModule {
     val sk = quantized(s, d).withColumn("sketch", sketchCol)
     val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
       expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
-    val cand = bands.as("a").join(bands.as("b"),
+    // ids-only through bucket join + distinct; vectors rejoined once after
+    val idBands = bands.select(col("vec_id"), col("band"), col("bk"))
+    val cand = idBands.as("a").join(idBands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("da"), col("a.v").as("va"),
-        col("b.vec_id").as("db"), col("b.v").as("vb"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
       .distinct()
+    val vecs = quantized(s, d)
     cand
+      .join(vecs.select(col("vec_id").as("da"), col("v").as("va")), "da")
+      .join(vecs.select(col("vec_id").as("db"), col("v").as("vb")), "db")
       .withColumn("cos", dotExpr("va", "vb").cast(DoubleType)
         / (sqrt(dotExpr("va", "va")) * sqrt(dotExpr("vb", "vb"))))
       .groupBy(floor(col("cos") * 10).cast(LongType).as("cos_decile"))

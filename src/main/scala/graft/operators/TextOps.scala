@@ -211,19 +211,28 @@ object TextOps extends QueryModule {
        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY da, db""".stripMargin
 
-  /** q75: MinHash + LSH near-dup detection — 16 md5 permutations, 4 bands
-    * of 4 rows: signature → band keys → bucket self-join for candidates →
-    * exact Jaccard verification of candidates only. The candidate join
-    * shuffles on band key; no all-pairs stage exists anywhere.
+  /** q75: MinHash + LSH near-dup detection — one md5 per shingle split into
+    * two 28-bit integers, 16 linear permutations `h1 + i*h2` (Broder-style
+    * universal mixing) min-reduced with MAP-SIDE partial aggregation, 4
+    * bands of 4 mins as bucket keys, candidate pairs from the bucket
+    * self-join, exact Jaccard verification of candidates only. The shuffle
+    * carries 16 longs per document; no all-pairs stage exists anywhere.
     */
   private def q75(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d).cache()
-    val sig = sh.select(col("doc_id"), col("shingles"), expr(
-      "transform(sequence(0, 15), i -> array_min(transform(shingles, x -> md5(concat(cast(i AS string), '#', x)))))"
-    ).as("sig"))
-    val bands = sig.select(col("doc_id"), posexplode(expr(
-      "transform(sequence(0, 3), b -> concat_ws('|', slice(sig, b*4+1, 4)))"
-    )).as(Seq("band", "bk")))
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("x"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(x), 1, 7), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(md5(x), 9, 7), 16, 10) AS BIGINT)").as("h2"))
+    val mins = (0 until 16).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      concat_ws("|", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as(s"band$b")
+    }
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+        .as(Seq("band", "bk")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -238,18 +247,32 @@ object TextOps extends QueryModule {
         (size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
           (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))))
           .as("jac"))
+      .filter(col("jac") >= 0.5) // keep only verified near-dups
       .orderBy(col("da"), col("db"))
   }
 
-  private val q75Sql =
+  private val q75Sql = {
+    // DuckDB has no conv(); parse 7 hex chars positionally
+    def hex7(off: Int) = (0 until 7).map { i =>
+      s"(strpos('0123456789abcdef', substr(hh, ${off + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
+    }.mkString(" + ")
+    val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(",\n    ")
+    val bandKeys = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS ($shingledSql),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |mh AS (
-       |  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || '#' || s)) AS h
-       |  FROM ex CROSS JOIN range(16) r(i) GROUP BY doc_id, i),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(${hex7(1)} AS BIGINT) AS h1,
+       |    CAST(${hex7(9)} AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, md5(unnest(shingles)) AS hh FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, i // 4 AS band, string_agg(h, '|' ORDER BY i) AS bk
-       |  FROM mh GROUP BY doc_id, i // 4),
+       |  $bandKeys),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
@@ -259,7 +282,11 @@ object TextOps extends QueryModule {
        |    / (len(sa.shingles) + len(sb.shingles)
        |       - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) AS jac
        |FROM cand JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id
+       |WHERE CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       |    / (len(sa.shingles) + len(sb.shingles)
+       |       - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5
        |ORDER BY da, db""".stripMargin
+  }
 
   private val SimBits = 32
 
