@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable bottom-k sketch as a typed [[Aggregator]] (SURVEY.md §2.10:
+  * custom aggregate = Aggregator + udaf). Keeps the k smallest values seen;
+  * buffers are tiny (k longs), merge is associative+commutative, so partial
+  * aggregation applies and the shuffle carries k values per group
+  * regardless of input size — the same economics as a sketch at 100 TB.
+  */
+case class BottomKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
+    if (buf.size < k) (buf :+ x).sorted
+    else if (x < buf.last) (buf.init :+ x).sorted
+    else buf
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).sorted.take(k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
+object BottomK {
+  /** Column-level bottom-k aggregate usable in `agg(...)`. */
+  def bottomK(k: Int)(c: Column): Column = udaf(BottomKAgg(k)).apply(c)
+}

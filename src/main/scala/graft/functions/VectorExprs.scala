@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `graft_dot(array<bigint>, array<bigint>) -> bigint` — native Catalyst
+  * expression with whole-stage codegen (SURVEY.md §2.10 escalation ladder:
+  * built-ins first, native Expression before any UDF).
+  *
+  * The built-in spelling `aggregate(zip_with(a, b, (x,y) -> x*y), 0, +)`
+  * allocates an intermediate array and drives a lambda interpreter per
+  * element; this compiles to a bare fused loop over the two ArrayData
+  * buffers — the inner-product kernel the similarity operators run once per
+  * candidate pair, millions of times per partition at 100 TB.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration of the graft native functions. */
+object GraftFunctions {
+  private val dotIdent = FunctionIdentifier("graft_dot")
+
+  /** Idempotently register `graft_dot` with the session's function
+    * registry so it is usable from `expr(...)` and `spark.sql(...)`.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(dotIdent)) {
+      registry.registerFunction(
+        dotIdent,
+        new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, "graft_dot takes exactly 2 arguments")
+          DotProductLong(children.head, children(1))
+        })
+    }
+  }
+}

@@ -184,7 +184,80 @@ object Joins extends QueryModule {
       |) WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** q17: theta self-join (SURVEY.md §2.3 J6) — same-brand part pairs whose
+    * sizes differ by at most 1. The equi key (brand) keeps the join
+    * hash-partitionable; the size-band predicate is a residual filter, so
+    * the plan is a shuffled equi-join, not a nested loop — the only theta
+    * shape that survives a 100 TB side.
+    */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.p_size") - col("b.p_size")) <= 1)
+      .groupBy(col("a.p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("brand"))
+  }
+
+  private val q17Sql =
+    """SELECT a.p_brand AS brand, COUNT(*) AS n_pairs
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand
+      | AND a.p_partkey < b.p_partkey
+      | AND ABS(a.p_size - b.p_size) <= 1
+      |GROUP BY brand ORDER BY brand""".stripMargin
+
+  /** q18: scalar subquery — orders priced above 1.5× the global exact mean.
+    * The single-row aggregate broadcasts to every partition; the fact table
+    * is scanned once.
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgRow = o.agg(Exact.avgMoney(col("o_totalprice")).as("gavg"))
+    o.join(broadcast(avgRow))
+      .filter(col("o_totalprice") > col("gavg") * 1.5)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q18Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders
+       |WHERE o_totalprice > (SELECT ${Exact.sqlAvgMoney("o_totalprice")} FROM orders) * 1.5
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q19: correlated scalar subquery through the SQL entry point —
+    * customers above their nation's exact mean balance. Catalyst
+    * decorrelates this into an aggregate + equi-join; the oracle runs the
+    * identical SQL. Exact decimal mean keeps both engines bit-equal.
+    */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+        |    SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) > (
+        |    SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+        |    FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q19Sql =
+    """SELECT c_custkey, c_nationkey FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+      |    SELECT COUNT(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) > (
+      |    SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+      |    FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_join_theta" -> q17,
+    "q18_scalar_subquery" -> q18,
+    "q19_correlated_subquery" -> q19,
     "q10_join_broadcast" -> q10,
     "q11_join_left_outer" -> q11,
     "q12_join_semi" -> q12,
@@ -195,6 +268,9 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q17_join_theta" -> q17Sql,
+    "q18_scalar_subquery" -> q18Sql,
+    "q19_correlated_subquery" -> q19Sql,
     "q10_join_broadcast" -> q10Sql,
     "q11_join_left_outer" -> q11Sql,
     "q12_join_semi" -> q12Sql,

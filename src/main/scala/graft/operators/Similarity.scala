@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,8 +55,10 @@ object Similarity extends QueryModule {
       |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |FROM embeddings""".stripMargin
 
-  private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+  /** Exact integer dot product via the native codegen'd expression
+    * (graft.functions.DotProductLong); every query here registers it first.
+    */
+  private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** 16-bit hypercube sketch from the inlined plane matrix. */
   private def sketchCol: Column = {
@@ -80,6 +83,7 @@ object Similarity extends QueryModule {
     * vectors) broadcasts against the corpus; ranking is per-query top-k.
     */
   private def q80(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val vecs = quantized(s, d)
     val q = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -116,6 +120,7 @@ object Similarity extends QueryModule {
     * candidates, exact cosine re-score, top-5 per query among candidates.
     */
   private def q81(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val sk = quantized(s, d).withColumn("sketch", sketchCol)
     val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
       expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
@@ -172,6 +177,7 @@ object Similarity extends QueryModule {
     * collisions, never n².
     */
   private def q82(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val sk = quantized(s, d).withColumn("sketch", sketchCol)
     val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
       expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))

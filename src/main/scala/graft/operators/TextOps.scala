@@ -375,7 +375,38 @@ object TextOps extends QueryModule {
        |) GROUP BY fp HAVING COUNT(*) > 1
        |ORDER BY fp""".stripMargin
 
+  /** q78: bottom-k sketch per language via the custom typed Aggregator
+    * (graft.functions.BottomKAgg): the 4 smallest 28-bit md5 values of the
+    * documents in each language — a mergeable group fingerprint whose
+    * shuffle cost is k longs per group at any scale.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        expr("CAST(conv(substring(md5(text), 1, 7), 16, 10) AS BIGINT)").as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomK.bottomK(4)(col("h")).as("b4"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"),
+        expr("array_join(transform(b4, x -> CAST(x AS STRING)), ',')").as("bottom4"),
+        col("n_docs"))
+      .orderBy(col("lang"))
+
+  private val q78Sql = {
+    val hex7 = (0 until 7).map { i =>
+      s"(strpos('0123456789abcdef', substr(hh, ${1 + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
+    }.mkString(" + ")
+    s"""SELECT lang,
+       |  array_to_string(list_sort(list(h))[1:4], ',') AS bottom4,
+       |  COUNT(*) AS n_docs
+       |FROM (
+       |  SELECT lang, CAST($hex7 AS BIGINT) AS h
+       |  FROM (SELECT lang, substr(md5(text), 1, 7) AS hh FROM documents)
+       |) GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
     "q71_quality_score" -> q71,
     "q72_langid" -> q72,
@@ -387,6 +418,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,
     "q71_quality_score" -> q71Sql,
     "q72_langid" -> q72Sql,

@@ -196,7 +196,31 @@ object Streams extends QueryModule {
       |SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
       |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q94: sliding event-time windows — 2-hour windows sliding every 30
+    * minutes, so each event lands in 4 overlapping windows. The oracle
+    * replays the window assignment with an explicit 4-way expansion.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "q94_sink", "complete")
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  private val q94Sql =
+    """SELECT win_start, event_type, COUNT(*) AS n FROM (
+      |  SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+      |           - unnest(range(0, 4)) * INTERVAL 30 MINUTE AS win_start,
+      |         event_type
+      |  FROM events
+      |) GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_stream_sliding" -> q94,
     "q90_stream_tumbling" -> q90,
     "q91_stream_session" -> q91,
     "q92_stream_dedup" -> q92,
@@ -204,6 +228,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q94_stream_sliding" -> q94Sql,
     "q90_stream_tumbling" -> q90Sql,
     "q91_stream_session" -> q91Sql,
     "q92_stream_dedup" -> q92Sql,

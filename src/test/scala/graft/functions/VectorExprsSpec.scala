@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExprsSpec extends SparkSpec {
+
+  test("graft_dot computes exact integer dot products (codegen path)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),   // 4+10+18 = 32
+      (Array(-2L, 7L), Array(3L, -1L)),          // -6-7 = -13
+      (Array.empty[Long], Array.empty[Long])     // 0
+    ).toDF("a", "b")
+    val out = df.select(expr("graft_dot(a, b)").as("d")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(32L, -13L, 0L))
+  }
+
+  test("graft_dot matches the zip_with/aggregate spelling on real data") {
+    GraftFunctions.register(spark)
+    val vecs = graft.Tables.embeddings(spark, sf0001).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val both = vecs.select(
+      expr("graft_dot(v, v)").as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        .as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
+  test("graft_dot is null-safe") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Array(1L)), None: Option[Array[Long]])).toDF("a", "b")
+    assert(df.select(expr("graft_dot(a, b)")).collect()(0).isNullAt(0))
+  }
+}
