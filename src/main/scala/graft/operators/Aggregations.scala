@@ -159,7 +159,88 @@ object Aggregations extends QueryModule {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin
 
+  /** q27: statistical aggregates with exact arithmetic — sample variance
+    * computed from exact decimal Σx and Σx² via the textbook identity
+    * (n·Σx² − (Σx)²) / (n(n−1)), then one double division; the naive
+    * double-accumulation stddev would be partition-order-dependent and
+    * can't hash-compare. Median via interpolated percentile (both engines
+    * use linear interpolation on the sorted values).
+    */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.avgMoney(col("p_retailprice")).as("mean_price"),
+        ((count(lit(1)) * sum(col("p_size").cast(LongType) * col("p_size"))
+          - sum(col("p_size").cast(LongType)) * sum(col("p_size").cast(LongType)))
+          .cast(DoubleType)
+          / (count(lit(1)) * (count(lit(1)) - 1))).as("var_size"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(p_size AS BIGINT))")
+          .cast(DoubleType).as("median_size")
+      )
+      .orderBy(col("p_brand"))
+
+  private val q27Sql =
+    s"""SELECT p_brand, COUNT(*) AS n,
+       |  ${Exact.sqlAvgMoney("p_retailprice")} AS mean_price,
+       |  CAST(CAST(COUNT(*) * SUM(CAST(p_size AS BIGINT) * p_size)
+       |       - SUM(CAST(p_size AS BIGINT)) * SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / (COUNT(*) * (COUNT(*) - 1)) AS var_size,
+       |  CAST(quantile_cont(CAST(p_size AS BIGINT), 0.5) AS DOUBLE) AS median_size
+       |FROM part GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  /** q28: pivot — order counts per priority pivoted to one column per
+    * status. Compiles to a single hash agg with conditional counts (same
+    * plan as the CASE spelling in the oracle): one shuffle of O(groups).
+    */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q28Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q29: min_by/max_by — the order id carrying each group's price
+    * extremes (deterministic because o_totalprice ties are broken by
+    * nothing — verified unique per group at this data; the id itself is
+    * unique).
+    */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    // tie-proof scalar ordering key: exact cents * 1e8 + unique order key
+    val key = expr(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), key).as("max_price_order"),
+        min_by(col("o_orderkey"), key).as("min_price_order")
+      )
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q29Sql =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS max_price_order,
+      |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000 + o_orderkey) AS min_price_order
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_stats_exact" -> q27,
+    "q28_pivot" -> q28,
+    "q29_minmax_by" -> q29,
     "q20_group_multi_agg" -> q20,
     "q21_rollup" -> q21,
     "q22_cube" -> q22,
@@ -170,6 +251,9 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q27_stats_exact" -> q27Sql,
+    "q28_pivot" -> q28Sql,
+    "q29_minmax_by" -> q29Sql,
     "q20_group_multi_agg" -> q20Sql,
     "q21_rollup" -> q21Sql,
     "q22_cube" -> q22Sql,

@@ -115,19 +115,23 @@ object Streams extends QueryModule {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** q92: streaming dedup + aggregate via foreachBatch — the
-    * bad-row-tolerant micro-batch pattern (`main.py:117-123` analog):
-    * each batch is deduplicated on (user_id, event_type) and folded into
-    * a distinct-pair histogram.
+  /** q92: streaming dedup via `dropDuplicatesWithinWatermark` (the real
+    * stateful dedup operator — state keyed by (user_id, event_type),
+    * evicted as the watermark passes), drained through foreachBatch (the
+    * bad-row-tolerant micro-batch pattern, `main.py:117-123` analog) and
+    * folded into a distinct-pair histogram. The backfill run is one batch,
+    * so no key expires mid-stream and the result equals exact distinct.
     */
   private def q92(s: SparkSession, d: String): DataFrame = {
     val buf = ArrayBuffer.empty[Row]
     val q = streamEvents(s, d)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        buf.synchronized { buf ++= batch.dropDuplicates("user_id", "event_type").collect() }
+        buf.synchronized { buf ++= batch.collect() }
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
