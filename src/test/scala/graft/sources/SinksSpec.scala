@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sink round trips (SURVEY.md §2.1 S7/S8): the engine's CSV and JSON
+  * writers reproduce the reference's landed formats well enough that a
+  * re-read returns the same data under the ''→NULL rule.
+  */
+class SinksSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"graft_sink_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out"
+  }
+
+  test("CSV sink round trip (header, quoted fields, '' to NULL)") {
+    val src = ArticleSource.json(spark, "blockchain_articles")
+    val path = tmpDir("csv")
+    // coalesce(1) mirrors the reference's single-file artifact (main.py:194)
+    src.coalesce(1).write.option("header", true).option("escape", "\"").csv(path)
+    val back = spark.read.option("header", true).option("multiLine", true)
+      .option("escape", "\"").csv(path)
+    assert(back.count() == src.count())
+    val cols = src.columns.sorted.toSeq
+    val a = src.select(cols.map(c => count(col(c)).as(c)): _*).collect()(0)
+    val b = back.select(cols.map(c => count(col(c)).as(c)): _*).collect()(0)
+    assert(a == b, s"fill profile drifted: wrote=$a read=$b")
+  }
+
+  test("JSON sink round trip (JSONL out, same records back)") {
+    val src = ArticleSource.json(spark, "acm_blockchain_articles")
+    val path = tmpDir("json")
+    src.write.json(path) // JSONL — the Spark-native spelling of S8
+    val back = spark.read.json(path)
+    assert(back.count() == src.count())
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doi")).collect().map(_.getString(0)).sorted.toSeq
+    assert(key(back) == key(src))
+  }
+
+  test("parquet sink round trip preserves types exactly") {
+    val src = graft.Tables.orders(spark, sf0001)
+    val path = tmpDir("parquet")
+    src.write.parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+  }
+}
