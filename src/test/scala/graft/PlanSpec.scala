@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan shape assertions — the scale posture is part of the
+  * contract, not an accident of the optimizer's mood. Each test pins a
+  * plan property that must survive refactors: pushdown reaching the scan,
+  * dimensions broadcasting, top-k avoiding global sorts, aggregations
+  * staying partial.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02 pushes predicates and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(p_size,15"),
+      s"predicates not pushed:\n$p")
+    assert(!p.contains("p_retailprice"), "unprojected column read from scan")
+  }
+
+  test("q10 broadcasts the customer dimension") {
+    val p = plan("q10_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q40 global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q40_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k compiled to a sort:\n$p")
+  }
+
+  test("q01 aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q12 semi join stays a join, not a subquery re-scan") {
+    val p = plan("q12_join_semi")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+  }
+
+  test("q56 explode/count reads only the text column and aggregates partially") {
+    val p = plan("q56_explode_tokens")
+    assert(p.contains("Generate explode"), s"no generate:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string>"), s"scan not pruned to text:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q80 dot products use the native graft_dot expression") {
+    val p = plan("q80_ann_bruteforce")
+    assert(p.contains("graft_dot"), s"native expression not in plan:\n$p")
+  }
+}
