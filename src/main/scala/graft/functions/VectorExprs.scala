@@ -70,7 +70,9 @@ object GraftFunctions {
   private val dotIdent = FunctionIdentifier("graft_dot")
 
   /** Idempotently register `graft_dot` with the session's function
-    * registry so it is usable from `expr(...)` and `spark.sql(...)`.
+    * registry (usable from `expr(...)` and `spark.sql(...)`) and install
+    * the [[graft.plans.DotProductRewrite]] optimizer rule so the built-in
+    * `aggregate(zip_with(...))` spelling compiles to the native kernel.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -83,5 +85,8 @@ object GraftFunctions {
           DotProductLong(children.head, children(1))
         })
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.DotProductRewrite
   }
 }
