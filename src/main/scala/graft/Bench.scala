@@ -14,13 +14,15 @@ object Bench {
   private val headline = Seq(
     "q01_pricing_summary", "q02_filter_pushdown", "q04_predicates",
     "q10_join_broadcast", "q11_join_left_outer", "q15_join_range",
-    "q16_join_asof", "q20_group_multi_agg", "q23_distinct",
-    "q26_grouping_sets", "q30_window_topn_group", "q31_window_running_sum",
+    "q16_join_asof", "q17_join_theta", "q19_correlated_subquery",
+    "q20_group_multi_agg", "q23_distinct", "q26_grouping_sets",
+    "q27_stats_exact", "q30_window_topn_group", "q31_window_running_sum",
     "q34_window_ranks", "q40_topk_global", "q42_union_by_name",
     "q54_array_hof", "q55_json_extract", "q56_explode_tokens",
     "q73_exact_dedup", "q74_ngram_jaccard", "q75_minhash_lsh",
-    "q76_simhash", "q80_ann_bruteforce", "q82_embed_neardup",
-    "q90_stream_tumbling", "q93_stream_stateful"
+    "q76_simhash", "q78_bottomk_udaf", "q80_ann_bruteforce",
+    "q81_ann_lsh", "q82_embed_neardup",
+    "q90_stream_tumbling", "q93_stream_stateful", "q94_stream_sliding"
   )
 
   def main(args: Array[String]): Unit = {
