@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Aggregations,
     operators.Windows,
     operators.SortsSets,
+    operators.ScalePatterns,
     operators.Scalars,
     operators.Articles,
     operators.TextOps,

@@ -237,7 +237,39 @@ object Scalars extends QueryModule {
       |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '(redacted)') AS seg
       |FROM customer ORDER BY custkey""".stripMargin
 
+  /** q58: map functions — build a map from aligned key/value arrays, look
+    * up keys, enumerate sorted keys (F8 map_* surface). DuckDB's
+    * map_extract returns a single-element list; [1] unwraps it.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(
+        col("n_nationkey").cast(LongType).as("nationkey"),
+        map_from_arrays(
+          array(lit("name"), lit("region")),
+          array(col("n_name"), col("n_regionkey").cast(StringType))).as("m"))
+      .select(
+        col("nationkey"),
+        element_at(col("m"), "name").as("name"),
+        element_at(col("m"), "region").as("region_id"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        size(col("m")).cast(LongType).as("m_size"))
+      .orderBy(col("nationkey"))
+
+  private val q58Sql =
+    """SELECT nationkey,
+      |  m['name'][1] AS name,
+      |  m['region'][1] AS region_id,
+      |  array_to_string(map_keys(m), ',') AS keys,
+      |  CAST(cardinality(m) AS BIGINT) AS m_size
+      |FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+      |         map(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+      |  FROM nation
+      |) ORDER BY nationkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_map_funcs" -> q58,
     "q50_string_funcs" -> q50,
     "q51_regexp" -> q51,
     "q52_date_funcs" -> q52,
@@ -249,6 +281,7 @@ object Scalars extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q58_map_funcs" -> q58Sql,
     "q50_string_funcs" -> q50Sql,
     "q51_regexp" -> q51Sql,
     "q52_date_funcs" -> q52Sql,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{Exact, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns as first-class, oracle-verified operators: the rewrites
+  * an engine applies when a key is too hot or a partition too big. Each
+  * query's RESULT is identical to the naive spelling (that's what the
+  * oracle checks); the PLAN is the one that survives skew at 100 TB.
+  */
+object ScalePatterns extends QueryModule {
+
+  /** q46: salted two-stage aggregation — pre-aggregate on (key, salt) to
+    * spread a hot key over 16 reducers, then merge partials per key.
+    * Decimal sums are associative, so the result is bit-identical to the
+    * single-stage plan the oracle runs; the shuffle on the hot key carries
+    * 16 partial rows instead of every input row.
+    */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(Exact.money(col("l_quantity"))).as("part_qty"),
+        count(lit(1)).as("part_n")
+      )
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
+  private val q46Sql =
+    s"""SELECT l_returnflag, ${Exact.sqlSumMoney("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  /** q47: explicit repartition + sortWithinPartitions — the write-side
+    * layout pattern (cluster output by key, keep each partition sorted for
+    * downstream merge scans). The final total ORDER BY exists only for the
+    * oracle compare; the layout work happens in the repartition stage.
+    */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_orderpriority"), col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q47Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_salted_agg" -> q46,
+    "q47_repartition_layout" -> q47
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q46_salted_agg" -> q46Sql,
+    "q47_repartition_layout" -> q47Sql
+  )
+}
