@@ -100,13 +100,45 @@ object Multimodal extends QueryModule {
       |  FROM documents
       |) ORDER BY doc_id, frame""".stripMargin
 
+  /** q97: resize — stride-downsample each payload to 1/4 (the image-resize
+    * analog on opaque bytes: deterministic stride sampling stands in for a
+    * real interpolating resampler), emitting the resized length and
+    * content hash. Per-row projection, no shuffle.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("txt", decode(col("payload"), "UTF-8")) // "decode" step of the resize path
+      .select(
+        col("doc_id"),
+        expr("""array_join(transform(
+            filter(sequence(1, CAST(declared_len AS INT)), i -> (i - 1) % 4 = 0),
+            i -> substring(txt, i, 1)), '')""").as("resized"))
+      .select(
+        col("doc_id"),
+        length(col("resized")).cast(LongType).as("resized_len"),
+        md5(col("resized")).as("resized_hash"))
+      .orderBy(col("doc_id"))
+
+  private val q97Sql =
+    """SELECT doc_id,
+      |  CAST(strlen(resized) AS BIGINT) AS resized_len,
+      |  md5(resized) AS resized_hash
+      |FROM (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(1, strlen(text) + 1, 4),
+      |      i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_multimodal_decode" -> q95,
-    "q96_multimodal_frames" -> q96
+    "q96_multimodal_frames" -> q96,
+    "q97_multimodal_resize" -> q97
   )
 
   override def oracles: Map[String, String] = Map(
     "q95_multimodal_decode" -> q95Sql,
-    "q96_multimodal_frames" -> q96Sql
+    "q96_multimodal_frames" -> q96Sql,
+    "q97_multimodal_resize" -> q97Sql
   )
 }

@@ -155,12 +155,15 @@ object Streams extends QueryModule {
     * user, emitted at end of input. The oracle is the same gaps-and-islands
     * rule in SQL (30-minute gap, new session at gap >= timeout).
     */
-  private def q93(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val buf = ArrayBuffer.empty[Row]
-    val sessions = streamEvents(s, d)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Long)]
+  /** The q93 stateful transform, exposed for multi-batch MemoryStream
+    * tests: per-user session stats with state = sorted event micros.
+    * Emits (user_id, n_sessions, n_events) after each batch; the LAST
+    * emission per user is the answer (state accumulates across batches).
+    */
+  def sessionStats(events: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -172,6 +175,15 @@ object Streams extends QueryModule {
           else 1L + all.zip(all.tail).count { case (a, b) => b - a >= gapUs }
           Iterator.single((uid, nSessions, all.size.toLong))
       }
+  }
+
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buf = ArrayBuffer.empty[Row]
+    val sessions = sessionStats(
+      streamEvents(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)])
     val q = sessions.toDF("user_id", "n_sessions", "n_events")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

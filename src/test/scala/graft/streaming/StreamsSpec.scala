@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Multi-batch streaming semantics the single-batch backfill verify cannot
+  * exercise: state carried across micro-batches, and watermarks actually
+  * dropping late data.
+  */
+class StreamsSpec extends SparkSpec {
+
+  private val MinUs = 60L * 1000 * 1000
+
+  test("sessionStats accumulates state across micro-batches (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.sessionStats(input.toDS())
+      .toDF("user_id", "n_sessions", "n_events")
+      .writeStream.format("memory").queryName("ss_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 -> two events 5 min apart (one session)
+      input.addData((1L, 0L), (1L, 5 * MinUs))
+      q.processAllAvailable()
+      // batch 2: user 1 -> an event 40 min later (gap >= 30 min: new session)
+      // plus user 2's first event
+      input.addData((1L, 45 * MinUs), (2L, 0L))
+      q.processAllAvailable()
+      val last = spark.table("ss_sink")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(last(1L) == ((2L, 3L)), s"user 1 got ${last(1L)}")
+      assert(last(2L) == ((1L, 1L)), s"user 2 got ${last(2L)}")
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[java.sql.Timestamp]
+    val counts = input.toDF().toDF("ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(min: Long) = new java.sql.Timestamp(min * 60 * 1000)
+      input.addData(ts(5), ts(7))       // window [0,10)
+      q.processAllAvailable()
+      input.addData(ts(60))             // advances watermark to minute 50
+      q.processAllAvailable()
+      input.addData(ts(8))              // LATE: before watermark, must be dropped
+      q.processAllAvailable()
+      input.addData(ts(120))            // close window [60,70)
+      q.processAllAvailable()
+      val got = spark.table("wm_sink")
+        .collect().map(r => r.getTimestamp(0).getTime / 60000 -> r.getLong(1)).toMap
+      assert(got(0L) == 2L, s"window [0,10) should have 2 on-time events, got $got")
+      // the late ts(8) must not have re-opened or re-counted window [0,10)
+      assert(!got.contains(10L) || got(0L) == 2L)
+    } finally q.stop()
+  }
+}
