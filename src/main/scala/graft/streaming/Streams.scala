@@ -235,7 +235,44 @@ object Streams extends QueryModule {
       |) GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** q98: stream-stream inner join — signups joined to same-user purchases
+    * within 2 hours, both sides watermarked so the join state is bounded
+    * (the streaming analog of batch q15). Equi-key user_id partitions the
+    * state; the time-range condition bounds retention per key.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val ev = streamEvents(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signup.join(
+      purchase,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"))
+    val out = runToMemory(s,
+      joined.select(col("user_id"), col("signup_ts"), col("p_ts"), col("value")),
+      "q98_sink", "append")
+    out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q98Sql =
+    s"""SELECT s.user_id, COUNT(*) AS n_pairs,
+       |  ${Exact.sqlSumMoney("p.value")} AS total_value
+       |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'signup') s
+       |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'purchase') p
+       |  ON s.user_id = p.user_id
+       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR
+       |GROUP BY s.user_id
+       |ORDER BY s.user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_stream_stream_join" -> q98,
     "q94_stream_sliding" -> q94,
     "q90_stream_tumbling" -> q90,
     "q91_stream_session" -> q91,
@@ -244,6 +281,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q98_stream_stream_join" -> q98Sql,
     "q94_stream_sliding" -> q94Sql,
     "q90_stream_tumbling" -> q90Sql,
     "q91_stream_session" -> q91Sql,

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Partition pruning over hive-style partitioned parquet — at 100 TB the
+  * fact table is laid out by a partition column and a filtered scan must
+  * read only matching directories.
+  */
+class PartitionPruningSpec extends SparkSpec {
+
+  test("filter on the partition column prunes at planning time") {
+    val base = Files.createTempDirectory("graft_part").toFile
+    base.deleteOnExit()
+    val path = base.getAbsolutePath + "/orders_by_status"
+    Tables.orders(spark, sf0001)
+      .write.partitionBy("o_orderstatus").parquet(path)
+
+    val scan = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), s"no partition filter:\n$plan")
+
+    // pruned scan must touch only the F partition's files
+    val fCount = scan.count()
+    val expected = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(fCount == expected)
+    val read = scan.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(read.nonEmpty && read.forall(_.contains("o_orderstatus=F")),
+      s"scan read non-matching partitions: ${read.toSeq}")
+  }
+}
