@@ -146,7 +146,35 @@ object Relational extends QueryModule {
       |FROM customer
       |ORDER BY custkey""".stripMargin
 
+  /** q06: TPC-H Q6-shaped forecasting-revenue filter-sum — every predicate
+    * sargable and pushed, the aggregate a single exact-decimal sum: the
+    * minimal full-scan shape whose 100 TB cost is pure I/O bandwidth.
+    */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+          money(col("l_discount")).between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q06Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q06_filter_sum" -> q06,
     "q01_pricing_summary" -> q01,
     "q02_filter_pushdown" -> q02,
     "q03_projection_const" -> q03,
@@ -155,6 +183,7 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q06_filter_sum" -> q06Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_projection_const" -> q03Sql,

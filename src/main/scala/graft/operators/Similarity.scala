@@ -219,15 +219,95 @@ object Similarity extends QueryModule {
        |SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_decile, COUNT(*) AS n_pairs
        |FROM scored GROUP BY 1 ORDER BY cos_decile""".stripMargin
 
+  /** q83: IVF-style ANN — a deterministic coarse quantizer (the first 10
+    * vectors stand in for trained centroids), corpus assigned to its
+    * nearest centroid by exact integer L2 (inverted lists), queries probe
+    * their 2 nearest lists and re-score candidates exactly. The partition
+    * story at scale: inverted lists ARE the partitioning — each query
+    * touches nprobe/nlists of the corpus.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val cents = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // exact integer squared L2 to each centroid; argmin via packed key
+    val dist2 = dotExpr("v", "v") + dotExpr("cv", "cv") - lit(2L) * dotExpr("v", "cv")
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), (dist2 * 16 + col("cid")).as("dkey"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), col("dkey")).as("cid"))
+      .join(vecs, "vec_id")
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // probe the 2 nearest centroid lists per query
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        (dotExpr("qv", "qv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("qv", "cv"))
+          .as("d2"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= 2)
+      .select(col("qid"), col("qv"), col("cid"))
+    val scored = probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dotExpr("qv", "v").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("v", "v")))).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q83Sql =
+    s"""WITH q AS ($quantizedSql),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 10),
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM q a CROSS JOIN cents c WHERE a.vec_id < 10)
+       |  WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.qid, m.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*vv.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qq.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(vv.v, x -> x*x)))) AS cos
+       |  FROM probes p
+       |  JOIN assigned m ON p.cid = m.cid
+       |  JOIN q qq ON qq.vec_id = p.qid
+       |  JOIN q vv ON vv.vec_id = m.vec_id
+       |  WHERE p.qid <> m.vec_id)
+       |SELECT qid, rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_ann_bruteforce" -> q80,
     "q81_ann_lsh" -> q81,
-    "q82_embed_neardup" -> q82
+    "q82_embed_neardup" -> q82,
+    "q83_ann_ivf" -> q83
   )
 
   override def oracles: Map[String, String] = Map(
     "q80_ann_bruteforce" -> q80Sql,
     "q81_ann_lsh" -> q81Sql,
-    "q82_embed_neardup" -> q82Sql
+    "q82_embed_neardup" -> q82Sql,
+    "q83_ann_ivf" -> q83Sql
   )
 }
