@@ -268,7 +268,31 @@ object Scalars extends QueryModule {
       |  FROM nation
       |) ORDER BY nationkey""".stripMargin
 
+  /** q59: schema-driven JSON parsing — from_json with an explicit schema
+    * into a struct column, field access, null quarantine for unparseable
+    * payloads (the typed alternative to q55's path extraction).
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .select(col("event_id"), from_json(col("props"), schema).as("p"))
+      .select(
+        col("event_id"),
+        col("p.k").as("k"),
+        col("p").isNull.as("unparsed"))
+      .filter(col("event_id") % 17 === 0)
+      .orderBy(col("event_id"))
+  }
+
+  private val q59Sql =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  props IS NULL OR json_valid(props) = false AS unparsed
+      |FROM events WHERE event_id % 17 = 0
+      |ORDER BY event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_from_json" -> q59,
     "q58_map_funcs" -> q58,
     "q50_string_funcs" -> q50,
     "q51_regexp" -> q51,
@@ -281,6 +305,7 @@ object Scalars extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q59_from_json" -> q59Sql,
     "q58_map_funcs" -> q58Sql,
     "q50_string_funcs" -> q50Sql,
     "q51_regexp" -> q51Sql,

@@ -144,7 +144,43 @@ object Windows extends QueryModule {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q35: analytic family — first/last/nth value over frames plus
+    * cume_dist, all on a unique ordering key so ties cannot smear results.
+    */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRunning = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"),
+        cume_dist().over(wRunning).as("cd")
+      )
+      .filter(col("o_orderkey") % 13 === 0)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q35Sql =
+    """SELECT o_orderkey, o_orderpriority, first_key, last_key, third_key, cd
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+      |    LAST_VALUE(o_orderkey) OVER wf AS last_key,
+      |    NTH_VALUE(o_orderkey, 3) OVER wf AS third_key,
+      |    CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS cd
+      |  FROM orders
+      |  WINDOW wf AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |)
+      |WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_window_analytics" -> q35,
     "q30_window_topn_group" -> q30,
     "q31_window_running_sum" -> q31,
     "q32_window_lag_lead" -> q32,
@@ -153,6 +189,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q35_window_analytics" -> q35Sql,
     "q30_window_topn_group" -> q30Sql,
     "q31_window_running_sum" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,

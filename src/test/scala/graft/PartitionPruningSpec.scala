@@ -31,4 +31,22 @@ class PartitionPruningSpec extends SparkSpec {
     assert(read.nonEmpty && read.forall(_.contains("o_orderstatus=F")),
       s"scan read non-matching partitions: ${read.toSeq}")
   }
+
+  test("dynamic partition pruning fires for a dim-filtered fact join") {
+    val base = Files.createTempDirectory("graft_dpp").toFile
+    base.deleteOnExit()
+    val path = base.getAbsolutePath + "/orders_by_prio"
+    Tables.orders(spark, sf0001)
+      .write.partitionBy("o_orderpriority").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority").as("p")).distinct()
+      .filter(col("p").startsWith("1-"))
+    val joined = fact.join(dim, fact("o_orderpriority") === dim("p"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+    assert(joined.count() ==
+      Tables.orders(spark, sf0001).filter(col("o_orderpriority").startsWith("1-")).count())
+  }
 }
