@@ -179,7 +179,36 @@ object Windows extends QueryModule {
       |WHERE o_orderkey % 13 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q36: RANGE frame — per-priority revenue within ±2 days of each
+    * order's date (value-based frame, not row-based). Both engines order
+    * by integer days-since-epoch so the range arithmetic is exact.
+    */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val days = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast(DateType))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(days)
+      .rangeBetween(-2, 2)
+    Tables.orders(s, d)
+      .withColumn("nearby_rev", sum(Exact.money(col("o_totalprice"))).over(w)
+        .cast(DoubleType))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("nearby_rev"))
+      .filter(col("o_orderkey") % 19 === 0)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q36Sql =
+    """SELECT o_orderkey, o_orderpriority, nearby_rev FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_orderpriority
+      |      ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+      |      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE) AS nearby_rev
+      |  FROM orders
+      |) WHERE o_orderkey % 19 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_window_range_frame" -> q36,
     "q35_window_analytics" -> q35,
     "q30_window_topn_group" -> q30,
     "q31_window_running_sum" -> q31,
@@ -189,6 +218,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q36_window_range_frame" -> q36Sql,
     "q35_window_analytics" -> q35Sql,
     "q30_window_topn_group" -> q30Sql,
     "q31_window_running_sum" -> q31Sql,
