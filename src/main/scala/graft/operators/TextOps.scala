@@ -405,7 +405,118 @@ object TextOps extends QueryModule {
        |) GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q79: the end-to-end training-data prep pipeline, composed from the
+    * operators above — quality gate → exact dedup (bag-of-words keeper) →
+    * MinHash+LSH near-dup removal (drop the higher doc_id of each verified
+    * pair) → per-language corpus stats. Every stage is the scale shape
+    * already verified individually: per-row scoring, fingerprint hash-agg,
+    * banded candidate join, exact re-score of candidates only.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    // stage 1: quality gate (uniq_ratio from q71, threshold 0.10)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("t"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("t"))).cast(DoubleType) / size(col("t")))
+      .filter(col("uniq_ratio") >= 0.10)
+    // stage 2: exact dedup — keep min doc_id per bag-of-words fingerprint
+    val keepers = scored
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(col("t"))), " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv1 = scored.join(keepers, "doc_id")
+    // stage 3: near-dup removal among survivors (q75's minhash machinery)
+    val sh = surv1
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+      )).as("shingles"))
+      .cache()
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("x"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(x), 1, 7), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(md5(x), 9, 7), 16, 10) AS BIGINT)").as("h2"))
+    val mins = (0 until 16).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      concat_ws("|", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as(s"band$b")
+    }
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b => col(s"band$b")): _*))
+        .as(Seq("band", "bk")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("shingles"))
+    val dropIds = cand
+      .join(sets.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
+      .filter(
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb"))))
+          >= 0.5)
+      .select(col("db").as("doc_id"))
+      .distinct()
+    // stage 4: stats over the final corpus
+    surv1.join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t"))).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val q79Sql = {
+    val hex7 = (off: Int) => (0 until 7).map { i =>
+      s"(strpos('0123456789abcdef', substr(hh, ${off + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
+    }.mkString(" + ")
+    val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(", ")
+    val bandKeys = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bk FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, t FROM (
+       |    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+       |  WHERE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.10),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+       |    FROM scored) GROUP BY fp),
+       |surv1 AS (SELECT s.* FROM scored s JOIN keepers k ON s.doc_id = k.doc_id),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM surv1 WHERE len(t) >= 3),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(${hex7(1)} AS BIGINT) AS h1,
+       |    CAST(${hex7(9)} AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, md5(unnest(shingles)) AS hh FROM sh)),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandKeys),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |dropids AS (
+       |  SELECT DISTINCT db AS doc_id
+       |  FROM cand JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id
+       |  WHERE CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
+       |      / (len(sa.shingles) + len(sb.shingles)
+       |         - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5)
+       |SELECT lang, COUNT(*) AS n_docs, SUM(len(t)) AS n_tokens
+       |FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_corpus_pipeline" -> q79,
     "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
     "q71_quality_score" -> q71,
@@ -418,6 +529,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q79_corpus_pipeline" -> q79Sql,
     "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,
     "q71_quality_score" -> q71Sql,
