@@ -20,9 +20,10 @@ object Bench {
     "q34_window_ranks", "q40_topk_global", "q42_union_by_name",
     "q54_array_hof", "q55_json_extract", "q56_explode_tokens",
     "q73_exact_dedup", "q74_ngram_jaccard", "q75_minhash_lsh",
-    "q76_simhash", "q78_bottomk_udaf", "q80_ann_bruteforce",
-    "q81_ann_lsh", "q82_embed_neardup",
-    "q90_stream_tumbling", "q93_stream_stateful", "q94_stream_sliding"
+    "q76_simhash", "q78_bottomk_udaf", "q79_corpus_pipeline",
+    "q80_ann_bruteforce", "q81_ann_lsh", "q82_embed_neardup",
+    "q83_ann_ivf", "q90_stream_tumbling", "q93_stream_stateful",
+    "q94_stream_sliding"
   )
 
   def main(args: Array[String]): Unit = {

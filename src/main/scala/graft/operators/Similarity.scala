@@ -297,7 +297,43 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** q84: per-label vector statistics — element-wise means (first 4 dims)
+    * and mean squared norm from exact integer sums. The posexplode/groupBy
+    * shape is the distributed spelling of a centroid computation: the
+    * shuffle carries (label, dim, partial sum), O(labels × dims) state.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, d).select(
+      col("label").cast(LongType).as("label"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    vecs
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(element_at(col("v"), 1)).cast(DoubleType) / count(lit(1))).as("mean_d1"),
+        (sum(element_at(col("v"), 2)).cast(DoubleType) / count(lit(1))).as("mean_d2"),
+        (sum(element_at(col("v"), 3)).cast(DoubleType) / count(lit(1))).as("mean_d3"),
+        (sum(element_at(col("v"), 4)).cast(DoubleType) / count(lit(1))).as("mean_d4"),
+        (sum(expr("graft_dot(v, v)")).cast(DoubleType) / count(lit(1))).as("mean_sqnorm"))
+      .orderBy(col("label"))
+  }
+
+  private val q84Sql =
+    s"""WITH q AS (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings)
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(v[1]) AS DOUBLE) / COUNT(*) AS mean_d1,
+       |  CAST(SUM(v[2]) AS DOUBLE) / COUNT(*) AS mean_d2,
+       |  CAST(SUM(v[3]) AS DOUBLE) / COUNT(*) AS mean_d3,
+       |  CAST(SUM(v[4]) AS DOUBLE) / COUNT(*) AS mean_d4,
+       |  CAST(SUM(list_sum(list_transform(v, x -> x*x))) AS DOUBLE) / COUNT(*) AS mean_sqnorm
+       |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_vector_stats" -> q84,
     "q80_ann_bruteforce" -> q80,
     "q81_ann_lsh" -> q81,
     "q82_embed_neardup" -> q82,
@@ -305,6 +341,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q84_vector_stats" -> q84Sql,
     "q80_ann_bruteforce" -> q80Sql,
     "q81_ann_lsh" -> q81Sql,
     "q82_embed_neardup" -> q82Sql,
