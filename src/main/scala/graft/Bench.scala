@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * target SF, so timings measure the operators, not JVM startup. The noop
   * sink executes the complete plan (including sorts) without collect or
   * write overhead.
+  *
+  * Noise handling: this host shows multi-second CPU-steal bursts (a warm
+  * query can swing 1.8s ↔ 21s on unchanged code). Each query runs at least
+  * twice and we report the minimum; while the best run still overlapped
+  * significant steal (>2% of the host's cpu-seconds during the run, read
+  * from /proc/stat), up to two extra attempts are made. A query that throws
+  * is reported as -1 with its error in an "errors" map — never as a
+  * misleading timing.
   */
 object Bench {
 
@@ -26,9 +34,21 @@ object Bench {
     "q94_stream_sliding"
   )
 
+  /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val fields = src.getLines().next().trim.split("\\s+")
+        // "cpu user nice system idle iowait irq softirq steal ..."
+        if (fields.length > 8) fields(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nCpus = cpus.toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,26 +63,46 @@ object Bench {
     def exec(name: String, dir: String): Unit =
       qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
 
-    // warmup: same plans, tiny data
+    // warmup: same plans, tiny data (errors surface in the timed run)
     names.foreach { n =>
       try exec(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
 
-    // this host shows multi-second CPU-steal spikes; report the best of two
-    // timed runs so numbers reflect the plan, not a noisy neighbor
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      var best = Double.MaxValue
+      var bestStealFrac = 1.0
+      var attempt = 0
+      var failed = false
+      // >=2 attempts always; keep retrying (to 4) while the best attempt
+      // overlapped noticeable steal — min-of-clean beats min-of-noisy
+      while (!failed && attempt < 4 && (attempt < 2 || bestStealFrac > 0.02)) {
+        attempt += 1
+        val s0 = stealTicks()
         val t0 = System.nanoTime()
-        try exec(name, sfDir) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          exec(name, sfDir)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val stealFrac =
+            if (dt <= 0) 0.0
+            else (stealTicks() - s0) / (nCpus * 100.0 * dt)
+          if (dt < best) { best = dt; bestStealFrac = stealFrac }
+        } catch {
+          case t: Throwable =>
+            failed = true
+            val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
+            errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
       }
-      name -> times.min
+      name -> (if (failed) -1.0 else best)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val ejson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

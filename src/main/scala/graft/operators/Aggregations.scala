@@ -172,10 +172,13 @@ object Aggregations extends QueryModule {
       .agg(
         count(lit(1)).as("n"),
         Exact.avgMoney(col("p_retailprice")).as("mean_price"),
-        ((count(lit(1)) * sum(col("p_size").cast(LongType) * col("p_size"))
-          - sum(col("p_size").cast(LongType)) * sum(col("p_size").cast(LongType)))
-          .cast(DoubleType)
-          / (count(lit(1)) * (count(lit(1)) - 1))).as("var_size"),
+        // guard n > 1: Spark's 0-denominator double division is NULL (ANSI
+        // off) while DuckDB's is inf — make both engines emit NULL
+        when(count(lit(1)) > 1,
+          (count(lit(1)) * sum(col("p_size").cast(LongType) * col("p_size"))
+            - sum(col("p_size").cast(LongType)) * sum(col("p_size").cast(LongType)))
+            .cast(DoubleType)
+            / (count(lit(1)) * (count(lit(1)) - 1))).as("var_size"),
         expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(p_size AS BIGINT))")
           .cast(DoubleType).as("median_size")
       )
@@ -184,9 +187,10 @@ object Aggregations extends QueryModule {
   private val q27Sql =
     s"""SELECT p_brand, COUNT(*) AS n,
        |  ${Exact.sqlAvgMoney("p_retailprice")} AS mean_price,
-       |  CAST(CAST(COUNT(*) * SUM(CAST(p_size AS BIGINT) * p_size)
-       |       - SUM(CAST(p_size AS BIGINT)) * SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS DOUBLE)
-       |    / (COUNT(*) * (COUNT(*) - 1)) AS var_size,
+       |  CASE WHEN COUNT(*) > 1 THEN
+       |    CAST(CAST(COUNT(*) * SUM(CAST(p_size AS BIGINT) * p_size)
+       |         - SUM(CAST(p_size AS BIGINT)) * SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |      / (COUNT(*) * (COUNT(*) - 1)) END AS var_size,
        |  CAST(quantile_cont(CAST(p_size AS BIGINT), 0.5) AS DOUBLE) AS median_size
        |FROM part GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin

@@ -84,6 +84,10 @@ object Multimodal extends QueryModule {
   private def q96(s: SparkSession, d: String): DataFrame =
     media(s, d)
       .withColumn("n_frames", ceil(col("declared_len") / lit(64.0)).cast(LongType))
+      // guard n_frames > 0: Spark's sequence(0, -1) yields a DESCENDING
+      // [0, -1] rather than an empty sequence, so an empty payload would
+      // wrongly emit frame 0 (DuckDB's range(0, 0) is empty)
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("payload"), col("n_frames"),
         explode(expr("filter(sequence(0, CAST(n_frames AS INT) - 1), f -> f % 4 = 0)")).as("frame"))
       .select(

@@ -510,7 +510,7 @@ object TextOps extends QueryModule {
        |  WHERE CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)
        |      / (len(sa.shingles) + len(sb.shingles)
        |         - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))) >= 0.5)
-       |SELECT lang, COUNT(*) AS n_docs, SUM(len(t)) AS n_tokens
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
        |FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
        |GROUP BY lang ORDER BY lang""".stripMargin
   }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * change: user code keeps the declarative spelling; the plan gets the
   * fused kernel. Guards are deliberately narrow (both inputs
   * `array<bigint>`, literal zero, pure multiply/add lambdas) — anything
-  * else is left untouched.
+  * else is left untouched. Sound for ALL legal inputs because
+  * [[DotProductLong]] replicates the builtin null semantics exactly:
+  * unequal lengths (zip_with null-pads the shorter array) and null
+  * elements both yield a NULL sum, same as the aggregate spelling.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 

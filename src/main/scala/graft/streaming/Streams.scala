@@ -186,19 +186,27 @@ object Streams extends QueryModule {
         .as[(Long, Long)])
     val q = sessions.toDF("user_id", "n_sessions", "n_events")
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        buf.synchronized { buf ++= batch.collect() }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = batch.withColumn("batch_id", lit(batchId)).collect()
+        buf.synchronized { buf ++= rows }
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val schema = StructType(Seq(StructField("user_id", LongType),
-      StructField("n_sessions", LongType), StructField("n_events", LongType)))
+      StructField("n_sessions", LongType), StructField("n_events", LongType),
+      StructField("batch_id", LongType)))
     val df = s.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
-    // keep the final emission per user (re-emissions update earlier ones)
+    // keep the final emission per user: state accumulates across batches, so
+    // the row from the highest batch_id is the answer. n_sessions itself is
+    // NOT monotonic (a later event can merge two sessions), so max over the
+    // stat columns would be wrong in multi-batch runs — order by batch_id.
     df.groupBy(col("user_id"))
-      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .agg(max(struct(col("batch_id"), col("n_sessions"), col("n_events"))).as("last"))
+      .select(col("user_id"),
+        col("last.n_sessions").as("n_sessions"),
+        col("last.n_events").as("n_events"))
       .orderBy(col("user_id"))
   }
 
@@ -209,7 +217,7 @@ object Streams extends QueryModule {
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-      |SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+      |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q94: sliding event-time windows — 2-hour windows sliding every 30

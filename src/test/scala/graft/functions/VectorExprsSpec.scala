@@ -35,4 +35,29 @@ class VectorExprsSpec extends SparkSpec {
     val df = Seq((Some(Array(1L)), None: Option[Array[Long]])).toDF("a", "b")
     assert(df.select(expr("graft_dot(a, b)")).collect()(0).isNullAt(0))
   }
+
+  test("graft_dot replicates builtin null semantics: unequal lengths and null elements") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // unequal lengths: zip_with null-pads the shorter side → null sum
+    // null element anywhere → null product → null sum
+    val df = Seq(
+      (Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](4L, 5L)),
+      (Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](4L, 5L, 6L)),
+      (Array[java.lang.Long](1L, 2L), Array[java.lang.Long](4L, 5L))
+    ).toDF("a", "b")
+    val both = df.select(
+      expr("graft_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        .as("builtin")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null mismatch: native=${r.get(0)} builtin=${r.get(1)}")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    // hand-computed expectations (the rewrite may compile BOTH columns to
+    // the native kernel, so the cross-check alone would be tautological)
+    assert(both(0).isNullAt(0) && both(1).isNullAt(0))
+    assert(!both(2).isNullAt(0) && both(2).getLong(0) == 14L)
+  }
 }

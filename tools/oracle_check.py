@@ -52,6 +52,18 @@ def main():
             continue
         try:
             ecols, edata = frame(con, oracle[name])
+            # the driver's compare renders DuckDB HUGEINT (integer SUM)
+            # differently than BIGINT — this is exactly how r02's three
+            # hash mismatches happened. Flag it even though our own
+            # stringified compare can't see the difference.
+            rel = con.sql(oracle[name])
+            hugey = [c for c, t in zip(rel.columns, rel.types)
+                     if str(t) == "HUGEINT"]
+            if hugey:
+                print(f"FAIL {name}: oracle columns {hugey} are HUGEINT "
+                      f"(driver renders != BIGINT) — CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
