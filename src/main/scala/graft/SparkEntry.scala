@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Scalars,
     operators.Articles,
     operators.TextOps,
+    operators.CorpusOps,
     operators.Similarity,
     operators.Multimodal,
     streaming.Streams

