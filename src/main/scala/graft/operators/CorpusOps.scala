@@ -287,7 +287,125 @@ object CorpusOps extends QueryModule {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM binned GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+
+  /** q87: bigram language-model statistics — top-20 bigrams by count with
+    * the exact scaled conditional probability `P(w2|w1) ≈ (cnt * 1e6) div
+    * prefix_cnt`, where the prefix count is the bigram-marginal (sum of
+    * counts sharing w1). One per-row fan-out, one partial-agg shuffle of
+    * O(distinct bigrams), a window marginal over the same key prefix, and
+    * a bounded top-k — the n-gram-table build a tokenizer/LM pipeline runs.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    bi.withColumn("prefix_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("w1"))))
+      .withColumn("p_scaled", expr("(cnt * 1000000) div prefix_cnt"))
+      .orderBy(desc("cnt"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val q87Sql =
+    s"""WITH d AS (SELECT $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2)),
+       |cnts AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY 1, 2),
+       |marg AS (
+       |  SELECT w1, w2, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS prefix_cnt
+       |  FROM cnts)
+       |SELECT w1, w2, cnt, prefix_cnt,
+       |  (cnt * 1000000) // prefix_cnt AS p_scaled
+       |FROM marg ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88: corpus length profile — per-source doc counts, exact mean token
+    * count, and interpolated p10/p50/p90 percentiles (both engines use
+    * linear interpolation over the sorted values, and the interpolation
+    * arithmetic is IEEE-identical given equal integer inputs). The
+    * distribution summary that drives chunk-size / packing decisions.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_tokens")).cast(DoubleType) / count(lit(1))).as("mean_tokens"),
+        expr("percentile_cont(0.1) WITHIN GROUP (ORDER BY n_tokens)")
+          .cast(DoubleType).as("p10"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+          .cast(DoubleType).as("p50"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens)")
+          .cast(DoubleType).as("p90"))
+      .orderBy(col("source"))
+
+  private val q88Sql =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       |  CAST(quantile_cont(n_tokens, 0.1) AS DOUBLE) AS p10,
+       |  CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50,
+       |  CAST(quantile_cont(n_tokens, 0.9) AS DOUBLE) AS p90
+       |FROM (SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+
+  /** q89: cross-lingual vocabulary overlap — pairwise Jaccard between
+    * per-language vocabularies. Vocabularies are distinct (lang, token)
+    * pairs (one dedup shuffle); pair intersections come from the token
+    * self-join (shuffle keyed on token — no all-pairs stage); sizes join
+    * in broadcast. The contamination / shared-vocabulary diagnostic for a
+    * multilingual corpus.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .distinct()
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("la"), col("b.lang").as("lb"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("lang", "la")
+        .withColumnRenamed("sz", "sza")), "la")
+      .join(broadcast(sizes.withColumnRenamed("lang", "lb")
+        .withColumnRenamed("sz", "szb")), "lb")
+      .select(col("la"), col("lb"), col("inter"),
+        (col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")))
+          .as("jac"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  private val q89Sql =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT lang, unnest($toksSql) AS tok FROM documents),
+       |inter AS (
+       |  SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS sz FROM vocab GROUP BY 1)
+       |SELECT la, lb, inter,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jac
+       |FROM inter JOIN sizes sa ON la = sa.lang JOIN sizes sb ON lb = sb.lang
+       |ORDER BY la, lb""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_bigram_lm" -> q87,
+    "q88_length_profile" -> q88,
+    "q89_vocab_overlap" -> q89,
     "q66_tfidf" -> q66,
     "q67_doc_chunks" -> q67,
     "q68_term_redaction" -> q68,
@@ -297,6 +415,9 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q87_bigram_lm" -> q87Sql,
+    "q88_length_profile" -> q88Sql,
+    "q89_vocab_overlap" -> q89Sql,
     "q66_tfidf" -> q66Sql,
     "q67_doc_chunks" -> q67Sql,
     "q68_term_redaction" -> q68Sql,

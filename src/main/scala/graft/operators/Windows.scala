@@ -207,7 +207,52 @@ object Windows extends QueryModule {
       |) WHERE o_orderkey % 19 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q37: batch sessionization — the gaps-and-islands twin of streaming
+    * q93: a new session starts at a ≥30-minute gap; sessions are numbered
+    * by a running sum of the gap markers, then aggregated to one row per
+    * session. Two window passes over the same (user_id, ts, event_id)
+    * ordering — one shuffle total, since both windows share the
+    * partitioning — then a partial-agg shuffle of O(sessions).
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            >= 30L * 60 * 1000 * 1000, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .cast(LongType).as("dur_s"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  private val q37Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sess_idx
+      |  FROM marked)
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+      |FROM sessions GROUP BY user_id, sess_idx
+      |ORDER BY user_id, sess_idx""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_window_sessionize" -> q37,
     "q36_window_range_frame" -> q36,
     "q35_window_analytics" -> q35,
     "q30_window_topn_group" -> q30,
@@ -218,6 +263,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q37_window_sessionize" -> q37Sql,
     "q36_window_range_frame" -> q36Sql,
     "q35_window_analytics" -> q35Sql,
     "q30_window_topn_group" -> q30Sql,

@@ -50,4 +50,30 @@ class PlanSpec extends SparkSpec {
     val p = plan("q80_ann_bruteforce")
     assert(p.contains("graft_dot"), s"native expression not in plan:\n$p")
   }
+
+  test("q66 tfidf joins the 1-row corpus count by broadcast") {
+    val p = plan("q66_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus count not broadcast:\n$p")
+  }
+
+  test("q87 bigram top-20 is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q87_bigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k compiled to a sort:\n$p")
+  }
+
+  test("q89 vocab sizes broadcast; overlap join shuffles on token only") {
+    val p = plan("q89_vocab_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"sizes dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs stage present:\n$p")
+  }
+
+  test("q37 sessionize reuses one (user_id) shuffle for both window passes") {
+    val p = plan("q37_window_sessionize")
+    // lag/new_s and the running sum share partitioning+ordering, so the
+    // planner must emit a single sort+exchange feeding both Window nodes
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"extra shuffles for shared window spec ($exchanges):\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 1, s"no window node:\n$p")
+  }
 }

@@ -49,4 +49,16 @@ class SinksSpec extends SparkSpec {
     assert(back.schema == src.schema)
     assert(back.count() == src.count())
   }
+
+  test("ORC sink round trip preserves types exactly") {
+    val src = graft.Tables.orders(spark, sf0001)
+    val path = tmpDir("orc")
+    src.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    // spot-check values survive the format hop
+    val k = src.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0)
+    assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0) == k)
+  }
 }
