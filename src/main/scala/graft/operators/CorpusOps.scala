@@ -175,7 +175,10 @@ object CorpusOps extends QueryModule {
     * propagation to fixpoint. Components get the min member doc_id as
     * cluster id; output is cluster sizes.
     *
-    * Scale: each iteration is one join + partial-agg shuffle on doc_id;
+    * Scale: shingles are identity-hashed to 64-bit ints before the
+    * self-join (8-byte shuffle keys). Each iteration is one join +
+    * partial-agg shuffle on doc_id at a parallelism sized to the edge
+    * count — the working set is O(near-dup pairs), a sliver of the scan;
     * iteration count is bounded by the component diameter (near-dup
     * clusters are shallow — single digits even at 100 TB). The loop
     * `localCheckpoint`s per round to truncate lineage. This is the
@@ -184,12 +187,22 @@ object CorpusOps extends QueryModule {
     * shallow graphs.
     */
   private def q85(s: SparkSession, d: String): DataFrame = {
+    // cache the shingled relation: it feeds both sides of the self-join
+    // plus the size lookup, and tokenize+shingle is the expensive scalar
+    // work — without the cache it is recomputed three times (and the
+    // identical cached scans let the planner reuse one exchange for both
+    // self-join sides). Shingles are reduced to 64-bit hashes up front:
+    // the join/shuffle key drops from a ~25-byte string to 8 bytes, and
+    // intersection counts are unchanged short of an xxhash64 collision
+    // (~2^-64 per shingle pair — the same identity-by-hash risk class as
+    // the md5 fingerprints used across this module).
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        "transform(sequence(0, size(t) - 3), i -> xxhash64(t[i], t[i+1], t[i+2]))"))
         .as("shingles"))
+      .cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sx"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sx") === col("b.sx") && col("a.doc_id") < col("b.doc_id"))
@@ -202,24 +215,38 @@ object CorpusOps extends QueryModule {
       .filter(col("inter").cast(DoubleType) /
         (col("sza") + col("szb") - col("inter")) >= 0.3)
       .select(col("da"), col("db"))
-      .localCheckpoint()
-    val bi = edges.union(edges.select(col("db").as("da"), col("da").as("db")))
+    val edgesCp = edges.localCheckpoint()
+    sh.unpersist() // edges are materialized; the loop never re-reads sh
+    val bi = edgesCp.union(edgesCp.select(col("db").as("da"), col("da").as("db")))
+    // the fixpoint working set is O(near-dup pairs) — a sliver of the
+    // input (1.3M shingle pairs → 256 edges at sf0.1). Run the loop at a
+    // parallelism sized to it, not to the scan: each round is a couple of
+    // small shuffles, and task-launch overhead dominates when every
+    // shuffle fans out to the session's scan-sized partition count. The
+    // session setting is restored after the loop.
+    val sessParts = s.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edgesCp.count()
+    val loopParts = math.max(1L, math.min(sessParts.toLong, nEdges / 500000L + 1L))
+    // labels(0): every node its own component; not checkpointed — round 1
+    // computes it once inside its own checkpoint job
     var labels = bi.select(col("da").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
     var converged = false
-    while (!converged) {
-      val nbrMin = bi.join(labels, col("da") === col("id"))
-        .groupBy(col("db").as("nid"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("nbr_comp") < col("comp")).as("changed"))
-      val nextCp = next.localCheckpoint()
-      converged = nextCp.filter(col("changed")).limit(1).count() == 0
-      labels = nextCp.select(col("id"), col("comp"))
-    }
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      while (!converged) {
+        val nbrMin = bi.join(labels, col("da") === col("id"))
+          .groupBy(col("db").as("nid"))
+          .agg(min(col("comp")).as("nbr_comp"))
+        val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+            (col("nbr_comp") < col("comp")).as("changed"))
+        val nextCp = next.localCheckpoint()
+        converged = nextCp.filter(col("changed")).limit(1).count() == 0
+        labels = nextCp.select(col("id"), col("comp"))
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
     labels.groupBy(col("comp"))
       .agg(count(lit(1)).as("sz"))
       .orderBy(col("comp"))
