@@ -95,22 +95,28 @@ case class DotProductLong(left: Expression, right: Expression)
 object GraftFunctions {
   private val dotIdent = FunctionIdentifier("graft_dot")
 
+  /** `graft_dot` as a Spark FunctionDescription — the injectable triple
+    * consumed by [[graft.GraftExtensions]] and by [[register]].
+    */
+  val dotDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (dotIdent,
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProductLong(children.head, children(1))
+      })
+
   /** Idempotently register `graft_dot` with the session's function
     * registry (usable from `expr(...)` and `spark.sql(...)`) and install
     * the [[graft.plans.DotProductRewrite]] optimizer rule so the built-in
     * `aggregate(zip_with(...))` spelling compiles to the native kernel.
+    * Programmatic twin of wiring [[graft.GraftExtensions]] through
+    * `spark.sql.extensions`.
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotIdent)) {
-      registry.registerFunction(
-        dotIdent,
-        new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot"),
-        (children: Seq[Expression]) => {
-          require(children.size == 2, "graft_dot takes exactly 2 arguments")
-          DotProductLong(children.head, children(1))
-        })
-    }
+    if (!registry.functionExists(dotIdent))
+      registry.registerFunction(dotDescription._1, dotDescription._2, dotDescription._3)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations = extra :+ graft.plans.DotProductRewrite

@@ -60,4 +60,23 @@ class VectorExprsSpec extends SparkSpec {
     assert(both(0).isNullAt(0) && both(1).isNullAt(0))
     assert(!both(2).isNullAt(0) && both(2).getLong(0) == 14L)
   }
+
+  test("spark.sql.extensions=graft.GraftExtensions injects function + rule at session build") {
+    // the shared spec session is built WITH the extensions config and no
+    // test in this suite ran GraftFunctions.register before this point is
+    // guaranteed — so assert via a CHILD session, which re-derives its
+    // state from the context's extensions and never saw register()
+    val child = spark.newSession()
+    val viaSql = child.sql(
+      "SELECT graft_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head.getLong(0)
+    assert(viaSql == 32L, "graft_dot not resolvable from SQL in an extensions-built session")
+    // parquet-backed input so constant folding cannot pre-evaluate the plan
+    val vecs = graft.Tables.embeddings(child, sf0001).selectExpr(
+      "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v")
+    val plan = vecs.selectExpr(
+      "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_dot"),
+      s"DotProductRewrite not installed via extensions:\n$plan")
+  }
 }
