@@ -13,6 +13,9 @@ case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String,
 case class MediaFeatures(doc_id: Long, format: String, byte_len: Long,
                          content_hash: String, feat_norm: Long)
 
+/** A fixed-width feature vector extracted from one media payload. */
+case class MediaHist(doc_id: Long, format: String, hist: Array[Long])
+
 /** Multimodal-column surface (north star: image/audio/video as opaque
   * binary + typed metadata, decoded per partition in batches).
   *
@@ -134,15 +137,65 @@ object Multimodal extends QueryModule {
       |  FROM documents
       |) ORDER BY doc_id""".stripMargin
 
+  /** q100: feature extraction + corpus reduce — each payload is mapped to
+    * a fixed-width feature vector (8-bin byte histogram; the stand-in for
+    * an embedding or color-histogram extractor) inside the same partition-batched
+    * typed `mapPartitions` as q95, then reduced element-wise per format.
+    * Scale shape: payload bytes never leave the scan stage — only the
+    * 8-long vector shuffles into the partial-agg; the element-wise
+    * reduction is 8 codegen'd integer sums, not an array UDAF.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = media(s, d).as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val h = new Array[Long](8)
+        r.payload.foreach(b => h((b & 0xff) >> 5) += 1L)
+        MediaHist(r.doc_id, r.format, h)
+      })
+      .toDF()
+    feats.groupBy(col("format"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        array((0 until 8).map(i =>
+          sum(col("hist")(i)).cast(LongType)): _*).as("hist"))
+      .orderBy(col("format"))
+  }
+
+  // ascii payloads: byte value == ord(char), so bin = ord // 32 (bins 4-7
+  // stay zero but remain part of the fixed-width vector)
+  private val q100Sql =
+    """WITH m AS (SELECT 'fake/' || source AS format, doc_id, text FROM documents),
+      |n AS (SELECT format, CAST(COUNT(*) AS BIGINT) AS n_media FROM m GROUP BY 1),
+      |c AS (
+      |  SELECT format, ord(substr(text, i, 1)) // 32 AS bin
+      |  FROM (SELECT format, text, unnest(range(1, strlen(text) + 1)) AS i FROM m)),
+      |h AS (
+      |  SELECT format, [
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 0 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 1 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 2 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 3 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 4 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 5 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0) AS BIGINT)] AS hist
+      |  FROM c GROUP BY format)
+      |SELECT n.format, n.n_media, h.hist
+      |FROM n JOIN h ON n.format = h.format
+      |ORDER BY n.format""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_multimodal_decode" -> q95,
     "q96_multimodal_frames" -> q96,
-    "q97_multimodal_resize" -> q97
+    "q97_multimodal_resize" -> q97,
+    "q100_multimodal_features" -> q100
   )
 
   override def oracles: Map[String, String] = Map(
     "q95_multimodal_decode" -> q95Sql,
     "q96_multimodal_frames" -> q96Sql,
-    "q97_multimodal_resize" -> q97Sql
+    "q97_multimodal_resize" -> q97Sql,
+    "q100_multimodal_features" -> q100Sql
   )
 }
