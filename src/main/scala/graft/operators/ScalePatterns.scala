@@ -90,15 +90,70 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q49: merge/upsert — apply a changeset (updates, deletes, inserts) to
+    * a snapshot, the MERGE INTO shape a corrections/recrawl pipeline runs
+    * without a table format. One full-outer join keyed on the primary key:
+    * update rows override, delete tombstones drop, insert rows survive the
+    * unmatched side. The changeset is derived deterministically from the
+    * snapshot itself (op by key residue) so both engines build the same
+    * delta; insert keys are offset by 1e8, above any snapshot key at the
+    * tested scale factors. At 100 TB the delta side is tiny relative to
+    * the snapshot but a full-outer join must co-shuffle both sides —
+    * that single key-shuffle is the whole cost, and bucketing the
+    * snapshot on the key removes even that.
+    */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val delta =
+      base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          lit("X").as("status"), (col("o_totalprice") * 2).as("price"))
+      .unionByName(
+        base.filter(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey").as("k"), lit("D").as("op"),
+            lit(null).cast("string").as("status"), lit(null).cast("double").as("price")))
+      .unionByName(
+        base.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+            lit("N").as("status"), col("o_totalprice").as("price")))
+    base.join(delta, col("o_orderkey") === col("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("k"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("status"), col("o_orderstatus")).as("o_orderstatus"),
+        coalesce(col("price"), col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q49Sql =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey AS k, 'U' AS op, 'X' AS status, o_totalprice * 2 AS price
+      |  FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM base WHERE o_orderkey % 11 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', 'N', o_totalprice
+      |  FROM base WHERE o_orderkey % 13 = 0)
+      |SELECT COALESCE(k, o_orderkey) AS o_orderkey,
+      |       COALESCE(status, o_orderstatus) AS o_orderstatus,
+      |       COALESCE(price, o_totalprice) AS o_totalprice
+      |FROM base FULL OUTER JOIN delta ON o_orderkey = k
+      |WHERE COALESCE(op, '') <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
-    "q48_stratified_sample" -> q48
+    "q48_stratified_sample" -> q48,
+    "q49_merge_upsert" -> q49
   )
 
   override def oracles: Map[String, String] = Map(
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
-    "q48_stratified_sample" -> q48Sql
+    "q48_stratified_sample" -> q48Sql,
+    "q49_merge_upsert" -> q49Sql
   )
 }

@@ -68,6 +68,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs stage present:\n$p")
   }
 
+  test("q49 merge applies the changeset through one full-outer key join") {
+    val p = plan("q49_merge_upsert")
+    assert(p.contains("FullOuter"), s"no full-outer merge join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge degenerated to an unkeyed join:\n$p")
+  }
+
+  test("q75 LSH candidate generation has no all-pairs stage") {
+    val p = plan("q75_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs stage in LSH plan:\n$p")
+  }
+
   test("q37 sessionize reuses one (user_id) shuffle for both window passes") {
     val p = plan("q37_window_sessionize")
     // lag/new_s and the running sum share partitioning+ordering, so the
