@@ -429,7 +429,96 @@ object CorpusOps extends QueryModule {
        |FROM inter JOIN sizes sa ON la = sa.lang JOIN sizes sb ON lb = sb.lang
        |ORDER BY la, lb""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+
+  /** q101: repetition quality filter — the Gopher-style signals that gate
+    * machine-generated/boilerplate text out of a training corpus: the
+    * fraction of all bigrams taken by the single most frequent bigram, and
+    * the distinct-token ratio. Flags docs past either threshold. Exact
+    * integer fractions (scaled by 10⁴, integer division) keep the compare
+    * bit-stable. Two partial-agg shuffles of O(distinct per-doc bigrams);
+    * nothing is collected.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val top = doc
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).cast(LongType).as("n_bi"))
+    val tok = doc.select(col("doc_id"), size(col("t")).cast(LongType).as("n_tok"),
+      size(array_distinct(col("t"))).cast(LongType).as("n_distinct"))
+    top.join(tok, "doc_id")
+      .withColumn("bigram_frac", expr("(top_c * 10000) div n_bi"))
+      .withColumn("distinct_frac", expr("(n_distinct * 10000) div n_tok"))
+      .filter(col("bigram_frac") >= 700 || col("distinct_frac") <= 3300)
+      .select(col("doc_id"), col("n_tok"), col("top_c"),
+        col("bigram_frac"), col("distinct_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q101Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+       |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+       |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM dd)),
+       |cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+       |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c,
+       |               CAST(SUM(c) AS BIGINT) AS n_bi FROM cnt GROUP BY 1),
+       |tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+       |               CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM dd)
+       |SELECT doc_id, n_tok, top_c,
+       |  (top_c * 10000) // n_bi AS bigram_frac,
+       |  (n_distinct * 10000) // n_tok AS distinct_frac
+       |FROM top JOIN tok USING (doc_id)
+       |WHERE (top_c * 10000) // n_bi >= 700
+       |   OR (n_distinct * 10000) // n_tok <= 3300
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+
+  /** q102: cross-document passage dedup — split every doc into fixed
+    * 32-token passages (the paragraph stand-in for this corpus), hash each
+    * with md5, and report passages shared by more than one document: the
+    * boilerplate-removal pass (headers, license blocks, templated intros)
+    * that document-level dedup misses. Identity travels as a 32-char hash;
+    * passage text never shuffles. One partial-agg shuffle of O(passages).
+    */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 32) // guard: sequence(0,-1) is descending, not empty
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(size(t) div 32 AS INT) - 1)," +
+          " s -> md5(array_join(slice(t, s * 32 + 1, 32), ' ')))")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("h"))
+
+  private val q102Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(t[(s * 32 + 1):(s * 32 + 32)], ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t) // 32)) AS s
+       |        FROM d WHERE len(t) >= 32))
+       |SELECT h, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS keeper, MAX(doc_id) AS max_doc
+       |FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY h""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_repetition_filter" -> q101,
+    "q102_passage_dedup" -> q102,
     "q87_bigram_lm" -> q87,
     "q88_length_profile" -> q88,
     "q89_vocab_overlap" -> q89,
@@ -442,6 +531,8 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q101_repetition_filter" -> q101Sql,
+    "q102_passage_dedup" -> q102Sql,
     "q87_bigram_lm" -> q87Sql,
     "q88_length_profile" -> q88Sql,
     "q89_vocab_overlap" -> q89Sql,

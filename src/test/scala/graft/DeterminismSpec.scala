@@ -13,7 +13,9 @@ class DeterminismSpec extends SparkSpec {
     "q27_stats_exact",     // integer variance identity
     "q46_salted_agg",      // two-stage salted sums
     "q84_vector_stats",    // integer vector sums
-    "q33_window_moving_avg" // decimal window frames
+    "q33_window_moving_avg", // decimal window frames
+    "q85_dedup_components", // iterative fixpoint + hashed shingle identity
+    "q100_multimodal_features" // mapPartitions feature vectors + element sums
   )
 
   test("results are bit-identical across shuffle partition counts") {
