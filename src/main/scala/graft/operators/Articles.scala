@@ -191,7 +191,39 @@ object Articles extends QueryModule {
     }.mkString("", "\nUNION ALL BY NAME\n", "\nORDER BY corpus")
   }
 
+  /** q103: co-author collaboration graph over the reference's own landed
+    * corpora — per-article author pairs generated as a PURE per-row
+    * fan-out (nested array transforms; no self-join, no article key
+    * needed), then one partial-agg shuffle of O(distinct pairs). The
+    * citation-network analysis the scraped corpus exists to feed; at
+    * 100 TB the per-row expansion is O(k²) in authors-per-paper (small
+    * constant) and the only shuffle carries pair strings.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    ArticleSource.unionAll(s)
+      .filter(col("chercheurs").isNotNull)
+      .select(expr(
+        "array_distinct(filter(split(chercheurs, '; '), x -> x != ''))").as("l"))
+      .select(explode(expr(
+        "flatten(transform(l, x -> transform(filter(l, y -> y > x), y -> concat(x, ' & ', y))))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_papers"))
+      .orderBy(desc("n_papers"), col("pair"))
+      .limit(15)
+
+  private val q103Sql =
+    s"""SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_papers FROM (
+       |  SELECT unnest(flatten(list_transform(l,
+       |    x -> list_transform(list_filter(l, y -> y > x), y -> x || ' & ' || y)))) AS pair
+       |  FROM (
+       |    SELECT list_distinct(list_filter(string_split(chercheurs, '; '), x -> x <> '')) AS l
+       |    FROM (${ArticleSource.unionAllSql})
+       |    WHERE chercheurs IS NOT NULL))
+       |GROUP BY pair ORDER BY n_papers DESC, pair LIMIT 15""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_coauthor_graph" -> q103,
     "q60_articles_union" -> q60,
     "q61_top_authors" -> q61,
     "q62_doi_normalize" -> q62,
@@ -201,6 +233,7 @@ object Articles extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q103_coauthor_graph" -> q103Sql,
     "q60_articles_union" -> q60Sql,
     "q61_top_authors" -> q61Sql,
     "q62_doi_normalize" -> q62Sql,
