@@ -66,4 +66,26 @@ class StreamsSpec extends SparkSpec {
       assert(!got.contains(10L) || got(0L) == 2L)
     } finally q.stop()
   }
+
+  test("streaming parquet file sink is exactly-once across restarts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ck").toString
+    val input = MemoryStream[Long]
+    def start() = input.toDF().toDF("v")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { input.addData(1L to 100L: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart against the same checkpoint: the committed batch must not
+    // replay, the new batch must land exactly once
+    val q2 = start()
+    try { input.addData(101L to 150L: _*); q2.processAllAvailable() } finally q2.stop()
+    // readers see only files committed in _spark_metadata (exactly-once view)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 150L)
+    assert(back.agg(sum(col("v"))).head.getLong(0) == (1L to 150L).sum)
+  }
 }
