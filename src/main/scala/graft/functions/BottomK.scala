@@ -28,7 +28,36 @@ case class BottomKAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
 
+/** KMV (k-minimum-values) distinct sketch: the k smallest DISTINCT hash
+  * values seen. Dedup happens inside the sketch, so the distinct-count
+  * estimate needs no upstream `DISTINCT` shuffle — state is ≤ k longs per
+  * group through every partial/merge hop, the one-pass economics an
+  * approximate COUNT DISTINCT needs at 100 TB. Unlike HLL the whole
+  * sketch is deterministic given the hash function, so an oracle can
+  * replay it value-for-value.
+  */
+case class KmvSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
+    if (buf.contains(x)) buf
+    else if (buf.size < k) (buf :+ x).sorted
+    else if (x < buf.last) (buf.init :+ x).sorted
+    else buf
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object BottomK {
   /** Column-level bottom-k aggregate usable in `agg(...)`. */
   def bottomK(k: Int)(c: Column): Column = udaf(BottomKAgg(k)).apply(c)
+
+  /** Column-level KMV distinct sketch usable in `agg(...)`. */
+  def kmv(k: Int)(c: Column): Column = udaf(KmvSketchAgg(k)).apply(c)
 }

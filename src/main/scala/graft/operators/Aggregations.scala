@@ -241,7 +241,64 @@ object Aggregations extends QueryModule {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q104: KMV approximate distinct — the oracle-checkable counterpart of
+    * q24's HLL. Each customer key hashes to a 48-bit integer (md5 prefix);
+    * [[graft.functions.KmvSketchAgg]] keeps the 64 smallest distinct
+    * hashes per group in one pass (no upstream DISTINCT shuffle — dedup
+    * lives inside the mergeable sketch, ≤ 64 longs of state per group),
+    * and the estimator `(k-1)·2⁴⁸ div h_k` (exact when the sketch never
+    * filled) is pure integer arithmetic, so DuckDB replays the sketch
+    * value-for-value — an approximate aggregate with a bit-exact oracle.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val hashed = Tables.orders(s, d).select(
+      col("o_orderpriority"),
+      col("o_custkey"),
+      expr("CAST(conv(substring(md5(concat('kmv-', CAST(o_custkey AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+    hashed.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        graft.functions.BottomK.kmv(k)(col("h")).as("sketch"))
+      .select(
+        col("o_orderpriority"),
+        col("n_exact"),
+        when(size(col("sketch")) < k, size(col("sketch")).cast(LongType))
+          .otherwise(expr(
+            s"(${k - 1} * 281474976710656L) div greatest(element_at(sketch, $k), 1L)"))
+          .as("n_est"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q104Sql = {
+    // DuckDB has no conv(); parse the 12-hex-char md5 prefix positionally
+    val hex12 = (0 until 12).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5('kmv-' || o_custkey), ${1 + i}, 1)) - 1) * ${1L << ((11 - i) * 4)}"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT DISTINCT o_orderpriority, CAST($hex12 AS BIGINT) AS h FROM orders),
+       |r AS (
+       |  SELECT o_orderpriority, h,
+       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+       |  FROM h),
+       |est AS (
+       |  SELECT o_orderpriority,
+       |    CASE WHEN MAX(cnt) < 64 THEN CAST(MAX(cnt) AS BIGINT)
+       |         ELSE (63 * 281474976710656) //
+       |              GREATEST(MAX(CASE WHEN rn = 64 THEN h END), 1) END AS n_est
+       |  FROM r GROUP BY o_orderpriority),
+       |ex AS (
+       |  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       |  FROM orders GROUP BY o_orderpriority)
+       |SELECT ex.o_orderpriority, ex.n_exact, est.n_est
+       |FROM ex JOIN est USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_kmv_distinct" -> q104,
     "q27_stats_exact" -> q27,
     "q28_pivot" -> q28,
     "q29_minmax_by" -> q29,
@@ -255,6 +312,7 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q104_kmv_distinct" -> q104Sql,
     "q27_stats_exact" -> q27Sql,
     "q28_pivot" -> q28Sql,
     "q29_minmax_by" -> q29Sql,
