@@ -173,7 +173,57 @@ object Relational extends QueryModule {
       |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** q07: TPC-H Q5-shaped star join — local revenue by nation: lineitem ⋈
+    * orders (both fact-sized, shuffle on the order key) ⋈ customer ⋈
+    * supplier (the co-nationality condition rides the supplier equi-join)
+    * ⋈ nation ⋈ region (tiny dims, broadcast; the region filter prunes
+    * before the join). Exact decimal revenue. The canonical "does the
+    * optimizer order a 6-way join sanely" probe: at 100 TB only the two
+    * fact tables ever shuffle, and only once each.
+    */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(money(col("l_extendedprice")) *
+          (lit(1).cast(Rate) - rate(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  private val q07Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_revenue_by_nation" -> q07,
     "q06_filter_sum" -> q06,
     "q01_pricing_summary" -> q01,
     "q02_filter_pushdown" -> q02,
@@ -183,6 +233,7 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q07_revenue_by_nation" -> q07Sql,
     "q06_filter_sum" -> q06Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,

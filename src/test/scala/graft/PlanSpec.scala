@@ -68,6 +68,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs stage present:\n$p")
   }
 
+  test("q07 six-way star join broadcasts dims and never degenerates") {
+    val p = plan("q07_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"join degenerated:\n$p")
+  }
+
   test("q49 merge applies the changeset through one full-outer key join") {
     val p = plan("q49_merge_upsert")
     assert(p.contains("FullOuter"), s"no full-outer merge join:\n$p")
