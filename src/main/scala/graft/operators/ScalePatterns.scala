@@ -143,7 +143,38 @@ object ScalePatterns extends QueryModule {
       |WHERE COALESCE(op, '') <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q105: salted join — the join twin of q46's salted aggregation: the
+    * fact side carries a deterministic 16-way salt on its join key, the
+    * dimension is replicated across all 16 salt values, and the join key
+    * becomes (key, salt) — a hot customer lands on 16 reducers instead of
+    * one. The oracle runs the plain unsalted join: the rewrite must be
+    * result-identical. (AQE's skew-join split performs this transform at
+    * runtime from shuffle statistics; this query spells the manual rewrite
+    * for engines/paths where AQE cannot see the skew and pins its
+    * correctness.)
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val salts = s.range(0, 16).select(col("id").cast(IntegerType).as("salt"))
+    val dim = Tables.customer(s, d).crossJoin(salts)
+    val fact = Tables.orders(s, d)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(16)).cast(IntegerType))
+    fact.join(dim,
+        fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q105Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_salted_join" -> q105,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -151,6 +182,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q105_salted_join" -> q105Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,

@@ -180,7 +180,14 @@ object TextOps extends QueryModule {
     * then Jaccard from the per-doc set sizes. Linear in total postings.
     */
   private def q74(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).cache()
+    // join keys reduced to 64-bit shingle hashes (8-byte shuffle keys;
+    // distinct strings stay distinct mod an xxhash64 collision, so the
+    // intersection counts — the only thing the output reads from the
+    // shingles — are unchanged). q75/q77 keep raw shingles because their
+    // md5 identities are replayed by the oracle.
+    val sh = shingled(s, d)
+      .select(col("doc_id"), expr("transform(shingles, x -> xxhash64(x))").as("shingles"))
+      .cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
