@@ -303,7 +303,48 @@ object Streams extends QueryModule {
        |FROM events JOIN customer ON user_id + 1 = c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q106: update-mode aggregation into an upsert sink — the third output
+    * mode (q90/q91 run complete, q92/q94/q98 append). Per-(type, hour)
+    * counts stream in update mode, so each micro-batch emits ONLY the keys
+    * that changed; the foreachBatch sink upserts them into keyed state
+    * (the console/KV-store consumer pattern). The final upserted view must
+    * equal the batch aggregate. At scale the sink write per batch is
+    * O(changed keys), not O(all keys) — the reason update mode exists.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val latest = new java.util.concurrent.ConcurrentHashMap[(String, java.sql.Timestamp), (Long, Double)]()
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          latest.put((r.getString(0), r.getTimestamp(1)),
+            (r.getLong(2), r.getDouble(3)))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = new java.util.ArrayList[Row]()
+    latest.forEach { (k, v) => rows.add(Row(k._1, k._2, v._1, v._2)); () }
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("hour_start", TimestampType),
+      StructField("n", LongType), StructField("total", DoubleType)))
+    s.createDataFrame(rows, schema)
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  private val q106Sql =
+    s"""SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+       |  COUNT(*) AS n, ${Exact.sqlSumMoney("value")} AS total
+       |FROM events GROUP BY 1, 2
+       |ORDER BY event_type, hour_start""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_stream_update_upsert" -> q106,
     "q99_stream_static_join" -> q99,
     "q98_stream_stream_join" -> q98,
     "q94_stream_sliding" -> q94,
@@ -314,6 +355,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q106_stream_update_upsert" -> q106Sql,
     "q99_stream_static_join" -> q99Sql,
     "q98_stream_stream_join" -> q98Sql,
     "q94_stream_sliding" -> q94Sql,
