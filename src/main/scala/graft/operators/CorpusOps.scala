@@ -429,6 +429,35 @@ object CorpusOps extends QueryModule {
        |FROM inter JOIN sizes sa ON la = sa.lang JOIN sizes sb ON lb = sb.lang
        |ORDER BY la, lb""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+
+  /** q107: inverted-index build — term → document frequency + the first 10
+    * postings (doc ids, ascending). The search/retrieval index shape: one
+    * (doc, term) dedup shuffle, one partial-agg shuffle keyed on term;
+    * posting lists are bounded (`slice` after `sort_array`) so no group
+    * blows up on a stop word, and at 100 TB each term's full posting list
+    * would stream to the index sink partition-by-partition rather than
+    * collect. Only terms with df ≥ 50 are emitted (the head of the
+    * vocabulary — the part a query planner caches).
+    */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings_head"))
+      .filter(col("df") >= 50)
+      .orderBy(col("term"))
+
+  private val q107Sql =
+    s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       |  (list_sort(list(doc_id)))[1:10] AS postings_head
+       |FROM (SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents)
+       |GROUP BY term HAVING COUNT(*) >= 50
+       |ORDER BY term""".stripMargin
+
   // ---------------------------------------------------------------- q101
 
   /** q101: repetition quality filter — the Gopher-style signals that gate
@@ -517,6 +546,7 @@ object CorpusOps extends QueryModule {
        |ORDER BY h""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_inverted_index" -> q107,
     "q101_repetition_filter" -> q101,
     "q102_passage_dedup" -> q102,
     "q87_bigram_lm" -> q87,
@@ -531,6 +561,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q107_inverted_index" -> q107Sql,
     "q101_repetition_filter" -> q101Sql,
     "q102_passage_dedup" -> q102Sql,
     "q87_bigram_lm" -> q87Sql,
