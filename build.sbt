@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share one SparkSession (SparkSpec.session) and some tests
+// temporarily mutate session confs (shuffle partitions in
+// DeterminismSpec, the q85 loop) — concurrent suites would race on that
+// shared state
+Test / parallelExecution := false
 run / fork := true
 // Forked run output must reach stdout unprefixed: the bench driver parses
 // the single JSON line graft.Bench prints, and sbt's default LoggedOutput
