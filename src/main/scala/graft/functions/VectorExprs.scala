@@ -120,5 +120,8 @@ object GraftFunctions {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations = extra :+ graft.plans.DotProductRewrite
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies = strategies :+ graft.plans.AsOfJoinStrategy
   }
 }

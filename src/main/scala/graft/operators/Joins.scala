@@ -184,6 +184,39 @@ object Joins extends QueryModule {
       |) WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** q108: the as-of join again, through the NATIVE operator
+    * ([[graft.plans.AsOfJoinPlan]] → `AsOfJoinStrategy` →
+    * `AsOfJoinExec`, injected via `spark.sql.extensions`): purchases
+    * pick up the value of the last strictly-prior view per user in one
+    * sorted merge per co-partition — O(1) state, no window buffer, no
+    * interleaved union. The oracle replays the exact last-prior-ROW
+    * semantics with a correlated subquery (q16's window spelling is the
+    * built-ins-only twin).
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOfJoin(s, purchases, views,
+        keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+        valueCol = "value", outName = "last_view_value")
+      .select(col("event_id"), col("user_id"), col("last_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q108Sql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT v.value FROM v
+      |   WHERE v.user_id = p.user_id
+      |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_value
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   /** q17: theta self-join (SURVEY.md §2.3 J6) — same-brand part pairs whose
     * sizes differ by at most 1. The equi key (brand) keeps the join
     * hash-partitionable; the size-band predicate is a residual filter, so
@@ -264,7 +297,8 @@ object Joins extends QueryModule {
     "q13_join_anti" -> q13,
     "q14_join_full_outer" -> q14,
     "q15_join_range" -> q15,
-    "q16_join_asof" -> q16
+    "q16_join_asof" -> q16,
+    "q108_asof_native" -> q108
   )
 
   override def oracles: Map[String, String] = Map(
@@ -277,6 +311,7 @@ object Joins extends QueryModule {
     "q13_join_anti" -> q13Sql,
     "q14_join_full_outer" -> q14Sql,
     "q15_join_range" -> q15Sql,
-    "q16_join_asof" -> q16Sql
+    "q16_join_asof" -> q16Sql,
+    "q108_asof_native" -> q108Sql
   )
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the one `private[sql]` constructor an extension needs:
+  * building a DataFrame from a custom LogicalPlan (`Dataset.ofRows`). The
+  * standard technique for out-of-tree operators — the public API offers no
+  * other way to hand the planner a custom logical node.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Execution semantics of the native as-of join, on planted data the
+  * oracle gate cannot isolate: strict-before tiebreaks, missing matches,
+  * null carried values, and the physical plan actually using the custom
+  * operator.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("asof picks the last strictly-prior right row per key") {
+    import spark.implicits._
+    // left: (event_id, user_id, ts)
+    val left = Seq(
+      (100L, 1L, ts(10000000L)), // after views 1 and 2 -> value 2.0
+      (101L, 1L, ts(3000000L)),  // after view 1 only -> 1.0
+      (102L, 2L, ts(10000000L)), // user 2 has no views -> null
+      (103L, 3L, ts(5000000L))   // same ts as view, view has smaller id -> 3.0
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts(2000000L), 1.0),
+      (11L, 1L, ts(9000000L), 2.0),
+      (12L, 3L, ts(5000000L), 3.0), // same ts as purchase 103, id 12 < 103
+      (13L, 3L, ts(5000000L), 4.0)  // id 13 < 103 too, later in tie order
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v")
+      .select(col("event_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(100L) == Some(2.0))
+    assert(out(101L) == Some(1.0))
+    assert(out(102L) == None)
+    assert(out(103L) == Some(4.0)) // the LAST of the two same-ts prior views
+  }
+
+  test("a right row at or after the left position never matches") {
+    import spark.implicits._
+    val left = Seq((50L, 1L, ts(1000000L))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (60L, 1L, ts(1000000L), 9.0), // same ts, LARGER id -> not strictly before
+      (61L, 1L, ts(2000000L), 8.0)  // later ts
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v").collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
+  test("a null carried value stays null (last-ROW, not last-non-null)") {
+    import spark.implicits._
+    val left = Seq((70L, 1L, ts(9000000L))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (80L, 1L, ts(1000000L), Some(5.0)),
+      (81L, 1L, ts(2000000L), None: Option[Double]) // last prior row: null value
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v").collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
+  test("q108 plans through AsOfJoinExec and matches the q16 window spelling") {
+    val native = graft.SparkEntry.queries("q108_asof_native")(spark, sf0001)
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native operator not in plan:\n$p")
+    val window = graft.SparkEntry.queries("q16_join_asof")(spark, sf0001)
+    assert(native.collect().toSeq == window.collect().toSeq,
+      "native as-of result diverges from the window composition")
+  }
+}
