@@ -23,7 +23,8 @@ object Bench {
     "q01_pricing_summary", "q02_filter_pushdown", "q04_predicates",
     "q07_revenue_by_nation", "q10_join_broadcast", "q11_join_left_outer",
     "q15_join_range",
-    "q16_join_asof", "q17_join_theta", "q19_correlated_subquery",
+    "q16_join_asof", "q108_asof_native", "q17_join_theta",
+    "q19_correlated_subquery",
     "q20_group_multi_agg", "q23_distinct", "q26_grouping_sets",
     "q27_stats_exact", "q30_window_topn_group", "q31_window_running_sum",
     "q34_window_ranks", "q37_window_sessionize", "q40_topk_global",
