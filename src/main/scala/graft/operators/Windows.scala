@@ -251,7 +251,42 @@ object Windows extends QueryModule {
       |FROM sessions GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin
 
+  /** q38: ordered funnel — how many users signed up, then viewed AFTER
+    * signing up, then purchased AFTER that first view. Each stage is one
+    * conditional aggregation over events joined to the per-user frontier
+    * of the previous stage: three scans with partial aggs keyed on
+    * user_id (the frontier tables are O(users) and co-keyed, so at 100 TB
+    * each stage is one co-partitioned join + agg — no per-user event
+    * collection anywhere).
+    */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_viewed_after")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchased_after")))
+  }
+
+  private val q38Sql =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_viewed_after,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchased_after""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_funnel_stages" -> q38,
     "q37_window_sessionize" -> q37,
     "q36_window_range_frame" -> q36,
     "q35_window_analytics" -> q35,
@@ -263,6 +298,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q38_funnel_stages" -> q38Sql,
     "q37_window_sessionize" -> q37Sql,
     "q36_window_range_frame" -> q36Sql,
     "q35_window_analytics" -> q35Sql,
