@@ -62,6 +62,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(3))
   }
 
+  test("property: native as-of equals the window-composition reference on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random interleaved history: few keys + coarse times force heavy ties
+    val row = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 20L), Gen.choose(0.0, 9.0))
+    val rows = Gen.listOfN(120, row)
+    (0 until 5).foreach { seed =>
+      val data = rows.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((k, t, v), i) =>
+          (i.toLong, k, ts(t * 1000000L), v, i % 3 == 0) // every 3rd row is "left"
+        }
+      val df = data.toDF("event_id", "user_id", "ts", "value", "is_left")
+      val left = df.filter(col("is_left")).select(col("event_id"), col("user_id"), col("ts"))
+      val right = df.filter(!col("is_left"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val native = AsOfJoin(spark, left, right,
+          "user_id", "ts", "event_id", "value", "v")
+        .select(col("event_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // reference: last right ROW strictly before, via window over the union
+      // (last non-null STRUCT = last right row even if its value were null)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ref = df.withColumn("tagged",
+          when(!col("is_left"), struct(col("value"))))
+        .withColumn("lastRow", last(col("tagged"), ignoreNulls = true).over(w))
+        .filter(col("is_left"))
+        .select(col("event_id"), col("lastRow.value").as("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(native == ref, s"seed $seed diverged")
+    }
+  }
+
   test("q108 plans through AsOfJoinExec and matches the q16 window spelling") {
     val native = graft.SparkEntry.queries("q108_asof_native")(spark, sf0001)
     val p = native.queryExecution.executedPlan.toString
