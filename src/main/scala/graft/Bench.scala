@@ -27,8 +27,8 @@ object Bench {
     "q19_correlated_subquery",
     "q20_group_multi_agg", "q23_distinct", "q26_grouping_sets",
     "q27_stats_exact", "q30_window_topn_group", "q31_window_running_sum",
-    "q34_window_ranks", "q37_window_sessionize", "q40_topk_global",
-    "q42_union_by_name",
+    "q34_window_ranks", "q37_window_sessionize", "q38_funnel_stages",
+    "q40_topk_global", "q42_union_by_name", "q49_merge_upsert",
     "q54_array_hof", "q55_json_extract", "q56_explode_tokens",
     "q66_tfidf", "q67_doc_chunks", "q68_term_redaction",
     "q73_exact_dedup", "q74_ngram_jaccard", "q75_minhash_lsh",
@@ -36,6 +36,7 @@ object Bench {
     "q85_dedup_components", "q86_sequence_packing",
     "q80_ann_bruteforce", "q81_ann_lsh", "q82_embed_neardup",
     "q83_ann_ivf", "q87_bigram_lm", "q100_multimodal_features",
+    "q102_passage_dedup", "q104_kmv_distinct", "q107_inverted_index",
     "q90_stream_tumbling", "q93_stream_stateful", "q94_stream_sliding"
   )
 
