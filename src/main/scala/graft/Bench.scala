@@ -95,15 +95,24 @@ object Bench {
         try {
           exec(name, sfDir)
           val dt = (System.nanoTime() - t0) / 1e9
+          // steal ticks are host-wide: normalize by the HOST cpu count,
+          // not the configured parallelism, or the fraction overcounts
+          // whenever local[$cpus] < host cores and every query burns all
+          // four attempts
+          val hostCpus = math.max(nCpus, Runtime.getRuntime.availableProcessors())
           val stealFrac =
             if (dt <= 0) 0.0
-            else (stealTicks() - s0) / (nCpus * 100.0 * dt)
+            else (stealTicks() - s0) / (hostCpus * 100.0 * dt)
           if (dt < best) { best = dt; bestStealFrac = stealFrac }
         } catch {
           case t: Throwable =>
-            failed = true
-            val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
-            errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            // a transient failure on a RETRY must not discard a valid
+            // earlier measurement — only report -1 when no attempt succeeded
+            if (best == Double.MaxValue) {
+              failed = true
+              val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
+              errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            } else attempt = 4 // stop retrying, keep the valid best
         }
       }
       name -> (if (failed) -1.0 else best)

@@ -40,10 +40,12 @@ case class KmvSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def zero: Seq[Long] = Seq.empty
 
   override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
-    if (buf.contains(x)) buf
+    // cheap reject first: once the sketch is full, anything >= the current
+    // k-th minimum can neither enter nor change it (x == last is a dup)
+    if (buf.size >= k && x >= buf.last) buf
+    else if (buf.contains(x)) buf
     else if (buf.size < k) (buf :+ x).sorted
-    else if (x < buf.last) (buf.init :+ x).sorted
-    else buf
+    else (buf.init :+ x).sorted
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
     (a ++ b).distinct.sorted.take(k)

@@ -181,8 +181,9 @@ object Multimodal extends QueryModule {
       |    CAST(COALESCE(SUM(CASE WHEN bin = 6 THEN 1 END), 0) AS BIGINT),
       |    CAST(COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0) AS BIGINT)] AS hist
       |  FROM c GROUP BY format)
-      |SELECT n.format, n.n_media, h.hist
-      |FROM n JOIN h ON n.format = h.format
+      |SELECT n.format, n.n_media,
+      |  COALESCE(h.hist, [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0]) AS hist
+      |FROM n LEFT JOIN h ON n.format = h.format
       |ORDER BY n.format""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -109,7 +109,10 @@ case class AsOfJoinExec(
         def pullRight(): Unit =
           if (rIter.hasNext) {
             val r = rIter.next()
-            if (r.isNullAt(rk.ordinal) || r.isNullAt(rt.ordinal)) { pullRight() }
+            // a null key, time, OR tiebreak can never satisfy the
+            // strictly-before comparison (SQL three-valued logic) — skip
+            if (r.isNullAt(rk.ordinal) || r.isNullAt(rt.ordinal) ||
+                r.isNullAt(rb.ordinal)) { pullRight() }
             else {
               rHas = true
               rKey = r.getLong(rk.ordinal)
@@ -126,7 +129,10 @@ case class AsOfJoinExec(
           } else {
             val k = l.getLong(lk.ordinal)
             val t = l.getLong(lt.ordinal)
-            val b = l.getLong(lb.ordinal)
+            // a left row with a NULL tiebreak matches only strictly
+            // earlier times (the same-time arm of the OR is NULL in SQL):
+            // Long.MinValue makes the equal-time comparison always false
+            val b = if (l.isNullAt(lb.ordinal)) Long.MinValue else l.getLong(lb.ordinal)
             // consume right rows strictly before (k, t, b)
             while (rHas && (rKey < k ||
                 (rKey == k && (rTime < t || (rTime == t && rTie < b))))) {
@@ -169,9 +175,18 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    // fail fast on the documented type contract: the exec reads fixed-width
+    // slots, so a silently mistyped column would produce garbage, not an error
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def expect(a: Attribute, t: org.apache.spark.sql.types.DataType): Attribute = {
+      require(a.dataType == t, s"as-of column ${a.name}: expected $t, got ${a.dataType}")
+      a
+    }
     val node = AsOfJoinPlan(lp, rp,
-      attr(lp, keyCol), attr(lp, timeCol), attr(lp, tieCol),
-      attr(rp, keyCol), attr(rp, timeCol), attr(rp, tieCol), attr(rp, valueCol),
+      expect(attr(lp, keyCol), LongType), expect(attr(lp, timeCol), TimestampType),
+      expect(attr(lp, tieCol), LongType),
+      expect(attr(rp, keyCol), LongType), expect(attr(rp, timeCol), TimestampType),
+      expect(attr(rp, tieCol), LongType), expect(attr(rp, valueCol), DoubleType),
       AttributeReference(outName, DoubleType, nullable = true, Metadata.empty)())
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }

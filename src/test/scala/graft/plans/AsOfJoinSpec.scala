@@ -97,6 +97,35 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("null tiebreaks follow SQL three-valued logic") {
+    import spark.implicits._
+    // right row with null tie can never be 'strictly before' -> skipped;
+    // left row with null tie matches only strictly-earlier times
+    val left = Seq(
+      (Some(90L), 1L, ts(5000000L)),
+      (None: Option[Long], 1L, ts(5000000L))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (None: Option[Long], 1L, ts(1000000L), 7.0), // null tie: skipped entirely
+      (Some(30L), 1L, ts(5000000L), 8.0)           // same-ts: needs a real tie compare
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+        "user_id", "ts", "event_id", "value", "v").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(90L) == Some(8.0)) // same-ts view id 30 < 90 matches
+    assert(out(-1L) == None)      // null left tie: same-ts arm is NULL, no earlier rows survive
+  }
+
+  test("mistyped as-of columns fail fast instead of reading garbage") {
+    import spark.implicits._
+    val left = Seq((1, 1L, ts(1L))).toDF("event_id", "user_id", "ts") // event_id is INT
+    val right = Seq((2L, 1L, ts(1L), 1.0)).toDF("event_id", "user_id", "ts", "value")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(spark, left, right, "user_id", "ts", "event_id", "value", "v")
+    }
+  }
+
   test("q108 plans through AsOfJoinExec and matches the q16 window spelling") {
     val native = graft.SparkEntry.queries("q108_asof_native")(spark, sf0001)
     val p = native.queryExecution.executedPlan.toString
