@@ -8,19 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // harness streams checkpoint into throwaway temp dirs; per-file
-      // checksum durability is pure overhead there (a real deployment
-      // configures its own session)
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = GraftSession.cpus("32")
+    val spark = GraftSession.get(cpus)
     args.drop(1).foreach { name =>
       val fn = SparkEntry.queries(name)
       println(s"===== $name =====")

@@ -19,18 +19,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = GraftSession.cpus("8")
     val warehouse = java.nio.file.Files.createTempDirectory("graft_wh").toString
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // harness streams checkpoint into throwaway temp dirs; per-file
-      // checksum durability is pure overhead there (a real deployment
-      // configures its own session)
-      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    val s = GraftSession.builder(cpus)
       .config("spark.sql.warehouse.dir", warehouse)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
