@@ -58,4 +58,14 @@ object Exact {
 
   def sqlAvgMoney(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x)"
+
+  /** DuckDB spelling of Spark's `conv(substring(<hexExpr>, off, n), 16, 10)`:
+    * positional parse of `n` hex chars (1-based `off`) into a BIGINT sum.
+    * DuckDB 1.0 has no `conv()`; every md5-bucket oracle shares this one
+    * implementation so the shift arithmetic can never drift between them.
+    */
+  def sqlHexToLong(hexExpr: String, off: Int, n: Int): String =
+    (0 until n).map { i =>
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${off + i}, 1)) - 1) * ${1L << ((n - 1 - i) * 4)}"
+    }.mkString(" + ")
 }

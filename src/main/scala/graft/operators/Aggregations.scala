@@ -272,10 +272,7 @@ object Aggregations extends QueryModule {
   }
 
   private val q104Sql = {
-    // DuckDB has no conv(); parse the 12-hex-char md5 prefix positionally
-    val hex12 = (0 until 12).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5('kmv-' || o_custkey), ${1 + i}, 1)) - 1) * ${1L << ((11 - i) * 4)}"
-    }.mkString(" + ")
+    val hex12 = Exact.sqlHexToLong("md5('kmv-' || o_custkey)", 1, 12)
     s"""WITH h AS (
        |  SELECT DISTINCT o_orderpriority, CAST($hex12 AS BIGINT) AS h FROM orders),
        |r AS (

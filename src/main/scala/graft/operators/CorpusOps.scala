@@ -154,10 +154,7 @@ object CorpusOps extends QueryModule {
       .orderBy(col("split"))
 
   private val q69Sql = {
-    // DuckDB has no conv(); parse the first 7 md5 hex chars positionally
-    val hex7 = (0 until 7).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5('doc-' || doc_id), ${1 + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
-    }.mkString(" + ")
+    val hex7 = graft.Exact.sqlHexToLong("md5('doc-' || doc_id)", 1, 7)
     s"""SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
        |FROM (

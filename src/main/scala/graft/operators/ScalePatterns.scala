@@ -80,9 +80,7 @@ object ScalePatterns extends QueryModule {
   }
 
   private val q48Sql = {
-    val hex7 = (0 until 7).map { i =>
-      s"(strpos('0123456789abcdef', substr(md5('samp-' || doc_id), ${1 + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
-    }.mkString(" + ")
+    val hex7 = Exact.sqlHexToLong("md5('samp-' || doc_id)", 1, 7)
     val dim = (0 until 20).map(i => s"('src$i', ${5 * i + 5})").mkString(", ")
     s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
        |  CAST(COUNT(CASE WHEN CAST($hex7 AS BIGINT) % 100 < rate THEN 1 END) AS BIGINT) AS n_kept

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
+import graft.{Exact, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -259,10 +259,7 @@ object TextOps extends QueryModule {
   }
 
   private val q75Sql = {
-    // DuckDB has no conv(); parse 7 hex chars positionally
-    def hex7(off: Int) = (0 until 7).map { i =>
-      s"(strpos('0123456789abcdef', substr(hh, ${off + i}, 1)) - 1) * ${1L << ((6 - i) * 4)}"
-    }.mkString(" + ")
+    def hex7(off: Int) = Exact.sqlHexToLong("hh", off, 7)
     val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2) AS m$i").mkString(",\n    ")
     val bandKeys = (0 until 4).map { b =>
       val key = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
