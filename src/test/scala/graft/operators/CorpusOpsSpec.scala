@@ -81,6 +81,43 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q101 repetition filter: every flagged doc crosses a threshold, fractions sane") {
+    val rows = run("q101_repetition_filter").collect()
+    assert(rows.nonEmpty, "synthetic small-vocab corpus must flag some docs")
+    rows.foreach { r =>
+      val (nTok, topC, bigramFrac, distinctFrac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bigramFrac >= 700 || distinctFrac <= 3300, "row flagged without crossing a threshold")
+      assert(bigramFrac >= 0 && bigramFrac <= 10000)
+      assert(distinctFrac >= 0 && distinctFrac <= 10000)
+      assert(topC >= 1 && topC < nTok)
+    }
+  }
+
+  test("q102 passage dedup: reported passages are truly cross-document") {
+    val rows = run("q102_passage_dedup").collect()
+    rows.foreach { r =>
+      val (n, nDocs, keeper, maxDoc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nDocs > 1, "single-document passage reported")
+      assert(n >= nDocs, "occurrences below distinct-doc count")
+      assert(keeper < maxDoc, "cross-doc passage needs two distinct doc ids")
+    }
+  }
+
+  test("q107 inverted index: df bound holds and posting heads are sorted prefixes") {
+    val rows = run("q107_inverted_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val head = r.getSeq[Long](2)
+      assert(df >= 50)
+      assert(head.length == math.min(10L, df))
+      assert(head == head.sorted, "posting head not ascending")
+      assert(head.distinct.length == head.length, "duplicate doc id in postings")
+    }
+  }
+
   test("q48 stratified sample: kept counts honor per-stratum rates") {
     val rows = ScalePatterns.queries("q48_stratified_sample")(spark, sf0001).collect()
     rows.foreach { r =>
