@@ -8,11 +8,16 @@ import org.apache.spark.sql.SparkSession
   * sink executes the complete plan (including sorts) without collect or
   * write overhead.
   *
-  * Noise handling: this host shows multi-second CPU-steal bursts (a warm
-  * query can swing 1.8s ↔ 21s on unchanged code). Each query runs at least
+  * Noise handling: this host shows multi-MINUTE CPU-steal bursts (a warm
+  * query can swing 1.8s ↔ 21s on unchanged code; r03's driver bench
+  * reported 314s for a 41s-quiet headline set). Each query runs at least
   * twice and we report the minimum; while the best run still overlapped
   * significant steal (>2% of the host's cpu-seconds during the run, read
-  * from /proc/stat), up to two extra attempts are made. A query that throws
+  * from /proc/stat), up to two extra attempts are made. Because bursts
+  * outlast back-to-back retries, attempts made while the host is visibly
+  * stolen are deferred: a bounded shared wait budget sits out bursts
+  * (sampling steal in 1s windows) before measuring — waiting is cheaper
+  * than re-running a 70x-slowed query. A query that throws
   * is reported as -1 with its error in an "errors" map — never as a
   * misleading timing.
   */
@@ -51,6 +56,21 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => 0L }
 
+  /** Host CPU count = number of per-cpu "cpuN" lines in /proc/stat. Steal
+    * ticks are host-wide, so this is the right normalizer; in a
+    * cgroup-limited container `availableProcessors()` can be far below the
+    * host core count, which would overstate stealFrac and burn all retry
+    * attempts even on a quiet host.
+    */
+  private def hostCpus(): Int =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val n = src.getLines().count(_.matches("cpu\\d+ .*"))
+        if (n > 0) n else Runtime.getRuntime.availableProcessors()
+      } finally src.close()
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.cpus("4")
@@ -70,6 +90,23 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val nHostCpus = math.max(nCpus, hostCpus())
+
+    // shared wait budget for sitting out steal bursts (bounded so a
+    // never-quiet host still finishes well inside the driver's patience)
+    var quietBudgetMs = 8 * 60 * 1000L
+    def sampleStealFrac(ms: Long): Double = {
+      val s0 = stealTicks()
+      Thread.sleep(ms)
+      quietBudgetMs -= ms
+      (stealTicks() - s0) / (nHostCpus * 100.0 * (ms / 1000.0))
+    }
+    // poll 1s windows until steal subsides (or the budget runs out)
+    def waitForQuiet(): Unit =
+      if (quietBudgetMs > 0) {
+        var frac = sampleStealFrac(250)
+        while (frac > 0.05 && quietBudgetMs > 0) frac = sampleStealFrac(1000)
+      }
     val results = names.map { name =>
       var best = Double.MaxValue
       var bestStealFrac = 1.0
@@ -79,19 +116,21 @@ object Bench {
       // overlapped noticeable steal — min-of-clean beats min-of-noisy
       while (!failed && attempt < 4 && (attempt < 2 || bestStealFrac > 0.02)) {
         attempt += 1
+        // don't measure INTO a burst: retries exist to catch a quiet
+        // window, so sit out visible steal first (bounded shared budget)
+        if (attempt == 1 || bestStealFrac > 0.02) waitForQuiet()
         val s0 = stealTicks()
         val t0 = System.nanoTime()
         try {
           exec(name, sfDir)
           val dt = (System.nanoTime() - t0) / 1e9
-          // steal ticks are host-wide: normalize by the HOST cpu count,
-          // not the configured parallelism, or the fraction overcounts
-          // whenever local[$cpus] < host cores and every query burns all
-          // four attempts
-          val hostCpus = math.max(nCpus, Runtime.getRuntime.availableProcessors())
+          // steal ticks are host-wide: normalize by the HOST cpu count
+          // (cpuN lines, not availableProcessors — see hostCpus()), or the
+          // fraction overcounts whenever the container sees fewer cores
+          // than the host has and every query burns all four attempts
           val stealFrac =
             if (dt <= 0) 0.0
-            else (stealTicks() - s0) / (hostCpus * 100.0 * dt)
+            else (stealTicks() - s0) / (nHostCpus * 100.0 * dt)
           if (dt < best) { best = dt; bestStealFrac = stealFrac }
         } catch {
           case t: Throwable =>

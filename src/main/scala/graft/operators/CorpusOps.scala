@@ -200,18 +200,10 @@ object CorpusOps extends QueryModule {
         "transform(sequence(0, size(t) - 3), i -> xxhash64(t[i], t[i+1], t[i+2]))"))
         .as("shingles"))
       .cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sx"))
-    val inter = ex.as("a").join(ex.as("b"),
-        col("a.sx") === col("b.sx") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val edges = inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
-      .filter(col("inter").cast(DoubleType) /
-        (col("sza") + col("szb") - col("inter")) >= 0.3)
-      .select(col("da"), col("db"))
+    val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("e"))
+    val sizes = sh.select(col("doc_id").as("id"), size(col("shingles")).as("sz"))
+    val edges = Jaccard.pairs(postings, sizes, minJ = 0.3)
+      .select(col("ida").as("da"), col("idb").as("db"))
     val edgesCp = edges.localCheckpoint()
     sh.unpersist() // edges are materialized; the loop never re-reads sh
     val bi = edgesCp.union(edgesCp.select(col("db").as("da"), col("da").as("db")))
@@ -395,21 +387,11 @@ object CorpusOps extends QueryModule {
     */
   private def q89(s: SparkSession, d: String): DataFrame = {
     val vocab = Tables.documents(s, d)
-      .select(col("lang"), explode(toks(col("text"))).as("tok"))
+      .select(col("lang").as("id"), explode(toks(col("text"))).as("e"))
       .distinct()
-    val inter = vocab.as("a").join(vocab.as("b"),
-        col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
-      .groupBy(col("a.lang").as("la"), col("b.lang").as("lb"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("sz"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("lang", "la")
-        .withColumnRenamed("sz", "sza")), "la")
-      .join(broadcast(sizes.withColumnRenamed("lang", "lb")
-        .withColumnRenamed("sz", "szb")), "lb")
-      .select(col("la"), col("lb"), col("inter"),
-        (col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")))
-          .as("jac"))
+    val sizes = vocab.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    Jaccard.pairs(vocab, sizes, minJ = 0.0, broadcastSizes = true)
+      .select(col("ida").as("la"), col("idb").as("lb"), col("inter"), col("jac"))
       .orderBy(col("la"), col("lb"))
   }
 
@@ -444,13 +426,16 @@ object CorpusOps extends QueryModule {
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
-        slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings_head"))
+        // serialized posting list: the driver's oracle compare hashes
+        // scalar cells only, so the bounded head ships as a csv string
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 10))
+          .as("postings_head"))
       .filter(col("df") >= 50)
       .orderBy(col("term"))
 
   private val q107Sql =
     s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-       |  (list_sort(list(doc_id)))[1:10] AS postings_head
+       |  array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings_head
        |FROM (SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents)
        |GROUP BY term HAVING COUNT(*) >= 50
        |ORDER BY term""".stripMargin

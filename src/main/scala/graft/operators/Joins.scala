@@ -157,29 +157,32 @@ object Joins extends QueryModule {
        |ORDER BY s.user_id""".stripMargin
 
   /** q16: as-of join (SURVEY.md §2.3 J7) composed from built-ins: one window
-    * over one shuffle carries the most recent prior 'view' value forward to
+    * over one shuffle carries the most recent prior 'view' ROW forward to
     * each 'purchase' — no O(n²) join, no custom strategy needed (§4.2).
+    * View rows are tagged as single-field structs so `last(ignoreNulls)`
+    * skips non-view rows but NOT a view whose value is null: last-ROW
+    * semantics, the exact q108 native-operator contract (a last prior view
+    * with a null value yields null, not an older non-null value).
     */
   private def q16(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ev.withColumn(
-        "last_view_value",
-        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w)
-      )
+    ev.withColumn("tagged", when(col("event_type") === "view", struct(col("value"))))
+      .withColumn("last_view", last(col("tagged"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("last_view_value"))
+      .select(col("event_id"), col("user_id"),
+        col("last_view.value").as("last_view_value"))
       .orderBy(col("event_id"))
   }
 
   private val q16Sql =
-    """SELECT event_id, user_id, last_view_value FROM (
+    """SELECT event_id, user_id, last_view.v AS last_view_value FROM (
       |  SELECT event_id, user_id, event_type,
-      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN {'v': value} END IGNORE NULLS)
       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
       |  FROM events
       |) WHERE event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
@@ -214,7 +217,7 @@ object Joins extends QueryModule {
       |  (SELECT v.value FROM v
       |   WHERE v.user_id = p.user_id
       |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
-      |   ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS last_view_value
+      |   ORDER BY v.ts DESC, v.event_id DESC NULLS FIRST LIMIT 1) AS last_view_value
       |FROM p ORDER BY p.event_id""".stripMargin
 
   /** q17: theta self-join (SURVEY.md §2.3 J6) — same-brand part pairs whose

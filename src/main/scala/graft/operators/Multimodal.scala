@@ -157,8 +157,10 @@ object Multimodal extends QueryModule {
     feats.groupBy(col("format"))
       .agg(
         count(lit(1)).as("n_media"),
-        array((0 until 8).map(i =>
-          sum(col("hist")(i)).cast(LongType)): _*).as("hist"))
+        // serialize the fixed-width vector for the result surface: the
+        // driver's oracle compare hashes scalar cells only
+        concat_ws(",", array((0 until 8).map(i =>
+          sum(col("hist")(i)).cast(LongType)): _*)).as("hist"))
       .orderBy(col("format"))
   }
 
@@ -182,7 +184,7 @@ object Multimodal extends QueryModule {
       |    CAST(COALESCE(SUM(CASE WHEN bin = 7 THEN 1 END), 0) AS BIGINT)] AS hist
       |  FROM c GROUP BY format)
       |SELECT n.format, n.n_media,
-      |  COALESCE(h.hist, [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0]) AS hist
+      |  array_to_string(COALESCE(h.hist, [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0]), ',') AS hist
       |FROM n LEFT JOIN h ON n.format = h.format
       |ORDER BY n.format""".stripMargin
 

@@ -188,19 +188,10 @@ object TextOps extends QueryModule {
     val sh = shingled(s, d)
       .select(col("doc_id"), expr("transform(shingles, x -> xxhash64(x))").as("shingles"))
       .cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb"), "db")
-      .withColumn("jac",
-        col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jac") >= 0.5)
-      .select(col("da"), col("db"), col("inter"), col("jac"))
+    val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("e"))
+    val sizes = sh.select(col("doc_id").as("id"), size(col("shingles")).as("sz"))
+    Jaccard.pairs(postings, sizes, minJ = 0.5)
+      .select(col("ida").as("da"), col("idb").as("db"), col("inter"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
 

@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
-  BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+  BoundReference, GenericInternalRow, JoinedRow, NullsLast, SortOrder,
+  UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -18,7 +19,11 @@ import org.apache.spark.sql.types.{DoubleType, Metadata}
   *
   * Semantics: for every left row, the `rightValue` of the LAST right row
   * with the same key that is STRICTLY BEFORE the left row in
-  * `(time, tiebreak)` order — NULL when no such row exists. Equivalent to
+  * `(time, tiebreak)` order — NULL when no such row exists. A null
+  * tiebreak is +inf on the right and -inf on the left: either way the
+  * equal-time arm of the strictly-before test is false (SQL three-valued
+  * logic evaluates `NULL < x` to NULL), while strictly-earlier times still
+  * match. Equivalent to
   * the window composition q16 runs, but executed as a single forward merge
   * per co-partition: both sides hash-partition on the key and sort on
   * `(key, time, tiebreak)`, then one O(|L| + |R|) pass joins them with
@@ -72,12 +77,16 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
-  // and sort each side by (key, time, tiebreak) so one forward pass joins
+  // and sort each side by (key, time, tiebreak) so one forward pass joins.
+  // The right tiebreak sorts NULLS LAST (not Spark's ascending default of
+  // nulls-first) because the merge treats a null right tiebreak as +inf:
+  // physical order must agree with the comparator or the forward pass
+  // would stall on a null-tie row at an equal-time probe
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
       SortOrder(leftTie, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightTie, Ascending)))
+      SortOrder(rightTie, Ascending, NullsLast, Seq.empty)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -109,15 +118,17 @@ case class AsOfJoinExec(
         def pullRight(): Unit =
           if (rIter.hasNext) {
             val r = rIter.next()
-            // a null key, time, OR tiebreak can never satisfy the
-            // strictly-before comparison (SQL three-valued logic) — skip
-            if (r.isNullAt(rk.ordinal) || r.isNullAt(rt.ordinal) ||
-                r.isNullAt(rb.ordinal)) { pullRight() }
+            // a null key or time can never satisfy the strictly-before
+            // comparison (SQL three-valued logic) — skip. A null TIEBREAK
+            // only nulls the equal-time arm of the OR: strictly earlier
+            // times still match, so map it to Long.MaxValue (the mirror of
+            // the left side's Long.MinValue) instead of dropping the row
+            if (r.isNullAt(rk.ordinal) || r.isNullAt(rt.ordinal)) { pullRight() }
             else {
               rHas = true
               rKey = r.getLong(rk.ordinal)
               rTime = r.getLong(rt.ordinal)
-              rTie = r.getLong(rb.ordinal)
+              rTie = if (r.isNullAt(rb.ordinal)) Long.MaxValue else r.getLong(rb.ordinal)
               rNull = r.isNullAt(rv.ordinal)
               rVal = if (rNull) 0.0 else r.getDouble(rv.ordinal)
             }

@@ -313,8 +313,12 @@ object Streams extends QueryModule {
     */
   private def q106(s: SparkSession, d: String): DataFrame = {
     val latest = new java.util.concurrent.ConcurrentHashMap[(String, java.sql.Timestamp), (Long, Double)]()
+    // NO watermark: update mode doesn't require one, and with one a
+    // multi-file source (or maxFilesPerTrigger) could drop rows arriving
+    // behind the advanced watermark, silently diverging from the batch
+    // oracle. Unbounded keyed state is fine here — the key space is
+    // (event_type, hour), bounded by the data's time span
     val agg = streamEvents(s, d)
-      .withWatermark("ts", "1 hour")
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
       .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
     val q = agg.writeStream

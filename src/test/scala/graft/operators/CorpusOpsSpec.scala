@@ -110,7 +110,8 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1)
-      val head = r.getSeq[Long](2)
+      // postings ship csv-serialized (the driver compare hashes scalars)
+      val head = r.getString(2).split(',').map(_.toLong).toSeq
       assert(df >= 50)
       assert(head.length == math.min(10L, df))
       assert(head == head.sorted, "posting head not ascending")

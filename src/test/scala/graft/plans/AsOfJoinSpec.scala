@@ -99,22 +99,51 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("null tiebreaks follow SQL three-valued logic") {
     import spark.implicits._
-    // right row with null tie can never be 'strictly before' -> skipped;
-    // left row with null tie matches only strictly-earlier times
+    // a null tiebreak only nulls the EQUAL-time arm of strictly-before:
+    // a null-tie right row at a strictly earlier time is still eligible
+    // (+inf on the right / -inf on the left — either way `NULL < x` is
+    // never true, but `ts < ts'` needs no tie compare)
     val left = Seq(
       (Some(90L), 1L, ts(5000000L)),
       (None: Option[Long], 1L, ts(5000000L))
     ).toDF("event_id", "user_id", "ts")
     val right = Seq(
-      (None: Option[Long], 1L, ts(1000000L), 7.0), // null tie: skipped entirely
+      (None: Option[Long], 1L, ts(1000000L), 7.0), // earlier: eligible despite null tie
       (Some(30L), 1L, ts(5000000L), 8.0)           // same-ts: needs a real tie compare
     ).toDF("event_id", "user_id", "ts", "value")
     val out = AsOfJoin(spark, left, right,
         "user_id", "ts", "event_id", "value", "v").collect()
       .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
         (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
-    assert(out(90L) == Some(8.0)) // same-ts view id 30 < 90 matches
-    assert(out(-1L) == None)      // null left tie: same-ts arm is NULL, no earlier rows survive
+    assert(out(90L) == Some(8.0))  // same-ts view id 30 < 90 is later than ts1
+    assert(out(-1L) == Some(7.0))  // null left tie: same-ts arm NULL, earlier row matches
+  }
+
+  test("a null right tiebreak ranks as +inf among equal-time prior rows") {
+    import spark.implicits._
+    val left = Seq((200L, 1L, ts(9000000L))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(5L), 1L, ts(1000000L), 1.0),
+      (None: Option[Long], 1L, ts(1000000L), 2.0) // same ts, null tie = +inf = last
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v").collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 2.0)
+  }
+
+  test("an equal-time null-tie right row does not stall the merge") {
+    import spark.implicits._
+    // right holds BOTH a null-tie and a smaller-tie row at the probe's own
+    // timestamp; the null-tie row is ineligible (+inf) but must not block
+    // consumption of the eligible tie=3 row (NullsLast physical order)
+    val left = Seq((90L, 1L, ts(5000000L))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (None: Option[Long], 1L, ts(5000000L), 9.0), // same ts, null tie: ineligible
+      (Some(3L), 1L, ts(5000000L), 6.0)            // same ts, tie 3 < 90: eligible
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v").collect()
+    assert(out.length == 1 && out(0).getDouble(3) == 6.0)
   }
 
   test("mistyped as-of columns fail fast instead of reading garbage") {
