@@ -26,14 +26,46 @@ import org.apache.spark.sql.types._
   *   - q80 brute force joins a SMALL query set against the corpus: the
   *     query side broadcasts; the corpus is scanned once, partition-local.
   *     This is the correctness baseline, linear per query.
-  *   - q81/q82 are the scale path: 16-bit hypercube sketches, candidates
-  *     from 8-bit band buckets (shuffle on band key, O(collisions) work),
+  *   - q81/q82 are the scale path: random-hyperplane sign sketches banded
+  *     into `Bands` buckets of `BandBits` bits each (shuffle on the band
+  *     key, O(collisions) work), a deterministic per-bucket fan-out cap,
   *     exact re-scoring of candidates only. No all-pairs stage anywhere.
   */
 object Similarity extends QueryModule {
 
   private val Dims = 64
-  private val Planes = 16
+
+  /** LSH banding geometry — the knobs that make candidate generation
+    * scale-safe. `Bands` bands of `BandBits` sign bits each (so
+    * `Planes = Bands * BandBits` hyperplanes total):
+    *
+    *   - Bucket COUNT per band is 2^BandBits, a parameter — not a
+    *     constant — so widening BandBits shrinks random collisions
+    *     exponentially: a near-orthogonal pair agrees on one sign bit with
+    *     prob 1/2, on a whole 8-bit band with prob 2^-8 ≈ 0.4%, while a
+    *     true near-dup at angle θ survives a band with prob (1-θ/π)^8
+    *     (cos ≥ 0.99 → ~69% per band → >99.99% over 8 bands).
+    *   - `MaxBucket` caps each (band, bucket) at 256 members (kept
+    *     deterministically: lowest vec_id first, mirrored in the oracle
+    *     SQL), so candidate pairs are bounded by
+    *     Σ_band Σ_bucket min(s_b, C)²/2 ≤ Bands·C·n/2 — LINEAR in corpus
+    *     size n at any skew, and never more than
+    *     Bands · 2^BandBits · C²/2 (8 × 256 × 256²/2 ≈ 6.7e7 here) total.
+    *     Without the cap a constant bucket count means Θ(n²/2^BandBits)
+    *     pairs — the round-4 flaw.
+    *   - Occupancy at 10⁹ vectors: expected bucket size n/2^BandBits =
+    *     10⁹/256 ≈ 4M ≫ C, so the cap would bind and recall collapse; the
+    *     remedy at that density is raising BandBits to
+    *     log2(n / targetOccupancy) ≈ 25 (≈ 32 M buckets, expected
+    *     occupancy ~30 ≈ O(C)) while keeping Bands for recall. Both are
+    *     plan-time constants here (the geometry is inlined into the plan
+    *     AND the oracle SQL, so any change stays hash-verifiable) and
+    *     would be job parameters in a deployment.
+    */
+  private val Bands = 8
+  private val BandBits = 8
+  private val Planes = Bands * BandBits
+  private val MaxBucket = 256
 
   /** ±1 hyperplane components: sign of md5("p#d")'s first byte. */
   private val planeMatrix: Array[Array[Int]] = {
@@ -60,24 +92,52 @@ object Similarity extends QueryModule {
     */
   private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** 16-bit hypercube sketch from the inlined plane matrix. */
-  private def sketchCol: Column = {
-    val bits = (0 until Planes).map { p =>
-      val dot = (0 until Dims).map { dd =>
-        lit(planeMatrix(p)(dd).toLong) * element_at(col("v"), dd + 1)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Band `b`'s BandBits-bit bucket id: sign bits of the plane dot
+    * products, each dot via the native codegen'd `graft_dot` against the
+    * inlined ±1 plane literal (one fused loop per plane instead of a
+    * 64-term expression tree per bit).
+    */
+  private def bandCol(b: Int): Column =
+    (0 until BandBits).map { i =>
+      val p = b * BandBits + i
+      val plane = planeMatrix(p).map(c => s"${c}L").mkString("array(", ", ", ")")
+      when(expr(s"graft_dot(v, $plane)") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
-  private val sketchSql: String =
-    (0 until Planes).map { p =>
-      val dot = (0 until Dims).map { dd =>
-        s"(${planeMatrix(p)(dd)})*v[${dd + 1}]"
-      }.mkString(" + ")
-      s"(CASE WHEN $dot >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  private def bandSql(b: Int): String =
+    (0 until BandBits).map { i =>
+      val p = b * BandBits + i
+      val plane = planeMatrix(p).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), j -> ($plane)[j] * v[j])) >= 0" +
+        s" THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
+
+  /** Banded (vec_id, band, bk) rows with the deterministic per-bucket cap
+    * (lowest vec_id first — so the fixed query ids always survive). Only
+    * ids flow from here: vectors are rejoined once per surviving pair.
+    */
+  private def bandedIds(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
+      .select(col("vec_id"),
+        posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band", "bk")))
+      .withColumn("slot", row_number().over(
+        Window.partitionBy(col("band"), col("bk")).orderBy(col("vec_id"))))
+      .filter(col("slot") <= MaxBucket)
+      .select(col("vec_id"), col("band"), col("bk"))
+
+  /** DuckDB twin of [[bandedIds]], to embed as `bands` in a WITH chain
+    * whose `q` CTE is [[quantizedSql]].
+    */
+  private val bandedIdsSql: String = {
+    val union = (0 until Bands)
+      .map(b => s"SELECT vec_id, $b AS band, ${bandSql(b)} AS bk FROM q")
+      .mkString("\nUNION ALL\n")
+    s"""SELECT vec_id, band, bk FROM (
+       |  SELECT vec_id, band, bk,
+       |    ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY vec_id) AS slot
+       |  FROM ($union))
+       |WHERE slot <= $MaxBucket""".stripMargin
+  }
 
   /** q80: brute-force cosine top-5 — the exact baseline. Query set (10
     * vectors) broadcasts against the corpus; ranking is per-query top-k.
@@ -88,7 +148,10 @@ object Similarity extends QueryModule {
     val q = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"))
-    val scored = q.join(broadcast(c), col("qid") =!= col("nid"))
+    // the TINY query set is the broadcast (build) side; the corpus streams
+    // partition-local through the nested-loop probe — broadcasting the
+    // corpus instead would ship the whole table to every executor
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         dotExpr("qv", "nv").as("dot"),
         dotExpr("qv", "qv").as("na"),
@@ -116,16 +179,15 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** q81: LSH-bucketed ANN — hypercube sketch, 2×8-bit band buckets for
-    * candidates, exact cosine re-score, top-5 per query among candidates.
+  /** q81: LSH-bucketed ANN — banded sign sketches ([[bandedIds]]: `Bands`
+    * bands of 2^BandBits buckets, capped fan-out) for candidates, exact
+    * cosine re-score, top-5 per query among candidates.
     */
   private def q81(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val sk = quantized(s, d).withColumn("sketch", sketchCol)
-    val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
-      expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
     // candidate IDS only flow through the bucket join + distinct — the
     // 64-wide vectors are joined back just once per surviving pair
+    val bands = bandedIds(s, d)
     val q = bands.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("band"), col("bk"))
     val c = bands.select(col("vec_id").as("nid"), col("band"), col("bk"))
@@ -150,21 +212,17 @@ object Similarity extends QueryModule {
 
   private val q81Sql =
     s"""WITH q AS ($quantizedSql),
-       |sk AS (SELECT vec_id, v, $sketchSql AS sketch FROM q),
-       |bands AS (
-       |  SELECT vec_id, v, 0 AS band, sketch % 256 AS bk FROM sk
-       |  UNION ALL
-       |  SELECT vec_id, v, 1 AS band, (sketch // 256) % 256 AS bk FROM sk),
+       |bands AS ($bandedIdsSql),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS qid, a.v AS qv, b.vec_id AS nid, b.v AS nv
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
        |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
        |scored AS (
-       |  SELECT qid, nid,
-       |    CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i])) AS DOUBLE)
-       |      / (sqrt(list_sum(list_transform(qv, x -> x*x)))
-       |         * sqrt(list_sum(list_transform(nv, x -> x*x)))) AS cos
-       |  FROM cand)
+       |  SELECT cand.qid, cand.nid,
+       |    CAST(list_sum(list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*nn.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qq.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(nn.v, x -> x*x)))) AS cos
+       |  FROM cand JOIN q qq ON qq.vec_id = cand.qid JOIN q nn ON nn.vec_id = cand.nid)
        |SELECT qid, rank, nid, cos FROM (
        |  SELECT qid, nid, cos,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
@@ -178,11 +236,8 @@ object Similarity extends QueryModule {
     */
   private def q82(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val sk = quantized(s, d).withColumn("sketch", sketchCol)
-    val bands = sk.select(col("vec_id"), col("v"), posexplode(array(
-      expr("sketch % 256"), expr("(sketch div 256) % 256"))).as(Seq("band", "bk")))
     // ids-only through bucket join + distinct; vectors rejoined once after
-    val idBands = bands.select(col("vec_id"), col("band"), col("bk"))
+    val idBands = bandedIds(s, d)
     val cand = idBands.as("a").join(idBands.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -201,21 +256,17 @@ object Similarity extends QueryModule {
 
   private val q82Sql =
     s"""WITH q AS ($quantizedSql),
-       |sk AS (SELECT vec_id, v, $sketchSql AS sketch FROM q),
-       |bands AS (
-       |  SELECT vec_id, v, 0 AS band, sketch % 256 AS bk FROM sk
-       |  UNION ALL
-       |  SELECT vec_id, v, 1 AS band, (sketch // 256) % 256 AS bk FROM sk),
+       |bands AS ($bandedIdsSql),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS da, a.v AS va, b.vec_id AS db, b.v AS vb
+       |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
        |    AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT da, db,
-       |    CAST(list_sum(list_transform(range(1, len(va)+1), i -> va[i]*vb[i])) AS DOUBLE)
-       |      / (sqrt(list_sum(list_transform(va, x -> x*x)))
-       |         * sqrt(list_sum(list_transform(vb, x -> x*x)))) AS cos
-       |  FROM cand)
+       |    CAST(list_sum(list_transform(range(1, len(qa.v)+1), i -> qa.v[i]*qb.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qa.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(qb.v, x -> x*x)))) AS cos
+       |  FROM cand JOIN q qa ON qa.vec_id = cand.da JOIN q qb ON qb.vec_id = cand.db)
        |SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_decile, COUNT(*) AS n_pairs
        |FROM scored GROUP BY 1 ORDER BY cos_decile""".stripMargin
 

@@ -51,6 +51,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"), s"native expression not in plan:\n$p")
   }
 
+  test("q80 broadcasts the 10-row query set, streams the corpus") {
+    val p = plan("q80_ann_bruteforce")
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"no broadcast exchange:\n$p")
+    // the vec_id<10 query filter must live UNDER the exchange (build side);
+    // the streamed side must be the unfiltered corpus scan
+    assert(p.substring(bx).contains("LessThan(vec_id,10)"),
+      s"broadcast side is not the query relation:\n$p")
+    assert(!p.substring(0, bx).contains("LessThan(vec_id,10)"),
+      s"query filter on the streamed side — corpus is being broadcast:\n$p")
+  }
+
   test("q66 tfidf joins the 1-row corpus count by broadcast") {
     val p = plan("q66_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
