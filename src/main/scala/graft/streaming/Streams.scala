@@ -1,12 +1,10 @@
 package graft.streaming
 
 import graft.{Exact, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
-
-import scala.collection.mutable.ArrayBuffer
 
 /** Structured Streaming surface — SURVEY.md §2.9 (all [S]; the reference's
   * page loop is the batch-shaped analog of a micro-batch stream).
@@ -63,6 +61,10 @@ object Streams extends QueryModule {
     s.table(name)
   }
 
+  /** A fresh sink directory for a foreachBatch parquet landing zone. */
+  private def sinkDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_sink").toFile.getAbsolutePath
+
   /** q90: tumbling event-time window — per-hour, per-type count and exact
     * sum, with a watermark (complete mode keeps every window so the bounded
     * run emits all of them).
@@ -117,13 +119,16 @@ object Streams extends QueryModule {
 
   /** q92: streaming dedup via `dropDuplicatesWithinWatermark` (the real
     * stateful dedup operator — state keyed by (user_id, event_type),
-    * evicted as the watermark passes), drained through foreachBatch (the
-    * bad-row-tolerant micro-batch pattern, `main.py:117-123` analog) and
-    * folded into a distinct-pair histogram. The backfill run is one batch,
+    * evicted as the watermark passes), landed through a foreachBatch
+    * parquet sink (the bad-row-tolerant micro-batch pattern,
+    * `main.py:117-123` analog) and folded into a distinct-pair histogram.
+    * Each batch is written executor-side — nothing is materialized on the
+    * driver — and the landed table is re-read as a DataFrame, so the
+    * post-stream fold is distributed too. The backfill run is one batch,
     * so no key expires mid-stream and the result equals exact distinct.
     */
   private def q92(s: SparkSession, d: String): DataFrame = {
-    val buf = ArrayBuffer.empty[Row]
+    val sink = sinkDir("q92")
     val q = streamEvents(s, d)
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -131,15 +136,14 @@ object Streams extends QueryModule {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        buf.synchronized { buf ++= batch.collect() }
+        batch.write.mode("append").parquet(sink)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("event_type", StringType)))
-    s.createDataFrame(new java.util.ArrayList[Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+    s.read.schema(schema).parquet(sink)
       .dropDuplicates("user_id", "event_type") // cross-batch dedup
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
@@ -179,7 +183,7 @@ object Streams extends QueryModule {
 
   private def q93(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val buf = ArrayBuffer.empty[Row]
+    val sink = sinkDir("q93")
     val sessions = sessionStats(
       streamEvents(s, d)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
@@ -187,8 +191,9 @@ object Streams extends QueryModule {
     val q = sessions.toDF("user_id", "n_sessions", "n_events")
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val rows = batch.withColumn("batch_id", lit(batchId)).collect()
-        buf.synchronized { buf ++= rows }
+        // executor-side parquet append, batch id stamped per row — the
+        // driver never materializes a batch
+        batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(sink)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -196,8 +201,7 @@ object Streams extends QueryModule {
     val schema = StructType(Seq(StructField("user_id", LongType),
       StructField("n_sessions", LongType), StructField("n_events", LongType),
       StructField("batch_id", LongType)))
-    val df = s.createDataFrame(new java.util.ArrayList[Row](
-      scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava), schema)
+    val df = s.read.schema(schema).parquet(sink)
     // keep the final emission per user: state accumulates across batches, so
     // the row from the highest batch_id is the answer. n_sessions itself is
     // NOT monotonic (a later event can merge two sessions), so max over the
@@ -306,13 +310,16 @@ object Streams extends QueryModule {
   /** q106: update-mode aggregation into an upsert sink — the third output
     * mode (q90/q91 run complete, q92/q94/q98 append). Per-(type, hour)
     * counts stream in update mode, so each micro-batch emits ONLY the keys
-    * that changed; the foreachBatch sink upserts them into keyed state
-    * (the console/KV-store consumer pattern). The final upserted view must
-    * equal the batch aggregate. At scale the sink write per batch is
-    * O(changed keys), not O(all keys) — the reason update mode exists.
+    * that changed; the foreachBatch sink appends them (stamped with the
+    * batch id) to a parquet CHANGELOG, and the upserted view is replayed
+    * distributed as "last change per key wins" — the KV-store consumer
+    * pattern with the store itself kept out of the driver. The final
+    * upserted view must equal the batch aggregate. At scale the sink write
+    * per batch is O(changed keys), not O(all keys) — the reason update
+    * mode exists.
     */
   private def q106(s: SparkSession, d: String): DataFrame = {
-    val latest = new java.util.concurrent.ConcurrentHashMap[(String, java.sql.Timestamp), (Long, Double)]()
+    val sink = sinkDir("q106")
     // NO watermark: update mode doesn't require one, and with one a
     // multi-file source (or maxFilesPerTrigger) could drop rows arriving
     // behind the advanced watermark, silently diverging from the batch
@@ -323,21 +330,23 @@ object Streams extends QueryModule {
       .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
     val q = agg.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach { r =>
-          latest.put((r.getString(0), r.getTimestamp(1)),
-            (r.getLong(2), r.getDouble(3)))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(sink)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val rows = new java.util.ArrayList[Row]()
-    latest.forEach { (k, v) => rows.add(Row(k._1, k._2, v._1, v._2)); () }
     val schema = StructType(Seq(
       StructField("event_type", StringType), StructField("hour_start", TimestampType),
-      StructField("n", LongType), StructField("total", DoubleType)))
-    s.createDataFrame(rows, schema)
+      StructField("n", LongType), StructField("total", DoubleType),
+      StructField("batch_id", LongType)))
+    // upsert replay: a key appears at most once per batch (it's an agg
+    // output), so the row with the highest batch_id is the current value
+    s.read.schema(schema).parquet(sink)
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(max(struct(col("batch_id"), col("n"), col("total"))).as("last"))
+      .select(col("event_type"), col("hour_start"),
+        col("last.n").as("n"), col("last.total").as("total"))
       .orderBy(col("event_type"), col("hour_start"))
   }
 
