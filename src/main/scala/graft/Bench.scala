@@ -143,14 +143,25 @@ object Bench {
             } else attempt = 4 // stop retrying, keep the valid best
         }
       }
-      name -> (if (failed) -1.0 else best)
+      (name, if (failed) -1.0 else best,
+        if (failed) -1.0 else bestStealFrac, attempt)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query contamination label: the steal fraction overlapping the
+    // BEST attempt (>0.02 means even the minimum was measured into a
+    // burst — treat that timing as an upper bound, not a regression)
+    val sjson = results
+      .map { case (k, _, sf, _) =>
+        "\"" + k + "\":" + (math.round(sf * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    val ajson = results.map { case (k, _, _, a) => "\"" + k + "\":" + a }
       .mkString("{", ",", "}")
     val ejson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val contaminated = results.count { case (_, v, sf, _) => v >= 0 && sf > 0.02 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"steal":$sjson,"attempts":$ajson,"contaminated":$contaminated,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
