@@ -102,6 +102,26 @@ object SortsSets extends QueryModule {
       |  SELECT s_nationkey AS nationkey FROM supplier
       |) GROUP BY nationkey ORDER BY nationkey""".stripMargin
 
+  /** q109: INTERSECT ALL — bag intersection keeps min multiplicity (the
+    * multiset twin of q43/q44, completing SURVEY.md §2.7), folded to a
+    * histogram so the output is O(distinct keys) at any scale. Like
+    * exceptAll this plans as one hash aggregation per side plus a join on
+    * the full row — no all-pairs stage.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy(col("nationkey"))
+
+  private val q109Sql =
+    """SELECT nationkey, COUNT(*) AS n_common FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |) GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
   /** q45: sorted pagination — offset + limit over a total order. */
   private def q45(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -120,6 +140,7 @@ object SortsSets extends QueryModule {
     "q42_union_by_name" -> q42,
     "q43_intersect" -> q43,
     "q44_except_all" -> q44,
+    "q109_intersect_all" -> q109,
     "q45_limit_offset" -> q45
   )
 
@@ -129,6 +150,7 @@ object SortsSets extends QueryModule {
     "q42_union_by_name" -> q42Sql,
     "q43_intersect" -> q43Sql,
     "q44_except_all" -> q44Sql,
+    "q109_intersect_all" -> q109Sql,
     "q45_limit_offset" -> q45Sql
   )
 }
