@@ -41,6 +41,26 @@ class SinksSpec extends SparkSpec {
     assert(key(back) == key(src))
   }
 
+  test("JSON array sink is byte-identical to the reference's landed artifacts") {
+    // main.py:197-198 — json.dump(results, f, ensure_ascii=False, indent=2):
+    // round-trip each corpus through ArticleSource (''→NULL) and the array
+    // sink (NULL→'') and compare bytes against the reference's own file
+    val ieeeCols = ArticleSource.schema.fields.map(_.name).toSeq
+    val acmCols = ieeeCols.take(9) // mainn.py:67-83 — ACM rows carry 9 keys
+    for ((name, cols) <- Seq(
+        "ai_articles" -> ieeeCols, "blockchain_articles" -> ieeeCols,
+        "acm_machine_learning_articles" -> acmCols,
+        "acm_blockchain_articles" -> acmCols)) {
+      val path = tmpDir(s"arr_$name") + ".json"
+      JsonArraySink.write(ArticleSource.json(spark, name), cols, path)
+      val got = Files.readAllBytes(java.nio.file.Paths.get(path))
+      val want = Files.readAllBytes(
+        java.nio.file.Paths.get(s"${ArticleSource.dataDir}/$name.json"))
+      assert(java.util.Arrays.equals(got, want),
+        s"$name: ${got.length}B written vs ${want.length}B golden")
+    }
+  }
+
   test("parquet sink round trip preserves types exactly") {
     val src = graft.Tables.orders(spark, sf0001)
     val path = tmpDir("parquet")
