@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{DoubleType, Metadata}
+import org.apache.spark.sql.types.Metadata
 
 /** Native as-of join (SURVEY.md §2.3 J7 — the §2.10 escalation ladder's
   * final rung: custom `LogicalPlan` + `Strategy` + `SparkPlan`, injected
@@ -31,10 +32,13 @@ import org.apache.spark.sql.types.{DoubleType, Metadata}
   *
   * Scale shape: one shuffle per side (the same two a shuffled join pays),
   * sorted merge within each partition, constant memory regardless of how
-  * many right rows precede a left row. Keys and tiebreaks are `bigint`,
-  * times are `timestamp` (micros), the carried value is `double` — the
-  * concrete shapes the events table needs; widening to generic types is a
-  * projection away (cast up front, cast back after).
+  * many right rows precede a left row. Key/time/tiebreak accept ANY
+  * orderable type (compared through the interpreted Catalyst ordering of
+  * the column's own type — string keys, decimal times, whatever the data
+  * has); the carried value is any type at all, it is never compared. The
+  * two sides must agree on each column's type — that is checked up front,
+  * because the merge would otherwise compare across types and produce
+  * garbage, not an error.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -99,58 +103,65 @@ case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTime, right.output).asInstanceOf[BoundReference]
     val rb = BindReferences.bindReference(rightTie, right.output).asInstanceOf[BoundReference]
     val rv = BindReferences.bindReference(rightValue, right.output).asInstanceOf[BoundReference]
+    // interpreted orderings of the columns' OWN types — the merge works for
+    // any orderable key/time/tiebreak, not just the events table's shapes
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val tieOrd = TypeUtils.getInterpretedOrdering(leftTie.dataType)
     val outputAttrs = output
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
         val valueRow = new GenericInternalRow(1)
         val joined = new JoinedRow
-        // O(1) state: the last right row consumed, as primitives (right
-        // iterator rows are reused buffers and must never be retained)
-        var haveLast = false
-        var lastKey = 0L
-        var lastNull = true
-        var lastVal = 0.0
-        // the right head, pulled one row ahead
-        var rHas = false
-        var rKey = 0L; var rTime = 0L; var rTie = 0L
-        var rNull = true; var rVal = 0.0
-        def pullRight(): Unit =
-          if (rIter.hasNext) {
+        // O(1) state: the pulled-ahead right head and the last right row
+        // consumed, each retained as a .copy() snapshot (iterator rows are
+        // reused buffers and must never be referenced past next())
+        var lastRow: InternalRow = null
+        var rRow: InternalRow = null
+        def pullRight(): Unit = {
+          rRow = null
+          // a null key or time can never satisfy the strictly-before
+          // comparison (SQL three-valued logic) — skip those rows. A null
+          // TIEBREAK row stays: it ranks +inf (see strictlyBefore)
+          while (rRow == null && rIter.hasNext) {
             val r = rIter.next()
-            // a null key or time can never satisfy the strictly-before
-            // comparison (SQL three-valued logic) — skip. A null TIEBREAK
-            // only nulls the equal-time arm of the OR: strictly earlier
-            // times still match, so map it to Long.MaxValue (the mirror of
-            // the left side's Long.MinValue) instead of dropping the row
-            if (r.isNullAt(rk.ordinal) || r.isNullAt(rt.ordinal)) { pullRight() }
-            else {
-              rHas = true
-              rKey = r.getLong(rk.ordinal)
-              rTime = r.getLong(rt.ordinal)
-              rTie = if (r.isNullAt(rb.ordinal)) Long.MaxValue else r.getLong(rb.ordinal)
-              rNull = r.isNullAt(rv.ordinal)
-              rVal = if (rNull) 0.0 else r.getDouble(rv.ordinal)
-            }
-          } else rHas = false
+            if (!r.isNullAt(rk.ordinal) && !r.isNullAt(rt.ordinal)) rRow = r.copy()
+          }
+        }
         pullRight()
         lIter.map { l =>
           if (l.isNullAt(lk.ordinal) || l.isNullAt(lt.ordinal)) {
             valueRow.setNullAt(0) // null key/time never matches
           } else {
-            val k = l.getLong(lk.ordinal)
-            val t = l.getLong(lt.ordinal)
-            // a left row with a NULL tiebreak matches only strictly
-            // earlier times (the same-time arm of the OR is NULL in SQL):
-            // Long.MinValue makes the equal-time comparison always false
-            val b = if (l.isNullAt(lb.ordinal)) Long.MinValue else l.getLong(lb.ordinal)
+            val k = lk.eval(l)
+            val t = lt.eval(l)
+            // null tiebreaks follow SQL three-valued logic: the equal-time
+            // arm of strictly-before is NULL (never true) when EITHER tie
+            // is null — a null left tie acts as -inf, a null right tie as
+            // +inf; strictly-earlier times still match either way
+            val b = lb.eval(l)
+            def strictlyBefore(r: InternalRow): Boolean = {
+              val ck = keyOrd.compare(rk.eval(r), k)
+              if (ck != 0) ck < 0
+              else {
+                val ct = timeOrd.compare(rt.eval(r), t)
+                if (ct != 0) ct < 0
+                else {
+                  val rtie = rb.eval(r)
+                  b != null && rtie != null && tieOrd.compare(rtie, b) < 0
+                }
+              }
+            }
             // consume right rows strictly before (k, t, b)
-            while (rHas && (rKey < k ||
-                (rKey == k && (rTime < t || (rTime == t && rTie < b))))) {
-              haveLast = true; lastKey = rKey; lastNull = rNull; lastVal = rVal
+            while (rRow != null && strictlyBefore(rRow)) {
+              lastRow = rRow
               pullRight()
             }
-            if (haveLast && lastKey == k && !lastNull) valueRow.update(0, lastVal)
+            val lastVal = if (lastRow == null) null
+              else if (keyOrd.compare(rk.eval(lastRow), k) != 0) null
+              else rv.eval(lastRow)
+            if (lastVal != null) valueRow.update(0, lastVal)
             else valueRow.setNullAt(0)
           }
           proj(joined(l, valueRow))
@@ -167,8 +178,8 @@ object AsOfJoin {
   /** Build the as-of joined DataFrame: `left`'s rows plus `outName` — the
     * last `valueCol` from `right` (same `keyCol`) strictly before the left
     * row in `(timeCol, tieCol)` order. Columns are resolved by name from
-    * each side's analyzed plan; key/tie must be `bigint`, time `timestamp`,
-    * value `double`.
+    * each side's analyzed plan; key/time/tie may be any ORDERABLE type
+    * (each matching between the two sides), the carried value any type.
     */
   def apply(spark: SparkSession,
             leftDf: org.apache.spark.sql.DataFrame,
@@ -186,19 +197,24 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
-    // fail fast on the documented type contract: the exec reads fixed-width
-    // slots, so a silently mistyped column would produce garbage, not an error
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    def expect(a: Attribute, t: org.apache.spark.sql.types.DataType): Attribute = {
-      require(a.dataType == t, s"as-of column ${a.name}: expected $t, got ${a.dataType}")
-      a
+    // fail fast on the type contract: both sides must agree on each merge
+    // column's type and the type must be orderable — a silent mismatch
+    // would compare across types and produce garbage, not an error
+    def checked(name: String): (Attribute, Attribute) = {
+      val (la, ra) = (attr(lp, name), attr(rp, name))
+      require(la.dataType == ra.dataType,
+        s"as-of column $name: left is ${la.dataType}, right is ${ra.dataType}")
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(la.dataType),
+        s"as-of column $name: ${la.dataType} is not orderable")
+      (la, ra)
     }
+    val (lKey, rKey) = checked(keyCol)
+    val (lTime, rTime) = checked(timeCol)
+    val (lTie, rTie) = checked(tieCol)
+    val rVal = attr(rp, valueCol)
     val node = AsOfJoinPlan(lp, rp,
-      expect(attr(lp, keyCol), LongType), expect(attr(lp, timeCol), TimestampType),
-      expect(attr(lp, tieCol), LongType),
-      expect(attr(rp, keyCol), LongType), expect(attr(rp, timeCol), TimestampType),
-      expect(attr(rp, tieCol), LongType), expect(attr(rp, valueCol), DoubleType),
-      AttributeReference(outName, DoubleType, nullable = true, Metadata.empty)())
+      lKey, lTime, lTie, rKey, rTime, rTie, rVal,
+      AttributeReference(outName, rVal.dataType, nullable = true, Metadata.empty)())
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

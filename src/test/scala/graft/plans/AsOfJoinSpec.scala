@@ -97,6 +97,42 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: generic column types (string key, string tie, decimal value)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // the merge compares through each column's own Catalyst ordering, so
+    // the operator must agree with the window reference on non-bigint
+    // shapes too: string keys/tiebreaks, decimal carried values
+    val row = Gen.zip(Gen.oneOf("ca", "cb", "cc"), Gen.choose(0L, 20L),
+      Gen.choose(0L, 9999L))
+    val rows = Gen.listOfN(120, row)
+    (0 until 3).foreach { seed =>
+      val data = rows.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((k, t, cents), i) =>
+          (f"e$i%04d", k, ts(t * 1000000L), BigDecimal(cents) / 100, i % 3 == 0)
+        }
+      val df = data.toDF("event_id", "user_id", "ts", "value", "is_left")
+      val left = df.filter(col("is_left")).select(col("event_id"), col("user_id"), col("ts"))
+      val right = df.filter(!col("is_left"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val native = AsOfJoin(spark, left, right,
+          "user_id", "ts", "event_id", "value", "v")
+        .select(col("event_id"), col("v")).collect()
+        .map(r => r.getString(0) -> Option(r.getDecimal(1))).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val ref = df.withColumn("tagged",
+          when(!col("is_left"), struct(col("value"))))
+        .withColumn("lastRow", last(col("tagged"), ignoreNulls = true).over(w))
+        .filter(col("is_left"))
+        .select(col("event_id"), col("lastRow.value").as("v")).collect()
+        .map(r => r.getString(0) -> Option(r.getDecimal(1))).toMap
+      assert(native == ref, s"seed $seed diverged")
+    }
+  }
+
   test("null tiebreaks follow SQL three-valued logic") {
     import spark.implicits._
     // a null tiebreak only nulls the EQUAL-time arm of strictly-before:
