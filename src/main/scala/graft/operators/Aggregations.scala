@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{Exact, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -294,8 +295,57 @@ object Aggregations extends QueryModule {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q114: one-pass mergeable quantile estimate via an equi-width histogram
+    * (bucket = floor(price / 100)): per-group bucket counts fold with
+    * map-side partial aggregation — the state is O(value range / width),
+    * independent of row count, and merging two histograms is adding
+    * counts, so the sketch distributes like any sum. The p50/p90/p99
+    * estimate (lower edge of the first bucket whose cumulative count
+    * reaches ceil(q·n)) is deterministic integer arithmetic until one
+    * final double multiply — hash-exact against the oracle, with error
+    * bounded by the bucket width. The exact-quantile twin is q27/q88
+    * (full sort per group); THIS shape is the one that survives 100 TB,
+    * where a per-group sort of a hot group is the straggler.
+    */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") / 100.0).cast(LongType).as("bucket"))
+      .groupBy(col("flag"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Window.partitionBy(col("flag"))
+    def est(q: Double): Column =
+      (min(when(col("cum") >= ceil(lit(q) * col("n")).cast(LongType), col("bucket")))
+        * 100.0).as(s"p${(q * 100).toInt}_est")
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(n))
+      .groupBy(col("flag"))
+      .agg(est(0.5), est(0.9), est(0.99))
+      .orderBy(col("flag"))
+  }
+
+  private val q114Sql =
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, bucket, cnt,
+      |    SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM h)
+      |SELECT flag,
+      |  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT) THEN bucket END) * 100.0 AS DOUBLE) AS p50_est,
+      |  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT) THEN bucket END) * 100.0 AS DOUBLE) AS p90_est,
+      |  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT) THEN bucket END) * 100.0 AS DOUBLE) AS p99_est
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_kmv_distinct" -> q104,
+    "q114_histogram_quantiles" -> q114,
     "q27_stats_exact" -> q27,
     "q28_pivot" -> q28,
     "q29_minmax_by" -> q29,
@@ -310,6 +360,7 @@ object Aggregations extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q104_kmv_distinct" -> q104Sql,
+    "q114_histogram_quantiles" -> q114Sql,
     "q27_stats_exact" -> q27Sql,
     "q28_pivot" -> q28Sql,
     "q29_minmax_by" -> q29Sql,

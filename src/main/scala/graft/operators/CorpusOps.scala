@@ -183,16 +183,20 @@ object CorpusOps extends QueryModule {
     * "Connected Components in MapReduce and Beyond") specialized to
     * shallow graphs.
     */
-  private def q85(s: SparkSession, d: String): DataFrame = {
-    // cache the shingled relation: it feeds both sides of the self-join
-    // plus the size lookup, and tokenize+shingle is the expensive scalar
-    // work — without the cache it is recomputed three times (and the
-    // identical cached scans let the planner reuse one exchange for both
-    // self-join sides). Shingles are reduced to 64-bit hashes up front:
-    // the join/shuffle key drops from a ~25-byte string to 8 bytes, and
-    // intersection counts are unchanged short of an xxhash64 collision
-    // (~2^-64 per shingle pair — the same identity-by-hash risk class as
-    // the md5 fingerprints used across this module).
+  /** Shared by q85/q113: materialized (localCheckpointed) near-dup edges —
+    * exact-Jaccard pairs (3-shingles, j ≥ 0.3).
+    *
+    * The shingled relation is cached: it feeds both sides of the self-join
+    * plus the size lookup, and tokenize+shingle is the expensive scalar
+    * work — without the cache it is recomputed three times (and the
+    * identical cached scans let the planner reuse one exchange for both
+    * self-join sides). Shingles are reduced to 64-bit hashes up front:
+    * the join/shuffle key drops from a ~25-byte string to 8 bytes, and
+    * intersection counts are unchanged short of an xxhash64 collision
+    * (~2^-64 per shingle pair — the same identity-by-hash risk class as
+    * the md5 fingerprints used across this module).
+    */
+  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -205,7 +209,24 @@ object CorpusOps extends QueryModule {
     val edges = Jaccard.pairs(postings, sizes, minJ = 0.3)
       .select(col("ida").as("da"), col("idb").as("db"))
     val edgesCp = edges.localCheckpoint()
-    sh.unpersist() // edges are materialized; the loop never re-reads sh
+    sh.unpersist() // edges are materialized; callers never re-read sh
+    edgesCp
+  }
+
+  /** Shared by q85/q113: connected components of a materialized edge list
+    * by iterative min-label propagation to fixpoint; returns one
+    * `(id, comp)` row per edge-touched node, `comp` = min member id.
+    *
+    * Scale: each iteration is one join + partial-agg shuffle on the node
+    * id at a parallelism sized to the edge count — the working set is
+    * O(near-dup pairs), a sliver of the scan; iteration count is bounded
+    * by the component diameter (near-dup clusters are shallow — single
+    * digits even at 100 TB). The loop `localCheckpoint`s per round to
+    * truncate lineage. This is the alternating-rounds shape of
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") specialized to shallow graphs.
+    */
+  private def components(s: SparkSession, edgesCp: DataFrame): DataFrame = {
     val bi = edgesCp.union(edgesCp.select(col("db").as("da"), col("da").as("db")))
     // the fixpoint working set is O(near-dup pairs) — a sliver of the
     // input (1.3M shingle pairs → 256 edges at sf0.1). Run the loop at a
@@ -236,13 +257,21 @@ object CorpusOps extends QueryModule {
         labels = nextCp.select(col("id"), col("comp"))
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", sessParts)
-    labels.groupBy(col("comp"))
-      .agg(count(lit(1)).as("sz"))
-      .orderBy(col("comp"))
+    labels
   }
 
-  private val q85Sql =
-    s"""WITH RECURSIVE sh AS (
+  private def q85(s: SparkSession, d: String): DataFrame =
+    components(s, nearDupEdges(s, d))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"))
+      .orderBy(col("comp"))
+
+  /** DuckDB spelling of [[nearDupEdges]] + [[components]]: the recursive-CTE
+    * chain ending in `comp(doc_id, comp)` — one row per edge-touched doc.
+    * Shared by the q85 and q113 oracles (requires WITH RECURSIVE).
+    */
+  private val componentsCteSql =
+    s"""sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
        |  FROM (SELECT doc_id, $toksSql AS t FROM documents) WHERE len(t) >= 3),
@@ -260,10 +289,159 @@ object CorpusOps extends QueryModule {
        |r(src, dst) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM bi)
        |  UNION
-       |  SELECT r.src, bi.b FROM r JOIN bi ON r.dst = bi.a)
-       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM (
-       |  SELECT src, MIN(dst) AS comp FROM r GROUP BY src)
+       |  SELECT r.src, bi.b FROM r JOIN bi ON r.dst = bi.a),
+       |comp AS (SELECT src AS doc_id, MIN(dst) AS comp FROM r GROUP BY src)""".stripMargin
+
+  private val q85Sql =
+    s"""WITH RECURSIVE $componentsCteSql
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp
        |GROUP BY comp ORDER BY comp""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+
+  /** q112: token co-occurrence graph statistics — nodes are tokens (first
+    * 32 distinct tokens per doc), an edge connects tokens co-occurring in
+    * ≥ 4 % of documents, and the output is the one-row graph profile:
+    * node/edge/triangle/wedge counts and the global clustering coefficient
+    * (3·triangles / wedges) — the phrase-mining / topic-cohesion signal.
+    *
+    * Scale shapes: pair generation is IN-ROW (sorted distinct token
+    * prefix → all i<j pairs via nested `transform`), a map-only fan-out
+    * bounded by 32²/2 per doc — no self-join of the exploded postings, so
+    * nothing shuffles until the (ta, tb) count, whose key space is the
+    * vocabulary², capped by the threshold. Triangle enumeration runs on
+    * DEGREE-ORIENTED edges (each edge points from its (deg, id)-smaller
+    * endpoint), which bounds every node's out-degree by √(2·|E|) and makes
+    * the two-hop join's fan-out Σ outdeg(v)² = O(|E|^1.5) — the classic
+    * MapReduce triangle bound (Suri & Vassilvitskii, WWW'11) — instead of
+    * Σ deg(v)², which a hub node turns quadratic. The count is
+    * orientation-independent, so the oracle's simple a<b<c triple join
+    * agrees exactly.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val pairs = docs
+      .select(array_sort(array_distinct(slice(toks(col("text")), 1, 32))).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)), y -> struct(x AS ta, y AS tb))))"))
+        .as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("cooc"))
+    val edges = pairs.filter(col("cooc") * 25 >= nDocs)
+      .select(col("ta"), col("tb"))
+      .localCheckpoint() // small (threshold-capped); feeds 5 consumers
+    val deg = edges.select(col("ta").as("v")).union(edges.select(col("tb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge from its (deg, id)-smaller endpoint
+    val oriented = edges
+      .join(deg.select(col("v").as("ta"), col("deg").as("da")), "ta")
+      .join(deg.select(col("v").as("tb"), col("deg").as("db")), "tb")
+      .select(
+        when(struct(col("da"), col("ta")) < struct(col("db"), col("tb")), col("ta"))
+          .otherwise(col("tb")).as("src"),
+        when(struct(col("da"), col("ta")) < struct(col("db"), col("tb")), col("tb"))
+          .otherwise(col("ta")).as("dst"))
+      .localCheckpoint()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .crossJoin(wedges)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
+
+  private val q112Sql =
+    s"""WITH dt AS (
+       |  SELECT doc_id, unnest(list_distinct(($toksSql)[1:32])) AS tok FROM documents),
+       |pairs AS (
+       |  SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cooc
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT ta, tb FROM pairs
+       |  WHERE cooc * 25 >= (SELECT COUNT(*) FROM documents)),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT ta AS v FROM edges UNION ALL SELECT tb FROM edges)
+       |  GROUP BY v),
+       |tri AS (
+       |  SELECT COUNT(*) AS n FROM edges e1
+       |  JOIN edges e2 ON e1.tb = e2.ta
+       |  JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb)
+       |SELECT
+       |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+       |  (SELECT COUNT(*) FROM edges) AS n_edges,
+       |  (SELECT n FROM tri) AS n_triangles,
+       |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       |  3.0 * (SELECT n FROM tri)
+       |    / (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS clustering""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+
+  /** q113: canonical-document selection — the step after q85's clustering
+    * in a dedup pipeline: inside every multi-doc near-dup cluster keep ONE
+    * canonical representative (highest quality score, doc_id as the
+    * deterministic tiebreak — near-dup clusters routinely hold EXACT
+    * duplicates whose qualities tie, so the tiebreak is load-bearing).
+    * Output: cluster id, size, the kept doc and its quality.
+    *
+    * Scale: reuses [[nearDupEdges]] + [[components]] (working set =
+    * near-dup pairs), then one window pass partitioned by cluster id over
+    * the edge-touched docs only — the quality projection joins to the
+    * labels BEFORE any window work, so the ranked relation is cluster-rows
+    * sized, not corpus-sized.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val labels = components(s, nearDupEdges(s, d)) // (id, comp)
+    // q71's quality formula over this module's tokenizer, computed ONLY
+    // for edge-touched docs (the semi-join below prunes the corpus scan)
+    val quality = Tables.documents(s, d)
+      .join(labels.select(col("id")), col("doc_id") === col("id"), "semi")
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        (size(filter(col("t"), t => t.isin("the", "a"))).cast(DoubleType)
+          / size(col("t"))).as("stop_ratio"),
+        (size(array_distinct(col("t"))).cast(DoubleType) / size(col("t"))).as("uniq_ratio"))
+      .select(col("doc_id"),
+        (col("uniq_ratio") * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + least(col("n_tokens").cast(DoubleType) / 256.0, lit(1.0)) * 0.2).as("quality"))
+    val byQuality = Window.partitionBy(col("comp"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labels.join(quality, col("id") === col("doc_id"))
+      .withColumn("rk", row_number().over(byQuality))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .filter(col("rk") === 1 && col("sz") > 1)
+      .select(col("comp").as("cluster_id"), col("sz"),
+        col("doc_id").as("kept_doc"), col("quality").as("kept_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q113Sql =
+    s"""WITH RECURSIVE $componentsCteSql,
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.5
+       |      + (1.0 - CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t)) * 0.3
+       |      + LEAST(CAST(len(t) AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+       |ranked AS (
+       |  SELECT comp.comp, comp.doc_id, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY comp.comp ORDER BY q.quality DESC, comp.doc_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY comp.comp) AS sz
+       |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+       |SELECT comp AS cluster_id, CAST(sz AS BIGINT) AS sz,
+       |  doc_id AS kept_doc, quality AS kept_quality
+       |FROM ranked WHERE rk = 1 AND sz > 1
+       |ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------- q86
 
@@ -539,7 +717,9 @@ object CorpusOps extends QueryModule {
     "q68_term_redaction" -> q68,
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
-    "q86_sequence_packing" -> q86
+    "q86_sequence_packing" -> q86,
+    "q112_token_graph_triangles" -> q112,
+    "q113_canonical_docs" -> q113
   )
 
   override def oracles: Map[String, String] = Map(
@@ -554,6 +734,8 @@ object CorpusOps extends QueryModule {
     "q68_term_redaction" -> q68Sql,
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,
-    "q86_sequence_packing" -> q86Sql
+    "q86_sequence_packing" -> q86Sql,
+    "q112_token_graph_triangles" -> q112Sql,
+    "q113_canonical_docs" -> q113Sql
   )
 }

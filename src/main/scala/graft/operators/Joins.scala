@@ -290,8 +290,37 @@ object Joins extends QueryModule {
       |    FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q115: explicit CROSS JOIN — the dense pairing grid (every region ×
+    * every order priority), completing the join-type surface (§2.3: inner /
+    * outer / semi / anti / theta / range / as-of / cross). The grid is then
+    * LEFT-joined to per-priority order stats so empty cells survive as
+    * NULL — the report-matrix shape. Scale rule a cross join must obey: at
+    * least one side O(1)-small (both are dims here — 5 regions × 5
+    * priorities); Spark plans it as a BroadcastNestedLoopJoin, never a
+    * shuffle.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.orders(s, d).select(col("o_orderpriority")).distinct())
+    val stats = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    grid.join(stats, Seq("o_orderpriority"), "left")
+      .select(col("r_name"), col("o_orderpriority").as("priority"), col("n_orders"))
+      .orderBy(col("r_name"), col("priority"))
+  }
+
+  private val q115Sql =
+    """SELECT r_name, o_orderpriority AS priority, n_orders
+      |FROM region
+      |CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+      |LEFT JOIN (SELECT o_orderpriority AS p, COUNT(*) AS n_orders
+      |           FROM orders GROUP BY 1) ON o_orderpriority = p
+      |ORDER BY r_name, priority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_join_theta" -> q17,
+    "q115_cross_join_grid" -> q115,
     "q18_scalar_subquery" -> q18,
     "q19_correlated_subquery" -> q19,
     "q10_join_broadcast" -> q10,
@@ -306,6 +335,7 @@ object Joins extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q17_join_theta" -> q17Sql,
+    "q115_cross_join_grid" -> q115Sql,
     "q18_scalar_subquery" -> q18Sql,
     "q19_correlated_subquery" -> q19Sql,
     "q10_join_broadcast" -> q10Sql,

@@ -222,6 +222,34 @@ object Relational extends QueryModule {
       |  AND o_orderdate < TIMESTAMP '1998-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q110: unpivot / melt — the wide→long reshape (the inverse of q28's
+    * pivot, completing the reshape pair). Both measure columns are lifted
+    * to a common DOUBLE before melting because an unpivoted value column
+    * has exactly one type. Scale shape: narrow per-row fan-out (one input
+    * row → one output row per measure), no shuffle at all until the
+    * ordering the oracle compare needs — at 100 TB this is a map-only
+    * stage.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        col("p_size").cast(DoubleType).as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("size"), col("retailprice")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val q110Sql =
+    """SELECT p_partkey, metric, value FROM (
+      |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+      |           p_retailprice AS retailprice FROM part)
+      |  ON size, retailprice INTO NAME metric VALUE value
+      |) ORDER BY p_partkey, metric""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_revenue_by_nation" -> q07,
     "q06_filter_sum" -> q06,
@@ -229,7 +257,8 @@ object Relational extends QueryModule {
     "q02_filter_pushdown" -> q02,
     "q03_projection_const" -> q03,
     "q04_predicates" -> q04,
-    "q05_coalesce_nullif" -> q05
+    "q05_coalesce_nullif" -> q05,
+    "q110_unpivot" -> q110
   )
 
   override def oracles: Map[String, String] = Map(
@@ -239,6 +268,7 @@ object Relational extends QueryModule {
     "q02_filter_pushdown" -> q02Sql,
     "q03_projection_const" -> q03Sql,
     "q04_predicates" -> q04Sql,
-    "q05_coalesce_nullif" -> q05Sql
+    "q05_coalesce_nullif" -> q05Sql,
+    "q110_unpivot" -> q110Sql
   )
 }

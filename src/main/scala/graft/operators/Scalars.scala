@@ -291,8 +291,48 @@ object Scalars extends QueryModule {
       |FROM events WHERE event_id % 17 = 0
       |ORDER BY event_id""".stripMargin
 
+  /** q116: URL parsing — the web-corpus normalization scalar (hostname for
+    * per-site grouping, path for route analysis, one query parameter). The
+    * URL is assembled from part attributes, then decomposed with Spark's
+    * `parse_url` — while the oracle re-derives the pieces from the SAME
+    * assembled string with regexes, so the compare genuinely checks the
+    * parser, not the inputs. Per-row scalar work, map-only at any scale.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), concat(
+        lit("https://"),
+        regexp_replace(lower(substring_index(col("p_type"), " ", 1)), "[^a-z]", ""),
+        lit(".example.org/catalog/"),
+        // '#' would start a URL FRAGMENT (p_brand is 'Brand#NN') — sanitize
+        // it like the space, or parse_url truncates PATH and loses QUERY
+        regexp_replace(col("p_brand"), "[ #]", "-"),
+        lit("?partkey="), col("p_partkey"),
+        lit("&size="), col("p_size")).as("url"))
+      .select(
+        col("p_partkey"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("size")).as("size_param"))
+      .filter(col("p_partkey") % 7 === 0)
+      .orderBy(col("p_partkey"))
+
+  private val q116Sql =
+    """SELECT p_partkey,
+      |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      |  regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]size=([^&]*)', 1) AS size_param
+      |FROM (
+      |  SELECT p_partkey,
+      |    'https://' || regexp_replace(lower(string_split(p_type, ' ')[1]), '[^a-z]', '', 'g')
+      |      || '.example.org/catalog/' || regexp_replace(p_brand, '[ #]', '-', 'g')
+      |      || '?partkey=' || p_partkey || '&size=' || p_size AS url
+      |  FROM part)
+      |WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_from_json" -> q59,
+    "q116_parse_url" -> q116,
     "q58_map_funcs" -> q58,
     "q50_string_funcs" -> q50,
     "q51_regexp" -> q51,
@@ -306,6 +346,7 @@ object Scalars extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q59_from_json" -> q59Sql,
+    "q116_parse_url" -> q116Sql,
     "q58_map_funcs" -> q58Sql,
     "q50_string_funcs" -> q50Sql,
     "q51_regexp" -> q51Sql,

@@ -171,8 +171,74 @@ object ScalePatterns extends QueryModule {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q111: bloom-filter join pruning — the semi-join reduction a 100 TB
+    * fact join lives on: build a bloom filter over the (filtered) dim
+    * keys, pre-filter the fact on bloom MEMBERSHIP before the shuffle, then
+    * run the exact equi-join on the survivors. False positives cost only
+    * wasted shuffle rows; false negatives are impossible, so the RESULT is
+    * identical to the plain join — exactly what the oracle checks.
+    *
+    * Build: each key sets k=3 bit positions `pmod(xxhash64(key, seed), m)`;
+    * the distinct positions are collected (the collected volume IS the
+    * filter — O(m) bits, never O(rows)) and folded into a word array.
+    * Probe: pure built-ins — `element_at` on the word array inlined as a
+    * literal (it constant-folds to one ArrayData, shipped inside the plan
+    * like a broadcast) + shiftright/bit-and per hash. Everything stays in
+    * whole-stage codegen; no UDF.
+    *
+    * m is capped at 2^16 bits (1024 inlined longs): past the cap the fpp
+    * degrades gracefully (~0.24 at m/n≈3, still pruning ~3/4 of
+    * non-matching rows) instead of the plan growing without bound — the
+    * cap is the deployment knob; Spark's own runtime bloom filters size
+    * the same way (creationSizeInBytes caps).
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val dimKeys = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"))
+    val k = 3
+    val nKeys = math.max(1L, dimKeys.count())
+    // smallest power of two >= 16 * nKeys, clamped to [2^10, 2^16]
+    val mBits = math.min(1L << 16, math.max(1L << 10,
+      java.lang.Long.highestOneBit(16 * nKeys - 1) << 1))
+    val nWords = (mBits / 64).toInt
+    val words = new Array[Long](nWords)
+    dimKeys.select(explode(array((0 until k).map(i =>
+        pmod(xxhash64(col("o_orderkey"), lit(i)), lit(mBits))): _*)).as("pos"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val pos = r.getLong(0)
+        words((pos >> 6).toInt) |= 1L << (pos & 63)
+      }
+    val wordsArr = words.map(w => s"${w}L").mkString("array(", ", ", ")")
+    val mightContain = (0 until k).map { i =>
+      val h = s"pmod(xxhash64(l_orderkey, $i), ${mBits}L)"
+      s"(element_at($wordsArr, CAST(($h) div 64 AS INT) + 1) & shiftleft(1L, CAST(($h) % 64 AS INT))) != 0L"
+    }.mkString("(", ") AND (", ")")
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(expr(mightContain)) // bloom prune BEFORE the shuffle
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey")) // exact join on survivors
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q111Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_salted_join" -> q105,
+    "q111_bloom_join" -> q111,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -181,6 +247,7 @@ object ScalePatterns extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q105_salted_join" -> q105Sql,
+    "q111_bloom_join" -> q111Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,
