@@ -318,14 +318,20 @@ object Streams extends QueryModule {
     * per batch is O(changed keys), not O(all keys) — the reason update
     * mode exists.
     */
-  private def q106(s: SparkSession, d: String): DataFrame = {
-    val sink = sinkDir("q106")
-    // NO watermark: update mode doesn't require one, and with one a
-    // multi-file source (or maxFilesPerTrigger) could drop rows arriving
-    // behind the advanced watermark, silently diverging from the batch
-    // oracle. Unbounded keyed state is fine here — the key space is
-    // (event_type, hour), bounded by the data's time span
-    val agg = streamEvents(s, d)
+  /** q106's core, callable on ANY streaming events frame (the multi-batch
+    * spec drives it with a maxFilesPerTrigger=1 source): update-mode
+    * aggregation, per-batch changelog append, distributed
+    * last-write-wins replay.
+    *
+    * NO watermark: update mode doesn't require one, and with one a
+    * multi-file source (or maxFilesPerTrigger) could drop rows arriving
+    * behind the advanced watermark, silently diverging from the batch
+    * oracle. Unbounded keyed state is fine here — the key space is
+    * (event_type, hour), bounded by the data's time span.
+    */
+  private[streaming] def upsertAggregate(s: SparkSession, events: DataFrame,
+                                         sink: String): DataFrame = {
+    val agg = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
       .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
     val q = agg.writeStream
@@ -349,6 +355,9 @@ object Streams extends QueryModule {
         col("last.n").as("n"), col("last.total").as("total"))
       .orderBy(col("event_type"), col("hour_start"))
   }
+
+  private def q106(s: SparkSession, d: String): DataFrame =
+    upsertAggregate(s, streamEvents(s, d), sinkDir("q106"))
 
   private val q106Sql =
     s"""SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

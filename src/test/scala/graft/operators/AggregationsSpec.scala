@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   */
 class AggregationsSpec extends SparkSpec {
 
+  test("q114 histogram quantile lands within one bucket width of the exact quantile") {
+    // the sketch's error contract: the estimate is the lower edge of the
+    // bucket holding the rank-ceil(q*n) value, so exact ∈ [est, est+width)
+    val width = 100.0
+    val est = SparkEntry.queries("q114_histogram_quantiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val byFlag = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getDouble(1)).sorted }
+    assert(est.keySet == byFlag.keySet)
+    for ((flag, values) <- byFlag; (q, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val exact = values(math.ceil(q * values.length).toInt - 1)
+      val e = est(flag)(i)
+      assert(e <= exact && exact < e + width,
+        s"$flag p$q: est=$e exact=$exact not within one bucket")
+    }
+  }
+
   test("q24 HLL estimate stays within rsd bounds of the exact distinct count") {
     // the quantified pin for the one oracle-less query: at rsd=0.05, allow
     // 5 sigma => 25% relative error, far tighter than chance — checked at

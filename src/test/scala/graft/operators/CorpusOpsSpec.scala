@@ -119,6 +119,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 token graph: triangle/wedge identities hold and the count is stable") {
+    val r1 = run("q112_token_graph_triangles").collect()
+    assert(r1.length == 1)
+    val row = r1.head
+    val (nodes, edges, tri, wedges) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val clustering = row.getDouble(4)
+    assert(nodes > 0 && edges > 0)
+    assert(nodes <= 2 * edges) // every node is an edge endpoint
+    assert(edges <= nodes * (nodes - 1) / 2)
+    // each triangle closes exactly 3 wedges and every closed wedge belongs
+    // to exactly one triangle, so 3·triangles ≤ wedges ⇔ clustering ≤ 1
+    assert(3 * tri <= wedges)
+    assert(clustering == 3.0 * tri / wedges)
+    // degree-oriented enumeration is deterministic: a re-run agrees
+    val r2 = run("q112_token_graph_triangles").collect().head
+    assert(r2.getLong(2) == tri && r2.getLong(3) == wedges)
+  }
+
+  test("q113 canonical docs: exactly one keeper per multi-doc q85 cluster") {
+    val clusters = run("q85_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = run("q113_canonical_docs").collect()
+    // cluster ids = q85's multi-doc components, sizes agree, one row each
+    assert(kept.map(_.getLong(0)).toSet == clusters.filter(_._2 > 1).keySet)
+    assert(kept.map(_.getLong(0)).distinct.length == kept.length)
+    kept.foreach { r =>
+      assert(r.getLong(1) == clusters(r.getLong(0)), s"size mismatch at ${r.getLong(0)}")
+      // the keeper is a member: cluster id is the MIN member doc_id
+      assert(r.getLong(2) >= r.getLong(0))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("q48 stratified sample: kept counts honor per-stratum rates") {
     val rows = ScalePatterns.queries("q48_stratified_sample")(spark, sf0001).collect()
     rows.foreach { r =>
