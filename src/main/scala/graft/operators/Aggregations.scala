@@ -343,9 +343,79 @@ object Aggregations extends QueryModule {
       |  CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT) THEN bucket END) * 100.0 AS DOUBLE) AS p99_est
       |FROM c GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** q117: LISTAGG — the SQL-standard ordered string aggregation
+    * (Spark 4's `listagg ... WITHIN GROUP (ORDER BY ...)`), suppliers per
+    * nation. The WITHIN GROUP ordering makes the result deterministic
+    * under any partitioning — without it a distributed string_agg
+    * concatenates in partition-arrival order and can never hash-compare.
+    * Per-group output is O(group members); keep it for dimension-sized
+    * groups (here: suppliers per nation), not fact keys.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(
+        expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  private val q117Sql =
+    """SELECT s_nationkey AS nationkey,
+      |  string_agg(s_name, '|' ORDER BY s_name) AS names,
+      |  COUNT(*) AS n
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q118: exact distributed Pearson correlation + OLS slope from MERGEABLE
+    * MOMENTS — one pass, no mean-centering second pass: per-group exact
+    * decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) fold with map-side partial
+    * aggregation (decimal addition is associative → bit-identical at any
+    * partitioning), then the statistics are assembled in one fixed-order
+    * double computation. Built-in `corr()` streams doubles and is
+    * partition-order-dependent — THIS spelling is how the engine gets a
+    * hash-verifiable correlation at 1000 executors. The decimal→double
+    * casts stay bit-exact because every scaled sum fits 2^53 at these
+    * scales (quantity ≤ 50 scale 2, discount < 1 scale 4 — see
+    * graft.Exact's cast rule).
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_discount").cast(DecimalType(9, 4))
+    val m = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sx2"),
+        sum(y * y).cast(DoubleType).as("sy2"))
+    m.select(col("flag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sx2") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("sy2") - col("sy") * col("sy")))).as("corr_qd"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sx2") - col("sx") * col("sx"))).as("slope"))
+      .orderBy(col("flag"))
+  }
+
+  private val q118Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(9,4)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sy2
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, n,
+      |  (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr_qd,
+      |  (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope
+      |FROM m ORDER BY flag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_kmv_distinct" -> q104,
     "q114_histogram_quantiles" -> q114,
+    "q117_listagg" -> q117,
+    "q118_exact_corr" -> q118,
     "q27_stats_exact" -> q27,
     "q28_pivot" -> q28,
     "q29_minmax_by" -> q29,
@@ -361,6 +431,8 @@ object Aggregations extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q104_kmv_distinct" -> q104Sql,
     "q114_histogram_quantiles" -> q114Sql,
+    "q117_listagg" -> q117Sql,
+    "q118_exact_corr" -> q118Sql,
     "q27_stats_exact" -> q27Sql,
     "q28_pivot" -> q28Sql,
     "q29_minmax_by" -> q29Sql,
