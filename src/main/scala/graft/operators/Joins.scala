@@ -318,9 +318,44 @@ object Joins extends QueryModule {
       |           FROM orders GROUP BY 1) ON o_orderpriority = p
       |ORDER BY r_name, priority""".stripMargin
 
+  /** q119: Pareto frontier (skyline) per brand — parts not DOMINATED by a
+    * same-brand part that is ≤ on both (size, retailprice) and strictly <
+    * on at least one. Spelled as a LEFT ANTI self-join whose equi key is
+    * the brand and whose dominance test is a residual predicate: the plan
+    * is one shuffled hash join, per-brand work is |brand|² worst case but
+    * never cross-brand — the only skyline shape that survives a 100 TB
+    * catalog (a global skyline would need the block-nested-loop family).
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+    p.as("p").join(p.as("q"),
+        col("q.p_brand") === col("p.p_brand") &&
+          col("q.p_size") <= col("p.p_size") &&
+          col("q.p_retailprice") <= col("p.p_retailprice") &&
+          (col("q.p_size") < col("p.p_size") ||
+            col("q.p_retailprice") < col("p.p_retailprice")),
+        "left_anti")
+      .select(col("p.p_brand").as("brand"), col("p.p_partkey").as("partkey"),
+        col("p.p_size").as("size"), col("p.p_retailprice").as("price"))
+      .orderBy(col("brand"), col("partkey"))
+  }
+
+  private val q119Sql =
+    """SELECT p.p_brand AS brand, p.p_partkey AS partkey,
+      |  p.p_size AS size, p.p_retailprice AS price
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_brand = p.p_brand
+      |    AND q.p_size <= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY brand, partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_join_theta" -> q17,
     "q115_cross_join_grid" -> q115,
+    "q119_pareto_frontier" -> q119,
     "q18_scalar_subquery" -> q18,
     "q19_correlated_subquery" -> q19,
     "q10_join_broadcast" -> q10,
@@ -336,6 +371,7 @@ object Joins extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q17_join_theta" -> q17Sql,
     "q115_cross_join_grid" -> q115Sql,
+    "q119_pareto_frontier" -> q119Sql,
     "q18_scalar_subquery" -> q18Sql,
     "q19_correlated_subquery" -> q19Sql,
     "q10_join_broadcast" -> q10Sql,

@@ -383,8 +383,56 @@ object Similarity extends QueryModule {
        |  CAST(SUM(list_sum(list_transform(v, x -> x*x))) AS DOUBLE) / COUNT(*) AS mean_sqnorm
        |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** q121: int8 embedding quantization with an EXACT reconstruction-error
+    * audit — the compression step a vector store applies before indexing
+    * (symmetric per-vector scaling: q = round(x·127/scale), scale =
+    * max|x|). Everything stays in integer arithmetic: the rounding is
+    * spelled as nonnegative integer division ((|v|·254 + scale) div
+    * (2·scale), sign reapplied) so no engine's float `round()` tie-break
+    * can leak in, and the per-element error is kept scaled by 127
+    * (e127 = 127·v − q·scale — an exact BIGINT) so the per-label Σe127²
+    * folds associatively at any partitioning. Map-only until the per-label
+    * partial agg; at 10⁹ vectors this is one scan + one tiny shuffle.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val sq = "(127L * x - (IF(x >= 0, (x * 254 + scale) div (2 * scale), " +
+      "-(((-x) * 254 + scale) div (2 * scale)))) * scale)"
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("scale") > 0)
+      .withColumn("sqerr127",
+        expr(s"aggregate(v, CAST(0 AS BIGINT), (acc, x) -> acc + $sq * $sq)"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sqerr127")).as("tot_sqerr127"),
+        max(col("scale")).as("max_scale"))
+      .orderBy(col("label"))
+  }
+
+  private val q121Sql = {
+    val sq = "(127 * x - (CASE WHEN x >= 0 THEN (x * 254 + scale) // (2 * scale) " +
+      "ELSE -(((-x) * 254 + scale) // (2 * scale)) END) * scale)"
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, label, v,
+       |    CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS scale FROM q),
+       |e AS (
+       |  SELECT label, scale,
+       |    CAST(list_sum(list_transform(v, x -> $sq * $sq)) AS BIGINT) AS sqerr127
+       |  FROM s WHERE scale > 0)
+       |SELECT label, COUNT(*) AS n, CAST(SUM(sqerr127) AS BIGINT) AS tot_sqerr127,
+       |  CAST(MAX(scale) AS BIGINT) AS max_scale
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_vector_stats" -> q84,
+    "q121_embed_quantize" -> q121,
     "q80_ann_bruteforce" -> q80,
     "q81_ann_lsh" -> q81,
     "q82_embed_neardup" -> q82,
@@ -393,6 +441,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q84_vector_stats" -> q84Sql,
+    "q121_embed_quantize" -> q121Sql,
     "q80_ann_bruteforce" -> q80Sql,
     "q81_ann_lsh" -> q81Sql,
     "q82_embed_neardup" -> q82Sql,

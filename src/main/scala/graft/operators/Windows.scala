@@ -285,7 +285,46 @@ object Windows extends QueryModule {
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_viewed_after,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchased_after""".stripMargin
 
+  /** q120: last-touch revenue attribution — every purchase credits its
+    * value to the user's most recent PRIOR marketing touch (click / view /
+    * signup; purchases with no prior touch go to 'direct'), then revenue
+    * folds per channel. One window over one shuffle carries the last touch
+    * forward (the q16 as-of composition with an aggregation on top); the
+    * struct tag keeps last-ROW semantics. The exact decimal sum makes the
+    * per-channel revenue bit-stable at any partitioning.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("touch",
+        when(col("event_type").isin("click", "view", "signup"),
+          struct(col("event_type").as("t"))))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch.t"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Exact.sumMoney(col("value")).as("attributed"))
+      .orderBy(col("channel"))
+  }
+
+  private val q120Sql =
+    s"""SELECT COALESCE(last_touch.t, 'direct') AS channel,
+       |  COUNT(*) AS n_purchases,
+       |  ${Exact.sqlSumMoney("value")} AS attributed
+       |FROM (
+       |  SELECT event_type, value,
+       |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view', 'signup')
+       |                    THEN {'t': event_type} END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+       |  FROM events)
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_attribution" -> q120,
     "q38_funnel_stages" -> q38,
     "q37_window_sessionize" -> q37,
     "q36_window_range_frame" -> q36,
@@ -298,6 +337,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q120_attribution" -> q120Sql,
     "q38_funnel_stages" -> q38Sql,
     "q37_window_sessionize" -> q37Sql,
     "q36_window_range_frame" -> q36Sql,

@@ -365,8 +365,90 @@ object Streams extends QueryModule {
        |FROM events GROUP BY 1, 2
        |ORDER BY event_type, hour_start""".stripMargin
 
+  /** q122's stateful processor: exact per-user purchase tally (count +
+    * money cents, both BIGINT so state merging is associative) in one
+    * `ValueState` — the transformWithState (Spark 4 arbitrary-state API)
+    * counterpart of q93's flatMapGroupsWithState sessionizer. Emits the
+    * running tally for every key touched by a batch (update-mode
+    * semantics; the consumer keeps the last emission per key).
+    */
+  private class PurchaseTally extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("tally",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += r._2 }
+      st.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  /** The transformWithState pipeline on any `(user_id, cents)` stream —
+    * separated from q122's source/sink plumbing so the multi-batch spec
+    * can drive it through a MemoryStream (caller must have the RocksDB
+    * state-store provider set when the query starts).
+    */
+  private[streaming] def purchaseTally(
+      ds: org.apache.spark.sql.Dataset[(Long, Long)]):
+      org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new PurchaseTally,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** q122: transformWithState — the third rung of the stateful-streaming
+    * ladder (q92 dropDuplicates < q93 flatMapGroupsWithState < q122
+    * arbitrary typed state with an explicit store handle): per-user
+    * purchase count + exact cents total for repeat buyers (≥ 3). The API
+    * requires the RocksDB state-store provider (state lives off-heap and
+    * spills to disk — the 100 TB-state story), set for this query and
+    * restored after. Money rides as integer cents, so per-key accumulation
+    * order cannot change the result and the batch oracle matches exactly.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val purchases = streamEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long)]
+      val tallied = purchaseTally(purchases).toDF("user_id", "n_purchases", "cents")
+      val out = runToMemory(s, tallied, "q122_sink", "update")
+      // n is monotone per key: the max-(n, cents) struct is the final tally
+      out.groupBy(col("user_id"))
+        .agg(max(struct(col("n_purchases"), col("cents"))).as("last"))
+        .select(col("user_id"), col("last.n_purchases").as("n_purchases"),
+          col("last.cents").as("cents"))
+        .filter(col("n_purchases") >= 3)
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
+  private val q122Sql =
+    """SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_stream_update_upsert" -> q106,
+    "q122_stream_tws_tally" -> q122,
     "q99_stream_static_join" -> q99,
     "q98_stream_stream_join" -> q98,
     "q94_stream_sliding" -> q94,
@@ -378,6 +460,7 @@ object Streams extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q106_stream_update_upsert" -> q106Sql,
+    "q122_stream_tws_tally" -> q122Sql,
     "q99_stream_static_join" -> q99Sql,
     "q98_stream_stream_join" -> q98Sql,
     "q94_stream_sliding" -> q94Sql,

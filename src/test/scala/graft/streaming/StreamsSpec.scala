@@ -107,6 +107,39 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("transformWithState tally accumulates typed state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.purchaseTally(input.toDS())
+      .toDF("user_id", "n", "cents")
+      .writeStream.format("memory").queryName("tws_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 100L), (1L, 50L), (2L, 10L))
+      q.processAllAvailable()
+      input.addData((1L, 25L)) // user 1's ValueState must carry over
+      q.processAllAvailable()
+      val last = spark.table("tws_sink")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("cents"))).as("l"))
+        .select(col("user_id"), col("l.n"), col("l.cents"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(last(1L) == ((3L, 175L)), s"user 1 got ${last(1L)}")
+      assert(last(2L) == ((1L, 10L)), s"user 2 got ${last(2L)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming parquet file sink is exactly-once across restarts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
