@@ -46,7 +46,11 @@ object Bench {
     // round 5 additions (53-query set; the round-3/4 comparable subtotal is
     // the first 49 — sum the per-query map without these four)
     "q111_bloom_join", "q112_token_graph_triangles",
-    "q113_canonical_docs", "q114_histogram_quantiles"
+    "q113_canonical_docs", "q114_histogram_quantiles",
+    "q119_pareto_frontier", "q120_attribution",
+    "q121_embed_quantize", "q122_stream_tws_tally",
+    "q123_gapfill_ffill", "q125_reachability_cte",
+    "q126_lateral_topk", "q127_edit_distance"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

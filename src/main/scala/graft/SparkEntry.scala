@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Joins,
     operators.Aggregations,
     operators.Windows,
+    operators.TimeSeries,
     operators.SortsSets,
     operators.ScalePatterns,
     operators.Scalars,

@@ -266,11 +266,11 @@ object CorpusOps extends QueryModule {
       .agg(count(lit(1)).as("sz"))
       .orderBy(col("comp"))
 
-  /** DuckDB spelling of [[nearDupEdges]] + [[components]]: the recursive-CTE
-    * chain ending in `comp(doc_id, comp)` — one row per edge-touched doc.
-    * Shared by the q85 and q113 oracles (requires WITH RECURSIVE).
+  /** DuckDB spelling of [[nearDupEdges]] (+ symmetric closure `bi`):
+    * the CTE chain ending in `bi(a, b)`. Shared by the q85/q113/q125
+    * oracles so edge construction can never drift between them.
     */
-  private val componentsCteSql =
+  private val edgesBiCteSql =
     s"""sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
@@ -285,7 +285,14 @@ object CorpusOps extends QueryModule {
        |  JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id
        |  WHERE CAST(i AS DOUBLE) / (len(sa.shingles) + len(sb.shingles) - i) >= 0.3),
        |bi AS (SELECT da AS a, db AS b FROM edges
-       |       UNION SELECT db, da FROM edges),
+       |       UNION SELECT db, da FROM edges)""".stripMargin
+
+  /** DuckDB spelling of [[nearDupEdges]] + [[components]]: the recursive-CTE
+    * chain ending in `comp(doc_id, comp)` — one row per edge-touched doc.
+    * Shared by the q85 and q113 oracles (requires WITH RECURSIVE).
+    */
+  private val componentsCteSql =
+    s"""$edgesBiCteSql,
        |r(src, dst) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM bi)
        |  UNION
@@ -296,6 +303,55 @@ object CorpusOps extends QueryModule {
     s"""WITH RECURSIVE $componentsCteSql
        |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp
        |GROUP BY comp ORDER BY comp""".stripMargin
+
+  // --------------------------------------------------------------- q125
+
+  /** q125: BFS reachability over the near-dup graph via Spark 4's
+    * `WITH RECURSIVE` — per-hop frontier profile (node count, id range)
+    * within 3 hops of the lowest-id edge-touched doc. The declarative twin
+    * of [[components]]' hand-rolled fixpoint loop: recursion expands
+    * depth-capped UNION ALL paths, and the MIN(depth)-per-node rollup
+    * collapses path multiplicity into BFS levels — identical semantics in
+    * DuckDB, so the whole recursive evaluation is hash-verified.
+    *
+    * Scale: each recursive step is one join of the frontier against the
+    * edge list — the same per-iteration shuffle as [[components]], but
+    * UNION ALL keeps every path, so the cap (3) bounds the blow-up on
+    * cyclic components; near-dup graphs are shallow and sparse (256 edges
+    * from a 1.3M-pair candidate set at sf0.1), which is what makes the
+    * path-expansion spelling affordable. For unbounded-diameter graphs
+    * [[components]]' per-round dedup loop remains the scale path.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val edges = nearDupEdges(s, d)
+    edges.union(edges.select(col("db").as("da"), col("da").as("db")))
+      .createOrReplaceTempView("nd_bi_edges_q125")
+    s.sql(
+      """WITH RECURSIVE r(id, depth) AS (
+        |  SELECT MIN(da), 0 FROM nd_bi_edges_q125
+        |  UNION ALL
+        |  SELECT e.db, r.depth + 1
+        |  FROM r JOIN nd_bi_edges_q125 e ON r.id = e.da
+        |  WHERE r.depth < 3)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       MIN(id) AS min_doc, MAX(id) AS max_doc
+        |FROM (SELECT id, MIN(depth) AS depth FROM r GROUP BY id)
+        |GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val q125Sql =
+    s"""WITH RECURSIVE $edgesBiCteSql,
+       |r(id, depth) AS (
+       |  SELECT MIN(a), 0 FROM bi
+       |  UNION ALL
+       |  SELECT bi.b, r.depth + 1 FROM r JOIN bi ON r.id = bi.a
+       |  WHERE r.depth < 3)
+       |SELECT CAST(depth AS BIGINT) AS depth,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  MIN(id) AS min_doc, MAX(id) AS max_doc
+       |FROM (SELECT id, MIN(depth) AS depth FROM r GROUP BY id)
+       |GROUP BY depth ORDER BY depth""".stripMargin
 
   // ---------------------------------------------------------------- q112
 
@@ -717,6 +773,7 @@ object CorpusOps extends QueryModule {
     "q68_term_redaction" -> q68,
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
+    "q125_reachability_cte" -> q125,
     "q86_sequence_packing" -> q86,
     "q112_token_graph_triangles" -> q112,
     "q113_canonical_docs" -> q113
@@ -734,6 +791,7 @@ object CorpusOps extends QueryModule {
     "q68_term_redaction" -> q68Sql,
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,
+    "q125_reachability_cte" -> q125Sql,
     "q86_sequence_packing" -> q86Sql,
     "q112_token_graph_triangles" -> q112Sql,
     "q113_canonical_docs" -> q113Sql

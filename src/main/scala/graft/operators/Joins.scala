@@ -352,10 +352,43 @@ object Joins extends QueryModule {
       |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
       |ORDER BY brand, partkey""".stripMargin
 
+  /** q126: correlated LATERAL join — per-BUILDING-customer top-2 orders by
+    * price, spelled as SQL `, LATERAL (... ORDER BY ... LIMIT 2)` (the
+    * Spark 4 lateral-subquery surface; q30 is the window spelling of the
+    * same shape). Catalyst decorrelates the limit-per-key into a
+    * DomainJoin + rank filter — one shuffle join on the correlation key,
+    * no per-customer subquery re-execution, so the plan is the q30 plan
+    * and survives any customer count.
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c.c_custkey AS custkey, c.c_name AS name,
+        |       t.o_orderkey AS orderkey, t.o_totalprice AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY custkey, price DESC, orderkey""".stripMargin)
+  }
+
+  private val q126Sql =
+    """SELECT c.c_custkey AS custkey, c.c_name AS name,
+      |       t.o_orderkey AS orderkey, t.o_totalprice AS price
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |ORDER BY custkey, price DESC, orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_join_theta" -> q17,
     "q115_cross_join_grid" -> q115,
     "q119_pareto_frontier" -> q119,
+    "q126_lateral_topk" -> q126,
     "q18_scalar_subquery" -> q18,
     "q19_correlated_subquery" -> q19,
     "q10_join_broadcast" -> q10,
@@ -372,6 +405,7 @@ object Joins extends QueryModule {
     "q17_join_theta" -> q17Sql,
     "q115_cross_join_grid" -> q115Sql,
     "q119_pareto_frontier" -> q119Sql,
+    "q126_lateral_topk" -> q126Sql,
     "q18_scalar_subquery" -> q18Sql,
     "q19_correlated_subquery" -> q19Sql,
     "q10_join_broadcast" -> q10Sql,

@@ -510,6 +510,49 @@ object TextOps extends QueryModule {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q127
+
+  /** q127: bounded edit-distance near-dup audit — per-language candidate
+    * pairs from prefix blocking (same first-8-chars block, the classic
+    * cheap blocking key: collision count grows with block skew, never
+    * quadratically in corpus size), scored with Spark's thresholded
+    * `levenshtein(a, b, 32)` over 64-char prefixes. The threshold arg is
+    * the scale lever: the DP early-abandons once the distance provably
+    * exceeds 32 (O(k·n) band instead of O(n²) table), which is what makes
+    * edit distance affordable as a dedup verifier at corpus scale. The
+    * oracle recomputes with unbounded levenshtein and filters — identical
+    * results for every surviving pair.
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 64).as("pre"),
+      substring(col("text"), 1, 8).as("blk"))
+    val a = p.select(col("lang"), col("blk"), col("doc_id").as("ida"), col("pre").as("pa"))
+    val b = p.select(col("lang"), col("blk"), col("doc_id").as("idb"), col("pre").as("pb"))
+    a.join(b, Seq("lang", "blk"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), 32))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("dist") >= 0, 1)).as("n_neardup"),
+        min(when(col("dist") >= 0, col("dist"))).cast(LongType).as("min_dist"))
+      .orderBy(col("lang"))
+  }
+
+  private val q127Sql =
+    """WITH p AS (
+      |  SELECT doc_id, lang, substr(text, 1, 64) AS pre,
+      |         substr(text, 1, 8) AS blk
+      |  FROM documents),
+      |c AS (
+      |  SELECT a.lang, levenshtein(a.pre, b.pre) AS dist
+      |  FROM p a JOIN p b ON a.lang = b.lang AND a.blk = b.blk
+      |                   AND a.doc_id < b.doc_id)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(CASE WHEN dist <= 32 THEN 1 END) AS BIGINT) AS n_neardup,
+      |  CAST(MIN(CASE WHEN dist <= 32 THEN dist END) AS BIGINT) AS min_dist
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_corpus_pipeline" -> q79,
     "q78_bottomk_udaf" -> q78,
@@ -520,7 +563,8 @@ object TextOps extends QueryModule {
     "q74_ngram_jaccard" -> q74,
     "q75_minhash_lsh" -> q75,
     "q76_simhash" -> q76,
-    "q77_fingerprint" -> q77
+    "q77_fingerprint" -> q77,
+    "q127_edit_distance" -> q127
   )
 
   override def oracles: Map[String, String] = Map(
@@ -533,6 +577,7 @@ object TextOps extends QueryModule {
     "q74_ngram_jaccard" -> q74Sql,
     "q75_minhash_lsh" -> q75Sql,
     "q76_simhash" -> q76Sql,
-    "q77_fingerprint" -> q77Sql
+    "q77_fingerprint" -> q77Sql,
+    "q127_edit_distance" -> q127Sql
   )
 }
