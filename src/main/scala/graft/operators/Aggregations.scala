@@ -411,8 +411,59 @@ object Aggregations extends QueryModule {
       |  (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope
       |FROM m ORDER BY flag""".stripMargin
 
+  /** q129: ordered-set aggregates — `percentile_cont` / `percentile_disc`
+    * WITHIN GROUP, plus a deterministic mode (arg-max of per-status counts,
+    * ties to the smallest status so no engine's hash order leaks in).
+    * Interpolation parity holds bit-for-bit because both engines spell the
+    * continuous percentile as lo + (hi − lo)·frac over the same sorted
+    * doubles (pinned by the hash compare).
+    *
+    * Scale: percentile_cont is exact and therefore needs the per-group
+    * sorted values — fine for bounded groups like the 5 priorities here;
+    * unbounded cardinality belongs to q114's mergeable histogram sketch.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH pct AS (
+        |  SELECT o_orderpriority AS prio,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |    percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS st, COUNT(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |md AS (
+        |  SELECT prio, st AS mode_status FROM (
+        |    SELECT prio, st, ROW_NUMBER() OVER (
+        |      PARTITION BY prio ORDER BY c DESC, st) AS rk FROM sc)
+        |  WHERE rk = 1)
+        |SELECT prio, p50, p90, p50_disc, mode_status
+        |FROM pct JOIN md USING (prio) ORDER BY prio""".stripMargin)
+  }
+
+  private val q129Sql =
+    """WITH pct AS (
+      |  SELECT o_orderpriority AS prio,
+      |    quantile_cont(o_totalprice, 0.5) AS p50,
+      |    quantile_cont(o_totalprice, 0.9) AS p90,
+      |    quantile_disc(o_totalprice, 0.5) AS p50_disc
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS st, COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |md AS (
+      |  SELECT prio, st AS mode_status FROM (
+      |    SELECT prio, st, ROW_NUMBER() OVER (
+      |      PARTITION BY prio ORDER BY c DESC, st) AS rk FROM sc)
+      |  WHERE rk = 1)
+      |SELECT prio, p50, p90, p50_disc, mode_status
+      |FROM pct JOIN md USING (prio) ORDER BY prio""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_kmv_distinct" -> q104,
+    "q129_ordered_set_agg" -> q129,
     "q114_histogram_quantiles" -> q114,
     "q117_listagg" -> q117,
     "q118_exact_corr" -> q118,
@@ -429,6 +480,7 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q129_ordered_set_agg" -> q129Sql,
     "q104_kmv_distinct" -> q104Sql,
     "q114_histogram_quantiles" -> q114Sql,
     "q117_listagg" -> q117Sql,

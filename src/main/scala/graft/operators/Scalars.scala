@@ -330,8 +330,39 @@ object Scalars extends QueryModule {
       |  FROM part)
       |WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin
 
+  /** q128: VARIANT ingestion — the Spark 4 semi-structured type: props
+    * parses once into the binary VARIANT encoding, fields come out through
+    * typed `variant_get` paths (missing paths are NULL, not errors). The
+    * scale rationale over per-path `get_json_object` (q55): one parse per
+    * row feeding any number of path extractions, with shredded columnar
+    * access — the open-lakehouse answer to schemaless event payloads.
+    * The oracle re-derives the same fields with DuckDB's JSON reader.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.absent', 'bigint')").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count(when(col("k") > 50, 1)).as("n_over_50"),
+        count(col("absent")).as("n_absent"))
+      .orderBy(col("event_type"))
+
+  private val q128Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |             THEN 1 END) AS BIGINT) AS n_over_50,
+      |  CAST(COUNT(json_extract_string(props, '$.absent')) AS BIGINT) AS n_absent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_from_json" -> q59,
+    "q128_variant_json" -> q128,
     "q116_parse_url" -> q116,
     "q58_map_funcs" -> q58,
     "q50_string_funcs" -> q50,
@@ -346,6 +377,7 @@ object Scalars extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q59_from_json" -> q59Sql,
+    "q128_variant_json" -> q128Sql,
     "q116_parse_url" -> q116Sql,
     "q58_map_funcs" -> q58Sql,
     "q50_string_funcs" -> q50Sql,
