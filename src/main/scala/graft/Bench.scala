@@ -50,7 +50,8 @@ object Bench {
     "q119_pareto_frontier", "q120_attribution",
     "q121_embed_quantize", "q122_stream_tws_tally",
     "q123_gapfill_ffill", "q125_reachability_cte",
-    "q126_lateral_topk", "q127_edit_distance"
+    "q126_lateral_topk", "q127_edit_distance",
+    "q128_variant_json", "q129_ordered_set_agg"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -389,6 +389,77 @@ object Streams extends QueryModule {
     }
   }
 
+  /** Timer-driven session assembly — the full transformWithState surface
+    * (ListState buffer + event-time timers): events append to a per-user
+    * ListState; each batch re-arms one timer at (latest event + gap); when
+    * the watermark passes it the timer fires, `handleExpiredTimer` splits
+    * the buffer into gap-delimited sessions, emits them all (every one is
+    * closed — the watermark is ≥ last event + gap) and clears state.
+    *
+    * This is the push-based dual of q93's pull-based sessionizer: q93
+    * re-emits corrected totals every batch; this emits each session
+    * exactly once, when it provably cannot grow — the shape that lets
+    * 100 TB-state pipelines retire state instead of carrying it forever.
+    * Output: (user_id, session_start_ms, n_events). Pinned by the
+    * StreamsSpec multi-batch watermark test (emission timing is a runtime
+    * property no batch oracle can express).
+    */
+  private[streaming] class SessionAssembler(gapMs: Long)
+      extends org.apache.spark.sql.streaming
+        .StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[Long]("events",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      var mx = Long.MinValue
+      rows.foreach { r => buf.appendValue(r._2); if (r._2 > mx) mx = r._2 }
+      // one live timer per key: re-arm at the latest event + gap
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (mx != Long.MinValue) getHandle.registerTimer(mx + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      val all = buf.get().toArray.sorted
+      buf.clear()
+      if (all.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = all(0); var prev = all(0); var n = 1L
+        all.iterator.drop(1).foreach { t =>
+          if (t - prev >= gapMs) { out += ((key, start, n)); start = t; n = 0L }
+          n += 1; prev = t
+        }
+        out += ((key, start, n))
+        out.iterator
+      }
+    }
+  }
+
+  /** The session-assembly pipeline on any `(user_id, ts_ms)` stream, with
+    * a zero-delay watermark on the event time (timers fire as soon as the
+    * watermark passes session-end + gap). Caller must have the RocksDB
+    * state-store provider set when the query starts.
+    */
+  private[streaming] def assembleSessions(
+      ds: org.apache.spark.sql.Dataset[(Long, Long)], gapMs: Long):
+      org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts_ms")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionAssembler(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** The transformWithState pipeline on any `(user_id, cents)` stream —
     * separated from q122's source/sink plumbing so the multi-batch spec
     * can drive it through a MemoryStream (caller must have the RocksDB

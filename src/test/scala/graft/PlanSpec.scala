@@ -108,4 +108,25 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"extra shuffles for shared window spec ($exchanges):\n$p")
     assert("\\bWindow\\b".r.findAllIn(p).size >= 1, s"no window node:\n$p")
   }
+
+  test("q119 skyline dominance join keys on brand, never all-pairs") {
+    val p = plan("q119_pareto_frontier")
+    // the dominance test must ride as a residual on a brand-keyed join —
+    // a BNLJ/cartesian here is the Θ(n²) global-skyline shape that dies
+    // at any real catalog size
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degenerated to all-pairs:\n$p")
+  }
+
+  test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
+    val p = plan("q126_lateral_topk")
+    // Catalyst must rewrite the per-customer LIMIT subquery into a
+    // window/rank over one join — a correlated re-execution (or an
+    // unkeyed join) would scan orders once per customer
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 1 || p.contains("row_number"),
+      s"lateral not decorrelated to a rank pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral degenerated to all-pairs:\n$p")
+  }
 }

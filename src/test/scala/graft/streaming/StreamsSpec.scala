@@ -140,6 +140,53 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven session assembly emits each session once, on watermark passage") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val gap = 600000L // 10 min
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.assembleSessions(input.toDS(), gap)
+      .toDF("user_id", "session_start", "n_events")
+      .writeStream.format("memory").queryName("session_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 has two events inside one session; user 2 one
+      // event. Watermark after the batch is 300,000 — below every
+      // session-end + gap, so nothing fires (not even in the no-data
+      // batch Spark appends after a watermark advance).
+      input.addData((1L, 1000L), (1L, 300000L), (2L, 1000L))
+      q.processAllAvailable()
+      assert(spark.table("session_sink").isEmpty,
+        "no session may close before the watermark passes its end + gap")
+      // batch 2 advances the watermark to 2,000,000; the trailing no-data
+      // batch fires the user-1/2 timers (at 900,000 / 601,000) — each
+      // closed session emitted exactly once; user 3's timer (2,600,000)
+      // stays armed
+      input.addData((3L, 2000000L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("session_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB2 == Set((1L, 1000L, 2L), (2L, 1000L, 1L)), s"got $afterB2")
+      // batch 3 pushes the watermark past user 3's timer: its session
+      // closes too, and nothing re-emits for users 1/2 (state was cleared)
+      input.addData((4L, 5000000L))
+      q.processAllAvailable()
+      val got = spark.table("session_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == afterB2 + ((3L, 2000000L, 1L)), s"got $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming parquet file sink is exactly-once across restarts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
