@@ -51,7 +51,8 @@ object Bench {
     "q121_embed_quantize", "q122_stream_tws_tally",
     "q123_gapfill_ffill", "q125_reachability_cte",
     "q126_lateral_topk", "q127_edit_distance",
-    "q128_variant_json", "q129_ordered_set_agg"
+    "q128_variant_json", "q129_ordered_set_agg",
+    "q130_sorted_groups", "q131_asof_forward"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -384,6 +384,38 @@ object Joins extends QueryModule {
       |WHERE c.c_mktsegment = 'BUILDING'
       |ORDER BY custkey, price DESC, orderkey""".stripMargin
 
+
+  /** q131: the as-of join's FORWARD direction through the same native
+    * operator — each purchase picks up the value of the FIRST strictly
+    * later view per user (the "next observation" shape: label lookahead,
+    * next-quote matching). Same two shuffles + one reversed merge pass per
+    * co-partition, O(1) state; see [[graft.plans.AsOfJoinExec]].
+    */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOfJoin(s, purchases, views,
+        keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+        valueCol = "value", outName = "next_view_value",
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("next_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q131Sql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT v.value FROM v
+      |   WHERE v.user_id = p.user_id
+      |     AND (v.ts > p.ts OR (v.ts = p.ts AND v.event_id > p.event_id))
+      |   ORDER BY v.ts ASC, v.event_id ASC NULLS FIRST LIMIT 1) AS next_view_value
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_join_theta" -> q17,
     "q115_cross_join_grid" -> q115,
@@ -398,7 +430,8 @@ object Joins extends QueryModule {
     "q14_join_full_outer" -> q14,
     "q15_join_range" -> q15,
     "q16_join_asof" -> q16,
-    "q108_asof_native" -> q108
+    "q108_asof_native" -> q108,
+    "q131_asof_forward" -> q131
   )
 
   override def oracles: Map[String, String] = Map(
@@ -415,6 +448,7 @@ object Joins extends QueryModule {
     "q14_join_full_outer" -> q14Sql,
     "q15_join_range" -> q15Sql,
     "q16_join_asof" -> q16Sql,
-    "q108_asof_native" -> q108Sql
+    "q108_asof_native" -> q108Sql,
+    "q131_asof_forward" -> q131Sql
   )
 }

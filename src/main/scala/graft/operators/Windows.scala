@@ -323,8 +323,50 @@ object Windows extends QueryModule {
        |WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q130: typed secondary sort — `flatMapSortedGroups` hands each user's
+    * events as an iterator ALREADY ordered by (ts, event_id), so the
+    * per-user pass (first/last/max-gap) runs in O(1) state with nothing
+    * buffered: Spark sorts within shuffle partitions instead of the
+    * function collecting and sorting the group (the Dataset spelling of
+    * MapReduce secondary sort, and the scale-safe alternative to
+    * `mapGroups` + sortBy for unbounded users).
+    */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (uid, it) =>
+        var n = 0L; var maxGap = -1L; var prev = 0L; var first = 0L; var last = 0L
+        it.foreach { case (_, t, _) =>
+          if (n == 0L) first = t
+          else if (t - prev > maxGap) maxGap = t - prev
+          prev = t; last = t; n += 1
+        }
+        Iterator.single((uid, n, if (n > 1) Some(maxGap) else None, last - first))
+      }
+      .toDF("user_id", "n_events", "max_gap_us", "span_us")
+      .orderBy(col("user_id"))
+  }
+
+  private val q130Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+      |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+      |  CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_attribution" -> q120,
+    "q130_sorted_groups" -> q130,
     "q38_funnel_stages" -> q38,
     "q37_window_sessionize" -> q37,
     "q36_window_range_frame" -> q36,
@@ -338,6 +380,7 @@ object Windows extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q120_attribution" -> q120Sql,
+    "q130_sorted_groups" -> q130Sql,
     "q38_funnel_stages" -> q38Sql,
     "q37_window_sessionize" -> q37Sql,
     "q36_window_range_frame" -> q36Sql,

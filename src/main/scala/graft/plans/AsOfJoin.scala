@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, AttributeReference, AttributeSet, BindReferences,
-  BoundReference, GenericInternalRow, JoinedRow, NullsLast, SortOrder,
-  UnsafeProjection}
+  BoundReference, Descending, GenericInternalRow, JoinedRow, NullsFirst,
+  NullsLast, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -18,13 +18,17 @@ import org.apache.spark.sql.types.Metadata
   * final rung: custom `LogicalPlan` + `Strategy` + `SparkPlan`, injected
   * through `SparkSessionExtensions`).
   *
-  * Semantics: for every left row, the `rightValue` of the LAST right row
-  * with the same key that is STRICTLY BEFORE the left row in
-  * `(time, tiebreak)` order — NULL when no such row exists. A null
-  * tiebreak is +inf on the right and -inf on the left: either way the
-  * equal-time arm of the strictly-before test is false (SQL three-valued
-  * logic evaluates `NULL < x` to NULL), while strictly-earlier times still
-  * match. Equivalent to
+  * Semantics (backward, the default): for every left row, the
+  * `rightValue` of the LAST right row with the same key that is STRICTLY
+  * BEFORE the left row in `(time, tiebreak)` order — NULL when no such row
+  * exists. A null tiebreak is +inf on the right and -inf on the left:
+  * either way the equal-time arm of the strictly-before test is false
+  * (SQL three-valued logic evaluates `NULL < x` to NULL), while
+  * strictly-earlier times still match. `forward = true` is the exact
+  * mirror — the FIRST right row STRICTLY AFTER — executed as the same
+  * merge over the reversed traversal order (both sides sort descending,
+  * every comparison negated, the null-tiebreak infinities swap sides).
+  * Equivalent to
   * the window composition q16 runs, but executed as a single forward merge
   * per co-partition: both sides hash-partition on the key and sort on
   * `(key, time, tiebreak)`, then one O(|L| + |R|) pass joins them with
@@ -45,7 +49,7 @@ case class AsOfJoinPlan(
     leftKey: Attribute, leftTime: Attribute, leftTie: Attribute,
     rightKey: Attribute, rightTime: Attribute, rightTie: Attribute,
     rightValue: Attribute,
-    outAttr: AttributeReference) extends BinaryNode {
+    outAttr: AttributeReference, forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ outAttr
   // outAttr is born here, not derived from a child — without this the
   // analyzer's missing-input integrity check rejects the plan
@@ -61,7 +65,8 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftKey, j.leftTime, j.leftTie,
-        j.rightKey, j.rightTime, j.rightTie, j.rightValue, j.outAttr) :: Nil
+        j.rightKey, j.rightTime, j.rightTie, j.rightValue, j.outAttr,
+        j.forward) :: Nil
     case _ => Nil
   }
 }
@@ -71,7 +76,7 @@ case class AsOfJoinExec(
     leftKey: Attribute, leftTime: Attribute, leftTie: Attribute,
     rightKey: Attribute, rightTime: Attribute, rightTie: Attribute,
     rightValue: Attribute,
-    outAttr: AttributeReference) extends BinaryExecNode {
+    outAttr: AttributeReference, forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -81,16 +86,22 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
-  // and sort each side by (key, time, tiebreak) so one forward pass joins.
-  // The right tiebreak sorts NULLS LAST (not Spark's ascending default of
-  // nulls-first) because the merge treats a null right tiebreak as +inf:
-  // physical order must agree with the comparator or the forward pass
-  // would stall on a null-tie row at an equal-time probe
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
-      SortOrder(leftTie, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
-      SortOrder(rightTie, Ascending, NullsLast, Seq.empty)))
+  // and sort each side by (key, time, tiebreak) — descending when forward,
+  // so the one merge pass traverses from the far end and "last consumed"
+  // becomes "first after". Null-tiebreak placement must agree with the
+  // comparator's infinity mapping or the pass would stall on a null-tie
+  // row at an equal-time probe: the right tie (+inf backward, -inf
+  // forward) is always traversed last within its (key, time) group, the
+  // left tie (-inf backward, +inf forward) always probes first — NULLS
+  // LAST / NULLS FIRST respectively in BOTH directions.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val d = if (forward) Descending else Ascending
+    Seq(
+      Seq(SortOrder(leftKey, d), SortOrder(leftTime, d),
+        SortOrder(leftTie, d, NullsFirst, Seq.empty)),
+      Seq(SortOrder(rightKey, d), SortOrder(rightTime, d),
+        SortOrder(rightTie, d, NullsLast, Seq.empty)))
+  }
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -108,6 +119,9 @@ case class AsOfJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val tieOrd = TypeUtils.getInterpretedOrdering(leftTie.dataType)
+    // dir folds the traversal direction into every comparison: the merge
+    // below is written once, for "strictly earlier in traversal order"
+    val dir = if (forward) -1 else 1
     val outputAttrs = output
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -142,14 +156,14 @@ case class AsOfJoinExec(
             // +inf; strictly-earlier times still match either way
             val b = lb.eval(l)
             def strictlyBefore(r: InternalRow): Boolean = {
-              val ck = keyOrd.compare(rk.eval(r), k)
+              val ck = keyOrd.compare(rk.eval(r), k) * dir
               if (ck != 0) ck < 0
               else {
-                val ct = timeOrd.compare(rt.eval(r), t)
+                val ct = timeOrd.compare(rt.eval(r), t) * dir
                 if (ct != 0) ct < 0
                 else {
                   val rtie = rb.eval(r)
-                  b != null && rtie != null && tieOrd.compare(rtie, b) < 0
+                  b != null && rtie != null && tieOrd.compare(rtie, b) * dir < 0
                 }
               }
             }
@@ -177,15 +191,19 @@ case class AsOfJoinExec(
 object AsOfJoin {
   /** Build the as-of joined DataFrame: `left`'s rows plus `outName` — the
     * last `valueCol` from `right` (same `keyCol`) strictly before the left
-    * row in `(timeCol, tieCol)` order. Columns are resolved by name from
-    * each side's analyzed plan; key/time/tie may be any ORDERABLE type
-    * (each matching between the two sides), the carried value any type.
+    * row in `(timeCol, tieCol)` order (or the FIRST strictly after, with
+    * `direction = "forward"`). Columns are resolved by name from each
+    * side's analyzed plan; key/time/tie may be any ORDERABLE type (each
+    * matching between the two sides), the carried value any type.
     */
   def apply(spark: SparkSession,
             leftDf: org.apache.spark.sql.DataFrame,
             rightDf: org.apache.spark.sql.DataFrame,
             keyCol: String, timeCol: String, tieCol: String,
-            valueCol: String, outName: String): org.apache.spark.sql.DataFrame = {
+            valueCol: String, outName: String,
+            direction: String = "backward"): org.apache.spark.sql.DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     import org.apache.spark.sql.functions.col
     // both sides often derive from the same scan; re-alias every right
     // column so the two children never share expression ids (the manual
@@ -214,7 +232,8 @@ object AsOfJoin {
     val rVal = attr(rp, valueCol)
     val node = AsOfJoinPlan(lp, rp,
       lKey, lTime, lTie, rKey, rTime, rTie, rVal,
-      AttributeReference(outName, rVal.dataType, nullable = true, Metadata.empty)())
+      AttributeReference(outName, rVal.dataType, nullable = true, Metadata.empty)(),
+      forward = direction == "forward")
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

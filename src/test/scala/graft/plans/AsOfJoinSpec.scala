@@ -199,4 +199,74 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.collect().toSeq == window.collect().toSeq,
       "native as-of result diverges from the window composition")
   }
+
+  test("forward picks the first strictly-later right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(1000000L)),  // before views 10 and 11 -> first after = 1.0
+      (101L, 1L, ts(8000000L)),  // only view 11 remains -> 2.0
+      (102L, 2L, ts(1000000L)),  // user 2 has no views -> null
+      (103L, 3L, ts(5000000L))   // same ts, views have LARGER ids -> 3.0
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts(2000000L), 1.0),
+      (11L, 1L, ts(9000000L), 2.0),
+      (110L, 3L, ts(5000000L), 3.0), // same ts as 103, id 110 > 103: after
+      (111L, 3L, ts(5000000L), 4.0)  // also after, but 110 is FIRST
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v", direction = "forward")
+      .select(col("event_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(100L) == Some(1.0))
+    assert(out(101L) == Some(2.0))
+    assert(out(102L) == None)
+    assert(out(103L) == Some(3.0)) // the FIRST of the two same-ts later views
+  }
+
+  test("forward: a right row at or before the left position never matches") {
+    import spark.implicits._
+    val left = Seq((50L, 1L, ts(2000000L))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (40L, 1L, ts(2000000L), 9.0), // same ts, SMALLER id -> not strictly after
+      (41L, 1L, ts(1000000L), 8.0)  // earlier ts
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v", direction = "forward").collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
+  test("property: forward as-of equals the mirrored window reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val row = Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 20L), Gen.choose(0.0, 9.0))
+    val rows = Gen.listOfN(120, row)
+    (0 until 5).foreach { seed =>
+      val data = rows.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case ((k, t, v), i) =>
+          (i.toLong, k, ts(t * 1000000L), v, i % 3 == 0)
+        }
+      val df = data.toDF("event_id", "user_id", "ts", "value", "is_left")
+      val left = df.filter(col("is_left")).select(col("event_id"), col("user_id"), col("ts"))
+      val right = df.filter(!col("is_left"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val native = AsOfJoin(spark, left, right,
+          "user_id", "ts", "event_id", "value", "v", direction = "forward")
+        .select(col("event_id"), col("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // reference: FIRST right ROW strictly after, via the mirrored window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val ref = df.withColumn("tagged",
+          when(!col("is_left"), struct(col("value"))))
+        .withColumn("firstRow", first(col("tagged"), ignoreNulls = true).over(w))
+        .filter(col("is_left"))
+        .select(col("event_id"), col("firstRow.value").as("v")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(native == ref, s"seed $seed diverged")
+    }
+  }
 }
