@@ -517,8 +517,85 @@ object Streams extends QueryModule {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""".stripMargin
 
+  /** q132's stateful processor: per-user event-type counters in one
+    * `MapState[String, Long]` — the keyed sub-map state primitive
+    * (ValueState q122 < ListState SessionAssembler < MapState here): each
+    * event type's counter updates in place without rewriting the rest of
+    * the user's state, which is the point of MapState over a ValueState
+    * holding a map. Emits the full tally for every key a batch touches.
+    */
+  private class TypeTally extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("tally",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { r =>
+        val t = r._2
+        st.updateValue(t, (if (st.containsKey(t)) st.getValue(t) else 0L) + 1L)
+      }
+      st.iterator().map { case (t, n) => (key, t, n) }
+    }
+  }
+
+  private[streaming] def typeTally(
+      ds: org.apache.spark.sql.Dataset[(Long, String)]):
+      org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new TypeTally,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** q132: MapState — per-user counts per event type accumulated across
+    * micro-batches, pivoted to fixed columns at the end. Update-mode
+    * emissions; the consumer keeps each (user, type)'s last (= max, counts
+    * are monotone) tally. Oracle is the equivalent batch pivot.
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = streamEvents(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      val tallied = typeTally(ev).toDF("user_id", "event_type", "n")
+      val out = runToMemory(s, tallied, "q132_sink", "update")
+      out.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup"))
+        .agg(first(col("n")))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup"))
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
+  private val q132Sql =
+    """SELECT user_id,
+      |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+      |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view,
+      |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+      |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_stream_update_upsert" -> q106,
+    "q132_stream_mapstate" -> q132,
     "q122_stream_tws_tally" -> q122,
     "q99_stream_static_join" -> q99,
     "q98_stream_stream_join" -> q98,
@@ -531,6 +608,7 @@ object Streams extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q106_stream_update_upsert" -> q106Sql,
+    "q132_stream_mapstate" -> q132Sql,
     "q122_stream_tws_tally" -> q122Sql,
     "q99_stream_static_join" -> q99Sql,
     "q98_stream_stream_join" -> q98Sql,

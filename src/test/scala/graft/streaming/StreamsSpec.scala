@@ -140,6 +140,38 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("MapState tally keeps per-type counters across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.typeTally(input.toDS())
+      .toDF("user_id", "event_type", "n")
+      .writeStream.format("memory").queryName("mapstate_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, "click"), (1L, "view"), (2L, "click"))
+      q.processAllAvailable()
+      input.addData((1L, "click")) // user 1's click counter must carry over
+      q.processAllAvailable()
+      val last = spark.table("mapstate_sink")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n")) // counters are monotone per (user, type)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(last((1L, "click")) == 2L, s"got $last")
+      assert(last((1L, "view")) == 1L && last((2L, "click")) == 1L, s"got $last")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("timer-driven session assembly emits each session once, on watermark passage") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
