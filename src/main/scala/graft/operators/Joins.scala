@@ -416,6 +416,40 @@ object Joins extends QueryModule {
       |   ORDER BY v.ts ASC, v.event_id ASC NULLS FIRST LIMIT 1) AS next_view_value
       |FROM p ORDER BY p.event_id""".stripMargin
 
+
+  /** q133: as-of join with a TOLERANCE bound — each purchase takes the
+    * last prior view only if it happened within 30 minutes (stale context
+    * is worse than none: the recommendation/attribution cutoff shape).
+    * Same native merge as q108; the tolerance only filters the selected
+    * row, which is equivalent to "latest row within tolerance" because
+    * any other prior row is farther away.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOfJoin(s, purchases, views,
+        keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+        valueCol = "value", outName = "recent_view_value",
+        tolerance = Some(30L * 60 * 1000000)) // 30 min in micros
+      .select(col("event_id"), col("user_id"), col("recent_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q133Sql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT v.value FROM v
+      |   WHERE v.user_id = p.user_id
+      |     AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+      |     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      |   ORDER BY v.ts DESC, v.event_id DESC NULLS FIRST LIMIT 1) AS recent_view_value
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_join_theta" -> q17,
     "q115_cross_join_grid" -> q115,
@@ -431,7 +465,8 @@ object Joins extends QueryModule {
     "q15_join_range" -> q15,
     "q16_join_asof" -> q16,
     "q108_asof_native" -> q108,
-    "q131_asof_forward" -> q131
+    "q131_asof_forward" -> q131,
+    "q133_asof_tolerance" -> q133
   )
 
   override def oracles: Map[String, String] = Map(
@@ -449,6 +484,7 @@ object Joins extends QueryModule {
     "q15_join_range" -> q15Sql,
     "q16_join_asof" -> q16Sql,
     "q108_asof_native" -> q108Sql,
-    "q131_asof_forward" -> q131Sql
+    "q131_asof_forward" -> q131Sql,
+    "q133_asof_tolerance" -> q133Sql
   )
 }

@@ -49,7 +49,8 @@ case class AsOfJoinPlan(
     leftKey: Attribute, leftTime: Attribute, leftTie: Attribute,
     rightKey: Attribute, rightTime: Attribute, rightTie: Attribute,
     rightValue: Attribute,
-    outAttr: AttributeReference, forward: Boolean) extends BinaryNode {
+    outAttr: AttributeReference, forward: Boolean,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ outAttr
   // outAttr is born here, not derived from a child — without this the
   // analyzer's missing-input integrity check rejects the plan
@@ -66,7 +67,7 @@ object AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftKey, j.leftTime, j.leftTie,
         j.rightKey, j.rightTime, j.rightTie, j.rightValue, j.outAttr,
-        j.forward) :: Nil
+        j.forward, j.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -76,7 +77,8 @@ case class AsOfJoinExec(
     leftKey: Attribute, leftTime: Attribute, leftTie: Attribute,
     rightKey: Attribute, rightTime: Attribute, rightTie: Attribute,
     rightValue: Attribute,
-    outAttr: AttributeReference, forward: Boolean) extends BinaryExecNode {
+    outAttr: AttributeReference, forward: Boolean,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -122,6 +124,17 @@ case class AsOfJoinExec(
     // dir folds the traversal direction into every comparison: the merge
     // below is written once, for "strictly earlier in traversal order"
     val dir = if (forward) -1 else 1
+    // tolerance needs time arithmetic: integral-backed types only
+    // (timestamps are Long micros internally, dates Int days) — enforced
+    // at build time in AsOfJoin.apply
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalStateException(
+        s"tolerance on non-integral time value $other")
+    }
     val outputAttrs = output
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
@@ -172,8 +185,14 @@ case class AsOfJoinExec(
               lastRow = rRow
               pullRight()
             }
+            // tolerance filters only the SELECTED row: the merge picks
+            // the nearest row on its side, and any other candidate is
+            // farther, so "selected row within tolerance" is equivalent
+            // to "latest/earliest row within tolerance exists"
             val lastVal = if (lastRow == null) null
               else if (keyOrd.compare(rk.eval(lastRow), k) != 0) null
+              else if (tolerance.exists(tol => math.abs(
+                asLong(t) - asLong(rt.eval(lastRow))) > tol)) null
               else rv.eval(lastRow)
             if (lastVal != null) valueRow.update(0, lastVal)
             else valueRow.setNullAt(0)
@@ -192,16 +211,22 @@ object AsOfJoin {
   /** Build the as-of joined DataFrame: `left`'s rows plus `outName` — the
     * last `valueCol` from `right` (same `keyCol`) strictly before the left
     * row in `(timeCol, tieCol)` order (or the FIRST strictly after, with
-    * `direction = "forward"`). Columns are resolved by name from each
-    * side's analyzed plan; key/time/tie may be any ORDERABLE type (each
-    * matching between the two sides), the carried value any type.
+    * `direction = "forward"`). `tolerance` bounds how far the matched row
+    * may be from the left row, in the time column's backing unit
+    * (micros for timestamps, days for dates): a nearest row farther than
+    * that yields NULL, exactly pandas merge_asof's contract. Columns are
+    * resolved by name from each side's analyzed plan; key/time/tie may be
+    * any ORDERABLE type (each matching between the two sides) — except
+    * that a tolerance needs an integral-backed time — the carried value
+    * any type.
     */
   def apply(spark: SparkSession,
             leftDf: org.apache.spark.sql.DataFrame,
             rightDf: org.apache.spark.sql.DataFrame,
             keyCol: String, timeCol: String, tieCol: String,
             valueCol: String, outName: String,
-            direction: String = "backward"): org.apache.spark.sql.DataFrame = {
+            direction: String = "backward",
+            tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward or forward, got $direction")
     import org.apache.spark.sql.functions.col
@@ -229,11 +254,25 @@ object AsOfJoin {
     val (lKey, rKey) = checked(keyCol)
     val (lTime, rTime) = checked(timeCol)
     val (lTie, rTie) = checked(tieCol)
+    // tolerance subtracts time values, so the time column must be backed
+    // by an integral physical type (timestamp = Long micros, date = Int
+    // days, or a plain integral column); the unit is that backing unit
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"tolerance must be nonnegative, got $tol")
+      import org.apache.spark.sql.types._
+      val ok = lTime.dataType match {
+        case TimestampType | TimestampNTZType | DateType => true
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      require(ok, s"tolerance needs an integral-backed time column, " +
+        s"got ${lTime.dataType}")
+    }
     val rVal = attr(rp, valueCol)
     val node = AsOfJoinPlan(lp, rp,
       lKey, lTime, lTie, rKey, rTime, rTie, rVal,
       AttributeReference(outName, rVal.dataType, nullable = true, Metadata.empty)(),
-      forward = direction == "forward")
+      forward = direction == "forward", tolerance = tolerance)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

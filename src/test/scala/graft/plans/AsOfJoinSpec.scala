@@ -269,4 +269,51 @@ class AsOfJoinSpec extends SparkSpec {
       assert(native == ref, s"seed $seed diverged")
     }
   }
+
+  test("tolerance nulls a nearest match that is too far away") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts(10000000L)), // last prior view 2s earlier: within tol
+      (101L, 2L, ts(10000000L))  // last prior view 8s earlier: outside tol
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts(8000000L), 1.0),
+      (11L, 2L, ts(2000000L), 2.0),
+      (12L, 2L, ts(1000000L), 3.0) // even farther: must NOT be substituted
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v",
+      tolerance = Some(5000000L)) // 5 s in micros
+      .select(col("event_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(100L) == Some(1.0))
+    assert(out(101L) == None, "a too-far nearest row must yield NULL, not an older row")
+  }
+
+  test("tolerance composes with the forward direction") {
+    import spark.implicits._
+    val left = Seq((50L, 1L, ts(1000000L))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (60L, 1L, ts(9000000L), 7.0) // first after, but 8s away
+    ).toDF("event_id", "user_id", "ts", "value")
+    val near = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v",
+      direction = "forward", tolerance = Some(10000000L)).collect()
+    assert(near.length == 1 && near(0).getDouble(3) == 7.0)
+    val far = AsOfJoin(spark, left, right,
+      "user_id", "ts", "event_id", "value", "v",
+      direction = "forward", tolerance = Some(5000000L)).collect()
+    assert(far.length == 1 && far(0).isNullAt(3))
+  }
+
+  test("tolerance on a non-integral time column fails fast") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, "ta")).toDF("event_id", "user_id", "ts")
+    val right = Seq((2L, 1L, "tb", 1.0)).toDF("event_id", "user_id", "ts", "value")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(spark, left, right,
+        "user_id", "ts", "event_id", "value", "v", tolerance = Some(10L))
+    }
+  }
 }
