@@ -52,7 +52,8 @@ object Bench {
     "q123_gapfill_ffill", "q125_reachability_cte",
     "q126_lateral_topk", "q127_edit_distance",
     "q128_variant_json", "q129_ordered_set_agg",
-    "q130_sorted_groups", "q131_asof_forward"
+    "q130_sorted_groups", "q131_asof_forward",
+    "q133_asof_tolerance", "q134_bitmap_distinct"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

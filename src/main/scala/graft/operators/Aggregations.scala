@@ -461,9 +461,33 @@ object Aggregations extends QueryModule {
       |SELECT prio, p50, p90, p50_disc, mode_status
       |FROM pct JOIN md USING (prio) ORDER BY prio""".stripMargin
 
+  /** q134: exact distinct via bitmap aggregation — user ids map to
+    * (bucket, bit) positions, each (type, bucket) group folds to one RLE
+    * bitmap with `bitmap_construct_agg`, and the distinct count is the sum
+    * of `bitmap_count` over buckets. The scale story vs COUNT(DISTINCT):
+    * the shuffle carries fixed-size bucket bitmaps instead of every raw
+    * id, the bitmaps merge associatively (partial agg works), and rollups
+    * across dimensions reuse the same bitmaps via bitmap_or_agg instead
+    * of re-scanning. The oracle is plain COUNT(DISTINCT).
+    */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))")
+        .as("n_in_bucket"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_in_bucket")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  private val q134Sql =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_kmv_distinct" -> q104,
     "q129_ordered_set_agg" -> q129,
+    "q134_bitmap_distinct" -> q134,
     "q114_histogram_quantiles" -> q114,
     "q117_listagg" -> q117,
     "q118_exact_corr" -> q118,
@@ -481,6 +505,7 @@ object Aggregations extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q129_ordered_set_agg" -> q129Sql,
+    "q134_bitmap_distinct" -> q134Sql,
     "q104_kmv_distinct" -> q104Sql,
     "q114_histogram_quantiles" -> q114Sql,
     "q117_listagg" -> q117Sql,

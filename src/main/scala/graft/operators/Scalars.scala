@@ -360,9 +360,72 @@ object Scalars extends QueryModule {
       |  CAST(COUNT(json_extract_string(props, '$.absent')) AS BIGINT) AS n_absent
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q135: error-safe arithmetic — the `try_` function family returns
+    * NULL where the strict spelling would throw (divide by zero, overflow,
+    * bad cast), which is what lets a 100 TB batch job survive the one
+    * poisoned row in shard 974 instead of dying eight hours in. Summary
+    * stats stay order-independent (counts + min/max only — no float sums).
+    */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"),
+        expr("try_divide(o_totalprice, o_custkey % 7)").as("ratio"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pnum"),
+        expr("try_add(o_orderkey, 9223372036854775807)").as("ovf"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        count(col("ratio")).as("n_ratio"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        max(col("pnum")).as("prio_digit"),
+        count(col("ovf")).as("n_add_ok"))
+      .orderBy(col("prio"))
+
+  private val q135Sql =
+    """SELECT o_orderpriority AS prio, COUNT(*) AS n,
+      |  CAST(COUNT(CASE WHEN o_custkey % 7 <> 0 THEN 1 END) AS BIGINT) AS n_ratio,
+      |  MIN(CASE WHEN o_custkey % 7 <> 0 THEN o_totalprice / (o_custkey % 7) END) AS min_ratio,
+      |  MAX(CASE WHEN o_custkey % 7 <> 0 THEN o_totalprice / (o_custkey % 7) END) AS max_ratio,
+      |  CAST(MAX(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS INT) AS prio_digit,
+      |  CAST(COUNT(CASE WHEN o_orderkey <= 0 THEN 1 END) AS BIGINT) AS n_add_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q136: collation-aware grouping — a mixed-case tag groups under the
+    * UTF8_LCASE collation (Spark 4 COLLATE), so 'BUILDING' and 'Building'
+    * land in one group without a lowercase projection; the emitted key is
+    * lower()ed only to make the group representative deterministic. The
+    * oracle groups by lower(tag). At scale, collation rides the grouping
+    * key's hash/compare — no extra column, no double grouping pass.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("tag",
+        when(col("c_custkey") % 2 === 0, col("c_mktsegment"))
+          .otherwise(initcap(lower(col("c_mktsegment")))))
+      .groupBy(expr("tag COLLATE UTF8_LCASE").as("ctag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("tag")).as("min_variant"),
+        countDistinct(col("tag")).as("n_variants"))
+      .select(lower(col("ctag")).as("segment"), col("n"),
+        col("min_variant"), col("n_variants"))
+      .orderBy(col("segment"))
+
+  private val q136Sql =
+    """WITH t AS (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+      |              ELSE upper(substr(lower(c_mktsegment), 1, 1))
+      |                   || substr(lower(c_mktsegment), 2) END AS tag
+      |  FROM customer)
+      |SELECT lower(tag) AS segment, COUNT(*) AS n,
+      |  MIN(tag) AS min_variant,
+      |  CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_variants
+      |FROM t GROUP BY lower(tag) ORDER BY segment""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_from_json" -> q59,
     "q128_variant_json" -> q128,
+    "q135_safe_arithmetic" -> q135,
+    "q136_collation_group" -> q136,
     "q116_parse_url" -> q116,
     "q58_map_funcs" -> q58,
     "q50_string_funcs" -> q50,
@@ -378,6 +441,8 @@ object Scalars extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q59_from_json" -> q59Sql,
     "q128_variant_json" -> q128Sql,
+    "q135_safe_arithmetic" -> q135Sql,
+    "q136_collation_group" -> q136Sql,
     "q116_parse_url" -> q116Sql,
     "q58_map_funcs" -> q58Sql,
     "q50_string_funcs" -> q50Sql,
