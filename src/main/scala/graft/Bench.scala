@@ -43,8 +43,8 @@ object Bench {
     "q83_ann_ivf", "q87_bigram_lm", "q100_multimodal_features",
     "q102_passage_dedup", "q104_kmv_distinct", "q107_inverted_index",
     "q90_stream_tumbling", "q93_stream_stateful", "q94_stream_sliding",
-    // round 5 additions (53-query set; the round-3/4 comparable subtotal is
-    // the first 49 — sum the per-query map without these four)
+    // round 5 additions (the round-3/4 comparable subtotal is the first
+    // 49 — sum the per-query map without everything below this line)
     "q111_bloom_join", "q112_token_graph_triangles",
     "q113_canonical_docs", "q114_histogram_quantiles",
     "q119_pareto_frontier", "q120_attribution",

@@ -421,10 +421,34 @@ object Scalars extends QueryModule {
       |  CAST(COUNT(DISTINCT tag) AS BIGINT) AS n_variants
       |FROM t GROUP BY lower(tag) ORDER BY segment""".stripMargin
 
+  /** q137: XML ingestion — each order renders to an XML fragment and
+    * parses back through `from_xml` with an explicit schema (the typed
+    * XML sibling of q59's from_json), then aggregates the PARSED fields;
+    * matching the oracle computed from the raw columns proves the
+    * render→parse round trip lossless. Money survives because %.2f of a
+    * 2-decimal double is exact; the sum is decimal as everywhere else.
+    */
+  private def q137(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(format_string(
+        "<o><id>%d</id><prio>%s</prio><total>%.2f</total></o>",
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")).as("xml"))
+      .select(expr("from_xml(xml, 'id BIGINT, prio STRING, total DOUBLE')").as("o"))
+      .groupBy(col("o.prio").as("prio"))
+      .agg(count(col("o.id")).as("n"),
+        sum(graft.Exact.money(col("o.total"))).cast(DoubleType).as("total"))
+      .orderBy(col("prio"))
+
+  private val q137Sql =
+    s"""SELECT o_orderpriority AS prio, COUNT(o_orderkey) AS n,
+       |  ${graft.Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_from_json" -> q59,
     "q128_variant_json" -> q128,
     "q135_safe_arithmetic" -> q135,
+    "q137_xml_ingest" -> q137,
     "q136_collation_group" -> q136,
     "q116_parse_url" -> q116,
     "q58_map_funcs" -> q58,
@@ -442,6 +466,7 @@ object Scalars extends QueryModule {
     "q59_from_json" -> q59Sql,
     "q128_variant_json" -> q128Sql,
     "q135_safe_arithmetic" -> q135Sql,
+    "q137_xml_ingest" -> q137Sql,
     "q136_collation_group" -> q136Sql,
     "q116_parse_url" -> q116Sql,
     "q58_map_funcs" -> q58Sql,
