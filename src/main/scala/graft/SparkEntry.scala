@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Articles,
     operators.TextOps,
     operators.CorpusOps,
+    operators.Graphs,
     operators.Similarity,
     operators.Multimodal,
     streaming.Streams

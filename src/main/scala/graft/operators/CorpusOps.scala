@@ -374,19 +374,43 @@ object CorpusOps extends QueryModule {
     * orientation-independent, so the oracle's simple a<b<c triple join
     * agrees exactly.
     */
-  private def q112(s: SparkSession, d: String): DataFrame = {
+  /** Undirected token co-occurrence edges (ta < tb, co-occurring in ≥ 4 %
+    * of documents) — shared by q112 (triangles) and `Graphs.q138`
+    * (PageRank). Pair generation is IN-ROW (see q112's scaladoc); the
+    * result is threshold-capped small and localCheckpointed because every
+    * consumer fans it into several joins.
+    */
+  private[operators] def tokenEdges(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count()
-    val pairs = docs
+    docs
       .select(array_sort(array_distinct(slice(toks(col("text")), 1, 32))).as("ts"))
       .select(explode(expr(
         "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)), y -> struct(x AS ta, y AS tb))))"))
         .as("p"))
       .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
       .agg(count(lit(1)).as("cooc"))
-    val edges = pairs.filter(col("cooc") * 25 >= nDocs)
+      .filter(col("cooc") * 25 >= nDocs)
       .select(col("ta"), col("tb"))
-      .localCheckpoint() // small (threshold-capped); feeds 5 consumers
+      .localCheckpoint()
+  }
+
+  /** DuckDB CTE bodies (`dt`, `pairs`, `edges`) matching [[tokenEdges]] —
+    * interpolated into every oracle that reads the co-occurrence graph.
+    */
+  private[operators] val tokenEdgesCteSql: String =
+    s"""dt AS (
+       |  SELECT doc_id, unnest(list_distinct(($toksSql)[1:32])) AS tok FROM documents),
+       |pairs AS (
+       |  SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cooc
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT ta, tb FROM pairs
+       |  WHERE cooc * 25 >= (SELECT COUNT(*) FROM documents))""".stripMargin
+
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val edges = tokenEdges(s, d)
     val deg = edges.select(col("ta").as("v")).union(edges.select(col("tb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient each edge from its (deg, id)-smaller endpoint
@@ -414,15 +438,7 @@ object CorpusOps extends QueryModule {
   }
 
   private val q112Sql =
-    s"""WITH dt AS (
-       |  SELECT doc_id, unnest(list_distinct(($toksSql)[1:32])) AS tok FROM documents),
-       |pairs AS (
-       |  SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cooc
-       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
-       |  GROUP BY 1, 2),
-       |edges AS (
-       |  SELECT ta, tb FROM pairs
-       |  WHERE cooc * 25 >= (SELECT COUNT(*) FROM documents)),
+    s"""WITH $tokenEdgesCteSql,
        |deg AS (
        |  SELECT v, COUNT(*) AS deg FROM (
        |    SELECT ta AS v FROM edges UNION ALL SELECT tb FROM edges)

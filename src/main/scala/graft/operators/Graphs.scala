@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics — SURVEY.md §2 F9 extension. The corpus
+  * family already walks the token co-occurrence graph structurally
+  * (q112 triangles, q85/q113 components, q125 BFS); this module adds the
+  * canonical ITERATIVE workload, PageRank, whose superstep loop is the
+  * shape every large-scale graph computation (label propagation, HITS,
+  * embedding propagation) takes on Spark.
+  *
+  * Exactness: ranks are fixed-point BIGINTs (scale 1e6) and every
+  * superstep is integer arithmetic only — `rank div outdeg` (truncating
+  * division on positives ≡ DuckDB `//`), an associative BIGINT sum, and a
+  * final `(85 * Σ) div 100` damping step. No floating point anywhere, so
+  * partial aggregation across any partitioning cannot change a bit and the
+  * unrolled-CTE DuckDB oracle hash-matches exactly.
+  */
+object Graphs extends QueryModule {
+
+  private val Iters = 3
+  private val RankScale = 1000000L // fixed-point 1.0
+
+  /** q138: PageRank over the undirected token co-occurrence graph
+    * ([[CorpusOps.tokenEdges]], both directions), damping 0.85, 3
+    * supersteps from a uniform start, top-20 tokens by final rank.
+    *
+    * Scale shapes (the Pregel loop on DataFrames):
+    *   - the edge list is hash-partitioned ONCE on `src` and
+    *     localCheckpointed; every superstep's contribution join then
+    *     reuses that layout (exchange reuse — the edge side never
+    *     re-shuffles), so one iteration costs exactly two shuffles:
+    *     contributions to `src` partitioning, sums to `dst` — independent
+    *     of iteration count.
+    *   - per-superstep state is one (node, rank) row — O(V) total, never
+    *     per-edge state.
+    *   - `localCheckpoint` after each superstep truncates lineage, so
+    *     plan size stays constant as iterations grow (same device as
+    *     q85's fixpoint loop).
+    *   - symmetrized edges mean no dangling nodes: every node has
+    *     outdeg ≥ 1 and receives ≥ 1 contribution, so the rank relation
+    *     keeps the full node set without an outer-join repair.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val e = CorpusOps.tokenEdges(s, d)
+    val bi = e.select(col("ta").as("src"), col("tb").as("dst"))
+      .union(e.select(col("tb").as("src"), col("ta").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val outdeg = bi.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("ov"), col("outdeg"))
+      .localCheckpoint()
+    var r = outdeg.select(col("ov").as("v"), lit(RankScale).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = r.as("rr").join(outdeg.as("od"), col("rr.v") === col("od.ov"))
+        .select(col("od.ov").as("cs"), expr("rank div outdeg").as("c"))
+      r = bi.as("bb").join(contrib.as("ct"), col("bb.src") === col("ct.cs"))
+        .groupBy(col("dst"))
+        .agg((lit(RankScale * 15 / 100) +
+          expr("(85 * sum(c)) div 100")).as("rank"))
+        .select(col("dst").as("v"), col("rank"))
+        .localCheckpoint()
+    }
+    r.orderBy(desc("rank"), col("v")).limit(20)
+      .select(col("v").as("token"), col("rank"))
+  }
+
+  private def stepSql(prev: String): String =
+    s"""SELECT b.dst AS v,
+       |    150000 + (85 * SUM(r.rank // o.outdeg)) // 100 AS rank
+       |  FROM bi b JOIN $prev r ON r.v = b.src
+       |  JOIN outdeg o ON o.src = b.src
+       |  GROUP BY 1""".stripMargin
+
+  private val q138Sql =
+    s"""WITH ${CorpusOps.tokenEdgesCteSql},
+       |bi AS (
+       |  SELECT ta AS src, tb AS dst FROM edges
+       |  UNION ALL SELECT tb, ta FROM edges),
+       |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM bi GROUP BY 1),
+       |r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS rank FROM outdeg),
+       |r1 AS (${stepSql("r0")}),
+       |r2 AS (${stepSql("r1")}),
+       |r3 AS (${stepSql("r2")})
+       |SELECT v AS token, CAST(rank AS BIGINT) AS rank
+       |FROM r3 ORDER BY rank DESC, v LIMIT 20""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_pagerank" -> q138
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q138_pagerank" -> q138Sql
+  )
+}
