@@ -107,13 +107,140 @@ object TimeSeries extends QueryModule {
       |FROM ev JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q139: SCD2 interval build — the slowly-changing-dimension type-2 view
+    * of each user's event-type timeline: consecutive runs of the same state
+    * collapse into one row with `[valid_from, valid_to)` validity and a
+    * version number; the live row has `valid_to IS NULL`. This is the
+    * standard dimension-table construction every warehouse load performs
+    * on change streams.
+    *
+    * Scale: two window passes over ONE user-keyed shuffle (lag to find run
+    * starts, lead on the filtered run-start rows for the closing bound) —
+    * the second window reuses the first's partitioning, and per-user state
+    * is O(1) per pass. The (ts, event_id) composite order makes equal-ts
+    * runs deterministic.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("version").cast(LongType).as("version"),
+        col("state"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val q139Sql =
+    """WITH runs AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    LAG(event_type) OVER w AS prev_state
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |starts AS (
+      |  SELECT user_id, ts, event_id, state FROM runs
+      |  WHERE prev_state IS NULL OR prev_state <> state)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  state, ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  LEAD(ts) OVER w IS NULL AS is_current
+      |FROM starts
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** q140: linear multi-touch attribution — every purchase's value, in
+    * integer cents, splits EQUALLY across the user's marketing touches
+    * (click/view/signup) in the 30 days before it; the `cents mod n`
+    * remainder goes one cent each to the most recent touches so the split
+    * is exact and deterministic; purchases with no in-window touch credit
+    * 'direct'. Complements q120 (last-touch) with the fan-out model.
+    *
+    * Scale: the touch×purchase pair join is per-user equi-keyed, and the
+    * 30-day lookback bounds its fan-out to the user's activity in one
+    * window — the lever that keeps a year of history from going quadratic.
+    * All arithmetic is integer cents (associative), so per-channel sums
+    * are bit-stable at any partitioning.
+    */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"), col("event_id").as("t_id"),
+        col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter((col("t_ts") < col("p_ts") ||
+        (col("t_ts") === col("p_ts") && col("t_id") < col("p_id"))) &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 30 DAYS"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(desc("t_ts"), desc("t_id"))
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+      .withColumn("r", row_number().over(w))
+      .select(col("channel"),
+        (expr("cents div n") +
+          when(col("r") <= col("cents") % col("n"), 1L).otherwise(0L))
+          .as("credit"))
+    val direct = purchases.join(
+        pairs.select(col("p_id").as("touched_id")).distinct(),
+        col("p_id") === col("touched_id"), "left_anti")
+      .select(lit("direct").as("channel"), col("cents").as("credit"))
+    // cents totals stay far under 2^53, so the final double division by
+    // 100 is IEEE-exact and engine-identical
+    credited.union(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        (sum(col("credit")).cast(DoubleType) / 100).as("attributed"))
+      .orderBy(col("channel"))
+  }
+
+  private val q140Sql =
+    """WITH touches AS (
+      |  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+      |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |purchases AS (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT p.p_id, p.cents, t.channel, t.t_ts, t.t_id
+      |  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+      |  WHERE (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+      |    AND t.t_ts >= p.p_ts - INTERVAL 30 DAY),
+      |credited AS (
+      |  SELECT channel,
+      |    cents // COUNT(*) OVER (PARTITION BY p_id)
+      |    + CASE WHEN ROW_NUMBER() OVER
+      |             (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC)
+      |           <= cents % COUNT(*) OVER (PARTITION BY p_id)
+      |           THEN 1 ELSE 0 END AS credit
+      |  FROM pairs),
+      |direct AS (
+      |  SELECT 'direct' AS channel, cents AS credit FROM purchases
+      |  WHERE p_id NOT IN (SELECT p_id FROM pairs)),
+      |allc AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+      |SELECT channel, COUNT(*) AS n_credits,
+      |  CAST(SUM(credit) AS DOUBLE) / 100 AS attributed
+      |FROM allc GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_gapfill_ffill" -> q123,
-    "q124_retention_cohorts" -> q124
+    "q124_retention_cohorts" -> q124,
+    "q139_scd2_intervals" -> q139,
+    "q140_linear_attribution" -> q140
   )
 
   override def oracles: Map[String, String] = Map(
     "q123_gapfill_ffill" -> q123Sql,
-    "q124_retention_cohorts" -> q124Sql
+    "q124_retention_cohorts" -> q124Sql,
+    "q139_scd2_intervals" -> q139Sql,
+    "q140_linear_attribution" -> q140Sql
   )
 }
