@@ -236,9 +236,71 @@ object ScalePatterns extends QueryModule {
        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q141: two-pass exact heavy hitters — all tokens occurring in more
+    * than 1/200 of the corpus token stream, found WITHOUT a vocabulary-
+    * sized shuffle. Pass 1 runs Misra–Gries with k=200 counters per
+    * partition (map-only, O(k) state): any token with global frequency
+    * > n/k must exceed its share n_p/k in at least one partition and MG
+    * underestimates by at most n_p/k, so the union of per-partition
+    * survivors is a SUPERSET of every true heavy hitter. Pass 2 re-scans
+    * once, broadcast-semi-joins the ≤ k·P candidates, and counts exactly —
+    * so the OUTPUT is exact (that is what the oracle checks) while the
+    * shuffle carries at most |candidates| partial rows per partition
+    * instead of per-vocabulary-term state. This decrement-all MG is O(k)
+    * per eviction; a production build keeps the count-bucket linked list
+    * for O(1), which changes nothing observable.
+    */
+  /** One Misra–Gries pass with `k` counters: emits the surviving keys.
+    * Guarantee: any item occurring more than n/(k+1) times in the input
+    * survives (each decrement wave consumes k+1 occurrences, so an item's
+    * count is underestimated by at most n/(k+1)).
+    */
+  private[operators] def misraGries(k: Int)(it: Iterator[String]): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counters.get(t) match {
+        case Some(c) => counters(t) = c + 1
+        case None if counters.size < k => counters(t) = 1L
+        case None =>
+          val dead = counters.iterator
+            .collect { case (key, 1L) => key }.toList
+          counters.mapValuesInPlace((_, c) => c - 1)
+          dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 200
+    val toks = Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0))
+        .as("tok"))
+    val candidates = toks.as[String].mapPartitions(misraGries(k))
+      .toDF("tok").distinct()
+    val total = toks.count()
+    toks.join(broadcast(candidates), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * k > total)
+      .orderBy(desc("n_occurrences"), col("tok"))
+  }
+
+  private val q141Sql =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '),
+      |                            x -> length(x) > 0)) AS tok
+      |  FROM documents)
+      |SELECT tok, COUNT(*) AS n_occurrences
+      |FROM t GROUP BY tok
+      |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM t)
+      |ORDER BY n_occurrences DESC, tok""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
+    "q141_heavy_hitters" -> q141,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -248,6 +310,7 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q105_salted_join" -> q105Sql,
     "q111_bloom_join" -> q111Sql,
+    "q141_heavy_hitters" -> q141Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,

@@ -47,4 +47,33 @@ class ScalePatternsSpec extends SparkSpec {
     assert(dimKeys.nonEmpty && (dimKeys intersect factKeys).nonEmpty,
       "fixture degenerated: bloom join would be vacuous")
   }
+
+  test("q141 heavy hitters: exact output equals the naive full groupBy") {
+    // the MG candidate pass may over-generate but must never miss a true
+    // heavy hitter — equality with the naive spelling proves the superset
+    // property held on this data (a miss would drop an output row)
+    val got = ScalePatterns.queries("q141_heavy_hitters")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+    val total = toks.count()
+    val want = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") * 200 > total)
+      .orderBy(desc("n"), col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty, "fixture degenerated: no heavy hitters at all")
+    assert(got.sameElements(want))
+  }
+
+  test("q141 Misra-Gries guarantee: count > n/(k+1) always survives") {
+    // adversarial stream: a hot token at exactly 1/16 frequency drowned in
+    // unique singletons (the worst case for decrement waves), tiny k so
+    // waves fire constantly. n = 10000, k = 40 => bound n/(k+1) ≈ 244;
+    // hot occurs 625 times and MUST survive, wave timing notwithstanding.
+    val stream = (0 until 10000).iterator.map(i =>
+      if (i % 16 == 0) "hot" else s"cold_$i")
+    val survivors = ScalePatterns.misraGries(40)(stream).toSet
+    assert(survivors.contains("hot"),
+      "token above the MG frequency bound was evicted")
+  }
 }
