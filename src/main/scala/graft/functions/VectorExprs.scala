@@ -94,6 +94,7 @@ case class DotProductLong(left: Expression, right: Expression)
 /** Session-level registration of the graft native functions. */
 object GraftFunctions {
   private val dotIdent = FunctionIdentifier("graft_dot")
+  private val chunksIdent = FunctionIdentifier("graft_chunks")
 
   /** `graft_dot` as a Spark FunctionDescription — the injectable triple
     * consumed by [[graft.GraftExtensions]] and by [[register]].
@@ -104,6 +105,17 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProductLong(children.head, children(1))
+      })
+
+  /** `graft_chunks` (native Generator, [[SlidingChunks]]) as an injectable
+    * FunctionDescription.
+    */
+  val chunksDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (chunksIdent,
+      new ExpressionInfo(classOf[SlidingChunks].getName, "graft_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_chunks takes exactly 3 arguments")
+        SlidingChunks(children.head, children(1), children(2))
       })
 
   /** Idempotently register `graft_dot` with the session's function
@@ -117,6 +129,8 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(dotIdent))
       registry.registerFunction(dotDescription._1, dotDescription._2, dotDescription._3)
+    if (!registry.functionExists(chunksIdent))
+      registry.registerFunction(chunksDescription._1, chunksDescription._2, chunksDescription._3)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations = extra :+ graft.plans.DotProductRewrite

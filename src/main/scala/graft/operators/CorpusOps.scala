@@ -109,6 +109,34 @@ object CorpusOps extends QueryModule {
        |  md5(array_to_string(t[chunk_idx * 32 + 1 : chunk_idx * 32 + 64], ' ')) AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q142: overlapping chunking through the NATIVE table-generating
+    * function `graft_chunks` ([[graft.functions.SlidingChunks]]) — q67's
+    * semantics (window 48, stride 24 here) without materializing an index
+    * sequence per document: the Generate node streams `(chunk_idx, chunk)`
+    * rows straight out of the scan stage. Same shape downstream: map-only
+    * fan-out, presentation sort only at the end.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .selectExpr("doc_id", "graft_chunks(t, 48, 24) AS (chunk_idx, chunk)")
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q142Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 24) + 1)) AS chunk_idx
+       |  FROM d WHERE len(t) > 0)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 48]) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 48], ' ')) AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- q68
 
   /** q68: deny-list redaction — mask a term set with word-boundary regex
@@ -786,6 +814,7 @@ object CorpusOps extends QueryModule {
     "q89_vocab_overlap" -> q89,
     "q66_tfidf" -> q66,
     "q67_doc_chunks" -> q67,
+    "q142_native_chunks" -> q142,
     "q68_term_redaction" -> q68,
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
@@ -804,6 +833,7 @@ object CorpusOps extends QueryModule {
     "q89_vocab_overlap" -> q89Sql,
     "q66_tfidf" -> q66Sql,
     "q67_doc_chunks" -> q67Sql,
+    "q142_native_chunks" -> q142Sql,
     "q68_term_redaction" -> q68Sql,
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,
