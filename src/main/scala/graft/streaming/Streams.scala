@@ -593,7 +593,68 @@ object Streams extends QueryModule {
       |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q143: stream-stream LEFT OUTER join — q98's signup⋈purchase pairing
+    * plus the unmatched signups. Matches emit as they arrive; an unmatched
+    * signup can only emit once the global watermark (the MIN across both
+    * sides' watermark nodes) passes `signup_ts + 2h`, the point where no
+    * future purchase can still match — the bounded run's final no-data
+    * micro-batch fires those evictions. Signups inside the trailing
+    * watermark+window horizon stay IN STATE at stream end and are never
+    * emitted as unmatched; the oracle applies the same gate, which is the
+    * honest spelling of outer-join semantics on an unbounded stream: an
+    * absence is only knowable watermark-late. State is user_id-partitioned
+    * and the two-sided time bound caps per-key retention, exactly as in
+    * the inner variant.
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val ev = streamEvents(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signup.join(
+      purchase,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+    val out = runToMemory(s,
+      joined.select(col("user_id"), col("signup_ts"), col("p_ts"), col("value")),
+      "q143_sink", "append")
+    out.groupBy(col("user_id"))
+      .agg(count(col("value")).as("n_matched"),
+        expr("count_if(p_ts IS NULL)").as("n_unmatched"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q143Sql =
+    s"""WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+       |           WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+       |      WHERE event_type = 'purchase'),
+       |wm AS (SELECT LEAST((SELECT MAX(ts) FROM s), (SELECT MAX(ts) FROM p))
+       |         - INTERVAL 1 HOUR AS w),
+       |m AS (SELECT s.user_id, s.ts AS signup_ts, p.ts AS p_ts, p.value
+       |      FROM s JOIN p ON s.user_id = p.user_id
+       |       AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR),
+       |u AS (SELECT s.user_id, s.ts AS signup_ts,
+       |        CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS value
+       |      FROM s, wm
+       |      WHERE s.ts + INTERVAL 2 HOUR < wm.w
+       |        AND NOT EXISTS (SELECT 1 FROM p
+       |          WHERE p.user_id = s.user_id
+       |            AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR)),
+       |allr AS (SELECT * FROM m UNION ALL SELECT * FROM u)
+       |SELECT user_id, COUNT(value) AS n_matched,
+       |  COUNT(CASE WHEN p_ts IS NULL THEN 1 END) AS n_unmatched,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_stream_left_outer" -> q143,
     "q106_stream_update_upsert" -> q106,
     "q132_stream_mapstate" -> q132,
     "q122_stream_tws_tally" -> q122,
@@ -607,6 +668,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q143_stream_left_outer" -> q143Sql,
     "q106_stream_update_upsert" -> q106Sql,
     "q132_stream_mapstate" -> q132Sql,
     "q122_stream_tws_tally" -> q122Sql,
