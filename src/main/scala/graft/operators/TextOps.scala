@@ -553,7 +553,110 @@ object TextOps extends QueryModule {
       |  CAST(MIN(CASE WHEN dist <= 32 THEN dist END) AS BIGINT) AS min_dist
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q150: canonicalized exact dedup — the "fuzzy-exact" pass every corpus
+    * pipeline runs before hashing: lower-case, strip non-alphanumerics,
+    * collapse whitespace, THEN fingerprint. Surfaces duplicates that raw
+    * md5 (q73) misses — same content, different punctuation/casing. The
+    * one-row profile reports how much the canonicalization merged.
+    *
+    * Scale: two per-row codegen'd projections + distinct-count aggregates
+    * over 16-byte fingerprints; full text never shuffles.
+    *
+    * This synthetic corpus is already punctuation-free lower-case, so
+    * `merged_by_canon` is legitimately 0 here (the oracle verifies the
+    * whole computation regardless); `TextOpsSpec` proves the
+    * canonicalizer merges real case/punctuation variants.
+    */
+  private[operators] def canonText(c: Column): Column =
+    trim(regexp_replace(
+      lower(regexp_replace(c, "[^a-zA-Z0-9 ]", " ")), " +", " "))
+
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    val canon = canonText(col("text"))
+    Tables.documents(s, d)
+      .select(md5(col("text")).as("raw_fp"), md5(canon).as("canon_fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_fp")).as("distinct_raw"),
+        countDistinct(col("canon_fp")).as("distinct_canonical"),
+        (countDistinct(col("raw_fp")) - countDistinct(col("canon_fp")))
+          .as("merged_by_canon"))
+  }
+
+  private val q150Sql =
+    """SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS distinct_raw,
+      |  COUNT(DISTINCT md5(trim(regexp_replace(
+      |    lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+      |    ' +', ' ', 'g')))) AS distinct_canonical,
+      |  COUNT(DISTINCT md5(text))
+      |    - COUNT(DISTINCT md5(trim(regexp_replace(
+      |        lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+      |        ' +', ' ', 'g')))) AS merged_by_canon
+      |FROM documents""".stripMargin
+
+  /** q151: benchmark decontamination — flag training documents sharing any
+    * 8-gram with a held-out benchmark set (`doc_id % 7 = 0` stands in for
+    * the eval suite), reported per source. The first-class hygiene pass of
+    * LLM data prep: contamination inflates eval scores, so the overlap
+    * check runs over the WHOLE corpus before training.
+    *
+    * Scale: shingles shuffle as md5 keys (engine-identical, so the oracle
+    * joins the same identities — no raw 8-gram strings on the wire); the
+    * benchmark gram set is benchmark-sized, i.e. tiny relative to the
+    * corpus → broadcast; the contamination test is a broadcast SEMI join
+    * per posting followed by a per-doc distinct — linear in train
+    * postings, never corpus × benchmark.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val sh8 = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("source"), array_distinct(expr(
+        """transform(sequence(0, size(t)-8),
+          |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+          |                          t[i+4], t[i+5], t[i+6], t[i+7])))""".stripMargin))
+        .as("sh"))
+    val bench = sh8.filter(col("doc_id") % 7 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val train = sh8.filter(col("doc_id") % 7 =!= 0)
+    val contaminated = train
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      .join(contaminated.groupBy(col("source"))
+          .agg(count(lit(1)).as("nc")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("nc"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  private val q151Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, len(t)-6),
+      |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 8),
+      |bench AS (SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 7 = 0),
+      |train AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id, t.source
+      |  FROM (SELECT doc_id, source, unnest(g) AS g FROM train) t
+      |  JOIN bench b ON t.g = b.g)
+      |SELECT t.source, COUNT(*) AS n_train,
+      |  COALESCE(MAX(c.nc), 0) AS n_contaminated
+      |FROM train t
+      |LEFT JOIN (SELECT source, COUNT(*) AS nc FROM contaminated GROUP BY 1) c
+      |  ON t.source = c.source
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_canonical_dedup" -> q150,
+    "q151_decontamination" -> q151,
     "q79_corpus_pipeline" -> q79,
     "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
@@ -568,6 +671,8 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q150_canonical_dedup" -> q150Sql,
+    "q151_decontamination" -> q151Sql,
     "q79_corpus_pipeline" -> q79Sql,
     "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,
