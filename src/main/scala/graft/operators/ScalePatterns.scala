@@ -297,10 +297,62 @@ object ScalePatterns extends QueryModule {
       |HAVING COUNT(*) * 200 > (SELECT COUNT(*) FROM t)
       |ORDER BY n_occurrences DESC, tok""".stripMargin
 
+  /** q144: binned interval join — shipments matched to every overlapping
+    * promotion window (25 synthetic 90-day windows derived from brand-name
+    * md5 offsets; the intervals are NOT keyed to the fact rows, so the
+    * naive spelling is a cartesian `BETWEEN` theta join, which Spark plans
+    * as BroadcastNestedLoopJoin — fine at 25 windows, dead at 10⁶). The
+    * scale rewrite: quantize time into 64-day bins, explode each window
+    * into the ≤3 bins it covers, equi-join fact-bin = window-bin, then
+    * apply the exact containment as a residual filter. Result identical to
+    * the naive join (the oracle runs it); the plan is a shuffled/broadcast
+    * HASH join whose replication factor is bounded by
+    * ceil(window/bin) + 1 ≈ 2.4 — the standard interval-join quantization
+    * every range-join-capable engine applies.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val epoch = to_date(lit("1995-01-01"))
+    val windows = Tables.part(s, d).select(col("p_brand").as("brand")).distinct()
+      .withColumn("off",
+        expr("CAST(conv(substring(md5(brand), 1, 4), 16, 10) AS BIGINT) % 2000")
+          .cast("int"))
+      .withColumn("wstart", date_add(epoch, col("off")))
+      .withColumn("wend", date_add(col("wstart"), 90))
+      .select(col("brand"), col("wstart"), col("wend"))
+    val binned = windows
+      .withColumn("bin", explode(sequence(
+        (datediff(col("wstart"), epoch) / 64).cast("int"),
+        (datediff(date_sub(col("wend"), 1), epoch) / 64).cast("int"))))
+    val fact = Tables.lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("ship_day"), col("l_extendedprice"))
+      .withColumn("bin", (datediff(col("ship_day"), epoch) / 64).cast("int"))
+    fact.join(broadcast(binned), Seq("bin"))
+      .filter(col("ship_day") >= col("wstart") && col("ship_day") < col("wend"))
+      .groupBy(col("brand"), col("wstart"), col("wend"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("brand"))
+  }
+
+  private val q144Sql = {
+    val off = s"(${Exact.sqlHexToLong("md5(brand)", 1, 4)}) % 2000"
+    s"""WITH w AS (
+       |  SELECT brand, DATE '1995-01-01' + CAST($off AS INT) AS wstart
+       |  FROM (SELECT DISTINCT p_brand AS brand FROM part)),
+       |w2 AS (SELECT brand, wstart, wstart + 90 AS wend FROM w)
+       |SELECT w2.brand, w2.wstart, w2.wend, COUNT(*) AS n_items,
+       |  ${Exact.sqlSumMoney("l.l_extendedprice")} AS revenue
+       |FROM w2 JOIN lineitem l
+       |  ON CAST(l.l_shipdate AS DATE) >= w2.wstart
+       | AND CAST(l.l_shipdate AS DATE) < w2.wend
+       |GROUP BY 1, 2, 3 ORDER BY w2.brand""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
     "q141_heavy_hitters" -> q141,
+    "q144_interval_bin_join" -> q144,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -311,6 +363,7 @@ object ScalePatterns extends QueryModule {
     "q105_salted_join" -> q105Sql,
     "q111_bloom_join" -> q111Sql,
     "q141_heavy_hitters" -> q141Sql,
+    "q144_interval_bin_join" -> q144Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,

@@ -653,8 +653,57 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q148: CHAINED event-time window aggregations in one streaming query —
+    * hourly per-type count/sum rolled up into daily totals via
+    * `window_time()` (the multiple-stateful-operators pipeline Spark
+    * supports since 3.4; before that this took two queries with an
+    * intermediate sink). Both stages are watermark-finalized append-mode
+    * windows: an hour emits once the watermark passes its end, and since a
+    * day's last hour ends exactly at day end, every hour of a day is final
+    * by the time the day can emit — so the rollup is complete-by-
+    * construction. The trailing day (inside the watermark horizon at
+    * stream end) stays in state; the oracle applies the same gate.
+    *
+    * Scale: the second stage aggregates HOURLY rows, not events — its
+    * state is O(types × days) and the daily shuffle carries 24 rows per
+    * (type, day), the pre-aggregation cascade that makes multi-resolution
+    * rollups cheap at any volume.
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val hourly = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Exact.money(col("value"))).as("v"))
+    val daily = hourly
+      .groupBy(window(window_time(col("w")), "1 day").as("dw"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"),
+        sum(col("v")).cast(DoubleType).as("total_value"))
+    runToMemory(s, daily, "q148_sink", "append")
+      .select(col("dw.start").cast(DateType).as("day_start"), col("event_type"),
+        col("n_events"), col("n_hours"), col("total_value"))
+      .orderBy(col("day_start"), col("event_type"))
+  }
+
+  private val q148Sql =
+    s"""WITH h AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs, event_type,
+       |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+       |  FROM events GROUP BY 1, 2),
+       |wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+       |       FROM events),
+       |d AS (
+       |  SELECT date_trunc('day', hs) AS day_start, event_type,
+       |    CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_hours,
+       |    CAST(SUM(v) AS DOUBLE) AS total_value
+       |  FROM h GROUP BY 1, 2)
+       |SELECT CAST(day_start AS DATE) AS day_start, event_type,
+       |  n_events, n_hours, total_value
+       |FROM d, wm WHERE day_start + INTERVAL 1 DAY <= wm.w
+       |ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_stream_left_outer" -> q143,
+    "q148_stream_chained_windows" -> q148,
     "q106_stream_update_upsert" -> q106,
     "q132_stream_mapstate" -> q132,
     "q122_stream_tws_tally" -> q122,
@@ -669,6 +718,7 @@ object Streams extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q143_stream_left_outer" -> q143Sql,
+    "q148_stream_chained_windows" -> q148Sql,
     "q106_stream_update_upsert" -> q106Sql,
     "q132_stream_mapstate" -> q132Sql,
     "q122_stream_tws_tally" -> q122Sql,
