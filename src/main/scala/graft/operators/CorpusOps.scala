@@ -408,16 +408,30 @@ object CorpusOps extends QueryModule {
     * result is threshold-capped small and localCheckpointed because every
     * consumer fans it into several joins.
     */
-  private[operators] def tokenEdges(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val nDocs = docs.count()
-    docs
+  /** All co-occurring (ta < tb) token pairs with their co-occurrence count
+    * (pre-threshold) — the in-row fan-out of [[tokenEdges]]'s scaladoc,
+    * shared with `Graphs.q152`'s PMI ranking.
+    */
+  private[operators] def tokenPairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(array_sort(array_distinct(slice(toks(col("text")), 1, 32))).as("ts"))
       .select(explode(expr(
         "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)), y -> struct(x AS ta, y AS tb))))"))
         .as("p"))
       .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
       .agg(count(lit(1)).as("cooc"))
+
+  /** Per-token document frequency over the same 32-token distinct prefixes
+    * [[tokenPairs]] pairs up.
+    */
+  private[operators] def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(array_distinct(slice(toks(col("text")), 1, 32))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  private[operators] def tokenEdges(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).count()
+    tokenPairs(s, d)
       .filter(col("cooc") * 25 >= nDocs)
       .select(col("ta"), col("tb"))
       .localCheckpoint()

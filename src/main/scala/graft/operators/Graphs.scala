@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryModule
+import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -87,11 +87,61 @@ object Graphs extends QueryModule {
        |SELECT v AS token, CAST(rank AS BIGINT) AS rank
        |FROM r3 ORDER BY rank DESC, v LIMIT 20""".stripMargin
 
+  /** q152: PMI collocation ranking — the top-20 token pairs by pointwise
+    * mutual information over the co-occurrence counts ([[CorpusOps.tokenPairs]],
+    * doc-frequency from [[CorpusOps.tokenCounts]]), min support 5. The
+    * phrase-mining score is kept as the integer-scaled odds ratio
+    * `cooc·N·10⁶ div (c_a·c_b)` — exp(PMI) to a constant — because log()
+    * is the one step whose libm bits could differ across engines; the
+    * ranking is identical and the arithmetic stays hash-exact.
+    *
+    * Scale: two shuffles (pair counts, token counts) + two joins keyed on
+    * single tokens; the N scalar is a 1-row cross join. No vocabulary²
+    * blow-up: pairs exist only where documents co-mention.
+    */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).count()
+    val cnt = CorpusOps.tokenCounts(s, d)
+    CorpusOps.tokenPairs(s, d)
+      .filter(col("cooc") >= 5)
+      .join(cnt.select(col("tok").as("ta"), col("c").as("ca")), "ta")
+      .join(cnt.select(col("tok").as("tb"), col("c").as("cb")), "tb")
+      .select(col("ta"), col("tb"), col("cooc"),
+        expr(s"(cooc * ${nDocs}L * 1000000L) div (ca * cb)").as("pmi_score"))
+      .orderBy(desc("pmi_score"), col("ta"), col("tb"))
+      .limit(20)
+  }
+
+  private val q152Sql =
+    """WITH dt AS (
+      |  SELECT unnest(list_distinct(
+      |    (list_filter(string_split(text, ' '), t -> length(t) > 0))[1:32])) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY 1),
+      |dts AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    (list_filter(string_split(text, ' '), t -> length(t) > 0))[1:32])) AS tok
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.tok AS ta, b.tok AS tb, COUNT(*) AS cooc
+      |  FROM dts a JOIN dts b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2)
+      |SELECT p.ta, p.tb, p.cooc,
+      |  CAST((p.cooc * (SELECT COUNT(*) FROM documents) * 1000000)
+      |    // (ca.c * cb.c) AS BIGINT) AS pmi_score
+      |FROM pairs p
+      |JOIN cnt ca ON ca.tok = p.ta
+      |JOIN cnt cb ON cb.tok = p.tb
+      |WHERE p.cooc >= 5
+      |ORDER BY pmi_score DESC, p.ta, p.tb LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q138_pagerank" -> q138
+    "q138_pagerank" -> q138,
+    "q152_pmi_collocations" -> q152
   )
 
   override def oracles: Map[String, String] = Map(
-    "q138_pagerank" -> q138Sql
+    "q138_pagerank" -> q138Sql,
+    "q152_pmi_collocations" -> q152Sql
   )
 }

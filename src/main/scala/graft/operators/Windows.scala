@@ -364,7 +364,43 @@ object Windows extends QueryModule {
       |  CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q145: running DISTINCT user count per event type per day — the
+    * windowed COUNT(DISTINCT) Spark's window functions refuse (and the
+    * naive rewrite, `size(collect_set() over expanding frame)`, holds
+    * O(users) state per row). The scale-safe rewrite: a user contributes
+    * +1 exactly on their FIRST day (per type), so the running distinct
+    * count is a cumulative sum over per-day first-touch counts — two
+    * bounded user-keyed/day-keyed shuffles and a days-sized window,
+    * state-free of the user set. The oracle spells the semantics
+    * independently with a correlated COUNT(DISTINCT) subquery.
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val firstTouch = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val active = ev.select(col("event_type"), col("day")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    active.join(firstTouch, Seq("event_type", "day"), "left")
+      .withColumn("cum_distinct_users",
+        sum(coalesce(col("n_new"), lit(0L))).over(w))
+      .select(col("event_type"), col("day"), col("cum_distinct_users"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q145Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events)
+      |SELECT a.event_type, a.day,
+      |  (SELECT COUNT(DISTINCT e.user_id) FROM events e
+      |   WHERE e.event_type = a.event_type AND CAST(e.ts AS DATE) <= a.day)
+      |    AS cum_distinct_users
+      |FROM act a ORDER BY a.event_type, a.day""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_running_distinct" -> q145,
     "q120_attribution" -> q120,
     "q130_sorted_groups" -> q130,
     "q38_funnel_stages" -> q38,
@@ -379,6 +415,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q145_running_distinct" -> q145Sql,
     "q120_attribution" -> q120Sql,
     "q130_sorted_groups" -> q130Sql,
     "q38_funnel_stages" -> q38Sql,

@@ -119,6 +119,23 @@ class PlanSpec extends SparkSpec {
       s"skyline degenerated to all-pairs:\n$p")
   }
 
+  test("q144 binned interval join is a hash join, not a nested loop") {
+    val p = plan("q144_interval_bin_join")
+    // the whole point of the bin quantization: the naive BETWEEN spelling
+    // plans as BroadcastNestedLoopJoin; the binned one must be an equi
+    // hash join with the containment as a residual filter
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"interval join not an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$p")
+  }
+
+  test("q141 heavy hitters recount is a broadcast semi join") {
+    val p = plan("q141_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate recount not a broadcast semi join:\n$p")
+  }
+
   test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
     val p = plan("q126_lateral_topk")
     // Catalyst must rewrite the per-customer LIMIT subquery into a
