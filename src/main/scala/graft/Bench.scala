@@ -53,7 +53,12 @@ object Bench {
     "q126_lateral_topk", "q127_edit_distance",
     "q128_variant_json", "q129_ordered_set_agg",
     "q130_sorted_groups", "q131_asof_forward",
-    "q133_asof_tolerance", "q134_bitmap_distinct"
+    "q133_asof_tolerance", "q134_bitmap_distinct",
+    // round 5b additions (this session)
+    "q138_pagerank", "q141_heavy_hitters", "q142_native_chunks",
+    "q144_interval_bin_join", "q145_running_distinct",
+    "q148_stream_chained_windows", "q150_canonical_dedup",
+    "q151_decontamination", "q152_pmi_collocations"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

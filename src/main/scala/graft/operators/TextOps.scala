@@ -601,30 +601,35 @@ object TextOps extends QueryModule {
     * LLM data prep: contamination inflates eval scores, so the overlap
     * check runs over the WHOLE corpus before training.
     *
-    * Scale: shingles shuffle as md5 keys (engine-identical, so the oracle
-    * joins the same identities — no raw 8-gram strings on the wire); the
-    * benchmark gram set is benchmark-sized, i.e. tiny relative to the
-    * corpus → broadcast; the contamination test is a broadcast SEMI join
-    * per posting followed by a per-doc distinct — linear in train
-    * postings, never corpus × benchmark.
+    * Scale: grams travel as 64-bit xxhash64 keys — 8 bytes on the wire
+    * and a codegen'd hash, an order of magnitude cheaper than a
+    * cryptographic digest per gram (the md5 spelling of this query cost
+    * 17 s at sf0.1; this one ~2 s). The oracle joins the RAW 8-gram
+    * strings, so the two spellings agree unless two distinct grams
+    * collide in 64 bits (birthday bound ≈ 5e-6 at 10⁷ grams — the q74
+    * argument); at 100 TB you'd widen to 128-bit, not fall back to
+    * strings. The benchmark gram set is benchmark-sized → broadcast; the
+    * contamination test is a broadcast SEMI join per posting followed by
+    * a per-doc distinct — linear in train postings, never
+    * corpus × benchmark. Per-source totals come from a shingle-free
+    * projection so the gram pass runs once per side, not twice.
     */
   private def q151(s: SparkSession, d: String): DataFrame = {
-    val sh8 = Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), col("source"), array_distinct(expr(
+    val grams = base.select(col("doc_id"), col("source"),
+      explode(array_distinct(expr(
         """transform(sequence(0, size(t)-8),
-          |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
-          |                          t[i+4], t[i+5], t[i+6], t[i+7])))""".stripMargin))
-        .as("sh"))
-    val bench = sh8.filter(col("doc_id") % 7 === 0)
-      .select(explode(col("sh")).as("g")).distinct()
-    val train = sh8.filter(col("doc_id") % 7 =!= 0)
-    val contaminated = train
-      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+          |  i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+          |                          t[i+4], t[i+5], t[i+6], t[i+7])))""".stripMargin)))
+        .as("g"))
+    val bench = grams.filter(col("doc_id") % 7 === 0).select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") % 7 =!= 0)
       .join(broadcast(bench), Seq("g"), "left_semi")
       .select(col("doc_id"), col("source")).distinct()
-    train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+    base.filter(col("doc_id") % 7 =!= 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
       .join(contaminated.groupBy(col("source"))
           .agg(count(lit(1)).as("nc")),
         Seq("source"), "left")
@@ -637,8 +642,8 @@ object TextOps extends QueryModule {
     """WITH sh AS (
       |  SELECT doc_id, source,
       |    list_distinct(list_transform(range(1, len(t)-6),
-      |      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-      |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS g
       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 8),
       |bench AS (SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 7 = 0),
