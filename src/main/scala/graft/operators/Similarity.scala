@@ -430,7 +430,76 @@ object Similarity extends QueryModule {
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q147: one Lloyd (k-means) superstep — K=8 centroids seeded from the
+    * first 8 vectors, every vector assigned to its nearest centroid by
+    * exact integer squared-L2 (the q83 assignment, deterministic argmin
+    * via the packed dist·16+cid key), then centroids RECOMPUTED as
+    * truncated integer component means (the q84 posexplode/groupBy
+    * centroid shape) and compared to their seeds. Output per cluster:
+    * size, squared centroid shift, new centroid norm — all BIGINT, so the
+    * superstep is hash-exact and the loop (iterate until shift ≈ 0) would
+    * be too.
+    *
+    * Scale: the assignment is a broadcast(K) map-side argmin — one
+    * shuffle of (vec_id, cid); the update shuffles (cid, dim, partial
+    * sum) with map-side combine — O(K × dims) reducer state. That pair of
+    * shuffles per superstep is exactly the distributed k-means every ML
+    * library runs at 100 TB; truncated `div` matches DuckDB's `//`
+    * toward-zero semantics bit-for-bit.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dist2 = dotExpr("v", "v") + dotExpr("cv", "cv") - lit(2L) * dotExpr("v", "cv")
+    val assignedv = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), (dist2 * 16 + col("cid")).as("dkey"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), col("dkey")).as("cid"))
+      .join(vecs, "vec_id")
+    val newc = assignedv
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "comp")))
+      .select(col("cid"), (col("pos0") + 1).as("pos"), col("comp"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(comp) div count(1)").as("nc"), count(lit(1)).as("n"))
+    newc.join(cents, "cid")
+      .select(col("cid"), col("n"), col("nc"),
+        element_at(col("cv"), col("pos").cast("int")).as("oc"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n_assigned"),
+        sum((col("nc") - col("oc")) * (col("nc") - col("oc"))).as("shift2"),
+        sum(col("nc") * col("nc")).as("norm2"))
+      .orderBy(col("cid"))
+  }
+
+  private val q147Sql =
+    s"""WITH q AS ($quantizedSql),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |comps AS (
+       |  SELECT cid, u.pos AS pos, u.comp AS comp FROM (
+       |    SELECT a.cid, unnest(list_transform(range(1, len(v.v)+1),
+       |      i -> {'pos': i, 'comp': v.v[i]})) AS u
+       |    FROM assigned a JOIN q v ON v.vec_id = a.vec_id)),
+       |newc AS (
+       |  SELECT cid, pos,
+       |    CAST(SUM(comp) AS BIGINT) // COUNT(*) AS nc,
+       |    COUNT(*) AS n
+       |  FROM comps GROUP BY 1, 2)
+       |SELECT newc.cid, CAST(MAX(n) AS BIGINT) AS n_assigned,
+       |  CAST(SUM((nc - cv[CAST(pos AS INT)]) * (nc - cv[CAST(pos AS INT)])) AS BIGINT) AS shift2,
+       |  CAST(SUM(nc * nc) AS BIGINT) AS norm2
+       |FROM newc JOIN cents ON newc.cid = cents.cid
+       |GROUP BY newc.cid ORDER BY newc.cid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_kmeans_step" -> q147,
     "q84_vector_stats" -> q84,
     "q121_embed_quantize" -> q121,
     "q80_ann_bruteforce" -> q80,
@@ -440,6 +509,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q147_kmeans_step" -> q147Sql,
     "q84_vector_stats" -> q84Sql,
     "q121_embed_quantize" -> q121Sql,
     "q80_ann_bruteforce" -> q80Sql,
