@@ -498,8 +498,63 @@ object Similarity extends QueryModule {
        |FROM newc JOIN cents ON newc.cid = cents.cid
        |GROUP BY newc.cid ORDER BY newc.cid""".stripMargin
 
+  /** q154: Johnson–Lindenstrauss random projection — every 64-dim
+    * quantized vector projected through the first 16 ±1 hyperplanes
+    * (the SAME plan-time md5 matrix the LSH family inlines, so both
+    * engines multiply identical literals), then a per-label audit of norm
+    * preservation: the integer-scaled ratio Σ‖Pv‖² · 10⁶ div (16 · Σ‖v‖²)
+    * should sit near 10⁶ per JL (E‖Pv‖² = k·‖v‖² for ±1 projections).
+    * The projection is the standard cheap pre-step before similarity
+    * search — 4× fewer dims for every downstream pair computation.
+    *
+    * Scale: 16 fused `graft_dot` loops per row (map-only, codegen), one
+    * label-keyed partial-agg shuffle of three BIGINTs. Nothing leaves the
+    * scan stage but (label, partials).
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val projNorm2 = (0 until 16).map { p =>
+      val plane = planeMatrix(p).map(c => s"${c}L").mkString("array(", ", ", ")")
+      val dp = expr(s"graft_dot(v, $plane)")
+      dp * dp
+    }.reduce(_ + _)
+    quantized(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), projNorm2.as("pn2"), dotExpr("v", "v").as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pn2")).as("sum_proj_norm2"),
+        sum(col("n2")).as("sum_norm2"))
+      .select(col("label").cast(LongType).as("label"), col("n"),
+        col("sum_proj_norm2"), col("sum_norm2"),
+        // per-vector means BEFORE the ppm scaling so the product stays
+        // far inside BIGINT at any corpus size
+        expr("((sum_proj_norm2 div n) * 1000000L) div (16 * (sum_norm2 div n))")
+          .as("jl_ratio_ppm"))
+      .orderBy(col("label"))
+  }
+
+  private val q154Sql = {
+    val pn2 = (0 until 16).map { p =>
+      val plane = planeMatrix(p).mkString("[", ",", "]")
+      s"power(list_sum(list_transform(range(1, ${Dims + 1}), j -> ($plane)[j] * v[j])), 2)"
+    }.mkString(" + ")
+    s"""WITH q AS ($quantizedSql),
+       |per AS (
+       |  SELECT e.label, CAST($pn2 AS BIGINT) AS pn2,
+       |    list_sum(list_transform(q.v, x -> x * x)) AS n2
+       |  FROM q JOIN embeddings e ON e.vec_id = q.vec_id)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+       |  CAST(SUM(pn2) AS BIGINT) AS sum_proj_norm2,
+       |  CAST(SUM(n2) AS BIGINT) AS sum_norm2,
+       |  ((CAST(SUM(pn2) AS BIGINT) // COUNT(*)) * 1000000)
+       |    // (16 * (CAST(SUM(n2) AS BIGINT) // COUNT(*))) AS jl_ratio_ppm
+       |FROM per GROUP BY label ORDER BY label""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_kmeans_step" -> q147,
+    "q154_random_projection" -> q154,
     "q84_vector_stats" -> q84,
     "q121_embed_quantize" -> q121,
     "q80_ann_bruteforce" -> q80,
@@ -510,6 +565,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q147_kmeans_step" -> q147Sql,
+    "q154_random_projection" -> q154Sql,
     "q84_vector_stats" -> q84Sql,
     "q121_embed_quantize" -> q121Sql,
     "q80_ann_bruteforce" -> q80Sql,

@@ -230,7 +230,60 @@ object TimeSeries extends QueryModule {
       |  CAST(SUM(credit) AS DOUBLE) / 100 AS attributed
       |FROM allc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q153: A/B experiment readout — purchase values split by an
+    * experiment bucket parsed from the JSON props (`k % 2`), with exact
+    * per-variant moments (decimal sums) feeding the Welch t statistic.
+    * The analytics-engine staple: assignment comes from event properties,
+    * not a column, and significance needs n/mean/variance per arm.
+    *
+    * Exactness: n, Σx, Σx² are exact decimal/integer aggregates
+    * (associative → partition-proof); mean, variance and t are a fixed
+    * double formula over those exact inputs, IEEE-identical across
+    * engines. Scale: one partial-agg shuffle of 3 numbers per arm.
+    */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val x = Exact.money(col("value"))
+    val arms = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select((get_json_object(col("props"), "$.k").cast(LongType) % 2)
+        .as("variant"), x.as("x"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("x") * col("x")).cast(DoubleType).as("sx2"))
+      .select(col("variant"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("variance"))
+    val a = arms.filter(col("variant") === 0).select(
+      col("n").as("n0"), col("mean").as("mean0"), col("variance").as("var0"))
+    val b = arms.filter(col("variant") === 1).select(
+      col("n").as("n1"), col("mean").as("mean1"), col("variance").as("var1"))
+    a.crossJoin(b).select(
+      col("n0"), col("n1"), col("mean0"), col("mean1"),
+      ((col("mean1") - col("mean0"))
+        / sqrt(col("var0") / col("n0") + col("var1") / col("n1")))
+        .as("welch_t"))
+  }
+
+  private val q153Sql =
+    """WITH arms AS (
+      |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS variant,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |m AS (
+      |  SELECT variant, n, sx / n AS mean,
+      |    (sx2 - sx * sx / n) / (n - 1) AS variance
+      |  FROM arms)
+      |SELECT a.n AS n0, b.n AS n1, a.mean AS mean0, b.mean AS mean1,
+      |  (b.mean - a.mean) / sqrt(a.variance / a.n + b.variance / b.n) AS welch_t
+      |FROM (SELECT * FROM m WHERE variant = 0) a,
+      |     (SELECT * FROM m WHERE variant = 1) b""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ab_welch" -> q153,
     "q123_gapfill_ffill" -> q123,
     "q124_retention_cohorts" -> q124,
     "q139_scd2_intervals" -> q139,
@@ -238,6 +291,7 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q153_ab_welch" -> q153Sql,
     "q123_gapfill_ffill" -> q123Sql,
     "q124_retention_cohorts" -> q124Sql,
     "q139_scd2_intervals" -> q139Sql,
