@@ -250,7 +250,80 @@ object Relational extends QueryModule {
       |  ON size, retailprice INTO NAME metric VALUE value
       |) ORDER BY p_partkey, metric""".stripMargin
 
+  /** q155: one-pass table profile — the ANALYZE-style column statistics
+    * (null count, exact distinct, min/max) a cost-based optimizer or data
+    * catalog collects, for four mixed-type lineitem columns in ONE
+    * aggregate over one scan (16 partial-aggregated metrics), reshaped to
+    * a row per column via `stack`. min/max canonicalize to strings
+    * (DECIMAL(18,2) render for numerics, DATE for the timestamp) so one
+    * schema carries every column type.
+    *
+    * Scale: a single partial-agg shuffle of one 16-metric row per
+    * partition; the exact distinct counts are the only per-value state
+    * (swap in HLL — q24 — when ndv-sized state is too much; the oracle
+    * needs the exact spelling).
+    */
+  private def q155(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").isNull.cast(LongType)).as("null_q"),
+        countDistinct(col("l_quantity")).as("ndv_q"),
+        min(col("l_quantity").cast(DecimalType(18, 2))).cast(StringType).as("min_q"),
+        max(col("l_quantity").cast(DecimalType(18, 2))).cast(StringType).as("max_q"),
+        sum(col("l_extendedprice").isNull.cast(LongType)).as("null_p"),
+        countDistinct(col("l_extendedprice")).as("ndv_p"),
+        min(col("l_extendedprice").cast(DecimalType(18, 2))).cast(StringType).as("min_p"),
+        max(col("l_extendedprice").cast(DecimalType(18, 2))).cast(StringType).as("max_p"),
+        sum(col("l_shipdate").isNull.cast(LongType)).as("null_d"),
+        countDistinct(col("l_shipdate")).as("ndv_d"),
+        min(to_date(col("l_shipdate"))).cast(StringType).as("min_d"),
+        max(to_date(col("l_shipdate"))).cast(StringType).as("max_d"),
+        sum(col("l_returnflag").isNull.cast(LongType)).as("null_f"),
+        countDistinct(col("l_returnflag")).as("ndv_f"),
+        min(col("l_returnflag")).as("min_f"),
+        max(col("l_returnflag")).as("max_f"))
+      .selectExpr("n_rows",
+        """stack(4,
+          |  'l_quantity', null_q, ndv_q, min_q, max_q,
+          |  'l_extendedprice', null_p, ndv_p, min_p, max_p,
+          |  'l_shipdate', null_d, ndv_d, min_d, max_d,
+          |  'l_returnflag', null_f, ndv_f, min_f, max_f
+          |) AS (column_name, n_nulls, n_distinct, min_repr, max_repr)""".stripMargin)
+      .orderBy(col("column_name"))
+
+  private val q155Sql =
+    """WITH base AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+      |p AS (
+      |  SELECT 'l_quantity' AS column_name,
+      |    COUNT(*) - COUNT(l_quantity) AS n_nulls,
+      |    COUNT(DISTINCT l_quantity) AS n_distinct,
+      |    CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS min_repr,
+      |    CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS max_repr
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice',
+      |    COUNT(*) - COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+      |    CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR),
+      |    CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_shipdate',
+      |    COUNT(*) - COUNT(l_shipdate), COUNT(DISTINCT l_shipdate),
+      |    CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+      |    CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag',
+      |    COUNT(*) - COUNT(l_returnflag), COUNT(DISTINCT l_returnflag),
+      |    MIN(l_returnflag), MAX(l_returnflag)
+      |  FROM lineitem)
+      |SELECT base.n_rows, p.column_name, p.n_nulls, p.n_distinct,
+      |  p.min_repr, p.max_repr
+      |FROM base, p ORDER BY p.column_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_table_profile" -> q155,
     "q07_revenue_by_nation" -> q07,
     "q06_filter_sum" -> q06,
     "q01_pricing_summary" -> q01,
@@ -262,6 +335,7 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q155_table_profile" -> q155Sql,
     "q07_revenue_by_nation" -> q07Sql,
     "q06_filter_sum" -> q06Sql,
     "q01_pricing_summary" -> q01Sql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Exact, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale patterns as first-class, oracle-verified operators: the rewrites
@@ -348,11 +349,58 @@ object ScalePatterns extends QueryModule {
        |GROUP BY 1, 2, 3 ORDER BY w2.brand""".stripMargin
   }
 
+  /** q156: deterministic weighted (PPS) sampling — one document selected
+    * per `stride = Σw div 50` units of cumulative weight (systematic
+    * size-proportional-to-weight sampling by n_chars), spelled with a
+    * DISTRIBUTED prefix sum: range-partition by doc_id, per-partition
+    * totals collected to the driver (one row per partition — bounded),
+    * prefix offsets broadcast back, and the running sum windowed WITHIN
+    * each partition. A single global-order window would serialize the
+    * corpus through one task; this is the standard two-pass prefix-sum
+    * that keeps it parallel. Selection depends only on the global
+    * cumulative sum, so the output is partition-count-independent — the
+    * oracle states the same semantics as one window.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parted = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").as("w"))
+      .repartitionByRange(8, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids for both consumers
+    val partTotals = parted.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    val stride = total / 50
+    val offsets = partTotals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, pw)) => (pid, acc + pw) }
+      .init.zip(partTotals)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val win = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    parted
+      .join(broadcast(offsets.toSeq.toDF("pid", "off")), "pid")
+      .withColumn("cum", col("off") + sum(col("w")).over(win))
+      .filter(expr(s"cum div ${stride}L > (cum - w) div ${stride}L"))
+      .select(col("doc_id"), col("w"), col("cum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q156Sql =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars AS w,
+      |    CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM documents),
+      |s AS (SELECT CAST(SUM(n_chars) AS BIGINT) // 50 AS stride FROM documents)
+      |SELECT doc_id, w, cum FROM t, s
+      |WHERE cum // stride > (cum - w) // stride
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
     "q141_heavy_hitters" -> q141,
     "q144_interval_bin_join" -> q144,
+    "q156_weighted_sample" -> q156,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -364,6 +412,7 @@ object ScalePatterns extends QueryModule {
     "q111_bloom_join" -> q111Sql,
     "q141_heavy_hitters" -> q141Sql,
     "q144_interval_bin_join" -> q144Sql,
+    "q156_weighted_sample" -> q156Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,
