@@ -552,9 +552,69 @@ object Similarity extends QueryModule {
        |FROM per GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** q157: product quantization (PQ) — the memory side of the ANN story
+    * (q81 recall, q83 partitioning): 64-dim vectors split into M=8
+    * subspaces of 8 dims, each sub-vector snapped to its nearest of 16
+    * codewords (sub-vectors of the first 16 corpus vectors — the
+    * deterministic stand-in for a trained codebook), compressing
+    * 64×8 bytes to 8×4 bits. Output per subspace: codes actually used,
+    * total and max squared quantization error — all exact integers
+    * (argmin via the packed d²·16+code key, ties to the smaller code).
+    *
+    * Scale: the codebook is M×16 sub-vectors → broadcast; assignment is a
+    * map-side argmin per (vector, subspace) — one shuffle of
+    * (vec_id, m, best) pairs, partial-agged to O(M) rows. Exactly the
+    * encode pass an IVF-PQ index build runs over billions of vectors.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val sub = vecs
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+    val codebook = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "cv")))
+    val d2 = dotExpr("sv", "sv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("sv", "cv")
+    sub.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("code"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("d2") * 16 + col("code")).as("packed"))
+      .select(col("m"), (col("packed") % 16).as("code"),
+        expr("packed div 16").as("err2"))
+      .groupBy(col("m"))
+      .agg(countDistinct(col("code")).as("n_codes_used"),
+        sum(col("err2")).as("total_err2"),
+        max(col("err2")).as("max_err2"))
+      .orderBy(col("m"))
+  }
+
+  private val q157Sql =
+    s"""WITH q AS ($quantizedSql),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv FROM q CROSS JOIN ms),
+       |cb AS (
+       |  SELECT vec_id AS code, m, v[m*8+1 : m*8+8] AS cv
+       |  FROM q CROSS JOIN ms WHERE vec_id < 16),
+       |best AS (
+       |  SELECT s.vec_id, s.m,
+       |    MIN((list_sum(list_transform(range(1, 9),
+       |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 16) + c.code)
+       |      AS packed
+       |  FROM sub s JOIN cb c ON s.m = c.m
+       |  GROUP BY 1, 2)
+       |SELECT m, COUNT(DISTINCT packed % 16) AS n_codes_used,
+       |  CAST(SUM(packed // 16) AS BIGINT) AS total_err2,
+       |  CAST(MAX(packed // 16) AS BIGINT) AS max_err2
+       |FROM best GROUP BY m ORDER BY m""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_kmeans_step" -> q147,
     "q154_random_projection" -> q154,
+    "q157_pq_codes" -> q157,
     "q84_vector_stats" -> q84,
     "q121_embed_quantize" -> q121,
     "q80_ann_bruteforce" -> q80,
@@ -566,6 +626,7 @@ object Similarity extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q147_kmeans_step" -> q147Sql,
     "q154_random_projection" -> q154Sql,
+    "q157_pq_codes" -> q157Sql,
     "q84_vector_stats" -> q84Sql,
     "q121_embed_quantize" -> q121Sql,
     "q80_ann_bruteforce" -> q80Sql,
