@@ -282,7 +282,114 @@ object TimeSeries extends QueryModule {
       |FROM (SELECT * FROM m WHERE variant = 0) a,
       |     (SELECT * FROM m WHERE variant = 1) b""".stripMargin
 
+  /** q158: time-weighted average (TWAP) — each user's `value` held
+    * constant until their next event, integrated over the observation
+    * window: Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). The finance/IoT
+    * aggregate where arithmetic means lie (irregular sampling overweights
+    * bursts).
+    *
+    * Exactness: value lifts to integer cents, durations are exact
+    * microsecond longs, so the numerator is an associative Σ cents·µs
+    * BIGINT fold (max |value|·span ≈ 1e4·2.6e12·65 ≈ 1.7e18 < 2⁶³ per
+    * user); one double division at the end. Users with a single event
+    * (zero span) are excluded — both engines drop them identically.
+    *
+    * Scale: one user-keyed shuffle, one lead() pass, O(1) window state.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("cents") *
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))))
+          .as("weighted_sum"),
+        sum(unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .as("total_us"))
+      .select(col("user_id"), col("n_intervals"),
+        (col("weighted_sum").cast(DoubleType) / col("total_us") / 100)
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q158Sql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |iv AS (
+      |  SELECT user_id, cents,
+      |    epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dur_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(CAST(SUM(cents * dur_us) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(dur_us) AS BIGINT) / 100 AS twap
+      |FROM iv WHERE dur_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q159: survivorship / golden-record merge — duplicate "customer"
+    * records (each user's events standing in for record versions)
+    * collapsed to one row taking, PER FIELD, the latest non-null value
+    * (nullable fields arrive sparsely, so the winner differs per column —
+    * the master-data-management rule "most recent non-null wins, field by
+    * field"). `max_by` over a null-filtered struct implements each field's
+    * rule in one aggregate pass; no window needed.
+    *
+    * Scale: a single user-keyed partial aggregation; per-field state is
+    * one (timestamp, value) pair regardless of version count.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("ts"), col("event_id"),
+      // sparse nullable "fields" carved from the event stream
+      when(col("event_type") === "purchase", col("value")).as("last_purchase"),
+      when(col("event_type") === "click", get_json_object(col("props"), "$.k")
+        .cast(LongType)).as("last_click_k"),
+      when(col("event_type") === "signup", col("ts")).as("signup_ts"))
+    // recency key as a zero-padded sortable string — DuckDB's arg_max
+    // cannot order by a struct, and (µs, event_id) padded to fixed width
+    // compares identically as text in both engines
+    val recency = concat(
+      lpad(unix_micros(col("ts")).cast(StringType), 20, "0"),
+      lpad(col("event_id").cast(StringType), 20, "0"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        max_by(col("last_purchase"),
+          when(col("last_purchase").isNotNull, recency)).as("last_purchase"),
+        max_by(col("last_click_k"),
+          when(col("last_click_k").isNotNull, recency)).as("last_click_k"),
+        max(col("signup_ts")).as("signup_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q159Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, props, ts,
+      |    lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+      |      || lpad(CAST(event_id AS VARCHAR), 20, '0') AS recency
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_versions,
+      |  arg_max(CASE WHEN event_type = 'purchase' THEN value END,
+      |    CASE WHEN event_type = 'purchase' THEN recency END)
+      |    AS last_purchase,
+      |  arg_max(CASE WHEN event_type = 'click'
+      |               THEN CAST(json_extract(props, '$.k') AS BIGINT) END,
+      |    CASE WHEN event_type = 'click' THEN recency END)
+      |    AS last_click_k,
+      |  MAX(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+      |    AS signup_ts
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_twap" -> q158,
+    "q159_survivorship" -> q159,
     "q153_ab_welch" -> q153,
     "q123_gapfill_ffill" -> q123,
     "q124_retention_cohorts" -> q124,
@@ -291,6 +398,8 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q158_twap" -> q158Sql,
+    "q159_survivorship" -> q159Sql,
     "q153_ab_welch" -> q153Sql,
     "q123_gapfill_ffill" -> q123Sql,
     "q124_retention_cohorts" -> q124Sql,
