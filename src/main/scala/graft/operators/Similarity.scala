@@ -611,10 +611,93 @@ object Similarity extends QueryModule {
        |  CAST(MAX(packed // 16) AS BIGINT) AS max_err2
        |FROM best GROUP BY m ORDER BY m""".stripMargin
 
+  /** q160: hybrid dedup agreement — for every LSH embedding-candidate
+    * pair ([[bandedIds]] collisions, doc_id ≡ vec_id in the corpus), do
+    * the TEXT signal (token Jaccard ≥ 0.5) and the EMBEDDING signal
+    * (cosine ≥ 0.8) agree? The 2×2 confusion matrix is the calibration
+    * readout a pipeline uses to pick its dedup thresholds before a full
+    * run. Both thresholds are integer-exact: Jaccard ≥ ½ ⟺ 2·|∩| ≥ |∪|,
+    * cosine ≥ 0.3 ⟺ dot ≥ 0 ∧ 100·dot² ≥ 9·‖a‖²‖b‖² — no float
+    * comparisons anywhere near a decision boundary. (0.3 because the
+    * synthetic embeddings carry no planted near-dups — candidate cosines
+    * top out at ~0.5, and a threshold the data can actually cross is the
+    * point of a calibration query; production runs sweep this.)
+    *
+    * Scale: candidates come from the LSH bucket join (bounded by bucket
+    * caps, never n²); token sets and vectors join back per candidate
+    * once; the matrix is a 1-row fold.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idBands = bandedIds(s, d)
+    val cand = idBands.as("a").join(idBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+      .distinct()
+    val vecs = quantized(s, d)
+    val toksOf = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), t => length(t) > 0)).as("tk"))
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("da"), col("v").as("va")), "da")
+      .join(vecs.select(col("vec_id").as("db"), col("v").as("vb")), "db")
+      .join(toksOf.select(col("doc_id").as("da"), col("tk").as("ta")), "da")
+      .join(toksOf.select(col("doc_id").as("db"), col("tk").as("tb")), "db")
+      .select(
+        (size(array_intersect(col("ta"), col("tb"))) * 2 >=
+          (size(col("ta")) + size(col("tb"))
+            - size(array_intersect(col("ta"), col("tb"))))).as("text_dup"),
+        (dotExpr("va", "vb") >= 0 &&
+          dotExpr("va", "vb") * dotExpr("va", "vb") * 100 >=
+            dotExpr("va", "va") * dotExpr("vb", "vb") * 9).as("embed_dup"))
+    scored.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("text_dup") && col("embed_dup"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("text_dup") && !col("embed_dup"), 1L).otherwise(0L)).as("n_text_only"),
+      sum(when(!col("text_dup") && col("embed_dup"), 1L).otherwise(0L)).as("n_embed_only"),
+      sum(when(!col("text_dup") && !col("embed_dup"), 1L).otherwise(0L)).as("n_neither"))
+  }
+
+  private val q160Sql =
+    s"""WITH q AS ($quantizedSql),
+       |bands AS ($bandedIdsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |    AND a.vec_id < b.vec_id),
+       |tks AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split(text, ' '),
+       |                              t -> length(t) > 0)) AS tk
+       |  FROM documents),
+       |scored AS (
+       |  SELECT
+       |    2 * len(list_filter(ta.tk, x -> list_contains(tb.tk, x)))
+       |      >= len(ta.tk) + len(tb.tk)
+       |         - len(list_filter(ta.tk, x -> list_contains(tb.tk, x)))
+       |      AS text_dup,
+       |    dt >= 0 AND 100 * dt * dt >= 9 * na * nb AS embed_dup
+       |  FROM (
+       |    SELECT cand.da, cand.db,
+       |      list_sum(list_transform(range(1, len(qa.v)+1), i -> qa.v[i]*qb.v[i])) AS dt,
+       |      list_sum(list_transform(qa.v, x -> x*x)) AS na,
+       |      list_sum(list_transform(qb.v, x -> x*x)) AS nb
+       |    FROM cand JOIN q qa ON qa.vec_id = cand.da
+       |    JOIN q qb ON qb.vec_id = cand.db) dd
+       |  JOIN tks ta ON ta.doc_id = dd.da
+       |  JOIN tks tb ON tb.doc_id = dd.db)
+       |SELECT COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN text_dup AND embed_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(SUM(CASE WHEN text_dup AND NOT embed_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+       |  CAST(SUM(CASE WHEN NOT text_dup AND embed_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_embed_only,
+       |  CAST(SUM(CASE WHEN NOT text_dup AND NOT embed_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+       |FROM scored""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_kmeans_step" -> q147,
     "q154_random_projection" -> q154,
     "q157_pq_codes" -> q157,
+    "q160_hybrid_dedup" -> q160,
     "q84_vector_stats" -> q84,
     "q121_embed_quantize" -> q121,
     "q80_ann_bruteforce" -> q80,
@@ -627,6 +710,7 @@ object Similarity extends QueryModule {
     "q147_kmeans_step" -> q147Sql,
     "q154_random_projection" -> q154Sql,
     "q157_pq_codes" -> q157Sql,
+    "q160_hybrid_dedup" -> q160Sql,
     "q84_vector_stats" -> q84Sql,
     "q121_embed_quantize" -> q121Sql,
     "q80_ann_bruteforce" -> q80Sql,
