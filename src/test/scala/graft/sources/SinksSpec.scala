@@ -81,4 +81,23 @@ class SinksSpec extends SparkSpec {
     val k = src.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0)
     assert(back.agg(org.apache.spark.sql.functions.sum("o_orderkey")).head.getLong(0) == k)
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, missing read as null") {
+    // the landing-zone reality: yesterday's files lack the column added
+    // today. mergeSchema must union the schemas and null-fill the gap.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = tmpDir("evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.parquet(s"$path/day=1")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v1", "v2")
+      .write.parquet(s"$path/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "day"))
+    val rows = merged.orderBy("id")
+      .select(col("id"), col("v2")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.toSeq == Seq(
+      (1L, None), (2L, None), (3L, Some(30L)), (4L, Some(40L))))
+  }
 }
