@@ -135,13 +135,83 @@ object Graphs extends QueryModule {
       |WHERE p.cooc >= 5
       |ORDER BY pmi_score DESC, p.ta, p.tb LIMIT 20""".stripMargin
 
+  /** q162: market-basket association rules — per-order brand baskets
+    * (lineitem ⋈ broadcast part), unordered brand pairs counted by the
+    * same IN-ROW fan-out q112 uses (≤ |basket|²/2 per order, baskets are
+    * small by nature), then support/confidence/lift with min support 10,
+    * top 20 by lift. Scores are integer ppm (support·10⁶ div …) so the
+    * ranking is hash-exact; both rule directions emit (confidence is
+    * asymmetric).
+    *
+    * Scale: the pair space is brands² ≤ 625 — the shuffle after the
+    * map-side fan-out carries pair partials, never order-level rows; item
+    * supports are a second tiny aggregate. This is a-priori's first pass,
+    * which at 100 TB is exactly the part worth distributing.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val part = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val baskets = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+      .localCheckpoint() // feeds the pair fan-out, item supports, and N
+    val nOrders = baskets.count()
+    val pairSupport = baskets
+      .select(explode(expr(
+        "flatten(transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("sab"))
+      .filter(col("sab") >= 10)
+    val itemSupport = baskets
+      .select(explode(col("bs")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val directed = pairSupport
+      .select(col("a"), col("b"), col("sab"))
+      .union(pairSupport.select(col("b"), col("a"), col("sab")))
+    directed
+      .join(itemSupport.select(col("item").as("a"), col("s").as("sa")), "a")
+      .join(itemSupport.select(col("item").as("b"), col("s").as("sb")), "b")
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("sab"),
+        expr("sab * 1000000L div sa").as("confidence_ppm"),
+        expr(s"sab * ${nOrders}L * 1000000L div (sa * sb)").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  private val q162Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+      |pairs AS (
+      |  SELECT x.item AS a, y.item AS b, COUNT(*) AS sab
+      |  FROM items x JOIN items y
+      |    ON x.l_orderkey = y.l_orderkey AND x.item < y.item
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+      |sup AS (SELECT item, COUNT(*) AS s FROM items GROUP BY 1),
+      |directed AS (
+      |  SELECT a, b, sab FROM pairs
+      |  UNION ALL SELECT b, a, sab FROM pairs)
+      |SELECT d.a AS antecedent, d.b AS consequent, CAST(d.sab AS BIGINT) AS sab,
+      |  CAST((d.sab * 1000000) // sa.s AS BIGINT) AS confidence_ppm,
+      |  CAST((d.sab * (SELECT n_orders FROM n) * 1000000) // (sa.s * sb.s)
+      |    AS BIGINT) AS lift_ppm
+      |FROM directed d
+      |JOIN sup sa ON sa.item = d.a
+      |JOIN sup sb ON sb.item = d.b
+      |ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> q138,
-    "q152_pmi_collocations" -> q152
+    "q152_pmi_collocations" -> q152,
+    "q162_market_basket" -> q162
   )
 
   override def oracles: Map[String, String] = Map(
     "q138_pagerank" -> q138Sql,
-    "q152_pmi_collocations" -> q152Sql
+    "q152_pmi_collocations" -> q152Sql,
+    "q162_market_basket" -> q162Sql
   )
 }

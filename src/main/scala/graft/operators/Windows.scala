@@ -399,7 +399,63 @@ object Windows extends QueryModule {
       |    AS cum_distinct_users
       |FROM act a ORDER BY a.event_type, a.day""".stripMargin
 
+  /** q161: RFM segmentation — every customer scored 1–5 on Recency
+    * (days since last order, most recent = 5), Frequency (order count)
+    * and Monetary (exact decimal spend), via NTILE quintiles with a
+    * customer-key tie-break so equal metrics split deterministically;
+    * output is the segment-code census. The standard CRM cube.
+    *
+    * Scale: one customer-keyed aggregation, three ntile windows over the
+    * CUSTOMER-level relation (not raw orders), and a tiny segment-count
+    * shuffle. The windows are unpartitioned by design — ntile needs the
+    * global rank — but they rank one row per customer; at true scale the
+    * quintile boundaries come from q114-style quantile sketches instead
+    * and the rank windows disappear.
+    */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val maxDay = o.agg(max(to_date(col("o_orderdate")))).head.getDate(0)
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(maxDay), max(to_date(col("o_orderdate")))).as("r_days"),
+        count(lit(1)).as("f"),
+        sum(Exact.money(col("o_totalprice"))).as("m"))
+    val seg = rfm
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(desc("r_days"), col("o_custkey"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("f"), col("o_custkey"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("m"), col("o_custkey"))))
+    seg.groupBy(concat(col("r_score"), col("f_score"), col("m_score"))
+        .as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).cast(DoubleType).as("segment_value"))
+      .orderBy(col("segment"))
+  }
+
+  private val q161Sql =
+    s"""WITH rfm AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+       |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS r_days,
+       |    COUNT(*) AS f,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+       |  FROM orders GROUP BY 1),
+       |seg AS (
+       |  SELECT m,
+       |    NTILE(5) OVER (ORDER BY r_days DESC, o_custkey) AS r_score,
+       |    NTILE(5) OVER (ORDER BY f, o_custkey) AS f_score,
+       |    NTILE(5) OVER (ORDER BY m, o_custkey) AS m_score
+       |  FROM rfm)
+       |SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+       |    || CAST(m_score AS VARCHAR) AS segment,
+       |  COUNT(*) AS n_customers,
+       |  CAST(SUM(m) AS DOUBLE) AS segment_value
+       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_rfm_segments" -> q161,
     "q145_running_distinct" -> q145,
     "q120_attribution" -> q120,
     "q130_sorted_groups" -> q130,
@@ -415,6 +471,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q161_rfm_segments" -> q161Sql,
     "q145_running_distinct" -> q145Sql,
     "q120_attribution" -> q120Sql,
     "q130_sorted_groups" -> q130Sql,
