@@ -240,4 +240,41 @@ class StreamsSpec extends SparkSpec {
     assert(back.count() == 150L)
     assert(back.agg(sum(col("v"))).head.getLong(0) == (1L to 150L).sum)
   }
+
+  test("file source + aggregation state recover from a checkpoint restart") {
+    // the ops-critical path the MemoryStream tests can't cover: a REAL
+    // file source tracking seen files in the checkpoint, and the state
+    // store reloading aggregate state on restart — new files land in the
+    // running totals without the old files re-reading
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft_cpin").toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("graft_cpck").toFile.getAbsolutePath
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    def run(name: String) = {
+      val agg = spark.readStream.schema("k STRING, v BIGINT").parquet(in)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q1 = run("cp_run1")
+    val t1 = spark.table("cp_run1").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t1 == Map("a" -> ((2L, 3L)), "b" -> ((1L, 3L))), s"run1 got $t1")
+    assert(q1.recentProgress.map(_.numInputRows).sum == 3L)
+    // a second file arrives while the query is down
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = run("cp_run2")
+    val t2 = spark.table("cp_run2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(t2 == Map("a" -> ((3L, 13L)), "b" -> ((1L, 3L)), "c" -> ((1L, 5L))),
+      s"state not recovered: $t2")
+    // only the NEW file was read on restart
+    assert(q2.recentProgress.map(_.numInputRows).sum == 2L,
+      "restart re-processed already-committed input")
+  }
 }
