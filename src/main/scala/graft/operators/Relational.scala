@@ -322,7 +322,41 @@ object Relational extends QueryModule {
       |  p.min_repr, p.max_repr
       |FROM base, p ORDER BY p.column_name""".stripMargin
 
+  /** q165: the SQL front door — the whole query authored as `spark.sql`
+    * over a registered temp view, CALLING THE NATIVE `graft_dot` FROM SQL
+    * (the function-registry injection `GraftExtensions` exists for): a
+    * cluster user who never touches the Scala API gets the codegen'd
+    * kernel by name. Brute-force top-5 most-similar vector pairs among
+    * the first 20 vectors, exact integer dots.
+    */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+    s.sql(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings_v WHERE vec_id < 20)
+        |SELECT a.vec_id AS ia, b.vec_id AS ib, graft_dot(a.v, b.v) AS dot
+        |FROM q a JOIN q b ON a.vec_id < b.vec_id
+        |ORDER BY dot DESC, ia, ib LIMIT 5""".stripMargin)
+  }
+
+  private val q165Sql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings WHERE vec_id < 20)
+      |SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |  CAST(list_sum(list_transform(range(1, len(a.v)+1),
+      |    i -> a.v[i] * b.v[i])) AS BIGINT) AS dot
+      |FROM q a JOIN q b ON a.vec_id < b.vec_id
+      |ORDER BY dot DESC, ia, ib LIMIT 5""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_sql_frontdoor" -> q165,
     "q155_table_profile" -> q155,
     "q07_revenue_by_nation" -> q07,
     "q06_filter_sum" -> q06,
@@ -335,6 +369,7 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q165_sql_frontdoor" -> q165Sql,
     "q155_table_profile" -> q155Sql,
     "q07_revenue_by_nation" -> q07Sql,
     "q06_filter_sum" -> q06Sql,

@@ -387,7 +387,104 @@ object TimeSeries extends QueryModule {
       |    AS signup_ts
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q163: volume-anomaly detection — days whose event count sits more
+    * than 2σ from that type's daily mean. The z-test is spelled ENTIRELY
+    * in integers: z² > 4 ⟺ (n·D − S)² > 4·(S2·D − S²) after clearing
+    * denominators (S = Σn, S2 = Σn², D = days), so the flag can never
+    * waver on a float rounding; the reported z²·10⁶ is the same exact
+    * ratio scaled. The monitoring query every event pipeline runs.
+    *
+    * Scale: daily counts are one (type, day) partial agg; the per-type
+    * moments are a second tiny agg joined back broadcast-small.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("dd"), sum(col("n")).as("ss"),
+        sum(col("n") * col("n")).as("s2"))
+    daily.join(moments, "event_type")
+      .filter((col("n") * col("dd") - col("ss")) *
+        (col("n") * col("dd") - col("ss")) >
+        lit(4L) * (col("s2") * col("dd") - col("ss") * col("ss")))
+      .select(col("event_type"), col("day"), col("n"),
+        expr("((n * dd - ss) * (n * dd - ss) * 1000000L) div (s2 * dd - ss * ss)")
+          .as("z2_ppm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q163Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS dd, CAST(SUM(n) AS BIGINT) AS ss,
+      |    CAST(SUM(n * n) AS BIGINT) AS s2
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.day, d.n,
+      |  ((d.n * m.dd - m.ss) * (d.n * m.dd - m.ss) * 1000000)
+      |    // (m.s2 * m.dd - m.ss * m.ss) AS z2_ppm
+      |FROM daily d JOIN m ON d.event_type = m.event_type
+      |WHERE (d.n * m.dd - m.ss) * (d.n * m.dd - m.ss)
+      |      > 4 * (m.s2 * m.dd - m.ss * m.ss)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  /** q164: conversion-latency profile — per signup-week cohort, the
+    * p50/p90 of time from signup to the user's FIRST subsequent purchase
+    * (exact µs durations; converters only). `percentile_cont`
+    * interpolation parity is pinned by q129; the double interpolation on
+    * exact integer inputs is bit-identical across engines.
+    *
+    * Scale: two user-keyed aggregations (first signup, first purchase
+    * after it) and a cohort-sized percentile — the per-cohort duration
+    * lists stay bounded by cohort membership, and at unbounded scale the
+    * exact percentile swaps for q114's mergeable histogram.
+    */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val conv = signups.join(purchases, "user_id")
+      .filter(col("p_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("p_ts")).as("first_p"))
+      .select(to_date(date_trunc("week", col("signup_ts"))).as("cohort_week"),
+        (unix_micros(col("first_p")) - unix_micros(col("signup_ts")))
+          .as("delay_us"))
+    conv.createOrReplaceTempView("conv_delays")
+    // percentile_cont WITHIN GROUP — the q129-pinned interpolation parity
+    s.sql(
+      """SELECT cohort_week, COUNT(*) AS n_converted,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_us) AS p50_us,
+        |  percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_us) AS p90_us
+        |FROM conv_delays GROUP BY cohort_week ORDER BY cohort_week""".stripMargin)
+  }
+
+  private val q164Sql =
+    """WITH s AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT s.user_id, s.signup_ts,
+      |    MIN(CAST(e.ts AS TIMESTAMP)) AS first_p
+      |  FROM s JOIN events e ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts
+      |  GROUP BY 1, 2),
+      |delays AS (
+      |  SELECT CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week,
+      |    epoch_us(first_p) - epoch_us(signup_ts) AS delay_us
+      |  FROM conv)
+      |SELECT cohort_week, COUNT(*) AS n_converted,
+      |  quantile_cont(delay_us, 0.5) AS p50_us,
+      |  quantile_cont(delay_us, 0.9) AS p90_us
+      |FROM delays GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_volume_anomaly" -> q163,
+    "q164_conversion_latency" -> q164,
     "q158_twap" -> q158,
     "q159_survivorship" -> q159,
     "q153_ab_welch" -> q153,
@@ -398,6 +495,8 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q163_volume_anomaly" -> q163Sql,
+    "q164_conversion_latency" -> q164Sql,
     "q158_twap" -> q158Sql,
     "q159_survivorship" -> q159Sql,
     "q153_ab_welch" -> q153Sql,
