@@ -137,6 +137,46 @@ object CorpusOps extends QueryModule {
        |  md5(array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 48], ' ')) AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q166: one BPE merge iteration — the inner loop of byte-pair-encoding
+    * tokenizer training: count every adjacent CHARACTER pair inside each
+    * distinct word, weighted by the word's corpus frequency, and rank the
+    * merge candidates. (Full BPE training is a sequential chain of these;
+    * the distributed primitive per iteration is exactly this weighted
+    * pair count.) Top-20 by count with the pair string as tie-break.
+    *
+    * Scale: the vocabulary aggregates FIRST (one token-keyed shuffle with
+    * map-side combine), so pair fan-out runs per DISTINCT word × its
+    * length — corpus frequency arrives as a multiplier, not repetition;
+    * the pair-count shuffle is bounded by |vocab| × word length.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("pair"))
+      .limit(20)
+  }
+
+  private val q166Sql =
+    s"""WITH vocab AS (
+       |  SELECT tok AS w, COUNT(*) AS freq FROM (
+       |    SELECT unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY 1 HAVING length(tok) >= 2),
+       |pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(w)),
+       |      i -> substring(w, CAST(i AS INT), 2))) AS pair, freq
+       |  FROM vocab)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+       |FROM pairs GROUP BY pair
+       |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q68
 
   /** q68: deny-list redaction — mask a term set with word-boundary regex
@@ -829,6 +869,7 @@ object CorpusOps extends QueryModule {
     "q66_tfidf" -> q66,
     "q67_doc_chunks" -> q67,
     "q142_native_chunks" -> q142,
+    "q166_bpe_merge_step" -> q166,
     "q68_term_redaction" -> q68,
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
@@ -848,6 +889,7 @@ object CorpusOps extends QueryModule {
     "q66_tfidf" -> q66Sql,
     "q67_doc_chunks" -> q67Sql,
     "q142_native_chunks" -> q142Sql,
+    "q166_bpe_merge_step" -> q166Sql,
     "q68_term_redaction" -> q68Sql,
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,

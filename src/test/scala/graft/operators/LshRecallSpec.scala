@@ -19,4 +19,22 @@ class LshRecallSpec extends SparkSpec {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
   }
+
+  test("q83 IVF top-5 overlaps q80 exact top-5 with mean recall >= 0.5") {
+    // the IVF tradeoff made measurable: probing 2/10 inverted lists scans
+    // ~20% of the corpus, so recall against the exhaustive scan must sit
+    // well above that scan fraction for the partitioning to earn its keep
+    val exact = SparkEntry.queries("q80_ann_bruteforce")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SparkEntry.queries("q83_ann_ivf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    val recalls = exact.map { case (qid, want) =>
+      (ivf.getOrElse(qid, Set.empty) intersect want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean IVF recall $mean below the scan-fraction bar")
+  }
 }
