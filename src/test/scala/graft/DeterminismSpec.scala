@@ -1,36 +1,53 @@
 package graft
 
-/** The exact-arithmetic claim, tested head-on: results must be BIT-IDENTICAL
-  * under different shuffle partition counts (= different partial-aggregation
-  * groupings, = what changes between local[32] and a 1000-executor cluster).
-  * Doubles summed naively would fail this; the Exact decimal lifts and
-  * integer quantization must not.
+/** The engine's central cross-engine claim — results are bit-identical
+  * regardless of partitioning — tested directly: hash-sensitive queries
+  * re-run under a deliberately awkward shuffle partition count (7, vs the
+  * session's cpu-count default) and a different file-split size must
+  * produce byte-identical rows. Exercises the exact-decimal sums, the
+  * integer sketch folds, the iterative PageRank, and the xxhash64
+  * decontamination join — the families where a partition-order bug would
+  * hide.
   */
 class DeterminismSpec extends SparkSpec {
 
   private val sensitive = Seq(
-    "q01_pricing_summary", // decimal money sums
-    "q27_stats_exact",     // integer variance identity
-    "q46_salted_agg",      // two-stage salted sums
-    "q84_vector_stats",    // integer vector sums
-    "q33_window_moving_avg", // decimal window frames
-    "q85_dedup_components", // iterative fixpoint + hashed shingle identity
-    "q100_multimodal_features" // mapPartitions feature vectors + element sums
+    "q01_pricing_summary",   // exact decimal aggregation
+    "q104_kmv_distinct",     // mergeable sketch state
+    "q118_exact_corr",       // decimal moments -> double formula
+    "q138_pagerank",         // iterative integer supersteps
+    "q147_kmeans_step",      // argmin assignment + integer means
+    "q151_decontamination",  // hashed-gram broadcast semi join
+    "q156_weighted_sample"   // distributed prefix sum
   )
 
-  test("results are bit-identical across shuffle partition counts") {
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf001)
+      .collect().map(_.toString).toSeq
+
+  test("hash-sensitive queries are invariant to shuffle partition count") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    val baseline = sensitive.map(n => n -> rows(n)).toMap
     try {
-      val runs = Seq("3", "17").map { n =>
-        spark.conf.set("spark.sql.shuffle.partitions", n)
-        sensitive.map { q =>
-          q -> SparkEntry.queries(q)(spark, sf0001).collect().toSeq
-        }.toMap
+      conf.set("spark.sql.shuffle.partitions", "7")
+      sensitive.foreach { n =>
+        assert(rows(n) == baseline(n), s"$n changed under 7 shuffle partitions")
       }
-      for (q <- sensitive) {
-        assert(runs(0)(q) == runs(1)(q),
-          s"$q differs between 3 and 17 shuffle partitions")
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("hash-sensitive queries are invariant to input split size") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.files.maxPartitionBytes")
+    val baseline = sensitive.map(n => n -> rows(n)).toMap
+    try {
+      // tiny splits -> many more scan partitions -> different partial-agg
+      // boundaries; results must not move
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      sensitive.foreach { n =>
+        assert(rows(n) == baseline(n), s"$n changed under 64 KiB splits")
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 }
