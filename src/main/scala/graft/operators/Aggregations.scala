@@ -484,7 +484,36 @@ object Aggregations extends QueryModule {
     """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q168: percent-of-total (ratio_to_report) — each order priority's
+    * exact-cents revenue as a share of the grand total, the share taken
+    * with an unpartitioned window over the 5 POST-AGGREGATION rows (the
+    * one place a global window is free). Integer sums stay exact; the one
+    * double division at the end is IEEE-identical in both engines.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("share",
+        col("cents").cast(DoubleType) /
+          sum(col("cents")).over(Window.partitionBy()))
+      .select(col("prio"), (col("cents").cast(DoubleType) / 100).as("revenue"),
+        col("share"))
+      .orderBy(col("prio"))
+  }
+
+  private val q168Sql =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1)
+      |SELECT prio, CAST(cents AS DOUBLE) / 100 AS revenue,
+      |  CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE) AS share
+      |FROM g ORDER BY prio""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_share_of_total" -> q168,
     "q104_kmv_distinct" -> q104,
     "q129_ordered_set_agg" -> q129,
     "q134_bitmap_distinct" -> q134,
@@ -506,6 +535,7 @@ object Aggregations extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q129_ordered_set_agg" -> q129Sql,
     "q134_bitmap_distinct" -> q134Sql,
+    "q168_share_of_total" -> q168Sql,
     "q104_kmv_distinct" -> q104Sql,
     "q114_histogram_quantiles" -> q114Sql,
     "q117_listagg" -> q117Sql,

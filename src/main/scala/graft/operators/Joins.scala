@@ -450,7 +450,61 @@ object Joins extends QueryModule {
       |   ORDER BY v.ts DESC, v.event_id DESC NULLS FIRST LIMIT 1) AS recent_view_value
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  /** q167: nearest-event join — each purchase matched to its CLOSEST view
+    * in time, either direction, composing the native as-of operator twice
+    * (backward + forward through [[graft.plans.AsOfJoinPlan]]) and picking
+    * the closer candidate (ties prefer the prior view). The global
+    * nearest-by-|Δt| IS the closer of the two as-of candidates, so two
+    * O(1)-state merges replace a per-purchase scan of the user's views.
+    * Carried value is a (ts, value) struct so the distance is computable
+    * from the match itself. Signed `delta_us` < 0 means the view preceded
+    * the purchase.
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        struct(col("ts").as("vts"), col("value").as("v")).as("vs"))
+    val withPrev = graft.plans.AsOfJoin(s, purchases, views,
+      keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+      valueCol = "vs", outName = "prev")
+    val both = graft.plans.AsOfJoin(s, withPrev, views,
+      keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+      valueCol = "vs", outName = "nxt", direction = "forward")
+    val dPrev = unix_micros(col("ts")) - unix_micros(col("prev.vts"))
+    val dNext = unix_micros(col("nxt.vts")) - unix_micros(col("ts"))
+    both.select(col("event_id"), col("user_id"),
+        when(col("prev").isNotNull &&
+            (col("nxt").isNull || dPrev <= dNext), col("prev.v"))
+          .otherwise(col("nxt.v")).as("nearest_value"),
+        when(col("prev").isNotNull &&
+            (col("nxt").isNull || dPrev <= dNext), -dPrev)
+          .otherwise(dNext).as("delta_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q167Sql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  value, event_type FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id AS vid, user_id, ts AS vts, value
+      |      FROM e WHERE event_type = 'view'),
+      |cand AS (
+      |  SELECT p.event_id, p.user_id, v.value,
+      |    epoch_us(v.vts) - epoch_us(p.ts) AS delta_us,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+      |      abs(epoch_us(v.vts) - epoch_us(p.ts)),
+      |      CASE WHEN (v.vts, v.vid) < (p.ts, p.event_id) THEN 0 ELSE 1 END,
+      |      CASE WHEN (v.vts, v.vid) < (p.ts, p.event_id)
+      |           THEN -v.vid ELSE v.vid END) AS rk
+      |  FROM p LEFT JOIN v ON p.user_id = v.user_id)
+      |SELECT event_id, user_id, value AS nearest_value, delta_us
+      |FROM cand WHERE rk = 1 ORDER BY event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_nearest_event" -> q167,
     "q17_join_theta" -> q17,
     "q115_cross_join_grid" -> q115,
     "q119_pareto_frontier" -> q119,
@@ -470,6 +524,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q167_nearest_event" -> q167Sql,
     "q17_join_theta" -> q17Sql,
     "q115_cross_join_grid" -> q115Sql,
     "q119_pareto_frontier" -> q119Sql,

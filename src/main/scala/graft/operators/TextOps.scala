@@ -659,9 +659,66 @@ object TextOps extends QueryModule {
       |  ON t.source = c.source
       |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  /** q169: sorted-neighborhood near-dup detection — the SORT-based
+    * blocking alternative to hash LSH (q75) and embedding buckets (q82):
+    * documents sort by text within an 8-char-prefix block, each compares
+    * to its next 2 neighbors only, flagged when the bounded edit distance
+    * of the first 64 chars is ≤ 16. Classic MDM record-linkage blocking:
+    * O(n·w) comparisons instead of O(n²), at the documented cost of
+    * missing pairs that straddle a block boundary.
+    *
+    * Scale: the block prefix IS the shuffle partition key and the sort is
+    * within-partition — no global-order window anywhere; the window state
+    * is the w=2 lookahead.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, 8).as("block"),
+        substring(col("text"), 1, 64).as("head"))
+    val w = Window.partitionBy(col("block")).orderBy(col("text"), col("doc_id"))
+    val flagged = (1 to 2).map { k =>
+      docs
+        .withColumn("nb_id", lead(col("doc_id"), k).over(w))
+        .withColumn("nb_head", lead(col("head"), k).over(w))
+        .filter(col("nb_id").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("nb_id").as("doc_b"),
+          levenshtein(col("head"), col("nb_head"), 16).cast(LongType).as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= 16)
+    }.reduce(_ union _)
+    flagged.select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("dist"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q169Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, substring(text, 1, 8) AS block,
+      |    substring(text, 1, 64) AS head
+      |  FROM documents),
+      |nb AS (
+      |  SELECT doc_id, head,
+      |    LEAD(doc_id, 1) OVER w AS n1_id, LEAD(head, 1) OVER w AS n1_head,
+      |    LEAD(doc_id, 2) OVER w AS n2_id, LEAD(head, 2) OVER w AS n2_head
+      |  FROM d WINDOW w AS (PARTITION BY block ORDER BY text, doc_id)),
+      |pairs AS (
+      |  SELECT doc_id AS doc_a, n1_id AS doc_b,
+      |    levenshtein(head, n1_head) AS dist
+      |  FROM nb WHERE n1_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, n2_id, levenshtein(head, n2_head)
+      |  FROM nb WHERE n2_id IS NOT NULL)
+      |SELECT DISTINCT LEAST(doc_a, doc_b) AS doc_a,
+      |  GREATEST(doc_a, doc_b) AS doc_b, CAST(dist AS BIGINT) AS dist
+      |FROM pairs WHERE dist <= 16
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_canonical_dedup" -> q150,
     "q151_decontamination" -> q151,
+    "q169_sorted_neighborhood" -> q169,
     "q79_corpus_pipeline" -> q79,
     "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
@@ -678,6 +735,7 @@ object TextOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q150_canonical_dedup" -> q150Sql,
     "q151_decontamination" -> q151Sql,
+    "q169_sorted_neighborhood" -> q169Sql,
     "q79_corpus_pipeline" -> q79Sql,
     "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,
