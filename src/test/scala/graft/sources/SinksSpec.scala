@@ -100,4 +100,24 @@ class SinksSpec extends SparkSpec {
     assert(rows.toSeq == Seq(
       (1L, None), (2L, None), (3L, Some(30L)), (4L, Some(40L))))
   }
+
+  test("dynamic partition overwrite replaces only the partitions written") {
+    // the incremental-reload contract: INSERT OVERWRITE of day=2 must not
+    // touch day=1 under partitionOverwriteMode=dynamic (static mode would
+    // truncate the whole table)
+    import spark.implicits._
+    val path = tmpDir("dpo")
+    Seq((1L, "d1"), (2L, "d1"), (3L, "d2"))
+      .toDF("id", "day").write.partitionBy("day").parquet(path)
+    val before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((30L, "d2"), (31L, "d2")).toDF("id", "day")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+    val back = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2")),
+      s"dynamic overwrite produced $back")
+  }
 }

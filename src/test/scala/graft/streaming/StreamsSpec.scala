@@ -277,4 +277,29 @@ class StreamsSpec extends SparkSpec {
     assert(q2.recentProgress.map(_.numInputRows).sum == 2L,
       "restart re-processed already-committed input")
   }
+
+  test("streaming file sink partitions output by column (landing-zone layout)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_pout").toFile.getAbsolutePath
+    val cp = java.nio.file.Files.createTempDirectory("graft_pck").toFile.getAbsolutePath
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDS().toDF("k", "v")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .partitionBy("k")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("a", 1L), ("b", 2L), ("a", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // hive-style partition directories on disk...
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("k=")).sorted
+    assert(dirs.toSeq == Seq("k=a", "k=b"), s"got ${dirs.toSeq}")
+    // ...and partition pruning applies on read-back
+    // (partition columns come back LAST in the schema — select by name)
+    val back = spark.read.parquet(out).filter(col("k") === "a").select("v")
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
 }
