@@ -136,6 +136,14 @@ class PlanSpec extends SparkSpec {
       s"candidate recount not a broadcast semi join:\n$p")
   }
 
+  test("q167 composes TWO native as-of merges, no window buffers") {
+    val p = plan("q167_nearest_event")
+    val merges = "AsOfJoin".r.findAllIn(p).size
+    assert(merges >= 2, s"expected both directions through AsOfJoinExec:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest-event degenerated to all-pairs:\n$p")
+  }
+
   test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
     val p = plan("q126_lateral_topk")
     // Catalyst must rewrite the per-customer LIMIT subquery into a
