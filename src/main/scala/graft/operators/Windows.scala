@@ -454,7 +454,46 @@ object Windows extends QueryModule {
        |  CAST(SUM(m) AS DOUBLE) AS segment_value
        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q171: longest consecutive-day activity streak per user — the
+    * gaps-and-islands date trick: `day − row_number()` is constant within
+    * a consecutive run, so runs group without self-joins or iteration.
+    * Sibling of q37 (time-gap sessionize); this one is calendar-aligned.
+    *
+    * Scale: distinct (user, day) first (bounded by users × days), one
+    * user-keyed window for the island key, two tiny aggregations. Window
+    * state is O(1).
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("longest_streak"),
+        sum(col("streak")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q171Sql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+      |               AS INT) AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, COUNT(*) AS streak
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, MAX(streak) AS longest_streak,
+      |  CAST(SUM(streak) AS BIGINT) AS n_active_days
+      |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_longest_streak" -> q171,
     "q161_rfm_segments" -> q161,
     "q145_running_distinct" -> q145,
     "q120_attribution" -> q120,
@@ -471,6 +510,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q171_longest_streak" -> q171Sql,
     "q161_rfm_segments" -> q161Sql,
     "q145_running_distinct" -> q145Sql,
     "q120_attribution" -> q120Sql,
