@@ -146,7 +146,10 @@ object Graphs extends QueryModule {
     * Scale: the pair space is brands² ≤ 625 — the shuffle after the
     * map-side fan-out carries pair partials, never order-level rows; item
     * supports are a second tiny aggregate. This is a-priori's first pass,
-    * which at 100 TB is exactly the part worth distributing.
+    * which at 100 TB is exactly the part worth distributing. Headroom:
+    * `sab·N·10⁶` stays inside int64 to ~2e6 baskets per pair support;
+    * beyond that, lift the ppm arithmetic to DECIMAL(38,0) (the shape is
+    * unchanged — only the cast widens).
     */
   private def q162(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))

@@ -395,7 +395,10 @@ object TimeSeries extends QueryModule {
     * ratio scaled. The monitoring query every event pipeline runs.
     *
     * Scale: daily counts are one (type, day) partial agg; the per-type
-    * moments are a second tiny agg joined back broadcast-small.
+    * moments are a second tiny agg joined back broadcast-small. Headroom:
+    * the cleared-denominator products stay inside int64 up to ~10⁶ events
+    * per (type, day); past that, lift S/S2 to DECIMAL(38,0) — the
+    * inequality is unchanged.
     */
   private def q163(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
