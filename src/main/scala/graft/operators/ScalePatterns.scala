@@ -395,12 +395,89 @@ object ScalePatterns extends QueryModule {
       |WHERE cum // stride > (cum - w) // stride
       |ORDER BY doc_id""".stripMargin
 
+  /** q172: materialized-view incremental refresh — the aggregate kept as
+    * MERGEABLE PARTIALS (count + exact decimal sum per key): the base
+    * partition (orders before the cutoff) and the newly-arrived delta fold
+    * together by partial-merge, never recomputing from base data. The
+    * oracle is the full one-shot aggregate, so the refresh algebra is
+    * verified exact — decimal sums are associative, which is precisely
+    * what makes count/sum/avg views incrementally refreshable at any
+    * scale (subtract a retracted batch the same way).
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      to_date(col("o_orderdate")).as("day"),
+      col("o_totalprice"))
+    val cutoff = to_date(lit("1997-01-01"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("prio")).agg(
+        count(lit(1)).as("n"),
+        sum(Exact.money(col("o_totalprice"))).as("sdec"))
+    partials(o.filter(col("day") < cutoff))
+      .unionByName(partials(o.filter(col("day") >= cutoff)))
+      .groupBy(col("prio"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("sdec")).cast("double").as("revenue"))
+      .orderBy(col("prio"))
+  }
+
+  private val q172Sql =
+    s"""SELECT o_orderpriority AS prio, COUNT(*) AS n_orders,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q173: join-cardinality estimation from key histograms — the self-join
+    * blow-up on `l_partkey` predicted WITHOUT executing the join:
+    * |L ⋈ L| = Σ_k cnt(k)², an identity computed from the tiny per-key
+    * count relation. The oracle COUNTs the real join, so the "estimate"
+    * verifies exact. Also reports the hottest key and the top-5 keys'
+    * share — the skew diagnostic a planner (or a dedup pipeline sizing
+    * its candidate join) reads before committing to a shuffle.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val ranked = hist.withColumn("rk",
+      row_number().over(Window.orderBy(desc("cnt"), col("l_partkey"))))
+    ranked.agg(
+        sum(col("cnt") * col("cnt")).as("predicted_join_rows"),
+        max(col("cnt")).as("hottest_key_cnt"),
+        sum(when(col("rk") <= 5, col("cnt") * col("cnt")).otherwise(0L))
+          .as("top5_rows"))
+      .select(col("predicted_join_rows"), col("hottest_key_cnt"),
+        expr("top5_rows * 1000000L div predicted_join_rows")
+          .as("top5_share_ppm"))
+  }
+
+  private val q173Sql =
+    """WITH h AS (
+      |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l_partkey) AS rk
+      |  FROM h),
+      |agg AS (
+      |  SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS predicted,
+      |    CAST(MAX(cnt) AS BIGINT) AS hottest,
+      |    CAST(SUM(CASE WHEN rk <= 5 THEN cnt * cnt ELSE 0 END) AS BIGINT)
+      |      AS top5
+      |  FROM r),
+      |actual AS (
+      |  SELECT COUNT(*) AS n FROM lineitem a
+      |  JOIN lineitem b ON a.l_partkey = b.l_partkey)
+      |SELECT actual.n AS predicted_join_rows, agg.hottest AS hottest_key_cnt,
+      |  (agg.top5 * 1000000) // agg.predicted AS top5_share_ppm
+      |FROM agg, actual""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
     "q141_heavy_hitters" -> q141,
     "q144_interval_bin_join" -> q144,
     "q156_weighted_sample" -> q156,
+    "q172_incremental_refresh" -> q172,
+    "q173_join_cardinality" -> q173,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -413,6 +490,8 @@ object ScalePatterns extends QueryModule {
     "q141_heavy_hitters" -> q141Sql,
     "q144_interval_bin_join" -> q144Sql,
     "q156_weighted_sample" -> q156Sql,
+    "q172_incremental_refresh" -> q172Sql,
+    "q173_join_cardinality" -> q173Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,
