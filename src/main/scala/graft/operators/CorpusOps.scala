@@ -177,6 +177,65 @@ object CorpusOps extends QueryModule {
        |FROM pairs GROUP BY pair
        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  /** q174: content-defined-chunk dedup — the storage-dedup pass: blocks
+    * cut at CONTENT boundaries (after any token ending in 'e'/'a' — a
+    * deterministic stand-in for a gear/rolling-hash cut rule, ~4-token
+    * blocks here) so duplicated spans dedup even when SHIFTED — the
+    * failure mode that makes q102's fixed-offset passages miss moved
+    * boilerplate. Per source: block count, distinct blocks, and the
+    * reclaimable duplicate fraction (ppm).
+    *
+    * Scale: explode is map-side; the boundary prefix-count and block
+    * assembly share ONE doc-keyed shuffle (the window and the groupBy use
+    * the same key); dedup counts shuffle 16-byte hashes. Exactly a CDC
+    * dedup (LBFS/restic-style) with the hash boundary swapped for a
+    * char-class rule both engines evaluate identically.
+    */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("flag",
+        when(substring(col("tok"), -1, 1).isin("e", "a"), 1L).otherwise(0L))
+      .withColumn("blk", coalesce(sum(col("flag")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("blk"))
+      .agg(md5(array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .getField("tok"), " ")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct(col("h")).as("distinct_blocks"))
+      .select(col("source"), col("n_blocks"), col("distinct_blocks"),
+        expr("(n_blocks - distinct_blocks) * 1000000L div n_blocks")
+          .as("reclaimable_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q174Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, u.tok AS tok, u.pos AS pos FROM (
+       |    SELECT doc_id, source, unnest(list_transform($toksSql,
+       |      (x, i) -> {'tok': x, 'pos': i})) AS u
+       |    FROM documents)),
+       |b AS (
+       |  SELECT doc_id, source, tok, pos,
+       |    COALESCE(SUM(CASE WHEN right(tok, 1) IN ('e', 'a')
+       |                      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS blk
+       |  FROM t),
+       |blocks AS (
+       |  SELECT source, md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+       |  FROM b GROUP BY doc_id, source, blk)
+       |SELECT source, COUNT(*) AS n_blocks,
+       |  COUNT(DISTINCT h) AS distinct_blocks,
+       |  ((COUNT(*) - COUNT(DISTINCT h)) * 1000000) // COUNT(*)
+       |    AS reclaimable_ppm
+       |FROM blocks GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q68
 
   /** q68: deny-list redaction — mask a term set with word-boundary regex
@@ -870,6 +929,7 @@ object CorpusOps extends QueryModule {
     "q67_doc_chunks" -> q67,
     "q142_native_chunks" -> q142,
     "q166_bpe_merge_step" -> q166,
+    "q174_cdc_block_dedup" -> q174,
     "q68_term_redaction" -> q68,
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
@@ -890,6 +950,7 @@ object CorpusOps extends QueryModule {
     "q67_doc_chunks" -> q67Sql,
     "q142_native_chunks" -> q142Sql,
     "q166_bpe_merge_step" -> q166Sql,
+    "q174_cdc_block_dedup" -> q174Sql,
     "q68_term_redaction" -> q68Sql,
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,
