@@ -715,10 +715,73 @@ object TextOps extends QueryModule {
       |FROM pairs WHERE dist <= 16
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q175: exact set-similarity join via PREFIX FILTERING (the
+    * Chaudhuri/PPJoin principle): under any global token order, two
+    * shingle sets with Jaccard ≥ τ MUST share a token within their first
+    * |s| − ⌈τ·|s|⌉ + 1 tokens — so only that prefix is indexed and joined,
+    * and the candidate set provably loses nothing. Canonical order is
+    * ascending document frequency (rarest first), which makes prefixes
+    * collide as little as possible; τ = ½ halves the postings vs q74's
+    * full inverted index, and the shrink GROWS with τ. Candidates verify
+    * exactly (2·|∩| ≥ |∪|, all integers); the oracle is the exhaustive
+    * shared-token join, so the losslessness theorem itself is what the
+    * hash compare checks.
+    *
+    * Scale: postings shuffle is prefix-sized; the df relation that orders
+    * tokens is vocabulary-sized (broadcast); verification joins full
+    * sets only for surviving candidates — the q74 shape with the postings
+    * volume cut by the filter.
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).cache()
+    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val freq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefixes = postings.join(broadcast(freq), "g")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
+        .getField("g").as("ts"))
+      .select(col("doc_id"),
+        explode(expr("slice(ts, 1, CAST(size(ts) div 2 AS INT) + 1)")).as("g"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("inter"),
+        (size(col("sa")) + size(col("sb"))
+          - size(array_intersect(col("sa"), col("sb"))))
+          .cast(LongType).as("un"))
+      .filter(col("inter") * 2 >= col("un"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val q175Sql =
+    s"""WITH sh AS ($shingledSql),
+       |p AS (SELECT doc_id AS id, unnest(shingles) AS g FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS da, b.id AS db
+       |  FROM p a JOIN p b ON a.g = b.g AND a.id < b.id),
+       |v AS (
+       |  SELECT cand.da, cand.db,
+       |    len(list_filter(x.shingles, t -> list_contains(y.shingles, t)))
+       |      AS inter,
+       |    len(x.shingles) + len(y.shingles) AS tot
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = cand.da
+       |  JOIN sh y ON y.doc_id = cand.db)
+       |SELECT da, db, CAST(inter AS BIGINT) AS inter,
+       |  CAST(tot - inter AS BIGINT) AS un
+       |FROM v WHERE 2 * inter >= tot - inter
+       |ORDER BY da, db""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_canonical_dedup" -> q150,
     "q151_decontamination" -> q151,
     "q169_sorted_neighborhood" -> q169,
+    "q175_prefix_filter_join" -> q175,
     "q79_corpus_pipeline" -> q79,
     "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
@@ -736,6 +799,7 @@ object TextOps extends QueryModule {
     "q150_canonical_dedup" -> q150Sql,
     "q151_decontamination" -> q151Sql,
     "q169_sorted_neighborhood" -> q169Sql,
+    "q175_prefix_filter_join" -> q175Sql,
     "q79_corpus_pipeline" -> q79Sql,
     "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,

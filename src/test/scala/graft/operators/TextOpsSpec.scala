@@ -24,6 +24,26 @@ class TextOpsSpec extends SparkSpec {
     assert(canon(4) == "a genuinely different document")
   }
 
+  test("q175 prefix filtering indexes materially fewer postings than q74") {
+    // the perf claim behind the lossless result: at tau=0.5 the indexed
+    // prefix is floor(n/2)+1 of each n-token set, so postings shrink to
+    // ~(n/2+1)/n of the full inverted index
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"),
+        array_distinct(expr(
+          """transform(sequence(0, size(split(text, ' '))-3),
+            |  i -> concat_ws(' ', split(text, ' ')[i],
+            |       split(text, ' ')[i+1], split(text, ' ')[i+2]))""".stripMargin))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val full = docs.select(explode(col("sh"))).count()
+    val prefix = docs
+      .select(explode(expr("slice(sh, 1, CAST(size(sh) div 2 AS INT) + 1)")))
+      .count()
+    assert(prefix < full * 6 / 10,
+      s"prefix postings $prefix not materially below full $full")
+  }
+
   test("q151 finds nonzero contamination on the sf0.01 corpus") {
     // guards the fixture against degenerating into a vacuous check: the
     // mod-7 benchmark split must actually share 8-grams with the train set
