@@ -503,7 +503,66 @@ object Joins extends QueryModule {
       |SELECT event_id, user_id, value AS nearest_value, delta_us
       |FROM cand WHERE rk = 1 ORDER BY event_id""".stripMargin
 
+  /** q176: SCD2 point-in-time lookup — every purchase joined to the
+    * dimension row VALID AT its timestamp (the q139 interval build,
+    * consumed): the warehouse temporal pattern `fact.ts ∈ [valid_from,
+    * valid_to)`. Spelled as the native as-of join (the state valid at t
+    * IS the last state change ≤ t), which replaces the interval
+    * containment join a naive spelling needs — the oracle runs that
+    * containment join, so the equivalence of the two spellings is what
+    * the hash compare checks. Dimension here: each user's event-type
+    * state timeline from their own history (signup/view/…), per q139.
+    *
+    * Scale: one co-partitioned sorted merge (O(1) state) vs the oracle's
+    * interval join; at 10⁹ facts × SCD2 dims this is the difference
+    * between a merge and a range-bucketed join.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // the q139 run-collapse, inline: state-change rows only
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("state"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin(s, purchases, dim,
+        keyCol = "user_id", timeCol = "ts", tieCol = "event_id",
+        valueCol = "state", outName = "state_at_purchase")
+      .groupBy(col("state_at_purchase"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("state_at_purchase"))
+  }
+
+  private val q176Sql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_type FROM events),
+      |runs AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    LAG(event_type) OVER w AS prev_state
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |dim AS (
+      |  SELECT user_id, state, ts AS valid_from, event_id,
+      |    LEAD((ts, event_id)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM runs WHERE prev_state IS NULL OR prev_state <> state),
+      |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+      |looked AS (
+      |  SELECT p.event_id,
+      |    (SELECT d.state FROM dim d
+      |     WHERE d.user_id = p.user_id
+      |       AND (d.valid_from, d.event_id) < (p.ts, p.event_id)
+      |       AND (d.nxt IS NULL OR (p.ts, p.event_id) <= d.nxt)
+      |    ) AS state_at_purchase
+      |  FROM p)
+      |SELECT state_at_purchase, COUNT(*) AS n_purchases
+      |FROM looked GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_scd2_lookup" -> q176,
     "q167_nearest_event" -> q167,
     "q17_join_theta" -> q17,
     "q115_cross_join_grid" -> q115,
@@ -524,6 +583,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q176_scd2_lookup" -> q176Sql,
     "q167_nearest_event" -> q167Sql,
     "q17_join_theta" -> q17Sql,
     "q115_cross_join_grid" -> q115Sql,
