@@ -485,7 +485,59 @@ object TimeSeries extends QueryModule {
       |  quantile_cont(delay_us, 0.9) AS p90_us
       |FROM delays GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q177: distribution-drift monitor — the training/serving-skew check:
+    * order values bucketed into 16 equi-width bins over the GLOBAL range,
+    * early era (orderdate < 1997) vs late era compared per bin. The drift
+    * score is the cross-multiplied share difference
+    * |c_a·N_b − c_b·N_a|·10⁶ div (N_a·N_b) — exact integers, no float
+    * near a threshold (headroom: inside int64 to ~2e6 rows per era;
+    * DECIMAL past that). The per-bin rows are what a drift dashboard
+    * plots; alerting sums them.
+    *
+    * Scale: two partial-agg shuffles of (bin, era) pairs — 32 rows of
+    * reducer state; the global bounds are a 1-row broadcast.
+    */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      (year(to_date(col("o_orderdate"))) < 1997).as("early"))
+    val bounds = o.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val binned = o.crossJoin(broadcast(bounds))
+      .select(expr("((cents - lo) * 16) div (hi - lo + 1)").as("bin"),
+        col("early"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ca"), col("cb"),
+        expr("abs(ca * nb - cb * na) * 1000000L div (na * nb)")
+          .as("drift_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  private val q177Sql =
+    """WITH o AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    year(CAST(o_orderdate AS DATE)) < 1997 AS early
+      |  FROM orders),
+      |bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o),
+      |b AS (
+      |  SELECT ((cents - lo) * 16) // (hi - lo + 1) AS bin, early
+      |  FROM o, bounds),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |             CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+      |SELECT bin, ca, cb,
+      |  abs(ca * nb - cb * na) * 1000000 // (na * nb) AS drift_ppm
+      |FROM c, t ORDER BY bin""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_distribution_drift" -> q177,
     "q163_volume_anomaly" -> q163,
     "q164_conversion_latency" -> q164,
     "q158_twap" -> q158,
@@ -498,6 +550,7 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q177_distribution_drift" -> q177Sql,
     "q163_volume_anomaly" -> q163Sql,
     "q164_conversion_latency" -> q164Sql,
     "q158_twap" -> q158Sql,
