@@ -470,6 +470,60 @@ object ScalePatterns extends QueryModule {
       |  (agg.top5 * 1000000) // agg.predicted AS top5_share_ppm
       |FROM agg, actual""".stripMargin
 
+  /** Bit-interleave of two 8-bit values (Morton / Z-order curve), emitted
+    * as the same 16-term arithmetic in both engines.
+    */
+  private def zExprTerms(a: String, b: String): String =
+    (0 until 8).map { k =>
+      s"(((($a) >> $k) & 1) << ${2 * k}) + (((($b) >> $k) & 1) << ${2 * k + 1})"
+    }.mkString(" + ")
+
+  /** q178: Z-order layout audit — lineitem keys mapped onto the Morton
+    * curve over (l_partkey, l_suppkey), each dimension first normalized
+    * to 8 bits from its OWN data bounds (so the curve fills its domain at
+    * any scale factor), then grouped into 64 curve ranges; per range the
+    * span of EACH normalized dimension is reported. The point of
+    * Z-ordering made measurable: a curve range bounds BOTH dimensions at
+    * once (≈⅛ of each domain per range, vs a 1-D sort where the second
+    * key's span stays full-domain) — exactly why a file written in
+    * z-order prunes on min/max stats for either predicate. The write-side
+    * twin is `repartitionByRange(zval)` + sortWithinPartitions (q47's
+    * layout machinery); this query audits the clustering property itself,
+    * hash-exact (all integer arithmetic).
+    */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+      min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+    val norm = li.crossJoin(broadcast(bounds)).select(
+      expr("((l_partkey - plo) * 256) div (phi - plo + 1)").as("pb"),
+      expr("((l_suppkey - slo) * 256) div (shi - slo + 1)").as("sb"))
+    norm.select(col("pb"), col("sb"), expr(zExprTerms("pb", "sb")).as("zval"))
+      .groupBy(expr("zval div 1024").as("z_range")) // 2^16 / 64 ranges
+      .agg(count(lit(1)).as("n_rows"),
+        (max(col("pb")) - min(col("pb"))).as("part_span"),
+        (max(col("sb")) - min(col("sb"))).as("supp_span"))
+      .orderBy(col("z_range"))
+  }
+
+  private val q178Sql = {
+    val z = zExprTerms("pb", "sb")
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+       |         MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+       |  FROM lineitem),
+       |n AS (
+       |  SELECT ((l_partkey - plo) * 256) // (phi - plo + 1) AS pb,
+       |         ((l_suppkey - slo) * 256) // (shi - slo + 1) AS sb
+       |  FROM lineitem, b),
+       |z AS (SELECT pb, sb, ($z) AS zval FROM n)
+       |SELECT zval // 1024 AS z_range, COUNT(*) AS n_rows,
+       |  MAX(pb) - MIN(pb) AS part_span,
+       |  MAX(sb) - MIN(sb) AS supp_span
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
@@ -478,6 +532,7 @@ object ScalePatterns extends QueryModule {
     "q156_weighted_sample" -> q156,
     "q172_incremental_refresh" -> q172,
     "q173_join_cardinality" -> q173,
+    "q178_zorder_audit" -> q178,
     "q46_salted_agg" -> q46,
     "q47_repartition_layout" -> q47,
     "q48_stratified_sample" -> q48,
@@ -492,6 +547,7 @@ object ScalePatterns extends QueryModule {
     "q156_weighted_sample" -> q156Sql,
     "q172_incremental_refresh" -> q172Sql,
     "q173_join_cardinality" -> q173Sql,
+    "q178_zorder_audit" -> q178Sql,
     "q46_salted_agg" -> q46Sql,
     "q47_repartition_layout" -> q47Sql,
     "q48_stratified_sample" -> q48Sql,
