@@ -492,7 +492,43 @@ object Windows extends QueryModule {
       |  CAST(SUM(streak) AS BIGINT) AS n_active_days
       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q179: behavioral path mining — the top-10 most-travelled 3-step
+    * event-type sequences across user timelines (each user's events in
+    * (ts, event_id) order, every consecutive triple counted). The product
+    * analytics "what do users do next" query; the temporal sibling of
+    * q87's text bigrams.
+    *
+    * Scale: one user-keyed shuffle; the two leads are O(1) window state;
+    * path counts partial-aggregate into a key space bounded by |types|³
+    * (125 here) before the top-k, which is TakeOrdered — no global sort.
+    */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n_walks"))
+      .orderBy(desc("n_walks"), col("path"))
+      .limit(10)
+  }
+
+  private val q179Sql =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    LEAD(event_type, 1) OVER w AS e2,
+      |    LEAD(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_walks
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_walks DESC, path LIMIT 10""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_path_mining" -> q179,
     "q171_longest_streak" -> q171,
     "q161_rfm_segments" -> q161,
     "q145_running_distinct" -> q145,
@@ -510,6 +546,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q179_path_mining" -> q179Sql,
     "q171_longest_streak" -> q171Sql,
     "q161_rfm_segments" -> q161Sql,
     "q145_running_distinct" -> q145Sql,
