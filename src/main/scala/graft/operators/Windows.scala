@@ -492,6 +492,64 @@ object Windows extends QueryModule {
       |  CAST(SUM(streak) AS BIGINT) AS n_active_days
       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q180: clamped running stock — per-supplier inventory balance from
+    * signed shipment quantities (returns negative), FLOORED AT ZERO after
+    * every movement. The clamp makes the fold genuinely NON-ASSOCIATIVE —
+    * no window frame or two-phase aggregate can spell it — so this is the
+    * one pattern where the typed `flatMapSortedGroups` escape hatch (the
+    * q130 machinery) is the *correct* tool, not a fallback: Spark sorts
+    * within the user-keyed shuffle and the fold runs with O(1) state per
+    * supplier. The oracle replays the fold with a recursive CTE, so the
+    * sequential semantics are hash-verified.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey").cast(LongType),
+        unix_date(to_date(col("l_shipdate"))).as("day"),
+        col("l_orderkey").cast(LongType),
+        col("l_linenumber").cast("int"),
+        (col("l_quantity").cast(LongType) *
+          when(col("l_returnflag") === "R", -1L).otherwise(1L)).as("q"))
+      .as[(Long, Int, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("day"), col("l_orderkey"), col("l_linenumber")) {
+        (sk, it) =>
+          var bal = 0L; var clamps = 0L; var n = 0L
+          it.foreach { case (_, _, _, _, q) =>
+            val nb = bal + q
+            if (nb < 0L) { clamps += 1L; bal = 0L } else bal = nb
+            n += 1L
+          }
+          Iterator.single((sk, n, bal, clamps))
+      }
+      .toDF("l_suppkey", "n_moves", "final_balance", "n_clamps")
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val q180Sql =
+    """WITH RECURSIVE m AS (
+      |  SELECT l_suppkey AS sk,
+      |    CAST(l_quantity AS BIGINT)
+      |      * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS q,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem),
+      |rec AS (
+      |  SELECT sk, rn, GREATEST(0, q) AS bal,
+      |    CASE WHEN q < 0 THEN 1 ELSE 0 END AS clamps
+      |  FROM m WHERE rn = 1
+      |  UNION ALL
+      |  SELECT m.sk, m.rn, GREATEST(0, rec.bal + m.q),
+      |    rec.clamps + CASE WHEN rec.bal + m.q < 0 THEN 1 ELSE 0 END
+      |  FROM rec JOIN m ON m.sk = rec.sk AND m.rn = rec.rn + 1)
+      |SELECT r.sk AS l_suppkey, CAST(t.mr AS BIGINT) AS n_moves,
+      |  CAST(r.bal AS BIGINT) AS final_balance,
+      |  CAST(r.clamps AS BIGINT) AS n_clamps
+      |FROM rec r JOIN (SELECT sk, MAX(rn) AS mr FROM rec GROUP BY 1) t
+      |  ON r.sk = t.sk AND r.rn = t.mr
+      |ORDER BY r.sk""".stripMargin
+
   /** q179: behavioral path mining — the top-10 most-travelled 3-step
     * event-type sequences across user timelines (each user's events in
     * (ts, event_id) order, every consecutive triple counted). The product
@@ -528,6 +586,7 @@ object Windows extends QueryModule {
       |GROUP BY 1 ORDER BY n_walks DESC, path LIMIT 10""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_clamped_stock" -> q180,
     "q179_path_mining" -> q179,
     "q171_longest_streak" -> q171,
     "q161_rfm_segments" -> q161,
@@ -546,6 +605,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q180_clamped_stock" -> q180Sql,
     "q179_path_mining" -> q179Sql,
     "q171_longest_streak" -> q171Sql,
     "q161_rfm_segments" -> q161Sql,
