@@ -115,4 +115,31 @@ class Round5Spec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("q180 clamp fold is order-correct under adversarial input partitioning") {
+    // the non-associative trap: +5, -10, +3 folds to 3 (one clamp), while
+    // any order-insensitive spelling (sum -2 -> clamp 0) gets 0. Feed the
+    // rows REVERSED and split across many partitions; flatMapSortedGroups
+    // must still fold in (day, order, line) order.
+    import spark.implicits._
+    val rows = Seq(
+      // (suppkey, day, orderkey, linenumber, qty)
+      (1L, 3, 30L, 1, 3L), (1L, 2, 20L, 1, -10L), (1L, 1, 10L, 1, 5L),
+      (2L, 1, 11L, 1, -7L) // single negative: clamps to 0 immediately
+    ).toDF("l_suppkey", "day", "l_orderkey", "l_linenumber", "q")
+      .repartition(4)
+    val got = rows.as[(Long, Int, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("day"), col("l_orderkey"), col("l_linenumber")) {
+        (sk, it) =>
+          var bal = 0L; var clamps = 0L
+          it.foreach { case (_, _, _, _, q) =>
+            val nb = bal + q
+            if (nb < 0L) { clamps += 1L; bal = 0L } else bal = nb
+          }
+          Iterator.single((sk, bal, clamps))
+      }.collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((3L, 1L)), s"supplier 1 folded ${got(1L)}, want (3,1)")
+    assert(got(2L) == ((0L, 1L)), s"supplier 2 folded ${got(2L)}, want (0,1)")
+  }
 }
