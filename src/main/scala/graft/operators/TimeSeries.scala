@@ -536,7 +536,56 @@ object TimeSeries extends QueryModule {
       |  abs(ca * nb - cb * na) * 1000000 // (na * nb) AS drift_ppm
       |FROM c, t ORDER BY bin""".stripMargin
 
+  /** q181: symbolic motif mining (SAX-style) — each priority's
+    * daily-revenue series quantized to 4 symbols by WITHIN-SERIES revenue
+    * rank quartiles (ntile with a day tie-break — integer-exact, where
+    * classic SAX's z-normalization would put floats next to breakpoints),
+    * then every 3-day symbol trigram counted across series and ranked:
+    * the repeated-shape detector behind time-series indexing.
+    *
+    * Scale: the series relation is (priorities × days) — already tiny
+    * after one partial-agg shuffle; both windows partition by series.
+    */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val byVal = Window.partitionBy(col("prio")).orderBy(col("cents"), col("day"))
+    val byDay = Window.partitionBy(col("prio")).orderBy(col("day"))
+    daily
+      .withColumn("sym", ntile(4).over(byVal))
+      .withColumn("m2", lead(col("sym"), 1).over(byDay))
+      .withColumn("m3", lead(col("sym"), 2).over(byDay))
+      .filter(col("m3").isNotNull)
+      .groupBy(concat_ws("", col("sym"), col("m2"), col("m3")).as("motif"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(desc("n_windows"), col("motif"))
+      .limit(10)
+  }
+
+  private val q181Sql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT prio, day,
+      |    NTILE(4) OVER (PARTITION BY prio ORDER BY cents, day) AS sym
+      |  FROM daily),
+      |tri AS (
+      |  SELECT sym,
+      |    LEAD(sym, 1) OVER w AS m2, LEAD(sym, 2) OVER w AS m3
+      |  FROM sym WINDOW w AS (PARTITION BY prio ORDER BY day))
+      |SELECT CAST(sym AS VARCHAR) || CAST(m2 AS VARCHAR)
+      |    || CAST(m3 AS VARCHAR) AS motif,
+      |  COUNT(*) AS n_windows
+      |FROM tri WHERE m3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n_windows DESC, motif LIMIT 10""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_sax_motifs" -> q181,
     "q177_distribution_drift" -> q177,
     "q163_volume_anomaly" -> q163,
     "q164_conversion_latency" -> q164,
@@ -550,6 +599,7 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q181_sax_motifs" -> q181Sql,
     "q177_distribution_drift" -> q177Sql,
     "q163_volume_anomaly" -> q163Sql,
     "q164_conversion_latency" -> q164Sql,
