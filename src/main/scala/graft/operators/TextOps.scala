@@ -777,11 +777,62 @@ object TextOps extends QueryModule {
        |FROM v WHERE 2 * inter >= tot - inter
        |ORDER BY da, db""".stripMargin
 
+  /** q182: ASYMMETRIC containment detection — directed pairs where ≥ 80 %
+    * of the contained document's 3-gram shingles appear in the container
+    * (C(a,b) = |a∩b|/|a| ≥ 0.8 ⟺ 5·|∩| ≥ 4·|a|, exact integers). The
+    * dedup semantic Jaccard misses by construction: a short document
+    * quoted inside a long one has high containment but low resemblance,
+    * and quotation/subset removal is its own pass in corpus prep.
+    *
+    * Scale: the same inverted-index candidate generation as q74 (shuffle
+    * on shingle, never all-pairs), but candidates keep BOTH directions
+    * since the score is asymmetric; verification joins full sets once per
+    * surviving candidate.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).cache()
+    val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("g"))
+    val cand = postings.as("a").join(postings.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("contained"), col("b.id").as("container"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("contained"), col("shingles").as("sa")),
+        "contained")
+      .join(sh.select(col("doc_id").as("container"), col("shingles").as("sb")),
+        "container")
+      .select(col("contained"), col("container"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("inter"),
+        size(col("sa")).cast(LongType).as("na"))
+      .filter(col("inter") * 5 >= col("na") * 4)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  private val q182Sql =
+    s"""WITH sh AS ($shingledSql),
+       |p AS (SELECT doc_id AS id, unnest(shingles) AS g FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS contained, b.id AS container
+       |  FROM p a JOIN p b ON a.g = b.g AND a.id <> b.id),
+       |v AS (
+       |  SELECT cand.contained, cand.container,
+       |    len(list_filter(x.shingles, t -> list_contains(y.shingles, t)))
+       |      AS inter,
+       |    len(x.shingles) AS na
+       |  FROM cand
+       |  JOIN sh x ON x.doc_id = cand.contained
+       |  JOIN sh y ON y.doc_id = cand.container)
+       |SELECT contained, container, CAST(inter AS BIGINT) AS inter,
+       |  CAST(na AS BIGINT) AS na
+       |FROM v WHERE 5 * inter >= 4 * na
+       |ORDER BY contained, container""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_canonical_dedup" -> q150,
     "q151_decontamination" -> q151,
     "q169_sorted_neighborhood" -> q169,
     "q175_prefix_filter_join" -> q175,
+    "q182_containment" -> q182,
     "q79_corpus_pipeline" -> q79,
     "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
@@ -800,6 +851,7 @@ object TextOps extends QueryModule {
     "q151_decontamination" -> q151Sql,
     "q169_sorted_neighborhood" -> q169Sql,
     "q175_prefix_filter_join" -> q175Sql,
+    "q182_containment" -> q182Sql,
     "q79_corpus_pipeline" -> q79Sql,
     "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,
