@@ -701,9 +701,46 @@ object Streams extends QueryModule {
        |FROM d, wm WHERE day_start + INTERVAL 1 DAY <= wm.w
        |ORDER BY 1, 2""".stripMargin
 
+  /** q183: chained stateful DEDUP → windowed aggregation in one streaming
+    * query — the at-least-once-source reality: upstream retries duplicate
+    * events, so the pipeline dedups by event_id within the watermark and
+    * THEN aggregates, both stateful, in one query (the second
+    * multiple-stateful-operators combination next to q148's agg→agg).
+    * Synthetic duplicates (a second copy of every 10th event) are unioned
+    * in so the dedup provably has work to do; the oracle aggregates the
+    * distinct original stream with the q148-style watermark gate on
+    * window emission.
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val ev = streamEvents(s, d)
+    val withDupes = ev.unionByName(ev.filter(col("event_id") % 10 === 0))
+    val agg = withDupes
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
+    runToMemory(s, agg, "q183_sink", "append")
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  private val q183Sql =
+    s"""WITH wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+       |            FROM events),
+       |agg AS (
+       |  SELECT time_bucket(INTERVAL 6 HOURS, CAST(ts AS TIMESTAMP))
+       |      AS win_start,
+       |    event_type, COUNT(*) AS n, ${Exact.sqlSumMoney("value")} AS total
+       |  FROM events GROUP BY 1, 2)
+       |SELECT win_start, event_type, n, total
+       |FROM agg, wm WHERE win_start + INTERVAL 6 HOURS <= wm.w
+       |ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_stream_left_outer" -> q143,
     "q148_stream_chained_windows" -> q148,
+    "q183_stream_dedup_agg" -> q183,
     "q106_stream_update_upsert" -> q106,
     "q132_stream_mapstate" -> q132,
     "q122_stream_tws_tally" -> q122,
@@ -719,6 +756,7 @@ object Streams extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q143_stream_left_outer" -> q143Sql,
     "q148_stream_chained_windows" -> q148Sql,
+    "q183_stream_dedup_agg" -> q183Sql,
     "q106_stream_update_upsert" -> q106Sql,
     "q132_stream_mapstate" -> q132Sql,
     "q122_stream_tws_tally" -> q122Sql,
