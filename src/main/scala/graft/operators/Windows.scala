@@ -492,6 +492,74 @@ object Windows extends QueryModule {
       |  CAST(SUM(streak) AS BIGINT) AS n_active_days
       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q184: sessionized conversion — q37's 30-minute-gap sessions rolled
+    * into the metric a growth team actually reads: per session-length
+    * bucket (1, 2-4, 5-9, 10+ events), how many sessions and what
+    * fraction converted (contain a purchase, in ppm — integer-exact).
+    * Composes the gaps-and-islands machinery into a funnel readout.
+    *
+    * Scale: one user-keyed shuffle for the session ids, one
+    * session-keyed aggregate, then a 4-row bucket rollup.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sess
+      .groupBy(when(col("n_events") === 1, "1")
+        .when(col("n_events") <= 4, "2-4")
+        .when(col("n_events") <= 9, "5-9")
+        .otherwise("10+").as("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("len_bucket"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 1000000L div n_sessions").as("conv_ppm"))
+      .orderBy(col("len_bucket"))
+  }
+
+  private val q184Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+      |              > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_type,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS converted
+      |  FROM s GROUP BY 1, 2),
+      |b AS (
+      |  SELECT CASE WHEN n_events = 1 THEN '1'
+      |              WHEN n_events <= 4 THEN '2-4'
+      |              WHEN n_events <= 9 THEN '5-9'
+      |              ELSE '10+' END AS len_bucket,
+      |    COUNT(*) AS n_sessions,
+      |    CAST(SUM(converted) AS BIGINT) AS n_converted
+      |  FROM sess GROUP BY 1)
+      |SELECT len_bucket, n_sessions, n_converted,
+      |  n_converted * 1000000 // n_sessions AS conv_ppm
+      |FROM b ORDER BY len_bucket""".stripMargin
+
   /** q180: clamped running stock — per-supplier inventory balance from
     * signed shipment quantities (returns negative), FLOORED AT ZERO after
     * every movement. The clamp makes the fold genuinely NON-ASSOCIATIVE —
@@ -586,6 +654,7 @@ object Windows extends QueryModule {
       |GROUP BY 1 ORDER BY n_walks DESC, path LIMIT 10""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_session_conversion" -> q184,
     "q180_clamped_stock" -> q180,
     "q179_path_mining" -> q179,
     "q171_longest_streak" -> q171,
@@ -605,6 +674,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q184_session_conversion" -> q184Sql,
     "q180_clamped_stock" -> q180Sql,
     "q179_path_mining" -> q179Sql,
     "q171_longest_streak" -> q171Sql,
