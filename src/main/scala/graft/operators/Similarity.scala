@@ -693,11 +693,96 @@ object Similarity extends QueryModule {
        |  CAST(SUM(CASE WHEN NOT text_dup AND NOT embed_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
        |FROM scored""".stripMargin
 
+  /** q185: embedding-space outlier audit — per label, vectors whose
+    * squared L2 distance to their OWN label centroid sits more than 2σ
+    * above the label's mean: the mislabeled/corrupt-embedding detector a
+    * data-cleaning pipeline runs before training. Everything integer:
+    * centroids are truncated component means (the q147 update), distances
+    * are graft_dot arithmetic, distances scale down by 1024 before the
+    * moment products so Σd⁴ stays inside int64, and the 2σ gate is the
+    * q163 cleared-denominator form (z² > 4 ⟺ (d·n−S)² > 4·(S2·n−S²)).
+    *
+    * Scale: centroid build is the two-shuffle k-means update with labels
+    * as the assignment; the audit joins the O(labels) centroid relation
+    * back broadcast and folds 3 moments per label. Headroom: the cleared
+    * z² products grow with n² per label — inside int64 to ~10⁴ vectors
+    * per label at this quantization; lift the moments to DECIMAL(38,0)
+    * beyond (the gate inequality is unchanged).
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+    val cents = vecs
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "comp")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("sum(comp) div count(1)").as("nc"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("nc"))))
+        .getField("nc").as("c"))
+    val d2s = vecs.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        ((dotExpr("v", "v") - lit(2L) * dotExpr("v", "c") + dotExpr("c", "c"))
+          / 1024L).cast(LongType).as("ds"))
+    val moments = d2s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("ds")).as("ss"),
+        sum(col("ds") * col("ds")).as("s2"))
+    d2s.join(broadcast(moments), "label")
+      .groupBy(col("label").cast(LongType).as("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        sum(when((col("ds") * col("n") - col("ss")) *
+            (col("ds") * col("n") - col("ss")) >
+            lit(4L) * (col("s2") * col("n") - col("ss") * col("ss")) &&
+            col("ds") * col("n") > col("ss"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("ds")).as("max_ds"))
+      .orderBy(col("label"))
+  }
+
+  private val q185Sql =
+    s"""WITH q AS ($quantizedSql),
+       |v AS (
+       |  SELECT e.label, q.vec_id, q.v FROM q
+       |  JOIN embeddings e ON e.vec_id = q.vec_id),
+       |comps AS (
+       |  SELECT label, u.pos AS pos, u.comp AS comp FROM (
+       |    SELECT label, unnest(list_transform(range(1, len(v)+1),
+       |      i -> {'pos': i, 'comp': v[i]})) AS u
+       |    FROM v)),
+       |cent AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(comp) AS BIGINT) // COUNT(*) AS nc
+       |  FROM comps GROUP BY 1, 2),
+       |carr AS (
+       |  SELECT label, list(nc ORDER BY pos) AS c
+       |  FROM cent GROUP BY label),
+       |ds AS (
+       |  SELECT v.label, v.vec_id,
+       |    (list_sum(list_transform(v.v, x -> x*x))
+       |     - 2 * list_sum(list_transform(range(1, len(v.v)+1),
+       |         i -> v.v[i] * carr.c[i]))
+       |     + list_sum(list_transform(carr.c, x -> x*x))) // 1024 AS ds
+       |  FROM v JOIN carr ON v.label = carr.label),
+       |m AS (
+       |  SELECT label, COUNT(*) AS n, CAST(SUM(ds) AS BIGINT) AS ss,
+       |    CAST(SUM(ds * ds) AS BIGINT) AS s2
+       |  FROM ds GROUP BY 1)
+       |SELECT CAST(ds.label AS BIGINT) AS label,
+       |  CAST(MAX(m.n) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(CASE WHEN (ds.ds * m.n - m.ss) * (ds.ds * m.n - m.ss)
+       |                     > 4 * (m.s2 * m.n - m.ss * m.ss)
+       |                 AND ds.ds * m.n > m.ss
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  CAST(MAX(ds.ds) AS BIGINT) AS max_ds
+       |FROM ds JOIN m ON ds.label = m.label
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_kmeans_step" -> q147,
     "q154_random_projection" -> q154,
     "q157_pq_codes" -> q157,
     "q160_hybrid_dedup" -> q160,
+    "q185_embed_outliers" -> q185,
     "q84_vector_stats" -> q84,
     "q121_embed_quantize" -> q121,
     "q80_ann_bruteforce" -> q80,
@@ -711,6 +796,7 @@ object Similarity extends QueryModule {
     "q154_random_projection" -> q154Sql,
     "q157_pq_codes" -> q157Sql,
     "q160_hybrid_dedup" -> q160Sql,
+    "q185_embed_outliers" -> q185Sql,
     "q84_vector_stats" -> q84Sql,
     "q121_embed_quantize" -> q121Sql,
     "q80_ann_bruteforce" -> q80Sql,
