@@ -393,6 +393,39 @@ object CorpusOps extends QueryModule {
       .agg(count(lit(1)).as("sz"))
       .orderBy(col("comp"))
 
+  /** q186: dedup QA rollup — per source: corpus size, docs involved in at
+    * least one near-dup pair (distinct [[nearDupEdges]] endpoints), and
+    * the involvement rate in ppm. The report a pipeline owner reads to
+    * see WHERE the duplication lives before q85/q113 act on it.
+    *
+    * Scale: endpoint distinct is near-dup-pair-sized; one broadcast-small
+    * join back to doc metadata; per-source totals are a second tiny agg.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val e = nearDupEdges(s, d)
+    val involved = e.select(col("da").as("doc_id"))
+      .union(e.select(col("db").as("doc_id"))).distinct()
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(docs.join(involved, "doc_id")
+          .groupBy(col("source")).agg(count(lit(1)).as("nd")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_involved"),
+        expr("coalesce(nd, 0L) * 1000000L div n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: edgesBiCteSql is declared later in the file
+  private lazy val q186Sql =
+    s"""WITH $edgesBiCteSql,
+       |involved AS (SELECT DISTINCT a AS doc_id FROM bi)
+       |SELECT d.source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(i.doc_id) AS BIGINT) AS n_dup_involved,
+       |  (COUNT(i.doc_id) * 1000000) // COUNT(*) AS dup_ppm
+       |FROM documents d LEFT JOIN involved i ON d.doc_id = i.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** DuckDB spelling of [[nearDupEdges]] (+ symmetric closure `bi`):
     * the CTE chain ending in `bi(a, b)`. Shared by the q85/q113/q125
     * oracles so edge construction can never drift between them.
@@ -933,6 +966,7 @@ object CorpusOps extends QueryModule {
     "q68_term_redaction" -> q68,
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
+    "q186_dup_rate_by_source" -> q186,
     "q125_reachability_cte" -> q125,
     "q86_sequence_packing" -> q86,
     "q112_token_graph_triangles" -> q112,
@@ -954,6 +988,7 @@ object CorpusOps extends QueryModule {
     "q68_term_redaction" -> q68Sql,
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,
+    "q186_dup_rate_by_source" -> q186Sql,
     "q125_reachability_cte" -> q125Sql,
     "q86_sequence_packing" -> q86Sql,
     "q112_token_graph_triangles" -> q112Sql,
