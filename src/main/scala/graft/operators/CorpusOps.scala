@@ -426,6 +426,60 @@ object CorpusOps extends QueryModule {
        |FROM documents d LEFT JOIN involved i ON d.doc_id = i.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q187: vocabulary growth (Heaps-curve audit) — cumulative distinct
+    * token types vs cumulative token volume over the corpus in doc_id
+    * order, by corpus decile: the "is more data still adding new words?"
+    * diagnostic behind tokenizer/vocab sizing. First-occurrence rewrite
+    * (q145's trick lifted to tokens): a type counts in the decile of its
+    * FIRST document, so the curve costs two bounded shuffles — never a
+    * quadratic expanding window over postings.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(max(col("doc_id")) + 1).head.getLong(0)
+    val toksByDecile = docs
+      .select(expr(s"doc_id * 10 div ${nDocs}L").as("decile"),
+        explode(toks(col("text"))).as("tok"))
+    val volume = toksByDecile.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toksByDecile.groupBy(col("tok"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .withColumn("novelty_ppm",
+        expr("n_new_types * 1000000L div n_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  private val q187Sql =
+    s"""WITH n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+       |t AS (
+       |  SELECT (doc_id * 10) // nd AS decile, unnest($toksSql) AS tok
+       |  FROM documents, n),
+       |vol AS (SELECT decile, COUNT(*) AS n_tokens FROM t GROUP BY 1),
+       |nt AS (
+       |  SELECT decile, COUNT(*) AS n_new_types FROM (
+       |    SELECT tok, MIN(decile) AS decile FROM t GROUP BY 1)
+       |  GROUP BY 1)
+       |SELECT v.decile, v.n_tokens,
+       |  CAST(COALESCE(nt.n_new_types, 0) AS BIGINT) AS n_new_types,
+       |  CAST(SUM(v.n_tokens) OVER (ORDER BY v.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tokens,
+       |  CAST(SUM(COALESCE(nt.n_new_types, 0)) OVER (ORDER BY v.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_types,
+       |  (COALESCE(nt.n_new_types, 0) * 1000000) // v.n_tokens
+       |    AS novelty_ppm
+       |FROM vol v LEFT JOIN nt ON v.decile = nt.decile
+       |ORDER BY v.decile""".stripMargin
+
   /** DuckDB spelling of [[nearDupEdges]] (+ symmetric closure `bi`):
     * the CTE chain ending in `bi(a, b)`. Shared by the q85/q113/q125
     * oracles so edge construction can never drift between them.
@@ -967,6 +1021,7 @@ object CorpusOps extends QueryModule {
     "q69_train_split" -> q69,
     "q85_dedup_components" -> q85,
     "q186_dup_rate_by_source" -> q186,
+    "q187_vocab_growth" -> q187,
     "q125_reachability_cte" -> q125,
     "q86_sequence_packing" -> q86,
     "q112_token_graph_triangles" -> q112,
@@ -989,6 +1044,7 @@ object CorpusOps extends QueryModule {
     "q69_train_split" -> q69Sql,
     "q85_dedup_components" -> q85Sql,
     "q186_dup_rate_by_source" -> q186Sql,
+    "q187_vocab_growth" -> q187Sql,
     "q125_reachability_cte" -> q125Sql,
     "q86_sequence_packing" -> q86Sql,
     "q112_token_graph_triangles" -> q112Sql,
