@@ -355,7 +355,74 @@ object Relational extends QueryModule {
       |FROM q a JOIN q b ON a.vec_id < b.vec_id
       |ORDER BY dot DESC, ia, ib LIMIT 5""".stripMargin
 
+  /** q188: national market share (the TPC-H Q8 shape) — within orders
+    * from AMERICA-region customers in 1995–96, the yearly revenue share
+    * supplied by one nation: a SEVEN-relation snowflake (lineitem ⋈
+    * orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier ⋈ nation again — the
+    * second classic decision-support join tree next to q07's Q5 star),
+    * with a conditional-share aggregate on top. Revenue stays exact
+    * decimal through both sums (q01's spelling); the share is one double
+    * division of two exact sums.
+    *
+    * Scale: the lineitem⋈orders fact-fact join shuffles once on
+    * orderkey; every dimension (customer at this SF, both nations,
+    * region, supplier) broadcasts; the region/year filters prune
+    * BEFORE the fact join via the dimension broadcast.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("rev"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("o_year"))
+      .filter(col("o_year").isin(1995, 1996))
+    val custAm = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAm), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", col("rev")).otherwise(lit(0)))
+          .cast(DoubleType) / sum(col("rev")).cast(DoubleType)).as("mkt_share"),
+        sum(col("rev")).cast(DoubleType).as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q188Sql =
+    """WITH base AS (
+      |  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(9,4))) AS rev,
+      |    ns.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  JOIN region ON nc.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  WHERE r_name = 'AMERICA'
+      |    AND year(CAST(o_orderdate AS DATE)) IN (1995, 1996))
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+      |       AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(rev) AS DOUBLE) AS total_revenue
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_market_share" -> q188,
     "q165_sql_frontdoor" -> q165,
     "q155_table_profile" -> q155,
     "q07_revenue_by_nation" -> q07,
@@ -369,6 +436,7 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q188_market_share" -> q188Sql,
     "q165_sql_frontdoor" -> q165Sql,
     "q155_table_profile" -> q155Sql,
     "q07_revenue_by_nation" -> q07Sql,
