@@ -561,7 +561,65 @@ object Joins extends QueryModule {
       |SELECT state_at_purchase, COUNT(*) AS n_purchases
       |FROM looked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q189: sole-responsible supplier — the TPC-H Q21 plan shape, the one
+    * decorrelation stress the join family still lacked: a semi-join AND an
+    * anti-join against the SAME fact table, each an equi-join on
+    * `l_orderkey` with a residual `l_suppkey <>` inequality. Here: within
+    * finished ('F') multi-supplier orders, suppliers whose line was the
+    * ONLY returned ('R') one — EXISTS(another supplier's line in the
+    * order) AND NOT EXISTS(another supplier's RETURNED line) — counted
+    * per supplier, top 10. (The reference predicate pair in Q21 is
+    * receipt-after-commit lateness; this corpus has no commit/receipt
+    * dates, so the returned-flag stands in — the plan shape is the point.)
+    *
+    * Scale: all three lineitem legs and the orders filter join on the SAME
+    * key (`l_orderkey`), so one hash partitioning serves the semi, the
+    * anti, and the orders join — Catalyst reuses the exchange instead of
+    * re-shuffling the 100 TB fact three times. The residual `<>` rides the
+    * equi-key as a post-match filter (never a nested loop), and the
+    * supplier name lookup broadcasts.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(10)
+  }
+
+  private val q189Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_sole_supplier" -> q189,
     "q176_scd2_lookup" -> q176,
     "q167_nearest_event" -> q167,
     "q17_join_theta" -> q17,
@@ -583,6 +641,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q189_sole_supplier" -> q189Sql,
     "q176_scd2_lookup" -> q176Sql,
     "q167_nearest_event" -> q167Sql,
     "q17_join_theta" -> q17Sql,
