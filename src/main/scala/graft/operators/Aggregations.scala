@@ -512,7 +512,50 @@ object Aggregations extends QueryModule {
       |  CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE) AS share
       |FROM g ORDER BY prio""".stripMargin
 
+  /** q190: important parts — the TPC-H Q11 plan shape: a fine-grained
+    * aggregate (per-part revenue cents) FILTERED by a scalar computed from
+    * a SECOND aggregation of the same relation (parts holding more than
+    * 0.06 % of total revenue). Distinct from q168's percent-of-total
+    * window: here the global scalar is a separate 1-row aggregate that
+    * BROADCASTS into the filter — the HAVING-above-global idiom — rather
+    * than an unpartitioned window over the grouped rows.
+    *
+    * Exactness: revenue is q168's integer-cents spelling, so both the
+    * per-part sums and the grand total are integers and the threshold is
+    * the cross-multiplied `cents·10⁴ > total·6` — no float anywhere near
+    * the decision boundary (DuckDB's SUM(BIGINT) widens to int128; the
+    * int64 side holds to ~9e14 total cents ≈ SF 50k before the ·10⁴
+    * product would need a DECIMAL(38,0) widening).
+    *
+    * Scale: two shuffles of the same partial-agg (part-keyed, then the
+    * 1-row total); the scalar joins back via broadcast so the 100 TB fact
+    * result never re-shuffles for the filter.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val total = perPart.agg(sum(col("cents")).as("t"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("cents") * lit(10000L) > col("t") * lit(6L))
+      .select(col("partkey"),
+        (col("cents").cast(DoubleType) / 100).as("part_value"))
+      .orderBy(desc("part_value"), col("partkey"))
+  }
+
+  private val q190Sql =
+    """WITH pp AS (
+      |  SELECT l_partkey AS partkey,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(cents) AS t FROM pp)
+      |SELECT partkey, CAST(cents AS DOUBLE) / 100 AS part_value
+      |FROM pp, tot WHERE cents * 10000 > t * 6
+      |ORDER BY part_value DESC, partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_important_parts" -> q190,
     "q168_share_of_total" -> q168,
     "q104_kmv_distinct" -> q104,
     "q129_ordered_set_agg" -> q129,
@@ -535,6 +578,7 @@ object Aggregations extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q129_ordered_set_agg" -> q129Sql,
     "q134_bitmap_distinct" -> q134Sql,
+    "q190_important_parts" -> q190Sql,
     "q168_share_of_total" -> q168Sql,
     "q104_kmv_distinct" -> q104Sql,
     "q114_histogram_quantiles" -> q114Sql,
