@@ -58,7 +58,9 @@ object Bench {
     "q138_pagerank", "q141_heavy_hitters", "q142_native_chunks",
     "q144_interval_bin_join", "q145_running_distinct",
     "q148_stream_chained_windows", "q150_canonical_dedup",
-    "q151_decontamination", "q152_pmi_collocations"
+    "q151_decontamination", "q152_pmi_collocations",
+    // round 5c additions (the TPC-H decision-support shapes)
+    "q188_market_share", "q189_sole_supplier", "q190_important_parts"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */
