@@ -144,6 +144,29 @@ class PlanSpec extends SparkSpec {
       s"nearest-event degenerated to all-pairs:\n$p")
   }
 
+  test("q189 Q21 shape keeps semi+anti on one l_orderkey partitioning") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the at-scale posture: no leg fits in a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q189_sole_supplier")
+      assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+        s"missing semi/anti joins:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"residual <> degenerated to a nested loop:\n$p")
+      // the probe leg must shuffle+sort on l_orderkey exactly ONCE and then
+      // ride through semi -> anti -> orders join (SMJ preserves the streamed
+      // side's layout); a second l_orderkey exchange or sort means the fact
+      // is being re-shuffled between the legs
+      assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1,
+        s"probe re-shuffles on l_orderkey:\n$p")
+      assert("Sort \\[l_orderkey".r.findAllIn(p).size == 1,
+        s"probe re-sorts on l_orderkey:\n$p")
+      // supplier name lookup must stay broadcast (hinted) even at threshold -1
+      assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
     val p = plan("q126_lateral_topk")
     // Catalyst must rewrite the per-customer LIMIT subquery into a
