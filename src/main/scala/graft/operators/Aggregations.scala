@@ -527,16 +527,20 @@ object Aggregations extends QueryModule {
     * int64 side holds to ~9e14 total cents ≈ SF 50k before the ·10⁴
     * product would need a DECIMAL(38,0) widening).
     *
-    * Scale: two shuffles of the same partial-agg (part-keyed, then the
-    * 1-row total); the scalar joins back via broadcast so the 100 TB fact
-    * result never re-shuffles for the filter.
+    * Scale: the grand total is summed straight off the scan (cents are
+    * associative integers, so Σ_part Σ_lines ≡ Σ_lines) — NOT as
+    * `perPart.agg(...)`, which would make Catalyst duplicate the per-part
+    * subtree and pay the part-keyed shuffle twice (PlanSpec pins the
+    * single hashpartitioning exchange). The 1-row scalar then joins back
+    * via broadcast so the per-part side never re-shuffles for the filter.
     */
   private def q190(s: SparkSession, d: String): DataFrame = {
     val perPart = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("partkey"))
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
         .as("cents"))
-    val total = perPart.agg(sum(col("cents")).as("t"))
+    val total = Tables.lineitem(s, d)
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("t"))
     perPart.crossJoin(broadcast(total))
       .filter(col("cents") * lit(10000L) > col("t") * lit(6L))
       .select(col("partkey"),

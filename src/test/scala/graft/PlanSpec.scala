@@ -167,6 +167,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q190 global-threshold scalar joins back by broadcast, facts never re-shuffle") {
+    val p = plan("q190_important_parts")
+    // the 1-row total must be the broadcast side of the filter join; the
+    // per-part aggregate (the 100 TB-side relation) must not gain an extra
+    // exchange beyond its own partial->final agg shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"global scalar not broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"per-part aggregate re-shuffles for the threshold filter:\n$p")
+  }
+
   test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
     val p = plan("q126_lateral_topk")
     // Catalyst must rewrite the per-customer LIMIT subquery into a
