@@ -321,7 +321,10 @@ object CorpusOps extends QueryModule {
     * the join/shuffle key drops from a ~25-byte string to 8 bytes, and
     * intersection counts are unchanged short of an xxhash64 collision
     * (~2^-64 per shingle pair — the same identity-by-hash risk class as
-    * the md5 fingerprints used across this module).
+    * the md5 fingerprints used across this module). Postings are
+    * df-capped at [[Jaccard.StopShingleDf]] before the self-join so a
+    * boilerplate shingle cannot go quadratic (see [[Jaccard]]); the
+    * oracle CTE mirrors the cap.
     */
   private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
@@ -333,7 +336,8 @@ object CorpusOps extends QueryModule {
       .cache()
     val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("e"))
     val sizes = sh.select(col("doc_id").as("id"), size(col("shingles")).as("sz"))
-    val edges = Jaccard.pairs(postings, sizes, minJ = 0.3)
+    val edges = Jaccard.pairs(postings, sizes, minJ = 0.3,
+        maxDf = Jaccard.StopShingleDf)
       .select(col("ida").as("da"), col("idb").as("db"))
     val edgesCp = edges.localCheckpoint()
     sh.unpersist() // edges are materialized; callers never re-read sh
@@ -490,9 +494,11 @@ object CorpusOps extends QueryModule {
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
        |  FROM (SELECT doc_id, $toksSql AS t FROM documents) WHERE len(t) >= 3),
        |ex AS (SELECT doc_id, unnest(shingles) AS sx FROM sh),
+       |hotx AS (SELECT sx FROM ex GROUP BY sx HAVING COUNT(*) > ${Jaccard.StopShingleDf}),
+       |coldx AS (SELECT doc_id, sx FROM ex WHERE sx NOT IN (SELECT sx FROM hotx)),
        |inter AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-       |  FROM ex a JOIN ex b ON a.sx = b.sx AND a.doc_id < b.doc_id
+       |  FROM coldx a JOIN coldx b ON a.sx = b.sx AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |edges AS (
        |  SELECT da, db FROM inter

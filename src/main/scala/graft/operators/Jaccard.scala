@@ -5,14 +5,36 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Shared exact-Jaccard pair derivation (the common core of TextOps.q74,
-  * CorpusOps.q85 and CorpusOps.q89): an inverted-index self-join on set
-  * elements — join the exploded per-id element postings on the element
-  * with `ida < idb`, count intersections per pair, then Jaccard from the
-  * per-id set sizes. Linear in total postings; no all-pairs stage exists
-  * anywhere, so the shape survives a 100 TB corpus (the shuffle key is the
-  * element, and hot elements split under AQE skew handling).
+  * CorpusOps.q85/q113/q186 and CorpusOps.q89): an inverted-index self-join
+  * on set elements — join the exploded per-id element postings on the
+  * element with `ida < idb`, count intersections per pair, then Jaccard
+  * from the per-id set sizes.
+  *
+  * Scale: an element shared by k ids emits k(k-1)/2 pairs, so the join is
+  * linear in total postings ONLY while no element is hot — a boilerplate
+  * shingle in half the corpus (license headers, navigation chrome) makes
+  * it quadratic, and AQE skew-splitting cannot shrink that pair
+  * *cardinality*, only spread it. The `maxDf` document-frequency cap is
+  * the guard: postings whose element appears in more than `maxDf` ids are
+  * dropped before the self-join (stop-shingles, the IR stop-word idea),
+  * which bounds the per-element fan-out at maxDf²/2 and the total pair
+  * count at `maxDf/2 × |postings|` — linear in postings again. The hot
+  * set itself is tiny by construction (fewer than |postings|/maxDf
+  * elements can exceed the cap), so it broadcasts. Intersections then
+  * count only cold elements while set sizes stay full-set, so a pair
+  * whose overlap is pure boilerplate scores low — exactly the dedup
+  * behavior a 100 TB web corpus wants.
   */
 object Jaccard {
+
+  /** Default stop-shingle document-frequency cap for corpus-sized id
+    * domains (q74 / nearDupEdges). A shingle in more than this many
+    * documents is boilerplate, not content; 256 bounds the per-element
+    * pair fan-out at 256²/2 ≈ 33 k and the total candidate count at
+    * 128 × |postings|. Mirrored as a literal in the DuckDB oracles —
+    * change both together.
+    */
+  val StopShingleDf = 256L
 
   /** Pairs `(ida, idb, inter, jac)` with `jac >= minJ`.
     *
@@ -23,10 +45,25 @@ object Jaccard {
     * @param broadcastSizes broadcast the sizes lookup (right when the id
     *                       domain is small, e.g. languages; leave false
     *                       when ids are documents and sizes is scan-sized)
+    * @param maxDf drop postings whose element occurs in more than this
+    *              many ids before the self-join (stop-shingles). The
+    *              default keeps every posting — right only when df is
+    *              structurally bounded (q89: df ≤ #languages); pass an
+    *              explicit cap whenever ids are corpus-sized.
     */
   def pairs(postings: DataFrame, sizes: DataFrame,
-            minJ: Double, broadcastSizes: Boolean = false): DataFrame = {
-    val inter = postings.as("a").join(postings.as("b"),
+            minJ: Double, broadcastSizes: Boolean = false,
+            maxDf: Long = Long.MaxValue): DataFrame = {
+    val cold =
+      if (maxDf == Long.MaxValue) postings
+      else {
+        // hot set has < |postings|/maxDf elements — broadcast anti-join;
+        // the df agg partial-aggregates map-side before its one shuffle
+        val hot = postings.groupBy(col("e")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("e"))
+        postings.join(broadcast(hot), Seq("e"), "left_anti")
+      }
+    val inter = cold.as("a").join(cold.as("b"),
         col("a.e") === col("b.e") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
       .agg(count(lit(1)).as("inter"))

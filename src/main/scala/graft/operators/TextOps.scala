@@ -190,7 +190,7 @@ object TextOps extends QueryModule {
       .cache()
     val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("e"))
     val sizes = sh.select(col("doc_id").as("id"), size(col("shingles")).as("sz"))
-    Jaccard.pairs(postings, sizes, minJ = 0.5)
+    Jaccard.pairs(postings, sizes, minJ = 0.5, maxDf = Jaccard.StopShingleDf)
       .select(col("ida").as("da"), col("idb").as("db"), col("inter"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
@@ -198,9 +198,11 @@ object TextOps extends QueryModule {
   private val q74Sql =
     s"""WITH sh AS ($shingledSql),
        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > ${Jaccard.StopShingleDf}),
+       |cold AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
        |pairs AS (
        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)
        |SELECT da, db, inter,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Direct pins on the shared [[Jaccard.pairs]] core (q74/q85/q113/q186/q89
+  * all ride it): the stop-shingle df cap bounds candidate-pair cardinality
+  * on a deliberately hot element, and a seeded-random property check holds
+  * the inverted-index join to brute-force semantics at any minJ, capped and
+  * uncapped — independent of the DuckDB oracles.
+  */
+class JaccardSpec extends SparkSpec {
+
+  private def postingsDf(sets: Map[Int, Set[String]]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val p = sets.toSeq.flatMap { case (id, es) => es.map(e => (id, e)) }
+      .toDF("id", "e")
+    val sz = sets.toSeq.map { case (id, es) => (id, es.size) }.toDF("id", "sz")
+    (p, sz)
+  }
+
+  /** Brute-force reference with the same cap semantics: inter counts only
+    * elements with df <= maxDf; sizes stay full-set.
+    */
+  private def brute(sets: Map[Int, Set[String]], minJ: Double,
+                    maxDf: Long): Seq[(Int, Int, Long, Double)] = {
+    val df = sets.values.flatten.groupBy(identity).map { case (e, os) => e -> os.size }
+    val cold = sets.map { case (id, es) => id -> es.filter(e => df(e) <= maxDf) }
+    val ids = sets.keys.toSeq.sorted
+    for {
+      a <- ids; b <- ids if a < b
+      inter = (cold(a) & cold(b)).size.toLong if inter > 0
+      jac = inter.toDouble / (sets(a).size + sets(b).size - inter) if jac >= minJ
+    } yield (a, b, inter, jac)
+  }
+
+  private def collectPairs(df: DataFrame): Seq[(Int, Int, Long, Double)] =
+    df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+
+  test("hot element: df cap bounds candidate-pair cardinality") {
+    // 60 docs; one boilerplate element in 50 of them; each doc also has 3
+    // rare elements shared with at most one neighbor (chain overlaps).
+    val sets = (0 until 60).map { i =>
+      val rare = Set(s"r${i}a", s"r${i}b", s"shared${i / 2}")
+      i -> (if (i < 50) rare + "HOT" else rare)
+    }.toMap
+    val (p, sz) = postingsDf(sets)
+
+    // Uncapped, the hot element alone emits 50*49/2 = 1225 candidate pairs.
+    val uncapped = Jaccard.pairs(p, sz, minJ = 0.0).count()
+    assert(uncapped >= 1225L)
+
+    // Capped at df=10 the hot element is dropped: only the 30 chain pairs
+    // (sharedK links docs 2k and 2k+1) survive as candidates.
+    val capped = Jaccard.pairs(p, sz, minJ = 0.0, maxDf = 10L)
+    assert(capped.count() === 30L)
+    // and the bound from the Jaccard scaladoc holds: maxDf/2 × |postings|
+    val nPostings = sets.values.map(_.size).sum
+    assert(capped.count() <= 10L * nPostings / 2)
+    // exact values match the mirrored brute force
+    assert(collectPairs(capped) === brute(sets, 0.0, 10L).sorted)
+  }
+
+  test("property: pairs ≡ brute force at random set families, any minJ") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 12 + rnd.nextInt(8)
+      val vocab = (0 until 30).map(i => s"e$i")
+      val sets = (0 until n).map { id =>
+        id -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8)).toSet
+      }.toMap
+      val (p, sz) = postingsDf(sets)
+      val minJ = Seq(0.0, 0.2, 0.5)(trial % 3)
+      val maxDf = Seq(Long.MaxValue, 6L, 3L)(trial % 3)
+      val got = collectPairs(Jaccard.pairs(p, sz, minJ, maxDf = maxDf))
+      assert(got === brute(sets, minJ, maxDf).sorted,
+        s"trial=$trial minJ=$minJ maxDf=$maxDf")
+    }
+  }
+}
