@@ -558,7 +558,110 @@ object Aggregations extends QueryModule {
       |FROM pp, tot WHERE cents * 10000 > t * 6
       |ORDER BY part_value DESC, partkey""".stripMargin
 
+  /** q192: small-order revenue loss — the TPC-H Q17 plan shape: a
+    * correlated scalar AVG-subquery inside the WHERE against the SAME
+    * fact ("lines whose quantity is under 20 % of that part's average"),
+    * decorrelated into a per-part aggregate joined back on partkey. The
+    * missing decision-support idiom next to q190's global-scalar HAVING:
+    * here the scalar is PER GROUP, so it cannot broadcast as one row —
+    * it must meet the probe on the group key.
+    *
+    * Exactness: `qty < 0.2·avg(qty)` is cross-multiplied to the integer
+    * comparison `5·qty·cnt < sum(qty)` (quantities are integral), so no
+    * float sits near the decision boundary; the output is one exact
+    * decimal sum divided by 7.0 once.
+    *
+    * Scale: the brand/size part filter broadcasts as a semi-join into
+    * BOTH legs (the avg over a kept part's lines is unchanged — the
+    * filter is partkey-granular — and it shrinks the agg leg by the part
+    * selectivity). Both legs then meet on ONE l_partkey partitioning:
+    * the per-part agg's output partitioning IS the probe's join key, so
+    * the fact shuffles once per leg and never again (PlanSpec pins the
+    * exchange count). The avg subquery never re-executes per row — the
+    * classic decorrelation a naive engine gets quadratically wrong.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val keep = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1" && col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast(LongType).as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(keep), col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("qty")).as("sumq"), count(lit(1)).as("cnt"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("qty") * lit(5L) * col("cnt") < col("sumq"))
+      .agg((sum(Exact.money(col("l_extendedprice"))).cast(DoubleType) / 7.0)
+        .as("avg_yearly"))
+  }
+
+  private val q192Sql =
+    """WITH keep AS (
+      |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 5),
+      |li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+      |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM keep)),
+      |pp AS (
+      |  SELECT l_partkey AS pk, SUM(qty) AS sumq, COUNT(*) AS cnt
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |  AS avg_yearly
+      |FROM li JOIN pp ON l_partkey = pk
+      |WHERE qty * 5 * cnt < sumq""".stripMargin
+
+  /** q193: concentrated suppliers — the TPC-H Q20 plan shape: a scalar
+    * SUM-subquery per (part, supplier) pair compared against another
+    * aggregate of the SAME fact at the same key ("suppliers who shipped
+    * more than half of their all-time volume of a Brand#2 part during
+    * 1995"), feeding a semi-joined name list. Where q192's scalar joins
+    * back on the group key, here BOTH aggregates share one grouping, so
+    * the decorrelation collapses the two subqueries into conditional
+    * aggregation over a single (partkey, suppkey) exchange — the
+    * strongest form of the rewrite (zero joins between the legs).
+    *
+    * Scale: one partial-agg shuffle on the pair key (integral quantities
+    * sum exactly); the filtered pair list is a sliver that broadcasts
+    * into the supplier name lookup. Nothing re-shuffles and no
+    * subquery re-executes per row.
+    */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val keep = Tables.part(s, d).filter(col("p_brand") === "Brand#2")
+      .select(col("p_partkey"))
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast(LongType).as("qty"),
+        year(to_date(col("l_shipdate"))).as("shipyear"))
+      .join(broadcast(keep), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(when(col("shipyear") === 1995, col("qty")).otherwise(lit(0L)))
+          .as("q95"),
+        sum(col("qty")).as("qall"))
+      .filter(col("q95") * lit(2L) > col("qall"))
+      .select(col("l_suppkey")).distinct()
+    pairs.join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q193Sql =
+    """WITH g AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1995
+      |        THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q95,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS qall
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2')
+      |  GROUP BY 1, 2)
+      |SELECT s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM g WHERE 2 * q95 > qall)
+      |ORDER BY s_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_avg_yearly" -> q192,
+    "q193_concentrated_suppliers" -> q193,
     "q190_important_parts" -> q190,
     "q168_share_of_total" -> q168,
     "q104_kmv_distinct" -> q104,
@@ -580,6 +683,8 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q192_avg_yearly" -> q192Sql,
+    "q193_concentrated_suppliers" -> q193Sql,
     "q129_ordered_set_agg" -> q129Sql,
     "q134_bitmap_distinct" -> q134Sql,
     "q190_important_parts" -> q190Sql,

@@ -618,7 +618,47 @@ object Joins extends QueryModule {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  /** q191: customer order-count distribution — the TPC-H Q13 plan shape,
+    * the most common BI idiom the join family still lacked: a LEFT OUTER
+    * join whose ON clause carries a right-side filter (orders outside the
+    * urgent class; zero-order customers must survive with count 0), a
+    * per-customer count, then an aggregate OF the aggregate (how many
+    * customers placed k orders). Reference analog: the implied
+    * articles-per-journal distribution over the scraper's JSON dumps
+    * (main.py:109 appends one row per article; grouping them by journal
+    * and then by count is exactly this shape).
+    *
+    * Scale: the outer join shuffles each side once on its custkey; the
+    * per-customer count then rides the JOIN's partitioning (SMJ LeftOuter
+    * preserves the streamed side's custkey layout, so Catalyst inserts no
+    * third exchange — PlanSpec pins both). The distribution agg's input is
+    * one row per customer and partial-aggregates to at most one row per
+    * distinct count per task before its tiny shuffle. `count(o_orderkey)`
+    * (non-null counting) is what makes the unmatched-outer rows score 0.
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"))
+    val o = Tables.orders(s, d)
+      .filter(!col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  private val q191Sql =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_custdist" -> q191,
     "q189_sole_supplier" -> q189,
     "q176_scd2_lookup" -> q176,
     "q167_nearest_event" -> q167,
@@ -641,6 +681,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q191_custdist" -> q191Sql,
     "q189_sole_supplier" -> q189Sql,
     "q176_scd2_lookup" -> q176Sql,
     "q167_nearest_event" -> q167Sql,

@@ -178,6 +178,59 @@ class PlanSpec extends SparkSpec {
       s"per-part aggregate re-shuffles for the threshold filter:\n$p")
   }
 
+  test("q191 Q13 shape: per-customer count rides the outer join's partitioning") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at-scale posture: neither side of the outer join fits a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q191_custdist")
+      // one exchange per join input; the per-customer count must reuse the
+      // join's custkey layout (a second c_custkey exchange would re-shuffle
+      // one row per customer between the join and its aggregate)
+      assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1,
+        s"per-customer count re-shuffles on c_custkey:\n$p")
+      assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1,
+        s"orders side shuffles more than once:\n$p")
+      assert(p.contains("LeftOuter"), s"outer join lost:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q192 Q17 shape: probe and per-part avg meet on one partkey exchange each") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q192_avg_yearly")
+      // the decorrelated scalar must JOIN on partkey, not re-execute per
+      // row: exactly two partkey exchanges (probe leg + agg leg), with the
+      // agg's output partitioning feeding the join directly
+      assert("Exchange hashpartitioning\\((l_partkey|pk)".r.findAllIn(p).size == 2,
+        s"fact shuffles more than once per leg on partkey:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"correlated avg degenerated to a nested loop:\n$p")
+      // the part filter must stay a broadcast semi-join into the fact scans
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"part filter not a broadcast semi-join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q193 Q20 shape: both scalar subqueries collapse into ONE pair-key aggregate") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q193_concentrated_suppliers")
+      // the 1995 and all-time sums share one (l_partkey, l_suppkey)
+      // exchange — a second fact-sized shuffle would mean the subqueries
+      // didn't fuse; the only other hash exchange is the sliver-sized
+      // supplier distinct
+      assert("Exchange hashpartitioning\\(l_partkey#\\d+L?, l_suppkey".r.findAllIn(p).size == 1,
+        s"pair aggregate shuffles the fact more than once:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"unexpected extra shuffle:\n$p")
+      // part filter and supplier name lookup ride broadcasts (hinted)
+      assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
     val p = plan("q126_lateral_topk")
     // Catalyst must rewrite the per-customer LIMIT subquery into a
