@@ -231,6 +231,18 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q161 RFM scores carry no unpartitioned window; anchor date stays in-plan") {
+    val p = plan("q161_rfm_segments")
+    // every rank window must be partitioned (by the range-partition id) —
+    // a Window node with an empty partition spec serializes one row per
+    // customer through a single task, the round-5 scale complaint
+    val unpartitioned = p.linesIterator.filter(_.contains("Window ["))
+      .filterNot(_.contains("[pid")).toList
+    assert(unpartitioned.isEmpty,
+      s"global single-task window(s) in q161:\n${unpartitioned.mkString("\n")}\n$p")
+    assert(!p.contains("ntile("), s"ntile window survived the rewrite:\n$p")
+  }
+
   test("q126 lateral subquery decorrelates to one rank pass, no re-execution") {
     val p = plan("q126_lateral_topk")
     // Catalyst must rewrite the per-customer LIMIT subquery into a
