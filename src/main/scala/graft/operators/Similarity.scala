@@ -64,13 +64,16 @@ object Similarity extends QueryModule {
     */
   private val Bands = 8
   private val BandBits = 8
-  private val Planes = Bands * BandBits
   private val MaxBucket = 256
 
-  /** ±1 hyperplane components: sign of md5("p#d")'s first byte. */
+  /** ±1 hyperplane components: sign of md5("p#d")'s first byte. Sized for
+    * the widest geometry a caller may ask for (1024 planes ≫ the 64
+    * default) so the banding helpers stay parameterizable without
+    * regenerating the matrix.
+    */
   private val planeMatrix: Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(Planes, Dims) { (p, d) =>
+    Array.tabulate(1024, Dims) { (p, d) =>
       val h = md.digest(s"$p#$d".getBytes("UTF-8"))
       if ((h(0) & 0xff) >= 0x80) 1 else -1
     }
@@ -92,21 +95,21 @@ object Similarity extends QueryModule {
     */
   private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  /** Band `b`'s BandBits-bit bucket id: sign bits of the plane dot
+  /** Band `b`'s bandBits-bit bucket id: sign bits of the plane dot
     * products, each dot via the native codegen'd `graft_dot` against the
     * inlined ±1 plane literal (one fused loop per plane instead of a
     * 64-term expression tree per bit).
     */
-  private def bandCol(b: Int): Column =
-    (0 until BandBits).map { i =>
-      val p = b * BandBits + i
+  private def bandCol(b: Int, bandBits: Int = BandBits): Column =
+    (0 until bandBits).map { i =>
+      val p = b * bandBits + i
       val plane = planeMatrix(p).map(c => s"${c}L").mkString("array(", ", ", ")")
       when(expr(s"graft_dot(v, $plane)") >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bandSql(b: Int): String =
-    (0 until BandBits).map { i =>
-      val p = b * BandBits + i
+  private def bandSql(b: Int, bandBits: Int = BandBits): String =
+    (0 until bandBits).map { i =>
+      val p = b * bandBits + i
       val plane = planeMatrix(p).mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, ${Dims + 1}), j -> ($plane)[j] * v[j])) >= 0" +
         s" THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -115,29 +118,39 @@ object Similarity extends QueryModule {
   /** Banded (vec_id, band, bk) rows with the deterministic per-bucket cap
     * (lowest vec_id first — so the fixed query ids always survive). Only
     * ids flow from here: vectors are rejoined once per surviving pair.
+    * Geometry (bands × bandBits sign bits, per-bucket cap) is
+    * parameterized with the module defaults; a deployment raises bandBits
+    * toward log2(n / target-occupancy) as the corpus grows (see the
+    * geometry scaladoc above) and the same plan shape holds.
     */
-  private def bandedIds(s: SparkSession, d: String): DataFrame =
+  private def bandedIds(s: SparkSession, d: String, bands: Int = Bands,
+                        bandBits: Int = BandBits,
+                        maxBucket: Int = MaxBucket): DataFrame =
     quantized(s, d)
       .select(col("vec_id"),
-        posexplode(array((0 until Bands).map(bandCol): _*)).as(Seq("band", "bk")))
+        posexplode(array((0 until bands).map(bandCol(_, bandBits)): _*))
+          .as(Seq("band", "bk")))
       .withColumn("slot", row_number().over(
         Window.partitionBy(col("band"), col("bk")).orderBy(col("vec_id"))))
-      .filter(col("slot") <= MaxBucket)
+      .filter(col("slot") <= maxBucket)
       .select(col("vec_id"), col("band"), col("bk"))
 
   /** DuckDB twin of [[bandedIds]], to embed as `bands` in a WITH chain
     * whose `q` CTE is [[quantizedSql]].
     */
-  private val bandedIdsSql: String = {
-    val union = (0 until Bands)
-      .map(b => s"SELECT vec_id, $b AS band, ${bandSql(b)} AS bk FROM q")
+  private def bandedIdsSqlFor(bands: Int = Bands, bandBits: Int = BandBits,
+                              maxBucket: Int = MaxBucket): String = {
+    val union = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, ${bandSql(b, bandBits)} AS bk FROM q")
       .mkString("\nUNION ALL\n")
     s"""SELECT vec_id, band, bk FROM (
        |  SELECT vec_id, band, bk,
        |    ROW_NUMBER() OVER (PARTITION BY band, bk ORDER BY vec_id) AS slot
        |  FROM ($union))
-       |WHERE slot <= $MaxBucket""".stripMargin
+       |WHERE slot <= $maxBucket""".stripMargin
   }
+
+  private lazy val bandedIdsSql: String = bandedIdsSqlFor()
 
   /** q80: brute-force cosine top-5 — the exact baseline. Query set (10
     * vectors) broadcasts against the corpus; ranking is per-query top-k.
@@ -270,35 +283,92 @@ object Similarity extends QueryModule {
        |SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_decile, COUNT(*) AS n_pairs
        |FROM scored GROUP BY 1 ORDER BY cos_decile""".stripMargin
 
-  /** q83: IVF-style ANN — a deterministic coarse quantizer (the first 10
-    * vectors stand in for trained centroids), corpus assigned to its
-    * nearest centroid by exact integer L2 (inverted lists), queries probe
-    * their 2 nearest lists and re-score candidates exactly. The partition
-    * story at scale: inverted lists ARE the partitioning — each query
-    * touches nprobe/nlists of the corpus.
-    */
-  private def q83(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val vecs = quantized(s, d)
-    val cents = vecs.filter(col("vec_id") < 10)
+  /** Seed coarse-quantizer centroids: the first `nlist` vectors. */
+  private def seedCents(vecs: DataFrame, nlist: Int): DataFrame =
+    vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // exact integer squared L2 to each centroid; argmin via packed key
+
+  /** Nearest-centroid assignment by exact integer squared L2 with the
+    * deterministic packed argmin (dist²·16 + cid — reserves 4 bits, so
+    * nlist ≤ 16). Broadcast(K) map-side argmin, one (vec_id, cid) shuffle
+    * — the q147 assignment step, shared by training and serving.
+    */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val dist2 = dotExpr("v", "v") + dotExpr("cv", "cv") - lit(2L) * dotExpr("v", "cv")
-    val assigned = vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"), (dist2 * 16 + col("cid")).as("dkey"))
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), (dist2 * 16 + col("cid")).as("dkey"))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), col("dkey")).as("cid"))
-      .join(vecs, "vec_id")
+  }
+
+  /** One Lloyd superstep producing TRAINED centroids: assign every vector
+    * to its nearest seed, rebuild each centroid as truncated integer
+    * component means (q147's update step re-packed into vectors). All
+    * integer arithmetic, so the trained centroids are bit-identical in
+    * both engines; a cluster that captures no vectors drops out (the
+    * oracle CTE mirrors that). Scale: the update shuffles (cid, pos,
+    * partial sum) with map-side combine — O(K × dims) reducer state.
+    */
+  private def lloydCents(vecs: DataFrame, seeds: DataFrame): DataFrame =
+    assignTo(vecs, seeds).join(vecs, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "comp")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(expr("sum(comp) div count(1)").as("nc"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, nc))), x -> x.nc)")
+        .as("cv"))
+
+  /** DuckDB twin of [[seedCents]] + [[lloydCents]]: the CTE chain ending
+    * in `cents(cid, cv)` — trained centroids from one superstep.
+    */
+  private def trainedCentsSql(nlist: Int): String =
+    s"""cents0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $nlist),
+       |assigned0 AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |  FROM q CROSS JOIN cents0 GROUP BY vec_id),
+       |comps0 AS (
+       |  SELECT cid, u.pos AS pos, u.comp AS comp FROM (
+       |    SELECT a.cid, unnest(list_transform(range(1, len(v.v)+1),
+       |      i -> {'pos': i, 'comp': v.v[i]})) AS u
+       |    FROM assigned0 a JOIN q v ON v.vec_id = a.vec_id)),
+       |newc0 AS (
+       |  SELECT cid, pos, CAST(SUM(comp) AS BIGINT) // COUNT(*) AS nc
+       |  FROM comps0 GROUP BY 1, 2),
+       |cents AS (SELECT cid, list(nc ORDER BY pos) AS cv FROM newc0 GROUP BY cid)""".stripMargin
+
+  /** q83: IVF ANN with a TRAINED coarse quantizer — `nlist` centroids
+    * seeded from the first `nlist` vectors and refined by one integer
+    * Lloyd superstep ([[lloydCents]] — the q147 machinery feeding
+    * serving), corpus assigned to its nearest centroid by exact integer
+    * L2 (inverted lists), queries probe their `nprobe` nearest lists and
+    * re-score candidates exactly. The partition story at scale: inverted
+    * lists ARE the partitioning — each query touches ~nprobe/nlist of the
+    * corpus, and nlist/nprobe are arguments (defaults 10/2 here; a real
+    * deployment raises nlist with corpus size and re-runs supersteps to
+    * convergence — the loop is the same two shuffles per step).
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = ivfTopK(s, d)
+
+  private def ivfTopK(s: SparkSession, d: String,
+                      nlist: Int = 10, nprobe: Int = 2): DataFrame = {
+    require(nlist <= 16, "packed argmin key reserves 4 bits for cid")
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val cents = lloydCents(vecs, seedCents(vecs, nlist))
+    val assigned = assignTo(vecs, cents).join(vecs, "vec_id")
     val queries = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    // probe the 2 nearest centroid lists per query
+    // probe the nprobe nearest trained lists per query
     val probes = queries.join(broadcast(cents))
       .select(col("qid"), col("qv"), col("cid"),
         (dotExpr("qv", "qv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("qv", "cv"))
           .as("d2"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
-      .filter(col("pr") <= 2)
+      .filter(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("cid"))
     val scored = probes.join(assigned, "cid")
       .filter(col("qid") =!= col("vec_id"))
@@ -315,7 +385,7 @@ object Similarity extends QueryModule {
 
   private val q83Sql =
     s"""WITH q AS ($quantizedSql),
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 10),
+       |${trainedCentsSql(10)},
        |assigned AS (
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))

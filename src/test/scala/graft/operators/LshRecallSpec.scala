@@ -20,10 +20,13 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
-  test("q83 IVF top-5 overlaps q80 exact top-5 with mean recall >= 0.5") {
+  test("q83 IVF top-5 overlaps q80 exact top-5 with mean recall >= 0.8") {
     // the IVF tradeoff made measurable: probing 2/10 inverted lists scans
     // ~20% of the corpus, so recall against the exhaustive scan must sit
-    // well above that scan fraction for the partitioning to earn its keep
+    // far above that scan fraction for the partitioning to earn its keep.
+    // One Lloyd superstep over the deterministic seeds lifted the measured
+    // mean from ~0.6 (first-10-vectors centroids) to 0.94; the 0.8 floor
+    // pins the trained quantizer's advantage with margin for data drift
     val exact = SparkEntry.queries("q80_ann_bruteforce")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -35,6 +38,7 @@ class LshRecallSpec extends SparkSpec {
       (ivf.getOrElse(qid, Set.empty) intersect want).size.toDouble / want.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.5, s"mean IVF recall $mean below the scan-fraction bar")
+    info(s"mean IVF recall = $mean")
+    assert(mean >= 0.8, s"mean IVF recall $mean below the trained-quantizer bar")
   }
 }
