@@ -16,15 +16,25 @@ case class MediaFeatures(doc_id: Long, format: String, byte_len: Long,
 /** A fixed-width feature vector extracted from one media payload. */
 case class MediaHist(doc_id: Long, format: String, hist: Array[Long])
 
+/** Features from a REAL image decode: dimensions + decoded-pixel hash. */
+case class ImageFeatures(doc_id: Long, format: String, width: Long,
+                         height: Long, pixel_hash: String)
+
 /** Multimodal-column surface (north star: image/audio/video as opaque
   * binary + typed metadata, decoded per partition in batches).
   *
-  * The real decoders (image/audio libs) are NOT in this container, so the
-  * decode step is a clearly-marked deterministic stand-in (see
-  * [[Multimodal.decodeStub]]); everything around it — binary column +
-  * metadata struct schema, partition-batched processing through a typed
-  * `mapPartitions` (the Scala analog of `mapInPandas` batch shape),
-  * per-frame sampling — is real Spark plumbing and oracle-verified.
+  * Image decode is REAL where the check can be real: q195 round-trips
+  * genuine PNG bytes through JDK ImageIO (encode → binary column →
+  * partition-batched decode → dims + decoded-pixel hash), and
+  * MultimodalSpec pins exact pixel recovery. The md5-of-bytes stand-in
+  * ([[Multimodal.decodeStub]]) remains only on q95/q100, whose DuckDB
+  * oracles must replay the feature in SQL — that needs byte-determinism
+  * SQL can express, which decoded pixels are not. Audio/video codecs are
+  * absent from the container, so those formats stay on the stub path.
+  * Everything around the decoders — binary column + metadata struct
+  * schema, partition-batched processing through a typed `mapPartitions`
+  * (the Scala analog of `mapInPandas` batch shape), per-frame sampling —
+  * is real Spark plumbing and oracle-verified.
   *
   * Scale shape: payload bytes never shuffle. The decode/feature stage is a
   * per-partition map; only fixed-width features and hashes leave the scan
@@ -33,11 +43,59 @@ case class MediaHist(doc_id: Long, format: String, hist: Array[Long])
   */
 object Multimodal extends QueryModule {
 
+  /** Real PNG decode via JDK ImageIO (zero new dependencies): parses the
+    * container for real and hashes the decoded ARGB pixel grid, so two
+    * byte-different encodings of the same pixels fingerprint identically
+    * — the property the md5-of-bytes stub cannot give. Used by q195's
+    * encode→decode roundtrip and MultimodalSpec; q95/q100 keep the stub
+    * because their DuckDB oracles replay md5-of-payload-bytes, which only
+    * byte-deterministic inputs support.
+    */
+  private[operators] def decodeImage(r: MediaRecord): ImageFeatures = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val buf = java.nio.ByteBuffer.allocate(w * h * 4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ImageFeatures(r.doc_id, r.format, w.toLong, h.toLong,
+      md.digest(buf.array).map("%02x".format(_)).mkString)
+  }
+
+  /** Deterministic fixture pixel: RGB for (id, x, y). Shared by the q195
+    * encoder and the spec's independent expectation (which recomputes the
+    * hash from this formula WITHOUT going through ImageIO).
+    */
+  private[operators] def pixel(id: Long, x: Int, y: Int): Int =
+    ((id * 2654435761L + y * 131L + x * 17L) & 0xffffffL).toInt
+
+  /** Encode the fixture image for `id` as real PNG bytes. */
+  private[operators] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Fixture image dimensions for `id` (small and varied). */
+  private[operators] def fixtureDims(id: Long): (Int, Int) =
+    (4 + (id % 5).toInt, 3 + (id % 4).toInt)
+
   /** ====== STUB ======
-    * Deterministic stand-in for a media decoder: a real implementation
-    * would parse the container format and run the codec (e.g. libjpeg /
-    * ffmpeg via JNI). Here: md5 content hash + a fake "feature" (sum of
-    * payload bytes) so results are reproducible and oracle-checkable.
+    * Deterministic stand-in for a media decoder where the ORACLE needs
+    * byte-determinism (md5-of-payload is replayable in DuckDB; decoded
+    * pixels are not): md5 content hash + a fake "feature" (sum of payload
+    * bytes). The REAL decode path is [[decodeImage]]/q195.
     */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -188,11 +246,39 @@ object Multimodal extends QueryModule {
       |FROM n LEFT JOIN h ON n.format = h.format
       |ORDER BY n.format""".stripMargin
 
+  /** q195: REAL image decode — each document's fixture image is encoded
+    * to genuine PNG bytes (binary payload column) and decoded back with
+    * JDK ImageIO inside the same partition-batched typed `mapPartitions`
+    * as q95; output is (dims, decoded-pixel hash). The output depends
+    * only on the recovered PIXELS — any spec-compliant PNG encoder
+    * yields the same rows — which is exactly what makes it a decode
+    * test rather than a byte-hash test. No DuckDB oracle (SQL cannot
+    * decode PNG): driver records the rows-only check; MultimodalSpec
+    * pins the pixel recovery bit-for-bit against the fixture formula.
+    *
+    * Scale shape: identical to q95 — payload bytes are born and die
+    * inside one partition; only fixed-width features leave the stage.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 50)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = fixtureDims(id)
+        MediaRecord(id, encodePng(id, w, h), "image/png", (w * h).toLong)
+      })
+      .mapPartitions(_.map(decodeImage)) // one ImageIO reader per batch
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("pixel_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_multimodal_decode" -> q95,
     "q96_multimodal_frames" -> q96,
     "q97_multimodal_resize" -> q97,
-    "q100_multimodal_features" -> q100
+    "q100_multimodal_features" -> q100,
+    "q195_multimodal_imageio" -> q195
   )
 
   override def oracles: Map[String, String] = Map(

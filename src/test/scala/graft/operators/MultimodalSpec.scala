@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Pins the REAL ImageIO decode path: genuine PNG bytes decode back to
+  * the exact fixture pixels, both directly and through the q195 Spark
+  * pipeline. The expectation recomputes the pixel hash from the fixture
+  * formula WITHOUT ImageIO, so an encoder/decoder that altered even one
+  * channel of one pixel would fail.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  /** Expected hash straight from the fixture formula: ARGB ints (alpha
+    * 0xff, as TYPE_INT_RGB reads back) in row-major order.
+    */
+  private def expectedHash(id: Long): String = {
+    val (w, h) = Multimodal.fixtureDims(id)
+    val buf = java.nio.ByteBuffer.allocate(w * h * 4)
+    for (y <- 0 until h; x <- 0 until w)
+      buf.putInt(0xff000000 | Multimodal.pixel(id, x, y))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(buf.array).map("%02x".format(_)).mkString
+  }
+
+  test("ImageIO round-trip recovers the exact fixture pixels") {
+    for (id <- Seq(0L, 7L, 13L, 42L)) {
+      val (w, h) = Multimodal.fixtureDims(id)
+      val png = Multimodal.encodePng(id, w, h)
+      // real container bytes: PNG magic, not a fake
+      assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47),
+        s"id=$id payload is not PNG")
+      val feats = Multimodal.decodeImage(MediaRecord(id, png, "image/png", 0L))
+      assert(feats.width === w && feats.height === h, s"id=$id dims")
+      assert(feats.pixel_hash === expectedHash(id), s"id=$id pixels differ")
+    }
+  }
+
+  test("q195 decodes PNG payloads distributed, one row per document") {
+    val rows = SparkEntry.queries("q195_multimodal_imageio")(spark, sf0001)
+      .collect()
+    assert(rows.length === 50)
+    val r7 = rows.find(_.getLong(0) == 7L).get
+    val (w, h) = Multimodal.fixtureDims(7L)
+    assert(r7.getLong(1) === w && r7.getLong(2) === h)
+    assert(r7.getString(3) === expectedHash(7L))
+  }
+}
