@@ -653,6 +653,83 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q194: stream-stream FULL OUTER join — completes the join matrix next
+    * to q98 (inner) and q143 (left-outer), stressing BOTH sides'
+    * state-eviction paths at once. Matches emit as they arrive. An
+    * unmatched signup emits once the min-watermark passes
+    * `signup_ts + 2h` (no future purchase can match — q143's gate); an
+    * unmatched purchase emits once the watermark passes `p_ts` itself,
+    * because a future signup would need `signup_ts <= p_ts` and the
+    * watermark bounds future event times from below. Rows inside the
+    * trailing horizon stay in state at stream end; the oracle applies
+    * both gates, which is the honest spelling of full-outer semantics on
+    * an unbounded stream — each side's absences are only knowable
+    * watermark-late, at different delays.
+    *
+    * Scale: state is user_id-partitioned on both sides and the two-sided
+    * time bound caps per-key retention, as in the inner variant.
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val ev = streamEvents(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signup.join(
+      purchase,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
+      "full_outer")
+    val out = runToMemory(s,
+      joined.select(coalesce(col("user_id"), col("p_user")).as("uid"),
+        col("signup_ts"), col("p_ts"), col("value")),
+      "q194_sink", "append")
+    out.groupBy(col("uid"))
+      .agg(
+        expr("count_if(signup_ts IS NOT NULL AND p_ts IS NOT NULL)").as("n_matched"),
+        expr("count_if(p_ts IS NULL)").as("n_unmatched_signups"),
+        expr("count_if(signup_ts IS NULL)").as("n_unmatched_purchases"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("uid"))
+  }
+
+  private val q194Sql =
+    s"""WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+       |           WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+       |      WHERE event_type = 'purchase'),
+       |wm AS (SELECT LEAST((SELECT MAX(ts) FROM s), (SELECT MAX(ts) FROM p))
+       |         - INTERVAL 1 HOUR AS w),
+       |m AS (SELECT s.user_id, s.ts AS signup_ts, p.ts AS p_ts, p.value
+       |      FROM s JOIN p ON s.user_id = p.user_id
+       |       AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR),
+       |us AS (SELECT s.user_id, s.ts AS signup_ts,
+       |         CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS value
+       |       FROM s, wm
+       |       WHERE s.ts + INTERVAL 2 HOUR < wm.w
+       |         AND NOT EXISTS (SELECT 1 FROM p
+       |           WHERE p.user_id = s.user_id
+       |             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR)),
+       |up AS (SELECT p.user_id, CAST(NULL AS TIMESTAMP) AS signup_ts,
+       |         p.ts AS p_ts, p.value
+       |       FROM p, wm
+       |       WHERE p.ts < wm.w
+       |         AND NOT EXISTS (SELECT 1 FROM s
+       |           WHERE s.user_id = p.user_id
+       |             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR)),
+       |allr AS (SELECT * FROM m UNION ALL SELECT * FROM us
+       |         UNION ALL SELECT * FROM up)
+       |SELECT user_id AS uid,
+       |  COUNT(CASE WHEN signup_ts IS NOT NULL AND p_ts IS NOT NULL THEN 1 END)
+       |    AS n_matched,
+       |  COUNT(CASE WHEN p_ts IS NULL THEN 1 END) AS n_unmatched_signups,
+       |  COUNT(CASE WHEN signup_ts IS NULL THEN 1 END) AS n_unmatched_purchases,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q148: CHAINED event-time window aggregations in one streaming query —
     * hourly per-type count/sum rolled up into daily totals via
     * `window_time()` (the multiple-stateful-operators pipeline Spark
@@ -739,6 +816,7 @@ object Streams extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_stream_left_outer" -> q143,
+    "q194_stream_full_outer" -> q194,
     "q148_stream_chained_windows" -> q148,
     "q183_stream_dedup_agg" -> q183,
     "q106_stream_update_upsert" -> q106,
@@ -755,6 +833,7 @@ object Streams extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q143_stream_left_outer" -> q143Sql,
+    "q194_stream_full_outer" -> q194Sql,
     "q148_stream_chained_windows" -> q148Sql,
     "q183_stream_dedup_agg" -> q183Sql,
     "q106_stream_update_upsert" -> q106Sql,
