@@ -60,7 +60,11 @@ object Bench {
     "q148_stream_chained_windows", "q150_canonical_dedup",
     "q151_decontamination", "q152_pmi_collocations",
     // round 5c additions (the TPC-H decision-support shapes)
-    "q188_market_share", "q189_sole_supplier", "q190_important_parts"
+    "q188_market_share", "q189_sole_supplier", "q190_important_parts",
+    // round 6 additions: Q13/Q17/Q20 shapes, the parallelized RFM
+    // segmentation, the full-outer stream join, the ImageIO decode
+    "q191_custdist", "q192_avg_yearly", "q193_concentrated_suppliers",
+    "q161_rfm_segments", "q194_stream_full_outer", "q195_multimodal_imageio"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */
@@ -179,7 +183,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val contaminated = results.count { case (_, v, sf, _) => v >= 0 && sf > 0.02 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"steal":$sjson,"attempts":$ajson,"contaminated":$contaminated,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"steal":$sjson,"attempts":$ajson,"contaminated":$contaminated,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // the driver artifact keeps only the stdout tail (r5's per-query map
+    // was truncated past 2000 chars) — persist the full line for audit
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_latest.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -371,7 +371,9 @@ object ScalePatterns extends QueryModule {
     val partTotals = parted.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = partTotals.map(_._2).sum
-    val stride = total / 50
+    // floor at 1: total weight under 50 would make the stride 0 and the
+    // `div` selection divide by zero on a degenerate corpus
+    val stride = math.max(1L, total / 50)
     val offsets = partTotals
       .scanLeft((0, 0L)) { case ((_, acc), (pid, pw)) => (pid, acc + pw) }
       .init.zip(partTotals)
@@ -390,7 +392,8 @@ object ScalePatterns extends QueryModule {
       |  SELECT doc_id, n_chars AS w,
       |    CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
       |  FROM documents),
-      |s AS (SELECT CAST(SUM(n_chars) AS BIGINT) // 50 AS stride FROM documents)
+      |s AS (SELECT GREATEST(CAST(SUM(n_chars) AS BIGINT) // 50, 1) AS stride
+      |      FROM documents)
       |SELECT doc_id, w, cum FROM t, s
       |WHERE cum // stride > (cum - w) // stride
       |ORDER BY doc_id""".stripMargin

@@ -792,8 +792,11 @@ object Similarity extends QueryModule {
         .getField("nc").as("c"))
     val d2s = vecs.join(broadcast(cents), "label")
       .select(col("label"), col("vec_id"),
-        ((dotExpr("v", "v") - lit(2L) * dotExpr("v", "c") + dotExpr("c", "c"))
-          / 1024L).cast(LongType).as("ds"))
+        // integer `div`, not float `/` + cast: float division is only
+        // exact while the squared distance fits 2^53, which would quietly
+        // cap the DECIMAL-widening headroom documented above
+        expr("(graft_dot(v, v) - 2L * graft_dot(v, c) + graft_dot(c, c)) div 1024")
+          .as("ds"))
     val moments = d2s.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("ds")).as("ss"),
         sum(col("ds") * col("ds")).as("s2"))

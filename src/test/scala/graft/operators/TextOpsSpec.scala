@@ -28,7 +28,7 @@ class TextOpsSpec extends SparkSpec {
     // the perf claim behind the lossless result: at tau=0.5 the indexed
     // prefix is floor(n/2)+1 of each n-token set, so postings shrink to
     // ~(n/2+1)/n of the full inverted index
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val docs = graft.Tables.documents(spark, sf001)
       .select(col("doc_id"),
         array_distinct(expr(
           """transform(sequence(0, size(split(text, ' '))-3),
@@ -47,7 +47,7 @@ class TextOpsSpec extends SparkSpec {
   test("q151 finds nonzero contamination on the sf0.01 corpus") {
     // guards the fixture against degenerating into a vacuous check: the
     // mod-7 benchmark split must actually share 8-grams with the train set
-    val out = TextOps.queries("q151_decontamination")(spark, "/root/testdata/sf0.01")
+    val out = TextOps.queries("q151_decontamination")(spark, sf001)
       .agg(sum(col("n_contaminated"))).collect()(0).getLong(0)
     assert(out > 0, "benchmark split shares no 8-grams with the train set")
   }
