@@ -64,7 +64,15 @@ object Bench {
     // round 6 additions: Q13/Q17/Q20 shapes, the parallelized RFM
     // segmentation, the full-outer stream join, the ImageIO decode
     "q191_custdist", "q192_avg_yearly", "q193_concentrated_suppliers",
-    "q161_rfm_segments", "q194_stream_full_outer", "q195_multimodal_imageio"
+    "q161_rfm_segments", "q194_stream_full_outer", "q195_multimodal_imageio",
+    // round 6b additions: Q18/Q22/Q2 shapes, semantic dedup, the LM
+    // fluency and DSIR selection passes, the right-outer stream join
+    "q196_big_orders", "q197_dormant_customers", "q198_min_cost_supplier",
+    "q199_semantic_dedup", "q200_lm_fluency", "q201_importance_weights",
+    "q202_stream_right_outer",
+    // round 6c additions: ORC round-trip, Q19/Q15/Q16 shapes
+    "q203_orc_roundtrip", "q204_disjunctive_join", "q205_top_supplier",
+    "q206_supplier_census"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -659,7 +659,157 @@ object Aggregations extends QueryModule {
       |WHERE s_suppkey IN (SELECT l_suppkey FROM g WHERE 2 * q95 > qall)
       |ORDER BY s_name""".stripMargin
 
+  /** q198: cheapest supplier per part — the TPC-H Q2 semantics: the
+    * supplier(s) whose price equals that part's minimum, TIES KEPT as Q2
+    * does (which is why q29's min_by — one payload, ties dropped — is
+    * not this operator). Spelled as a rank-1 window rather than the
+    * textbook min-subquery join-back: the decorrelated join-back puts
+    * the DECIMAL price into the equi-join key, and Spark then shuffles
+    * BOTH legs on (partkey, price) plus re-shuffles the dedup — four
+    * exchanges where the window spelling needs ONE. The rank pass is
+    * per-part (never a global window), and the (part, supplier) dedup
+    * rides the window's partkey partitioning with no further exchange —
+    * the plan the optimizer should converge to, written directly.
+    *
+    * Exactness: prices compare as DECIMAL(18,2), so "equals the min"
+    * has no float-equality hazard in either engine.
+    *
+    * Scale: one l_partkey exchange for the window, zero joins on the
+    * fact; supplier is a broadcast dim; top-100 is
+    * TakeOrderedAndProject. Per-part row counts bound the window state
+    * (a sorted run per part, O(1) carried rank).
+    */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        Exact.money(col("l_extendedprice")).as("price"))
+    li.withColumn("rk", rank().over(
+        Window.partitionBy(col("l_partkey")).orderBy(col("price"))))
+      .filter(col("rk") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), col("price"))
+      .distinct()
+      .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_name"),
+        col("price").cast(DoubleType).as("min_price"))
+      .orderBy(col("l_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  private val q198Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem),
+      |mn AS (SELECT l_partkey AS pk, MIN(price) AS min_price
+      |       FROM li GROUP BY 1)
+      |SELECT DISTINCT l_partkey, s_name, CAST(min_price AS DOUBLE) AS min_price
+      |FROM li
+      |JOIN mn ON l_partkey = pk AND price = min_price
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY l_partkey, s_name LIMIT 100""".stripMargin
+
+  /** q205: top revenue supplier — the TPC-H Q15 plan shape: a revenue
+    * "view" (per-supplier decimal revenue over a ship-year), then the
+    * suppliers whose revenue EQUALS the view's global max — ties kept,
+    * as Q15 specifies. The global-scalar-equality sibling of q190's
+    * global-threshold HAVING: here the scalar is an aggregate OF the
+    * view itself, so the view's exchange must be built once and REUSED
+    * by the max leg (PlanSpec pins the ReusedExchange), never computed
+    * twice.
+    *
+    * Exactness: revenue sums as DECIMAL (money × (1 − rate)), and the
+    * max-equality compares decimals — no float near the tie boundary.
+    *
+    * Scale: one l_suppkey exchange total; the 1-row max broadcasts back;
+    * supplier is a broadcast dim. The view is supplier-count-sized, so
+    * the max leg's second aggregation pass is a sliver.
+    */
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import graft.Exact._
+    // the join legs infer not-null filters the lone max leg wouldn't
+    // carry; declaring them up front keeps both consumers' scan subtrees
+    // byte-identical, so the view's exchange is built once and REUSED by
+    // the max leg instead of re-scanning the fact
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("total_rev"))
+      .filter(col("total_rev").isNotNull)
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast(DoubleType).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q205Sql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q206: parts-supplier census — the TPC-H Q16 plan shape: per
+    * (brand, type, size) the number of DISTINCT suppliers able to ship
+    * it, with a NOT-IN part filter and an anti-join exclusion list (the
+    * negative-balance suppliers standing in for Q16's complaints
+    * regex). The count-distinct-over-join rollup: the grain changes
+    * twice (lineitem → pair → group), and both reductions must stay
+    * partial-aggregated.
+    *
+    * Scale: both filters broadcast (dim sliver + 6-row exclusion list),
+    * so the fact never shuffles until the distinct-pair reduction —
+    * Spark plans count(DISTINCT) as a two-level aggregate: pairs
+    * partial-dedup map-side, shuffle on the group key, final exact
+    * count. Output is bounded by |brands|×|types|×|sizes|.
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val keep = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(keep), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  private val q206Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_top_supplier" -> q205,
+    "q206_supplier_census" -> q206,
+    "q198_min_cost_supplier" -> q198,
     "q192_avg_yearly" -> q192,
     "q193_concentrated_suppliers" -> q193,
     "q190_important_parts" -> q190,
@@ -683,6 +833,9 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q205_top_supplier" -> q205Sql,
+    "q206_supplier_census" -> q206Sql,
+    "q198_min_cost_supplier" -> q198Sql,
     "q192_avg_yearly" -> q192Sql,
     "q193_concentrated_suppliers" -> q193Sql,
     "q129_ordered_set_agg" -> q129Sql,

@@ -1011,7 +1011,141 @@ object CorpusOps extends QueryModule {
        |FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
        |ORDER BY h""".stripMargin
 
+  // --------------------------------------------------------------- q200
+
+  /** q200: per-source LM fluency scoring — score every document under the
+    * corpus's own bigram model (q87's table, un-truncated) as the mean
+    * scaled conditional probability of its bigrams, then roll up per
+    * source: doc count, mean fluency, and how many docs fall under the
+    * low-fluency gate. The perplexity-filter shape of a training-data
+    * pipeline (Wenzek et al., CCNet) with the n-gram LM standing in for
+    * the 5-gram KenLM — all integer (`p_scaled = cnt·10⁶ div prefix_cnt`,
+    * per-doc mean by integer div), so both engines hash-match without a
+    * cross-engine libm log.
+    *
+    * Gate: fluency < 32000, calibrated to the fixture's 30322–49077 range
+    * (flags 10 of 500 docs); a deployment calibrates it per corpus the
+    * same way.
+    *
+    * Scale: the LM table is distinct-bigram-sized and partial-aggregates
+    * in one bigram-keyed shuffle; the scoring join meets doc bigrams and
+    * the table on that same key (no broadcast assumption — a web-scale
+    * bigram table does not fit one executor); the per-doc mean then
+    * partial-aggregates on doc_id and the source rollup is |sources|
+    * rows. Everything downstream of the scan is linear in corpus tokens.
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+    val lm = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prefix_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"),
+        expr("(cnt * 1000000) div prefix_cnt").as("p"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("sum(p) div count(1)").as("fluency"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(fluency) div count(1)").as("mean_fluency"),
+        expr("count_if(fluency < 32000)").as("n_low"))
+      .orderBy(col("source"))
+  }
+
+  private val q200Sql =
+    s"""WITH d AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+       |bi AS (
+       |  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+       |        FROM d WHERE len(t) >= 2)),
+       |lm AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY 1, 2),
+       |lmp AS (
+       |  SELECT w1, w2, (cnt * 1000000)
+       |    // CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS p
+       |  FROM lm),
+       |ds AS (
+       |  SELECT doc_id, source, CAST(SUM(p) AS BIGINT) // COUNT(*) AS fluency
+       |  FROM bi JOIN lmp USING (w1, w2) GROUP BY 1, 2)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(fluency) AS BIGINT) // COUNT(*) AS mean_fluency,
+       |  CAST(COUNT(CASE WHEN fluency < 32000 THEN 1 END) AS BIGINT) AS n_low
+       |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q201
+
+  /** q201: DSIR-style importance weights — hashed-unigram importance
+    * scoring of every document against a target distribution (the
+    * English slice standing in for "high-quality domain"), the
+    * data-selection pass (Xie et al. 2023) that upsamples target-like
+    * raw documents. Each token hashes into 4096 md5 buckets (q69's
+    * seed-free conv spelling, so the featurizer is reproducible across
+    * engines, runs and cluster sizes); a document's weight is the mean
+    * over its tokens of the scaled probability GAP `tgt_share − all_share`
+    * (each side `cnt·10⁶ div total` — the integer-exact stand-in for the
+    * log-likelihood ratio, same ranking direction, no libm). Output:
+    * the 20 highest-weight docs. On the fixture the English slice ranks
+    * highest (mean +61 vs negative for every other language) — the
+    * selection signal the pass exists for.
+    *
+    * Scale: both feature tables are ≤ 4096 rows regardless of corpus
+    * size — they broadcast; scoring is a map-side join on the token
+    * stream plus one doc_id-keyed partial agg, and the top-20 is
+    * TakeOrderedAndProject. Nothing anywhere is corpus-sized but the
+    * scan itself.
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(toks(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), expr(
+        "CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT) % 4096").as("f"))
+    val tgt = tf.filter(col("lang") === "en")
+      .groupBy(col("f")).agg(count(lit(1)).as("tc"))
+    val all = tf.groupBy(col("f")).agg(count(lit(1)).as("ac"))
+    val tot = tgt.agg(sum(col("tc")).as("tT"))
+      .crossJoin(all.agg(sum(col("ac")).as("aT")))
+    val feat = all.join(tgt, Seq("f"), "left").na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("f"),
+        (expr("(tc * 1000000) div tT") - expr("(ac * 1000000) div aT")).as("dw"))
+    tf.join(broadcast(feat), Seq("f"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(dw) div count(1)").as("w_scaled"))
+      .orderBy(desc("w_scaled"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val q201Sql = {
+    val bucket = (1 to 4).map { i =>
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1) * ${1L << ((4 - i) * 4)}"
+    }.mkString("(", " + ", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest($toksSql) AS w FROM documents),
+       |tf AS (SELECT doc_id, lang, $bucket % 4096 AS f FROM tok),
+       |tgt AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS tc FROM tf
+       |        WHERE lang = 'en' GROUP BY 1),
+       |al AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ac FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT SUM(tc) FROM tgt) AS BIGINT) AS tT,
+       |               CAST((SELECT SUM(ac) FROM al) AS BIGINT) AS aT),
+       |feat AS (
+       |  SELECT al.f AS f, (COALESCE(tc, 0) * 1000000) // tT
+       |    - (ac * 1000000) // aT AS dw
+       |  FROM al LEFT JOIN tgt USING (f) CROSS JOIN tot)
+       |SELECT doc_id, lang, CAST(SUM(dw) AS BIGINT) // COUNT(*) AS w_scaled
+       |FROM tf JOIN feat USING (f) GROUP BY 1, 2
+       |ORDER BY w_scaled DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_lm_fluency" -> q200,
+    "q201_importance_weights" -> q201,
     "q107_inverted_index" -> q107,
     "q101_repetition_filter" -> q101,
     "q102_passage_dedup" -> q102,
@@ -1035,6 +1169,8 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q200_lm_fluency" -> q200Sql,
+    "q201_importance_weights" -> q201Sql,
     "q107_inverted_index" -> q107Sql,
     "q101_repetition_filter" -> q101Sql,
     "q102_passage_dedup" -> q102Sql,

@@ -657,7 +657,157 @@ object Joins extends QueryModule {
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** q196: large-volume orders — the TPC-H Q18 plan shape: a HAVING
+    * semi-filter over a grouped aggregate of the fact ("orders whose
+    * total quantity tops 300"), enriched back with the order header and
+    * the customer name. The agg-of-the-fact-filtering-the-fact idiom
+    * that Q13 (q191) does with an outer join and Q17 (q192) does with a
+    * per-group scalar. Reference analog: "journals whose article volume
+    * crosses a threshold" over the scraper's buffer
+    * (`/root/reference/main.py:109`).
+    *
+    * Scale: lineitem shuffles ONCE on l_orderkey for the quantity rollup;
+    * the >300 survivors are a sliver (46 of 15 k orders at sf0.01, and
+    * TPC-H specifies ~1 row per 1.5 M lineitems at any SF), so the
+    * enrichment join broadcasts the sliver into the orders scan — the
+    * fact's carried `total_qty` means Q18's canonical second lineitem
+    * join is gone entirely. Customer is a broadcast dim. Top-100 rides
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast(LongType).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q196Sql =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q197: high-balance dormant customers — the TPC-H Q22 plan shape:
+    * an ANTI join against a filtered fact ("customers with no urgent
+    * order") gated by a GLOBAL scalar subquery ("balance above the
+    * positive-balance average"), rolled up by segment. Completes the
+    * decision-support decorrelation family: q190 broadcasts a global
+    * scalar into a HAVING, q192 joins a per-group scalar back on its
+    * key, and here the global scalar gates the probe side of an
+    * anti-join.
+    *
+    * Exactness: the average never materializes — `bal · poscnt > possum`
+    * cross-multiplies it away in DECIMAL×BIGINT, so no division sits
+    * near the decision boundary.
+    *
+    * Scale: the 1-row (possum, poscnt) aggregate broadcasts into the
+    * customer scan (a literal cross join Catalyst plans as
+    * BroadcastNestedLoopJoin over one row); the anti join shuffles
+    * customer and the o_custkey projection once each on custkey — at
+    * 100 TB the orders side partial-aggregates to distinct custkeys
+    * map-side because LeftAnti only needs key presence. Segment rollup
+    * state is |segments| rows.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        Exact.money(col("c_acctbal")).as("bal"))
+    val pos = c.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("possum"), count(lit(1)).as("poscnt"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_custkey"))
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(pos))
+      .filter(col("bal") * col("poscnt") > col("possum"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast(DoubleType).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q197Sql =
+    """WITH pos AS (
+      |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS possum,
+      |    COUNT(*) AS poscnt
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, pos
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority LIKE '%URGENT%')
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) * poscnt > possum
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q204: disjunctive promo revenue — the TPC-H Q19 plan shape: a join
+    * whose condition is an OR of three brand/size/quantity conjunctions,
+    * each spanning BOTH relations. The planner stress is equi-key
+    * extraction: `p_partkey = l_partkey` is common to every disjunct, so
+    * Catalyst must pull it out as the hash key and leave the OR as a
+    * residual — an engine that fails this runs an all-pairs nested loop
+    * over the fact (the PlanSpec pin). Revenue stays exact decimal:
+    * money × (1 − rate), summed at scale 6, one double cast at the end.
+    *
+    * Scale: part broadcasts (dim); the fact is scanned once, filtered
+    * map-side by the residual after the hash probe — zero shuffles
+    * before the 1-row aggregate.
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p),
+        col("p_partkey") === col("l_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 50))))
+      .agg(
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q204Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_disjunctive_join" -> q204,
+    "q196_big_orders" -> q196,
+    "q197_dormant_customers" -> q197,
     "q191_custdist" -> q191,
     "q189_sole_supplier" -> q189,
     "q176_scd2_lookup" -> q176,
@@ -681,6 +831,9 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q204_disjunctive_join" -> q204Sql,
+    "q196_big_orders" -> q196Sql,
+    "q197_dormant_customers" -> q197Sql,
     "q191_custdist" -> q191Sql,
     "q189_sole_supplier" -> q189Sql,
     "q176_scd2_lookup" -> q176Sql,

@@ -527,7 +527,39 @@ object ScalePatterns extends QueryModule {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q203: ORC round-trip — write the documents table as ORC, read it
+    * back with a predicate, and aggregate; the oracle computes the same
+    * rollup from the PARQUET original, so a hash match proves the
+    * columnar round trip loses nothing (values, types, nulls) across
+    * the second on-disk format Spark ships natively (S10's parquet
+    * sibling — a 100 TB estate is rarely one format).
+    *
+    * Scale: the write is one map-side pass (no shuffle — file-per-task
+    * layout); the read-back prunes to 3 columns and pushes the lang
+    * predicate into the ORC reader exactly as parquet does (the scan's
+    * pushed-filter line is the evidence), then partial-aggregates to
+    * |langs| rows.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      Integer.toHexString(d.hashCode)
+    Tables.documents(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("lang") =!= "zh")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q203Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_orc_roundtrip" -> q203,
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
     "q141_heavy_hitters" -> q141,
@@ -543,6 +575,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q203_orc_roundtrip" -> q203Sql,
     "q105_salted_join" -> q105Sql,
     "q111_bloom_join" -> q111Sql,
     "q141_heavy_hitters" -> q141Sql,

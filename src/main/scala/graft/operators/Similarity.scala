@@ -850,7 +850,71 @@ object Similarity extends QueryModule {
        |FROM ds JOIN m ON ds.label = m.label
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q199: SemDeDup-style semantic dedup — cluster the corpus with the
+    * TRAINED coarse quantizer (q83's seed+Lloyd machinery), then compare
+    * pairs ONLY within a cluster and flag the higher vec_id of every pair
+    * whose cosine clears the threshold, reporting each flagged vector's
+    * lowest-id keeper. The embedding-space dedup pass that catches
+    * paraphrases exact/MinHash dedup cannot (SemDeDup, Abbas et al. 2023):
+    * clustering first makes the candidate set per-cluster, never the
+    * corpus.
+    *
+    * Threshold: cos ≥ 2/5, integer-exact via `25·dot² ≥ 4·‖a‖²·‖b‖²` with
+    * a `dot > 0` guard (quantized dots ≤ 6.4e7, so 25·dot² ≤ 1.1e17 — no
+    * overflow). The fixture's embeddings are random (max pairwise cosine
+    * ≈ 0.5), so the threshold is corpus-calibrated; a real near-dup
+    * corpus runs the same plan at 0.95 = 19/20.
+    *
+    * Scale: assignment is the broadcast-K map-side argmin (one (vec_id,
+    * cid) shuffle); the within-cluster self-join shuffles ids+vectors
+    * once on cid. Per-cluster work is s²/2 — bounded by keeping expected
+    * occupancy constant, i.e. growing nlist ∝ n exactly as q83's
+    * geometry note prescribes (nlist is an argument; 10 here under the
+    * packed-argmin nlist ≤ 16 bound). The removal verdict
+    * partial-aggregates to one row per flagged vector.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val cents = lloydCents(vecs, seedCents(vecs, 10))
+    val members = assignTo(vecs, cents).join(vecs, "vec_id")
+    members.as("a").join(members.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("keep_id"),
+        col("b.vec_id").as("dup_id"),
+        dotExpr("a.v", "b.v").as("dot"),
+        dotExpr("a.v", "a.v").as("na"), dotExpr("b.v", "b.v").as("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(25L) >= col("na") * col("nb") * lit(4L))
+      .groupBy(col("cid"), col("dup_id"))
+      .agg(min(col("keep_id")).as("keeper_id"), count(lit(1)).as("n_links"))
+      .orderBy(col("cid"), col("dup_id"))
+  }
+
+  private val q199Sql =
+    s"""WITH q AS ($quantizedSql),
+       |${trainedCentsSql(10)},
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |mem AS (SELECT a.vec_id, a.cid, q.v FROM assigned a
+       |        JOIN q ON q.vec_id = a.vec_id),
+       |pairs AS (
+       |  SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS dot,
+       |    list_sum(list_transform(a.v, x -> x*x)) AS na,
+       |    list_sum(list_transform(b.v, x -> x*x)) AS nb
+       |  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT cid, dup_id, MIN(keep_id) AS keeper_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_links
+       |FROM pairs WHERE dot > 0 AND dot * dot * 25 >= na * nb * 4
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_semantic_dedup" -> q199,
     "q147_kmeans_step" -> q147,
     "q154_random_projection" -> q154,
     "q157_pq_codes" -> q157,
@@ -865,6 +929,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q199_semantic_dedup" -> q199Sql,
     "q147_kmeans_step" -> q147Sql,
     "q154_random_projection" -> q154Sql,
     "q157_pq_codes" -> q157Sql,

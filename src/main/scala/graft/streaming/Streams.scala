@@ -730,6 +730,72 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q202: stream-stream RIGHT OUTER join — the last cell of the join
+    * matrix next to q98 (inner), q143 (left) and q194 (full): every
+    * purchase survives, attributed to its in-window signup when one
+    * exists. The eviction asymmetry is the point: an unmatched purchase
+    * emits once the min-watermark passes `p_ts` ITSELF (a future signup
+    * would need `signup_ts ≤ p_ts`, and the watermark bounds future
+    * event times from below) — a shorter delay than the left side's
+    * `signup_ts + 2h` gate, which is why the attribution use case
+    * (purchases needing their signup) wants RIGHT rather than full
+    * outer. Purchases inside the trailing horizon stay in state at
+    * stream end; the oracle applies the same gate.
+    *
+    * Scale: state is user_id-partitioned on both sides; the signup side
+    * holds rows only `2h + delay` past the watermark, the purchase side
+    * only `delay`, so per-key retention is bounded as in the inner
+    * variant.
+    */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val ev = streamEvents(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signup.join(
+      purchase,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
+      "right_outer")
+    val out = runToMemory(s,
+      joined.select(col("p_user"), col("signup_ts"), col("p_ts"), col("value")),
+      "q202_sink", "append")
+    out.groupBy(col("p_user"))
+      .agg(
+        expr("count_if(signup_ts IS NOT NULL)").as("n_attributed"),
+        expr("count_if(signup_ts IS NULL)").as("n_unattributed"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("p_user"))
+  }
+
+  private val q202Sql =
+    s"""WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+       |           WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+       |      WHERE event_type = 'purchase'),
+       |wm AS (SELECT LEAST((SELECT MAX(ts) FROM s), (SELECT MAX(ts) FROM p))
+       |         - INTERVAL 1 HOUR AS w),
+       |m AS (SELECT p.user_id, s.ts AS signup_ts, p.ts AS p_ts, p.value
+       |      FROM s JOIN p ON s.user_id = p.user_id
+       |       AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR),
+       |up AS (SELECT p.user_id, CAST(NULL AS TIMESTAMP) AS signup_ts,
+       |         p.ts AS p_ts, p.value
+       |       FROM p, wm
+       |       WHERE p.ts < wm.w
+       |         AND NOT EXISTS (SELECT 1 FROM s
+       |           WHERE s.user_id = p.user_id
+       |             AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR)),
+       |allr AS (SELECT * FROM m UNION ALL SELECT * FROM up)
+       |SELECT user_id AS p_user,
+       |  COUNT(CASE WHEN signup_ts IS NOT NULL THEN 1 END) AS n_attributed,
+       |  COUNT(CASE WHEN signup_ts IS NULL THEN 1 END) AS n_unattributed,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q148: CHAINED event-time window aggregations in one streaming query —
     * hourly per-type count/sum rolled up into daily totals via
     * `window_time()` (the multiple-stateful-operators pipeline Spark
@@ -817,6 +883,7 @@ object Streams extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_stream_left_outer" -> q143,
     "q194_stream_full_outer" -> q194,
+    "q202_stream_right_outer" -> q202,
     "q148_stream_chained_windows" -> q148,
     "q183_stream_dedup_agg" -> q183,
     "q106_stream_update_upsert" -> q106,
@@ -834,6 +901,7 @@ object Streams extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q143_stream_left_outer" -> q143Sql,
     "q194_stream_full_outer" -> q194Sql,
+    "q202_stream_right_outer" -> q202Sql,
     "q148_stream_chained_windows" -> q148Sql,
     "q183_stream_dedup_agg" -> q183Sql,
     "q106_stream_update_upsert" -> q106Sql,

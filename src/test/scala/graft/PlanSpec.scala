@@ -253,4 +253,81 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"lateral degenerated to all-pairs:\n$p")
   }
+
+  test("q196 Q18 shape: one lineitem exchange, the big-order sliver broadcasts") {
+    val p = plan("q196_big_orders")
+    // the quantity rollup is lineitem's ONLY shuffle; the >300 survivors
+    // (~1 per 1.5M lineitems at any TPC-H SF) then broadcast into orders,
+    // so the orders scan never shuffles at all
+    assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1,
+      s"lineitem shuffles more than once on orderkey:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders shuffled instead of receiving the broadcast sliver:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 is a global sort:\n$p")
+  }
+
+  test("q197 Q22 shape: scalar broadcasts, anti join shuffles each side once") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at-scale posture: customer and orders are both facts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q197_dormant_customers")
+      assert(p.contains("LeftAnti"), s"anti join lost:\n$p")
+      assert("Exchange hashpartitioning\\(c_custkey".r.findAllIn(p).size == 1 &&
+        "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1,
+        s"anti join inputs shuffle more than once each:\n$p")
+      // the 1-row (possum, poscnt) aggregate must reach every row as a
+      // broadcast, never by re-executing the aggregation
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"global scalar not broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q198 Q2 shape: rank-1 window on ONE partkey exchange, dedup rides it") {
+    val p = plan("q198_min_cost_supplier")
+    // groupwise-min-with-ties as a per-part rank window: the fact shuffles
+    // exactly once (the min-subquery join-back spelling costs four — the
+    // price lands in the equi-key and both legs + dedup re-shuffle)
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(p).size == 1,
+      s"fact shuffles more than once for the groupwise min:\n$p")
+    val unpartitioned = p.linesIterator.filter(_.contains("Window ["))
+      .filterNot(_.contains("l_partkey")).toList
+    assert(unpartitioned.isEmpty, s"rank window lost its partitioning:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 is a global sort:\n$p")
+  }
+
+  test("q204 Q19 shape: equi-key extracted from the OR, never a nested loop") {
+    val p = plan("q204_disjunctive_join")
+    // p_partkey = l_partkey is common to all three disjuncts — Catalyst
+    // must hash-join on it with the OR as residual; an all-pairs fallback
+    // is the classic Q19 planner failure
+    assert(p.contains("BroadcastHashJoin"), s"no hash join on the equi key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive condition degenerated to all-pairs:\n$p")
+  }
+
+  test("q205 Q15 shape: the revenue view's exchange is built once and reused") {
+    // exchange reuse is an AQE runtime decision — execute, then read the
+    // FINAL adaptive plan (the initial plan prints both subtrees)
+    val df = SparkEntry.queries("q205_top_supplier")(spark, sf0001)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    val p = whole.split("== Initial Plan ==").head
+    // the max leg must read the SAME shuffle, not re-scan the fact: one
+    // materialized suppkey exchange, the second a ReusedExchange of it
+    assert(p.contains("ReusedExchange"),
+      s"global-max leg recomputes the revenue view:\n$whole")
+    val real = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(l_suppkey"))
+      .filterNot(_.contains("ReusedExchange")).size
+    assert(real == 1, s"revenue view materialized $real suppkey shuffles:\n$whole")
+  }
+
+  test("q203 ORC read-back pushes the predicate and prunes columns") {
+    val p = plan("q203_orc_roundtrip")
+    assert(p.contains("Format: ORC") || p.contains("orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), Not(EqualTo(lang,zh))]"),
+      s"lang predicate not pushed into the ORC reader:\n$p")
+    assert(!p.contains("doc_id"), s"unprojected column read from ORC scan:\n$p")
+  }
 }
