@@ -72,7 +72,11 @@ object Bench {
     "q202_stream_right_outer",
     // round 6c additions: ORC round-trip, Q19/Q15/Q16 shapes
     "q203_orc_roundtrip", "q204_disjunctive_join", "q205_top_supplier",
-    "q206_supplier_census"
+    "q206_supplier_census",
+    // round 6d additions: the shapes completing all 22 TPC-H queries
+    "q207_shipping_priority", "q208_priority_check", "q209_bilateral_volume",
+    "q210_profit_by_nation", "q211_returned_items", "q212_late_shipments",
+    "q213_promo_share"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -806,7 +806,95 @@ object Aggregations extends QueryModule {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** q212: late-shipment mode census — the TPC-H Q12 plan shape: a
+    * fact-fact join with a cross-table lateness predicate (shipped more
+    * than 90 days after ordering — this schema has no ship mode or
+    * commit/receipt dates, so line status plays the mode and
+    * ship-vs-order lateness plays the deadline), split into
+    * critical/non-critical priority counts per class. The
+    * conditional-aggregation-over-join idiom.
+    *
+    * Scale: one orderkey exchange per side; the lateness predicate is a
+    * post-join residual (it spans both relations, so it cannot push
+    * below the join — but it filters before the aggregate, which
+    * partial-aggregates to 2 classes × 2 counters of reducer state.
+    */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("count_if(o_orderpriority IN ('1-URGENT', '2-HIGH'))")
+          .as("high_line_count"),
+        expr("count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))")
+          .as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val q212Sql =
+    """SELECT l_linestatus,
+      |  CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                  THEN 1 END) AS BIGINT) AS high_line_count,
+      |  CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                  THEN 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q213: promotion revenue share — the TPC-H Q14 plan shape: one
+    * month of lines against the part type, the promo share as a ratio
+    * of two conditional sums. Both sums stay exact DECIMAL through the
+    * aggregate; the percentage is computed from the two finished
+    * doubles in the same operation order in both engines, so even the
+    * ratio is bit-identical.
+    *
+    * Scale: part broadcasts; the month filter prunes the fact scan
+    * (pushed); the aggregate is 1 row — a map-side-combine scan job.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    import graft.Exact._
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+            money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .otherwise(lit(0)))
+          .cast(DoubleType).as("promo_revenue"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast(DoubleType).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_share"))
+  }
+
+  private val q213Sql =
+    """WITH agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  * (1 - CAST(l_discount AS DECIMAL(9,4)))
+      |             ELSE 0 END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01')
+      |SELECT promo_revenue, total_revenue,
+      |  100.0 * promo_revenue / total_revenue AS promo_share
+      |FROM agg""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_late_shipments" -> q212,
+    "q213_promo_share" -> q213,
     "q205_top_supplier" -> q205,
     "q206_supplier_census" -> q206,
     "q198_min_cost_supplier" -> q198,
@@ -833,6 +921,8 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q212_late_shipments" -> q212Sql,
+    "q213_promo_share" -> q213Sql,
     "q205_top_supplier" -> q205Sql,
     "q206_supplier_census" -> q206Sql,
     "q198_min_cost_supplier" -> q198Sql,

@@ -804,7 +804,250 @@ object Joins extends QueryModule {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
       |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
+  /** q207: shipping-priority top-10 — the TPC-H Q3 plan shape: the
+    * segment slice of customers semi-filters orders, unshipped lines
+    * join on the order key, and the per-order revenue rollup feeds a
+    * top-10. With q207–q213 the engine covers all 22 TPC-H query
+    * shapes.
+    *
+    * Scale: the segment filter broadcasts as a semi-join into orders
+    * (1/5 selectivity, but custkey-granular — never touches the fact
+    * width); lineitem and the kept orders shuffle ONCE each on orderkey;
+    * the per-order rollup rides that same partitioning (group key ⊇
+    * join key), and the top-10 is TakeOrderedAndProject.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+    Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q207Sql =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q208: late-order priority check — the TPC-H Q4 plan shape: EXISTS
+    * as a semi-join whose condition spans BOTH relations (a line shipped
+    * more than 60 days after its order date), counted per priority
+    * class. The semantics Q12 lacks here (no commit/receipt dates in
+    * this schema) expressed against ship-vs-order lateness.
+    *
+    * Scale: semi join on orderkey with the date comparison as residual —
+    * one shuffle each side, the EXISTS never materializes matches (first
+    * hit short-circuits); the priority rollup is 5 rows of reducer
+    * state.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    o.join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q208Sql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q209: bilateral trade volume — the TPC-H Q7 plan shape: supplier
+    * nation × customer nation flows between a named pair, in BOTH
+    * directions, by ship year. The two nation lookups are the SAME dim
+    * joined twice under different roles (q188 does this too); the pair
+    * filter is an OR spanning both roles, applied after the equi-joins.
+    *
+    * Scale: nation→supplier and nation→customer broadcast (dims);
+    * orders⋈customer shuffles on custkey (customer is a fact at 100 TB),
+    * lineitem⋈orders on orderkey — the two fact shuffles any
+    * order-grain × line-grain query needs and no more. The 2-nation
+    * semi-slice prunes both facts before their shuffles.
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cus = Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val oc = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(cus, col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val q209Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(vol) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(9,4))) AS vol
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n1.n_name <> n2.n_name)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q210: product-line profit by nation and year — the TPC-H Q9 plan
+    * shape: the widest join tree in the suite (lineitem × part ×
+    * supplier × orders × nation), a name-substring part filter, and a
+    * computed profit measure. This schema has no partsupp, so supply
+    * cost is stood in by the part's retail price pro-rated per unit —
+    * the join tree and measure arithmetic (product minus product, exact
+    * decimal) are the point.
+    *
+    * Scale: part (name-filtered) and supplier⋈nation broadcast;
+    * lineitem shuffles once on orderkey to reach the order date. The
+    * profit expression stays whole-stage-codegen decimal; the rollup is
+    * |nations|×|years| rows.
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast(LongType).as("qty"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          - money(col("p_retailprice")) * col("qty"))
+        .cast(DoubleType).as("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  private val q210Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(9,4)))
+      |         - CAST(p_retailprice AS DECIMAL(18,2))
+      |           * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q211: returned-item losses — the TPC-H Q10 plan shape: the 'R'
+    * return slice of a two-quarter order window, revenue rolled up per
+    * customer FIRST (custkey grain), then enriched with the customer
+    * record and nation — the aggregate-before-enrich ordering that keeps
+    * the wide customer row out of the fact shuffle. Top-20 losers.
+    *
+    * Scale: lineitem('R') ⋈ orders(window) on one orderkey exchange;
+    * the per-customer rollup shuffles the slimmed (custkey, revenue)
+    * pairs once; the enrichment join then moves only |window customers|
+    * rows against the customer fact, and nation broadcasts. Top-20 is
+    * TakeOrderedAndProject.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import Exact._
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("rev"))
+    rev.join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("rev").cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q211Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-07-01'
+      |  GROUP BY 1)
+      |SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(rev AS DOUBLE) AS revenue
+      |FROM rev
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_shipping_priority" -> q207,
+    "q208_priority_check" -> q208,
+    "q209_bilateral_volume" -> q209,
+    "q210_profit_by_nation" -> q210,
+    "q211_returned_items" -> q211,
     "q204_disjunctive_join" -> q204,
     "q196_big_orders" -> q196,
     "q197_dormant_customers" -> q197,
@@ -831,6 +1074,11 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q207_shipping_priority" -> q207Sql,
+    "q208_priority_check" -> q208Sql,
+    "q209_bilateral_volume" -> q209Sql,
+    "q210_profit_by_nation" -> q210Sql,
+    "q211_returned_items" -> q211Sql,
     "q204_disjunctive_join" -> q204Sql,
     "q196_big_orders" -> q196Sql,
     "q197_dormant_customers" -> q197Sql,

@@ -867,17 +867,25 @@ object Similarity extends QueryModule {
     *
     * Scale: assignment is the broadcast-K map-side argmin (one (vec_id,
     * cid) shuffle); the within-cluster self-join shuffles ids+vectors
-    * once on cid. Per-cluster work is s²/2 — bounded by keeping expected
-    * occupancy constant, i.e. growing nlist ∝ n exactly as q83's
-    * geometry note prescribes (nlist is an argument; 10 here under the
-    * packed-argmin nlist ≤ 16 bound). The removal verdict
-    * partial-aggregates to one row per flagged vector.
+    * once on cid. Per-cluster work is s²/2, bounded two ways: expected
+    * occupancy stays constant by growing nlist ∝ n (q83's geometry
+    * note; nlist is an argument, 10 here under the packed-argmin
+    * nlist ≤ 16 bound), and a deterministic per-cluster cap (lowest
+    * vec_ids kept, the q81 MaxBucket discipline, mirrored in the
+    * oracle) makes the pair count ≤ K·C²/2 even when a degenerate
+    * corpus piles one cluster high — the exact situation a dedup corpus
+    * creates. The removal verdict partial-aggregates to one row per
+    * flagged vector.
     */
   private def q199(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val vecs = quantized(s, d)
     val cents = lloydCents(vecs, seedCents(vecs, 10))
     val members = assignTo(vecs, cents).join(vecs, "vec_id")
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("vec_id"))))
+      .filter(col("mrk") <= MaxBucket)
+      .drop("mrk")
     members.as("a").join(members.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cid").as("cid"), col("a.vec_id").as("keep_id"),
@@ -901,7 +909,9 @@ object Similarity extends QueryModule {
        |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
        |  FROM q CROSS JOIN cents GROUP BY vec_id),
        |mem AS (SELECT a.vec_id, a.cid, q.v FROM assigned a
-       |        JOIN q ON q.vec_id = a.vec_id),
+       |        JOIN q ON q.vec_id = a.vec_id
+       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY a.cid
+       |                                   ORDER BY a.vec_id) <= $MaxBucket),
        |pairs AS (
        |  SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS dup_id,
        |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS dot,
