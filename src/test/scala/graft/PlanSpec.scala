@@ -323,6 +323,34 @@ class PlanSpec extends SparkSpec {
     assert(real == 1, s"revenue view materialized $real suppkey shuffles:\n$whole")
   }
 
+  test("q207 Q3 shape: per-order rollup rides the join's orderkey layout") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at-scale posture: the kept orders don't fit a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q207_shipping_priority")
+      // one exchange per join input, and NO third exchange between the
+      // join and the per-order aggregate (group key ⊇ join key)
+      assert("Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).size == 1 &&
+        "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size == 1,
+        s"per-order rollup re-shuffles after the join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"top-10 is a global sort:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q211 Q10 shape: revenue aggregates to custkey before the enrichment") {
+    val p = plan("q211_returned_items")
+    // the custkey rollup must sit BELOW the customer join in the plan —
+    // aggregating after enrichment would shuffle the wide customer row
+    // with every lineitem
+    val aggIdx = p.indexOf("HashAggregate(keys=[o_custkey")
+    val joinIdx = "Join \\[o_custkey".r.findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(aggIdx >= 0, s"no custkey-grain aggregate:\n$p")
+    assert(joinIdx >= 0 && joinIdx < aggIdx,
+      s"customer enrichment did not stay above the rollup:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 is a global sort:\n$p")
+  }
+
   test("q203 ORC read-back pushes the predicate and prunes columns") {
     val p = plan("q203_orc_roundtrip")
     assert(p.contains("Format: ORC") || p.contains("orc"), s"not an ORC scan:\n$p")
