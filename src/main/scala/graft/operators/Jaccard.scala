@@ -5,25 +5,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Shared exact-Jaccard pair derivation (the common core of TextOps.q74,
-  * CorpusOps.q85/q113/q186 and CorpusOps.q89): an inverted-index self-join
-  * on set elements — join the exploded per-id element postings on the
-  * element with `ida < idb`, count intersections per pair, then Jaccard
+  * CorpusOps.q85/q113/q186 and CorpusOps.q89): an inverted index grouped
+  * by set element — per-element posting lists, pairs `ida < idb` fanned
+  * out within each list, intersections counted per pair, then Jaccard
   * from the per-id set sizes.
   *
-  * Scale: an element shared by k ids emits k(k-1)/2 pairs, so the join is
-  * linear in total postings ONLY while no element is hot — a boilerplate
-  * shingle in half the corpus (license headers, navigation chrome) makes
-  * it quadratic, and AQE skew-splitting cannot shrink that pair
-  * *cardinality*, only spread it. The `maxDf` document-frequency cap is
-  * the guard: postings whose element appears in more than `maxDf` ids are
-  * dropped before the self-join (stop-shingles, the IR stop-word idea),
-  * which bounds the per-element fan-out at maxDf²/2 and the total pair
-  * count at `maxDf/2 × |postings|` — linear in postings again. The hot
-  * set itself is tiny by construction (fewer than |postings|/maxDf
-  * elements can exceed the cap), so it broadcasts. Intersections then
-  * count only cold elements while set sizes stay full-set, so a pair
-  * whose overlap is pure boilerplate scores low — exactly the dedup
-  * behavior a 100 TB web corpus wants.
+  * Scale: an element shared by k ids emits k(k-1)/2 pairs, so the fan-out
+  * is linear in total postings ONLY while no element is hot — a
+  * boilerplate shingle in half the corpus (license headers, navigation
+  * chrome) makes it quadratic, and AQE skew-splitting cannot shrink that
+  * pair *cardinality*, only spread it. The `maxDf` document-frequency cap
+  * is the guard: elements appearing in more than `maxDf` ids are dropped
+  * (stop-shingles, the IR stop-word idea), which bounds the per-element
+  * fan-out at maxDf²/2 and the total pair count at `maxDf/2 × |postings|`
+  * — linear in postings again. Intersections then count only cold
+  * elements while set sizes stay full-set, so a pair whose overlap is
+  * pure boilerplate scores low — exactly the dedup behavior a 100 TB web
+  * corpus wants. The grouped spelling pays ONE element-keyed shuffle for
+  * all of it — posting lists, the df gate (a free size() filter), and the
+  * in-row pair fan-out; the previous self-join spelling re-derived the
+  * postings (the shingle explode) three times: df leg plus both join
+  * sides.
   */
 object Jaccard {
 
@@ -54,18 +56,37 @@ object Jaccard {
   def pairs(postings: DataFrame, sizes: DataFrame,
             minJ: Double, broadcastSizes: Boolean = false,
             maxDf: Long = Long.MaxValue): DataFrame = {
-    val cold =
-      if (maxDf == Long.MaxValue) postings
+    // Grouped spelling: ONE element-keyed shuffle builds the per-element
+    // posting list, the df cap is a size() filter on it instead of a
+    // second aggregation plus an anti-join over RECOMPUTED postings (the
+    // old self-join spelling re-derived the shingle explode three times —
+    // df leg + both join sides), and pairs fan out in-row from the sorted
+    // list, bounded by maxDf²/2 structs per element. When capped, the
+    // list itself is built with the size-BOUNDED collect so a hot element
+    // holds O(maxDf) aggregation state, never its full posting list
+    // (overflow surfaces as size = maxDf + 1 and is filtered). Sorting
+    // inside the row makes ida < idb by construction under the same
+    // ordering `<` uses.
+    val grouped =
+      if (maxDf == Long.MaxValue)
+        postings.groupBy(col("e"))
+          .agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")) >= 2)
       else {
-        // hot set has < |postings|/maxDf elements — broadcast anti-join;
-        // the df agg partial-aggregates map-side before its one shuffle
-        val hot = postings.groupBy(col("e")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("e"))
-        postings.join(broadcast(hot), Seq("e"), "left_anti")
+        require(maxDf <= Int.MaxValue - 1, s"maxDf $maxDf exceeds Int range")
+        postings.groupBy(col("e"))
+          .agg(graft.functions.BottomK.boundedCollect(maxDf.toInt)(col("id"))
+            .as("ids"))
+          .filter(size(col("ids")).between(2, maxDf))
       }
-    val inter = cold.as("a").join(cold.as("b"),
-        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+    val inter = grouped
+      .select(array_sort(col("ids")).as("s"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(s) - 2),
+          |  i -> transform(sequence(i + 1, size(s) - 1),
+          |    j -> struct(s[i] AS ida, s[j] AS idb))))""".stripMargin)).as("p"))
+      .select(col("p.ida"), col("p.idb"))
+      .groupBy(col("ida"), col("idb"))
       .agg(count(lit(1)).as("inter"))
     val dress: DataFrame => DataFrame =
       if (broadcastSizes) broadcast(_) else identity

@@ -14,9 +14,12 @@ class JaccardSpec extends SparkSpec {
 
   private def postingsDf(sets: Map[Int, Set[String]]): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val p = sets.toSeq.flatMap { case (id, es) => es.map(e => (id, e)) }
+    // Long ids, as every capped production caller has (doc_id): the
+    // bounded-collect aggregate on the capped path is Long-typed
+    val p = sets.toSeq.flatMap { case (id, es) => es.map(e => (id.toLong, e)) }
       .toDF("id", "e")
-    val sz = sets.toSeq.map { case (id, es) => (id, es.size) }.toDF("id", "sz")
+    val sz = sets.toSeq.map { case (id, es) => (id.toLong, es.size) }
+      .toDF("id", "sz")
     (p, sz)
   }
 
@@ -37,7 +40,8 @@ class JaccardSpec extends SparkSpec {
 
   private def collectPairs(df: DataFrame): Seq[(Int, Int, Long, Double)] =
     df.collect().map(r =>
-      (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+      (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
 
   test("hot element: df cap bounds candidate-pair cardinality") {
     // 60 docs; one boilerplate element in 50 of them; each doc also has 3
@@ -61,6 +65,16 @@ class JaccardSpec extends SparkSpec {
     assert(capped.count() <= 10L * nPostings / 2)
     // exact values match the mirrored brute force
     assert(collectPairs(capped) === brute(sets, 0.0, 10L).sorted)
+  }
+
+  test("bounded collect: buffer never exceeds cap+1, exact under the cap") {
+    val agg = graft.functions.BoundedCollectAgg(3)
+    val full = (1L to 10L).foldLeft(agg.zero)(agg.reduce)
+    assert(full.size == 4, "overflowed group must stop at the cap+1 sentinel")
+    assert(agg.merge(full, full).size == 4, "merge must re-truncate")
+    val exact = (1L to 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(exact, agg.zero) == Seq(1L, 2L, 3L),
+      "a group under the cap must be collected exactly")
   }
 
   test("property: pairs ≡ brute force at random set families, any minJ") {
