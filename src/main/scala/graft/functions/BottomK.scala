@@ -56,39 +56,10 @@ case class KmvSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
 
-/** Size-bounded collect: gathers a group's values but STOPS accumulating
-  * past `cap + 1` elements, so the aggregation buffer is O(cap) at any
-  * skew — where `collect_list` on a hot key (a boilerplate shingle in
-  * half the corpus) builds the full multi-million-element array before a
-  * downstream filter can drop it. A group with ≤ cap values is collected
-  * EXACTLY; a group that overflows surfaces as `size = cap + 1`, the
-  * sentinel the caller filters on (which values survive in an overflowed
-  * group is unspecified — they are discarded anyway). Partial-merge safe:
-  * reduce and merge both truncate at cap + 1.
-  */
-case class BoundedCollectAgg(cap: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
-  override def zero: Seq[Long] = Vector.empty
-
-  override def reduce(buf: Seq[Long], x: Long): Seq[Long] =
-    if (buf.size > cap) buf else buf :+ x
-
-  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
-    if (a.size > cap) a else (a ++ b).take(cap + 1)
-
-  override def finish(r: Seq[Long]): Seq[Long] = r
-
-  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
-}
-
 object BottomK {
   /** Column-level bottom-k aggregate usable in `agg(...)`. */
   def bottomK(k: Int)(c: Column): Column = udaf(BottomKAgg(k)).apply(c)
 
   /** Column-level KMV distinct sketch usable in `agg(...)`. */
   def kmv(k: Int)(c: Column): Column = udaf(KmvSketchAgg(k)).apply(c)
-
-  /** Column-level size-bounded collect usable in `agg(...)` (Long ids). */
-  def boundedCollect(cap: Int)(c: Column): Column =
-    udaf(BoundedCollectAgg(cap)).apply(c)
 }

@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 /** Shared exact-Jaccard pair derivation (the common core of TextOps.q74,
-  * CorpusOps.q85/q113/q186 and CorpusOps.q89): an inverted index grouped
-  * by set element — per-element posting lists, pairs `ida < idb` fanned
-  * out within each list, intersections counted per pair, then Jaccard
-  * from the per-id set sizes.
+  * CorpusOps.q85/q113/q186 and CorpusOps.q89): an inverted-index self-join
+  * on set elements over ONE shared postings exchange — pairs `ida < idb`,
+  * intersections counted per pair, then Jaccard from the per-id set
+  * sizes.
   *
   * Scale: an element shared by k ids emits k(k-1)/2 pairs, so the fan-out
   * is linear in total postings ONLY while no element is hot — a
@@ -21,11 +21,10 @@ import org.apache.spark.sql.types.DoubleType
   * — linear in postings again. Intersections then count only cold
   * elements while set sizes stay full-set, so a pair whose overlap is
   * pure boilerplate scores low — exactly the dedup behavior a 100 TB web
-  * corpus wants. The grouped spelling pays ONE element-keyed shuffle for
-  * all of it — posting lists, the df gate (a free size() filter), and the
-  * in-row pair fan-out; the previous self-join spelling re-derived the
-  * postings (the shingle explode) three times: df leg plus both join
-  * sides.
+  * corpus wants. The postings relation (the corpus scan + shingle
+  * explode) is derived once: the df aggregate, the stop-shingle
+  * semi-filter and both self-join sides all cluster on the element key
+  * and ride one repartition exchange.
   */
 object Jaccard {
 
@@ -56,37 +55,35 @@ object Jaccard {
   def pairs(postings: DataFrame, sizes: DataFrame,
             minJ: Double, broadcastSizes: Boolean = false,
             maxDf: Long = Long.MaxValue): DataFrame = {
-    // Grouped spelling: ONE element-keyed shuffle builds the per-element
-    // posting list, the df cap is a size() filter on it instead of a
-    // second aggregation plus an anti-join over RECOMPUTED postings (the
-    // old self-join spelling re-derived the shingle explode three times —
-    // df leg + both join sides), and pairs fan out in-row from the sorted
-    // list, bounded by maxDf²/2 structs per element. When capped, the
-    // list itself is built with the size-BOUNDED collect so a hot element
-    // holds O(maxDf) aggregation state, never its full posting list
-    // (overflow surfaces as size = maxDf + 1 and is filtered). Sorting
-    // inside the row makes ida < idb by construction under the same
-    // ordering `<` uses.
-    val grouped =
-      if (maxDf == Long.MaxValue)
-        postings.groupBy(col("e"))
-          .agg(collect_list(col("id")).as("ids"))
-          .filter(size(col("ids")) >= 2)
+    // Shared-exchange spelling: the stop-shingle SEMI-filter and BOTH
+    // self-join sides cluster on the element key over the SAME postings
+    // subtree, so EnsureRequirements plans one canonical fat exchange
+    // and ReusedExchange dedups the rest — the postings shuffle is
+    // written once and re-read per side. The df leg deliberately stays a
+    // separate aggregation: its partial combine runs map-side below its
+    // own exchange, so what it ships is one count per distinct element
+    // per task — a sliver — and its output lands already e-partitioned,
+    // so the semi join adds NO further exchange. The cold-element list is
+    // |distinct elements|-sized (almost everything is cold), which is why
+    // it meets the postings as a distributed SEMI rather than the inverse
+    // hot-list broadcast-ANTI: no driver round-trip sits on the path.
+    // Every operator stays whole-stage codegen with bounded state: the
+    // df agg carries one count per element and the SMJ self-join
+    // materializes no lists. (A rejected spelling, measured: grouping
+    // into per-element posting lists makes a hot element's list the
+    // aggregation state and pushes the whole agg onto the object-hash
+    // path, which falls back to sort-based at high element cardinality —
+    // slower at sf0.1 and riskier at scale.)
+    val base =
+      if (maxDf == Long.MaxValue) postings
       else {
-        require(maxDf <= Int.MaxValue - 1, s"maxDf $maxDf exceeds Int range")
-        postings.groupBy(col("e"))
-          .agg(graft.functions.BottomK.boundedCollect(maxDf.toInt)(col("id"))
-            .as("ids"))
-          .filter(size(col("ids")).between(2, maxDf))
+        val colds = postings.groupBy(col("e")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("e"))
+        postings.join(colds, Seq("e"), "left_semi")
       }
-    val inter = grouped
-      .select(array_sort(col("ids")).as("s"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(s) - 2),
-          |  i -> transform(sequence(i + 1, size(s) - 1),
-          |    j -> struct(s[i] AS ida, s[j] AS idb))))""".stripMargin)).as("p"))
-      .select(col("p.ida"), col("p.idb"))
-      .groupBy(col("ida"), col("idb"))
+    val inter = base.as("a").join(base.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
       .agg(count(lit(1)).as("inter"))
     val dress: DataFrame => DataFrame =
       if (broadcastSizes) broadcast(_) else identity

@@ -351,6 +351,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 is a global sort:\n$p")
   }
 
+  test("q200 LM scoring join meets the model on the bigram key, not broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at-scale posture: a web-scale bigram table fits no executor —
+      // the scoring join must stay a shuffle join keyed on (w1, w2)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q200_lm_fluency")
+      val joinLine = p.linesIterator.find(l =>
+        l.contains("Join") && l.contains("w1") && l.contains("w2"))
+      assert(joinLine.exists(l => !l.contains("Broadcast")),
+        s"LM table broadcast — dies at corpus scale:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 4,
+        s"aggregations not two-phase:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q201 DSIR feature tables broadcast; scoring never shuffles tokens twice") {
+    val p = plan("q201_importance_weights")
+    // the 4096-bucket feature table reaches the token stream as a
+    // broadcast — map-side scoring, then ONE doc-keyed aggregation
+    assert(p.contains("BroadcastHashJoin"),
+      s"feature table not broadcast into the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 is a global sort:\n$p")
+  }
+
   test("q203 ORC read-back pushes the predicate and prunes columns") {
     val p = plan("q203_orc_roundtrip")
     assert(p.contains("Format: ORC") || p.contains("orc"), s"not an ORC scan:\n$p")

@@ -67,14 +67,36 @@ class JaccardSpec extends SparkSpec {
     assert(collectPairs(capped) === brute(sets, 0.0, 10L).sorted)
   }
 
-  test("bounded collect: buffer never exceeds cap+1, exact under the cap") {
-    val agg = graft.functions.BoundedCollectAgg(3)
-    val full = (1L to 10L).foldLeft(agg.zero)(agg.reduce)
-    assert(full.size == 4, "overflowed group must stop at the cap+1 sentinel")
-    assert(agg.merge(full, full).size == 4, "merge must re-truncate")
-    val exact = (1L to 3L).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.merge(exact, agg.zero) == Seq(1L, 2L, 3L),
-      "a group under the cap must be collected exactly")
+  test("the fat postings exchange materializes once; the df leg ships partials") {
+    // the scale contract of the spelling: exactly TWO element-keyed
+    // shuffles — the postings relation once (both self-join sides re-read
+    // it via ReusedExchange) and the df aggregation's map-side-combined
+    // per-element partial counts (a sliver); the semi join adds none
+    val sets = (0 until 20).map { i =>
+      i -> Set(s"r${i}", s"shared${i / 2}", "COMMON")
+    }.toMap
+    val (p, sz) = postingsDf(sets)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at-scale posture: neither postings nor the cold-element list fit
+      // a broadcast, so every consumer must meet on an exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Jaccard.pairs(p, sz, minJ = 0.0, maxDf = 10L)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val real = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning(e"))
+        .filterNot(_.contains("ReusedExchange")).size
+      assert(real == 2,
+        s"want 2 element-keyed shuffles (postings + df partials), got $real:\n$plan")
+      // the df leg's partial combine must sit BELOW its exchange
+      assert(plan.contains("partial_count"),
+        s"df aggregation not map-side combined:\n$plan")
+      // and the postings shuffle must be re-read, not re-planned
+      assert(plan.contains("ReusedExchange"),
+        s"self-join sides re-materialize the postings shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("property: pairs ≡ brute force at random set families, any minJ") {
