@@ -76,7 +76,7 @@ object Bench {
     // round 6d additions: the shapes completing all 22 TPC-H queries
     "q207_shipping_priority", "q208_priority_check", "q209_bilateral_volume",
     "q210_profit_by_nation", "q211_returned_items", "q212_late_shipments",
-    "q213_promo_share"
+    "q213_promo_share", "q214_incremental_dedup"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -806,9 +806,13 @@ object CorpusOps extends QueryModule {
       .select(col("b.w1"), col("b.w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
-    bi.withColumn("prefix_cnt",
-        sum(col("cnt")).over(Window.partitionBy(col("w1"))))
-      .withColumn("p_scaled", expr("(cnt * 1000000) div prefix_cnt"))
+    // marginal as an aggregate joined back on w1 (q200's spelling, and
+    // for the same reason): a w1-partitioned window would buffer a hot
+    // first word's entire vocabulary fan-out in one window group
+    val marginal = bi.groupBy(col("w1")).agg(sum(col("cnt")).as("prefix_cnt"))
+    bi.join(marginal, "w1")
+      .select(col("w1"), col("w2"), col("cnt"), col("prefix_cnt"),
+        expr("(cnt * 1000000) div prefix_cnt").as("p_scaled"))
       .orderBy(desc("cnt"), col("w1"), col("w2"))
       .limit(20)
   }
@@ -1042,10 +1046,15 @@ object CorpusOps extends QueryModule {
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
-    val lm = bi.groupBy(col("w1"), col("w2"))
+    // the bigram-marginal joins back on w1 rather than running as a
+    // w1-partitioned window: a hot first word ("the" in 5% of bigrams)
+    // would make one window GROUP buffer a vocabulary-sized run, while
+    // the aggregate carries one row per distinct w1 and the join streams
+    val bigrams = bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("prefix_cnt",
-        sum(col("cnt")).over(Window.partitionBy(col("w1"))))
+    val marginal = bigrams.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("prefix_cnt"))
+    val lm = bigrams.join(marginal, "w1")
       .select(col("w1"), col("w2"),
         expr("(cnt * 1000000) div prefix_cnt").as("p"))
     bi.join(lm, Seq("w1", "w2"))
@@ -1143,7 +1152,66 @@ object CorpusOps extends QueryModule {
        |ORDER BY w_scaled DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- q214
+
+  /** q214: incremental snapshot dedup — the nightly-ingest shape: the
+    * already-accepted corpus ("snapshot", the q69 80 % hash split
+    * standing in for yesterday's state) publishes only its FINGERPRINT
+    * set; each delta document is classified as a duplicate of the
+    * snapshot, a duplicate within the delta (first arrival by doc_id
+    * keeps), or unique. Fingerprint = md5 of the 32-token prefix (q102's
+    * passage grain) — the cheap first-pass key an ingest gate runs
+    * before any near-dup machinery.
+    *
+    * Scale: the snapshot side ships fingerprints only, never text — at
+    * 100 TB the accepted-corpus state a dedup gate keeps IS this
+    * fingerprint set. Both joins and the first-arrival aggregate cluster
+    * on the fingerprint key over the delta (one exchange each side,
+    * partial-agged), and the class rollup is 3 rows.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat_ws(" ", slice(toks(col("text")), 1, 32))).as("fp"),
+        expr("CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+    val snap = f.filter(col("bucket") < 80).select(col("fp")).distinct()
+      .withColumn("known", lit(1))
+    val delta = f.filter(col("bucket") >= 80)
+    val winner = delta.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+    delta.join(snap, Seq("fp"), "left")
+      .join(winner, "fp")
+      .withColumn("class",
+        when(col("known") === 1, "dup_of_snapshot")
+          .when(col("doc_id") =!= col("first_id"), "dup_within_delta")
+          .otherwise("unique"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("class"))
+  }
+
+  private val q214Sql = {
+    val hex7 = graft.Exact.sqlHexToLong("md5('doc-' || doc_id)", 1, 7)
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    md5(array_to_string(($toksSql)[1:32], ' ')) AS fp,
+       |    CAST($hex7 AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |snap AS (SELECT DISTINCT fp FROM f WHERE bucket < 80),
+       |delta AS (SELECT * FROM f WHERE bucket >= 80),
+       |w AS (SELECT fp, MIN(doc_id) AS first_id FROM delta GROUP BY 1)
+       |SELECT CASE WHEN s.fp IS NOT NULL THEN 'dup_of_snapshot'
+       |            WHEN d.doc_id <> w.first_id THEN 'dup_within_delta'
+       |            ELSE 'unique' END AS class,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+       |FROM delta d LEFT JOIN snap s ON d.fp = s.fp
+       |JOIN w ON d.fp = w.fp
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_incremental_dedup" -> q214,
     "q200_lm_fluency" -> q200,
     "q201_importance_weights" -> q201,
     "q107_inverted_index" -> q107,
@@ -1169,6 +1237,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q214_incremental_dedup" -> q214Sql,
     "q200_lm_fluency" -> q200Sql,
     "q201_importance_weights" -> q201Sql,
     "q107_inverted_index" -> q107Sql,

@@ -42,6 +42,15 @@ class Round6Spec extends SparkSpec {
       s"only $en of ${top.length} top-weight docs are English — no signal")
   }
 
+  test("q214 incremental dedup flags snapshot duplicates in the delta") {
+    val rows = SparkEntry.queries("q214_incremental_dedup")(spark, sf001)
+      .collect().map(r => r.getAs[String]("class") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(rows.getOrElse("dup_of_snapshot", 0L) > 0,
+      "no delta doc matched a snapshot fingerprint — vacuous fixture")
+    assert(rows.getOrElse("unique", 0L) > 0, "every delta doc was a dup")
+  }
+
   test("q202 right-outer keeps every watermark-final purchase exactly once") {
     val out = SparkEntry.queries("q202_stream_right_outer")(spark, sf0001)
       .cache()
