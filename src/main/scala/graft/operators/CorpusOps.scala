@@ -440,9 +440,11 @@ object CorpusOps extends QueryModule {
     */
   private def q187(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.agg(max(col("doc_id")) + 1).head.getLong(0)
-    val toksByDecile = docs
-      .select(expr(s"doc_id * 10 div ${nDocs}L").as("decile"),
+    // the doc-count scalar joins back by broadcast (the q190 pattern)
+    // instead of a separate driver-side .head job
+    val nDocs = docs.agg((max(col("doc_id")) + 1).as("n_docs_total"))
+    val toksByDecile = docs.crossJoin(broadcast(nDocs))
+      .select(expr("doc_id * 10 div n_docs_total").as("decile"),
         explode(toks(col("text"))).as("tok"))
     val volume = toksByDecile.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_tokens"))

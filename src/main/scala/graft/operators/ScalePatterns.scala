@@ -439,16 +439,19 @@ object ScalePatterns extends QueryModule {
     * its candidate join) reads before committing to a shuffle.
     */
   private def q173(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hist = Tables.lineitem(s, d)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    val ranked = hist.withColumn("rk",
-      row_number().over(Window.orderBy(desc("cnt"), col("l_partkey"))))
-    ranked.agg(
+    // top-5 via TakeOrdered + a 1-row broadcast-back, NOT a global
+    // row_number window: the histogram is distinct-key-sized (2e10 keys
+    // at 100 TB), and ranking it serializes every key through one task
+    // when only five rows matter. The two hist consumers share one
+    // partkey exchange (the q205 reuse pattern).
+    val top5 = hist.orderBy(desc("cnt"), col("l_partkey")).limit(5)
+      .agg(sum(col("cnt") * col("cnt")).as("top5_rows"))
+    hist.agg(
         sum(col("cnt") * col("cnt")).as("predicted_join_rows"),
-        max(col("cnt")).as("hottest_key_cnt"),
-        sum(when(col("rk") <= 5, col("cnt") * col("cnt")).otherwise(0L))
-          .as("top5_rows"))
+        max(col("cnt")).as("hottest_key_cnt"))
+      .crossJoin(broadcast(top5))
       .select(col("predicted_join_rows"), col("hottest_key_cnt"),
         expr("top5_rows * 1000000L div predicted_join_rows")
           .as("top5_share_ppm"))

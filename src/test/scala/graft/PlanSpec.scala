@@ -376,6 +376,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 is a global sort:\n$p")
   }
 
+  test("q173 skew diagnostic ranks nothing globally: top-5 is TakeOrdered") {
+    val p = plan("q173_join_cardinality")
+    assert(!p.contains("Window"), s"global rank window over the histogram:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 keys not a distributed top-k:\n$p")
+  }
+
   test("q203 ORC read-back pushes the predicate and prunes columns") {
     val p = plan("q203_orc_roundtrip")
     assert(p.contains("Format: ORC") || p.contains("orc"), s"not an ORC scan:\n$p")
