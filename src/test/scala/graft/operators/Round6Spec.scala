@@ -49,6 +49,14 @@ class Round6Spec extends SparkSpec {
     assert(rows.getOrElse("dup_of_snapshot", 0L) > 0,
       "no delta doc matched a snapshot fingerprint — vacuous fixture")
     assert(rows.getOrElse("unique", 0L) > 0, "every delta doc was a dup")
+    // the three classes must PARTITION the delta: every delta doc lands
+    // in exactly one class (independently recomputed delta size)
+    val deltaDocs = graft.Tables.documents(spark, sf001)
+      .filter(expr(
+        "CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100 >= 80"))
+      .count()
+    assert(rows.values.sum == deltaDocs,
+      s"classes cover ${rows.values.sum} of $deltaDocs delta docs")
   }
 
   test("q202 right-outer keeps every watermark-final purchase exactly once") {
