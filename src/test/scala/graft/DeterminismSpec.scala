@@ -18,7 +18,11 @@ class DeterminismSpec extends SparkSpec {
     "q138_pagerank",         // iterative integer supersteps
     "q147_kmeans_step",      // argmin assignment + integer means
     "q151_decontamination",  // hashed-gram broadcast semi join
-    "q156_weighted_sample"   // distributed prefix sum
+    "q156_weighted_sample",  // distributed prefix sum
+    // round-6 additions where a partition-order bug would hide
+    "q199_semantic_dedup",   // Lloyd training + capped within-cluster pairs
+    "q201_importance_weights", // integer probability-gap feature scoring
+    "q214_incremental_dedup" // fingerprint classification joins
   )
 
   private def rows(name: String): Seq[String] =
