@@ -630,7 +630,14 @@ object Windows extends QueryModule {
           when(col("l_returnflag") === "R", -1L).otherwise(1L)).as("q"))
       .as[(Long, Int, Long, Int, Long)]
       .groupByKey(_._1)
-      .flatMapSortedGroups(col("day"), col("l_orderkey"), col("l_linenumber")) {
+      // q is the FINAL tiebreak: the synthetic lineitem is not unique on
+      // (orderkey, linenumber), and one sf0.1 collision carries two
+      // different quantities — without a total order the clamped fold is
+      // partition-order-dependent (observed as a run-to-run sf0.1 hash
+      // flake). With q in the key, any remaining duplicates are identical
+      // rows, which commute through the fold.
+      .flatMapSortedGroups(col("day"), col("l_orderkey"), col("l_linenumber"),
+        col("q")) {
         (sk, it) =>
           var bal = 0L; var clamps = 0L; var n = 0L
           it.foreach { case (_, _, _, _, q) =>
@@ -650,7 +657,9 @@ object Windows extends QueryModule {
       |    CAST(l_quantity AS BIGINT)
       |      * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) AS q,
       |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
-      |      ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber) AS rn
+      |      ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+      |        l_quantity * (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END))
+      |      AS rn
       |  FROM lineitem),
       |rec AS (
       |  SELECT sk, rn, GREATEST(0, q) AS bal,

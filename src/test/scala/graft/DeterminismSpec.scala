@@ -22,7 +22,10 @@ class DeterminismSpec extends SparkSpec {
     // round-6 additions where a partition-order bug would hide
     "q199_semantic_dedup",   // Lloyd training + capped within-cluster pairs
     "q201_importance_weights", // integer probability-gap feature scoring
-    "q214_incremental_dedup" // fingerprint classification joins
+    "q214_incremental_dedup", // fingerprint classification joins
+    "q180_clamped_stock"     // non-associative fold: needs a TOTAL sort key
+                             // (an sf0.1 duplicate-row collision flaked
+                             // before q joined the tiebreak)
   )
 
   private def rows(name: String): Seq[String] =
