@@ -674,10 +674,12 @@ object Aggregations extends QueryModule {
     * Exactness: prices compare as DECIMAL(18,2), so "equals the min"
     * has no float-equality hazard in either engine.
     *
-    * Scale: one l_partkey exchange for the window, zero joins on the
-    * fact; supplier is a broadcast dim; top-100 is
-    * TakeOrderedAndProject. Per-part row counts bound the window state
-    * (a sorted run per part, O(1) carried rank).
+    * Scale: one l_partkey exchange for the window, zero shuffle joins on
+    * the fact; supplier is a broadcast dim; the (part, name, price)
+    * dedup rides the window's partkey partitioning (clustering-key
+    * subset — no further exchange); top-100 is TakeOrderedAndProject.
+    * Per-part row counts bound the window state (a sorted run per part,
+    * O(1) carried rank).
     */
   private def q198(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -687,12 +689,17 @@ object Aggregations extends QueryModule {
         Window.partitionBy(col("l_partkey")).orderBy(col("price"))))
       .filter(col("rk") === 1)
       .select(col("l_partkey"), col("l_suppkey"), col("price"))
-      .distinct()
       .join(broadcast(Tables.supplier(s, d)
           .select(col("s_suppkey"), col("s_name"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("s_name"),
         col("price").cast(DoubleType).as("min_price"))
+      // dedup at the SAME grain as the oracle — (part, supplier NAME,
+      // price), after the join: deduping on suppkey before it would emit
+      // duplicates the oracle collapses whenever two suppkeys share an
+      // s_name. Still no extra exchange: hashpartitioning(l_partkey)
+      // satisfies the distinct's clustering (key subset).
+      .distinct()
       .orderBy(col("l_partkey"), col("s_name"))
       .limit(100)
   }

@@ -766,17 +766,28 @@ object Joins extends QueryModule {
     * over the fact (the PlanSpec pin). Revenue stays exact decimal:
     * money × (1 − rate), summed at scale 6, one double cast at the end.
     *
-    * Scale: part broadcasts (dim); the fact is scanned once, filtered
-    * map-side by the residual after the hash probe — zero shuffles
-    * before the 1-row aggregate.
+    * Scale: the broadcast hint exempts part from Spark's size check, so
+    * the single-relation slices of the OR are pushed BELOW it by hand —
+    * part ships only the three-brand sliver
+    * ((b1∧s≤10)∨(b2∧s≤20)∨(b3∧s≤30)), lineitem scans only the quantity
+    * envelope [1,50] — and the full OR stays as the join residual,
+    * evaluated map-side after the hash probe. At 100× the dimension no
+    * longer rides the hint unfiltered; this is TPC-H Q19's textbook
+    * inferred-filter plan. Zero shuffles before the 1-row aggregate.
     */
   private def q204(s: SparkSession, d: String): DataFrame = {
     import Exact._
+    val partSideOr =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30))
     val p = Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(partSideOr)
     Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"))
+      .filter(col("l_quantity").between(1, 50))
       .join(broadcast(p),
         col("p_partkey") === col("l_partkey") && (
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&

@@ -69,9 +69,11 @@ object Similarity extends QueryModule {
   /** ±1 hyperplane components: sign of md5("p#d")'s first byte. Sized for
     * the widest geometry a caller may ask for (1024 planes ≫ the 64
     * default) so the banding helpers stay parameterizable without
-    * regenerating the matrix.
+    * regenerating the matrix; lazy so the 1024×64 digest pass runs only
+    * when a banded query actually plans (the default geometry touches 64
+    * rows of it).
     */
-  private val planeMatrix: Array[Array[Int]] = {
+  private lazy val planeMatrix: Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(1024, Dims) { (p, d) =>
       val h = md.digest(s"$p#$d".getBytes("UTF-8"))
@@ -125,7 +127,9 @@ object Similarity extends QueryModule {
     */
   private def bandedIds(s: SparkSession, d: String, bands: Int = Bands,
                         bandBits: Int = BandBits,
-                        maxBucket: Int = MaxBucket): DataFrame =
+                        maxBucket: Int = MaxBucket): DataFrame = {
+    require(bands * bandBits <= planeMatrix.length,
+      s"geometry $bands×$bandBits exceeds the ${planeMatrix.length}-plane matrix")
     quantized(s, d)
       .select(col("vec_id"),
         posexplode(array((0 until bands).map(bandCol(_, bandBits)): _*))
@@ -134,12 +138,15 @@ object Similarity extends QueryModule {
         Window.partitionBy(col("band"), col("bk")).orderBy(col("vec_id"))))
       .filter(col("slot") <= maxBucket)
       .select(col("vec_id"), col("band"), col("bk"))
+  }
 
   /** DuckDB twin of [[bandedIds]], to embed as `bands` in a WITH chain
     * whose `q` CTE is [[quantizedSql]].
     */
   private def bandedIdsSqlFor(bands: Int = Bands, bandBits: Int = BandBits,
                               maxBucket: Int = MaxBucket): String = {
+    require(bands * bandBits <= planeMatrix.length,
+      s"geometry $bands×$bandBits exceeds the ${planeMatrix.length}-plane matrix")
     val union = (0 until bands)
       .map(b => s"SELECT vec_id, $b AS band, ${bandSql(b, bandBits)} AS bk FROM q")
       .mkString("\nUNION ALL\n")

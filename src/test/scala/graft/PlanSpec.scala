@@ -306,6 +306,27 @@ class PlanSpec extends SparkSpec {
       s"disjunctive condition degenerated to all-pairs:\n$p")
   }
 
+  test("q204 broadcasts only the brand/size sliver of part, never the full dim") {
+    val p = plan("q204_disjunctive_join")
+    // the single-relation slice of the OR must sit BELOW the
+    // BroadcastExchange: the forced hint exempts part from Spark's size
+    // check, so an unfiltered broadcast ships (or OOMs on) the whole
+    // 20M-row dimension at SF100 — TPC-H Q19's inferred part-side filter
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"no broadcast exchange:\n$p")
+    val build = p.substring(bx)
+    assert(build.contains("Brand#1") && build.contains("p_size"),
+      s"part-side disjunction not pushed below the broadcast exchange:\n$p")
+    // ...and reach the part parquet scan as a pushed Or filter
+    assert(build.contains("PushedFilters") &&
+      "Or\\(.*p_brand,Brand#1".r.findFirstIn(build).isDefined,
+      s"brand/size sliver not pushed into the part scan:\n$p")
+    // the lineitem side keeps its quantity envelope at its own scan
+    val stream = p.substring(0, bx)
+    assert("GreaterThanOrEqual\\(l_quantity,1".r.findFirstIn(stream).isDefined,
+      s"quantity envelope not pushed into the lineitem scan:\n$p")
+  }
+
   test("q205 Q15 shape: the revenue view's exchange is built once and reused") {
     // exchange reuse is an AQE runtime decision — execute, then read the
     // FINAL adaptive plan (the initial plan prints both subtrees)
