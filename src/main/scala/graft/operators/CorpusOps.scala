@@ -1171,15 +1171,22 @@ object CorpusOps extends QueryModule {
     * on the fingerprint key over the delta (one exchange each side,
     * partial-agged), and the class rollup is 3 rows.
     */
-  private def q214(s: SparkSession, d: String): DataFrame = {
-    val f = Tables.documents(s, d)
+  /** (fp, bucket)-fingerprinted documents — the shared front half of the
+    * q214/q216 snapshot gate.
+    */
+  private def snapshotFingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         md5(concat_ws(" ", slice(toks(col("text")), 1, 32))).as("fp"),
         expr("CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100")
           .as("bucket"))
-    val snap = f.filter(col("bucket") < 80).select(col("fp")).distinct()
-      .withColumn("known", lit(1))
-    val delta = f.filter(col("bucket") >= 80)
+
+  /** Classify each delta doc against a snapshot fingerprint set (a 1-col
+    * `fp` frame) — shared by the derived (q214) and persisted (q216)
+    * spellings, so the two are the same plan from the join down.
+    */
+  private def gateClasses(delta: DataFrame, snapFp: DataFrame): DataFrame = {
+    val snap = snapFp.distinct().withColumn("known", lit(1))
     val winner = delta.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
     delta.join(snap, Seq("fp"), "left")
       .join(winner, "fp")
@@ -1190,6 +1197,12 @@ object CorpusOps extends QueryModule {
       .groupBy(col("class"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("class"))
+  }
+
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    val f = snapshotFingerprints(s, d)
+    gateClasses(f.filter(col("bucket") >= 80),
+      f.filter(col("bucket") < 80).select(col("fp")))
   }
 
   private val q214Sql = {
@@ -1212,8 +1225,33 @@ object CorpusOps extends QueryModule {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q216: the PERSISTED spelling of the q214 gate — the real nightly
+    * contract. q214 derives the accepted-corpus fingerprint set from the
+    * same scan in the same job; here the snapshot job PUBLISHES it as
+    * parquet (fingerprints only — the accepted-corpus state a dedup gate
+    * actually keeps) and the delta job reads it back, completing the
+    * write→re-read cycle (the reference's S7→S9 round trip,
+    * `main.py:194` → the `data` dir). Same classifier, same oracle as
+    * q214; CorpusGateSpec pins row-identity between the two spellings
+    * and the snapshot-side parquet FileScan in the plan.
+    *
+    * Scale: the published artifact is one `fp` column — at 100 TB of
+    * text the snapshot parquet is the md5 set, ~2 % of corpus bytes, and
+    * the delta job's snapshot side scans only it. Staging dir keyed by
+    * applicationId + sanitized dataset path (q203's non-racing scheme).
+    */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snapfp_" +
+      s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    val f = snapshotFingerprints(s, d)
+    f.filter(col("bucket") < 80).select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(dir)
+    gateClasses(f.filter(col("bucket") >= 80), s.read.parquet(dir))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_incremental_dedup" -> q214,
+    "q216_snapshot_gate_persisted" -> q216,
     "q200_lm_fluency" -> q200,
     "q201_importance_weights" -> q201,
     "q107_inverted_index" -> q107,
@@ -1240,6 +1278,7 @@ object CorpusOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q214_incremental_dedup" -> q214Sql,
+    "q216_snapshot_gate_persisted" -> q214Sql, // same contract, persisted
     "q200_lm_fluency" -> q200Sql,
     "q201_importance_weights" -> q201Sql,
     "q107_inverted_index" -> q107Sql,

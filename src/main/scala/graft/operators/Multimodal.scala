@@ -273,12 +273,81 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Land the q195 fixture PNGs as individual files once per
+    * (session, dataset) — the reference's land-then-re-read cycle
+    * (`main.py:187-199` → the `data` dir) applied to binary artifacts. The
+    * staging dir is keyed by applicationId + sanitized dataset path
+    * (same non-racing scheme as q203's ORC round trip) and published by
+    * an atomic rename, so a partially-written corpus is never readable.
+    * The 50-file fixture corpus is written driver-side (bounded — it IS
+    * the fixture); at real scale the land step is itself a distributed
+    * write and only the re-read side below changes size.
+    */
+  private val landLock = new Object
+  private[operators] def landedPngDir(s: SparkSession, d: String): String =
+    landLock.synchronized {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_png_${s.sparkContext.applicationId}_" +
+          d.replaceAll("[^A-Za-z0-9.-]", "_"))
+      if (!root.exists()) {
+        import s.implicits._
+        val ids = Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 50).as[Long].collect().sorted
+        val tmp = new java.io.File(root.getParentFile, root.getName + ".staging")
+        if (tmp.exists()) { tmp.listFiles().foreach(_.delete()); tmp.delete() }
+        tmp.mkdirs()
+        ids.foreach { id =>
+          val (w, h) = fixtureDims(id)
+          java.nio.file.Files.write(
+            new java.io.File(tmp, f"doc_$id%05d.png").toPath,
+            encodePng(id, w, h))
+        }
+        require(tmp.renameTo(root), s"atomic publish of $root failed")
+      }
+      root.getAbsolutePath
+    }
+
+  /** q215: binaryFile ingestion — the REAL on-disk surface for images.
+    * q195 synthesizes payload bytes in-plan; here the same fixture PNGs
+    * are landed as files and re-read through Spark's `binaryFile` source
+    * (path, modificationTime, length, content), with the doc id recovered
+    * from the filename and the pixels decoded from the `content` column.
+    * MultimodalSpec pins the output row-identical to q195 and the scan
+    * node to a binaryFile FileScan. No DuckDB oracle (SQL cannot decode
+    * PNG): rows-only, like q195.
+    *
+    * Scale shape: binaryFile splits per FILE (one row per artifact), so a
+    * 100 TB image corpus parallelizes across files with no splitting
+    * hazard; `pathGlobFilter` prunes non-image artifacts at listing time;
+    * payload bytes are born in the scan and die in the same-stage decode
+    * — only fixed-width features leave it.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = landedPngDir(s, d)
+    val FileId = ".*doc_(\\d+)\\.png$".r
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (path, bytes) =>
+        val id = path match { case FileId(n) => n.toLong }
+        decodeImage(MediaRecord(id, bytes, "image/png", bytes.length.toLong))
+      })
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("pixel_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_multimodal_decode" -> q95,
     "q96_multimodal_frames" -> q96,
     "q97_multimodal_resize" -> q97,
     "q100_multimodal_features" -> q100,
-    "q195_multimodal_imageio" -> q195
+    "q195_multimodal_imageio" -> q195,
+    "q215_multimodal_binaryfile" -> q215
   )
 
   override def oracles: Map[String, String] = Map(

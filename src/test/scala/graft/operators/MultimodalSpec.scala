@@ -44,4 +44,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r7.getLong(1) === w && r7.getLong(2) === h)
     assert(r7.getString(3) === expectedHash(7L))
   }
+
+  test("q215 lands PNGs and re-reads them via binaryFile, row-identical to q195") {
+    val landed = SparkEntry.queries("q215_multimodal_binaryfile")(spark, sf0001)
+    // the scan must be the real binaryFile source, not an in-plan synth
+    assert(landed.queryExecution.executedPlan.toString.contains("binaryFile"),
+      "q215 does not read through the binaryFile FileScan")
+    val inPlan = SparkEntry.queries("q195_multimodal_imageio")(spark, sf0001)
+    val a = landed.collect().map(_.toSeq).toSeq
+    val b = inPlan.collect().map(_.toSeq).toSeq
+    assert(a.length === 50)
+    // decode-from-landed-bytes must recover the exact same pixels as
+    // decode-from-in-plan bytes: the write→re-read cycle is lossless
+    assert(a === b, "landed binaryFile decode differs from in-plan decode")
+  }
 }
