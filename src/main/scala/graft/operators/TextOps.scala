@@ -717,6 +717,61 @@ object TextOps extends QueryModule {
       |FROM pairs WHERE dist <= 16
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cold postings `(id, g, df)`: one row per (doc, shingle) whose
+    * document frequency is ≤ maxDf — the stop-shingle gate q74/q85/q113
+    * apply inside [[Jaccard.pairs]], factored out so q175/q182's
+    * self-built candidate stages get the same bound (and the same
+    * JaccardSpec-style spec pins). The df aggregate ships map-side
+    * partials and its output rides the postings' element-keyed exchange.
+    */
+  private[operators] def coldPostings(sh: DataFrame, maxDf: Long): DataFrame = {
+    val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("g"))
+    postings.join(
+      postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      "g")
+  }
+
+  /** Candidate stage of q175, exposed for the hot-element bound spec:
+    * τ = ½ prefixes over the COLD (df ≤ maxDf) shingle universe, joined
+    * on the prefix token — distinct undirected `(da, db)` pairs. An
+    * element in k ≤ maxDf docs emits ≤ k(k−1)/2 pairs, so the candidate
+    * count is bounded by maxDf/2 × |cold prefix postings|.
+    */
+  private[operators] def prefixCandidates(sh: DataFrame, maxDf: Long): DataFrame = {
+    val prefixes = coldPostings(sh, maxDf)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
+        .getField("g").as("ts"))
+      .select(col("id"),
+        explode(expr("slice(ts, 1, CAST(size(ts) div 2 AS INT) + 1)")).as("g"))
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+  }
+
+  /** Full q175 core on an arbitrary `(doc_id, shingles)` frame: prefix
+    * candidates verified exactly — `inter` counts COLD shared shingles,
+    * `un` uses FULL set sizes (the family's stop-shingle convention).
+    */
+  private[operators] def prefixFilterPairs(sh: DataFrame, maxDf: Long): DataFrame = {
+    val coldSets = coldPostings(sh, maxDf)
+      .groupBy(col("id")).agg(collect_set(col("g")).as("cs"))
+    val sizes = sh.select(col("doc_id").as("id"), size(col("shingles")).as("sz"))
+    prefixCandidates(sh, maxDf)
+      .join(coldSets.select(col("id").as("da"), col("cs").as("sa")), "da")
+      .join(coldSets.select(col("id").as("db"), col("cs").as("sb")), "db")
+      .join(sizes.select(col("id").as("da"), col("sz").as("za")), "da")
+      .join(sizes.select(col("id").as("db"), col("sz").as("zb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .select(col("da"), col("db"), col("inter"),
+        (col("za") + col("zb") - col("inter")).cast(LongType).as("un"))
+      .filter(col("inter") * 2 >= col("un"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** q175: exact set-similarity join via PREFIX FILTERING (the
     * Chaudhuri/PPJoin principle): under any global token order, two
     * shingle sets with Jaccard ≥ τ MUST share a token within their first
@@ -724,60 +779,63 @@ object TextOps extends QueryModule {
     * and the candidate set provably loses nothing. Canonical order is
     * ascending document frequency (rarest first), which makes prefixes
     * collide as little as possible; τ = ½ halves the postings vs q74's
-    * full inverted index, and the shrink GROWS with τ. Candidates verify
-    * exactly (2·|∩| ≥ |∪|, all integers); the oracle is the exhaustive
-    * shared-token join, so the losslessness theorem itself is what the
-    * hash compare checks.
+    * full inverted index, and the shrink GROWS with τ.
     *
-    * Scale: postings shuffle is prefix-sized; the df relation that orders
-    * tokens is vocabulary-sized (broadcast); verification joins full
-    * sets only for surviving candidates — the q74 shape with the postings
-    * volume cut by the filter.
+    * Round 7: the stage runs over the COLD shingle universe
+    * (df ≤ [[Jaccard.StopShingleDf]]), joining the q74/q85/q113
+    * convention — intersections count cold shingles, denominators keep
+    * full set sizes. Losslessness survives the cap: if
+    * 2·|∩cold| ≥ |a|+|b|−|∩cold| then (cold sizes ≤ full sizes) the cold
+    * sets have Jaccard ≥ ½, so the theorem applies to them and the pair
+    * shares a cold prefix token. The oracle is the EXHAUSTIVE cold
+    * shared-token join, so the hash compare checks the theorem itself;
+    * TextOpsSpec pins the candidate bound on a hot-element fixture.
+    *
+    * Scale: postings shuffle is prefix-sized AND df-capped — a
+    * boilerplate shingle in half the corpus generates zero candidates;
+    * the candidate count is ≤ maxDf/2 × |prefix postings|, linear again.
     */
-  private def q175(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).cache()
-    val postings = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val freq = postings.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefixes = postings.join(broadcast(freq), "g")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("g"))))
-        .getField("g").as("ts"))
-      .select(col("doc_id"),
-        explode(expr("slice(ts, 1, CAST(size(ts) div 2 AS INT) + 1)")).as("g"))
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
-      .join(sh.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
-      .select(col("da"), col("db"),
-        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("inter"),
-        (size(col("sa")) + size(col("sb"))
-          - size(array_intersect(col("sa"), col("sb"))))
-          .cast(LongType).as("un"))
-      .filter(col("inter") * 2 >= col("un"))
-      .orderBy(col("da"), col("db"))
-  }
+  private def q175(s: SparkSession, d: String): DataFrame =
+    prefixFilterPairs(shingled(s, d).cache(), Jaccard.StopShingleDf)
 
   private val q175Sql =
     s"""WITH sh AS ($shingledSql),
        |p AS (SELECT doc_id AS id, unnest(shingles) AS g FROM sh),
-       |cand AS (
-       |  SELECT DISTINCT a.id AS da, b.id AS db
-       |  FROM p a JOIN p b ON a.g = b.g AND a.id < b.id),
-       |v AS (
-       |  SELECT cand.da, cand.db,
-       |    len(list_filter(x.shingles, t -> list_contains(y.shingles, t)))
-       |      AS inter,
-       |    len(x.shingles) + len(y.shingles) AS tot
-       |  FROM cand
-       |  JOIN sh x ON x.doc_id = cand.da
-       |  JOIN sh y ON y.doc_id = cand.db)
-       |SELECT da, db, CAST(inter AS BIGINT) AS inter,
-       |  CAST(tot - inter AS BIGINT) AS un
-       |FROM v WHERE 2 * inter >= tot - inter
+       |hot AS (SELECT g FROM p GROUP BY g
+       |        HAVING COUNT(*) > ${Jaccard.StopShingleDf}),
+       |cold AS (SELECT id, g FROM p WHERE g NOT IN (SELECT g FROM hot)),
+       |i AS (
+       |  SELECT a.id AS da, b.id AS db, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cold a JOIN cold b ON a.g = b.g AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS sz FROM sh)
+       |SELECT da, db, inter, CAST(sa.sz + sb.sz - inter AS BIGINT) AS un
+       |FROM i JOIN s sa ON da = sa.doc_id JOIN s sb ON db = sb.doc_id
+       |WHERE 2 * inter >= sa.sz + sb.sz - inter
        |ORDER BY da, db""".stripMargin
+
+  /** Candidate+intersection stage of q182, exposed for the hot-element
+    * bound spec: directed pairs `(contained, container, inter)` counted
+    * straight off the COLD postings self-join — no distinct-then-rejoin
+    * of full arrays. An element in k ≤ maxDf docs emits ≤ k(k−1) directed
+    * pairs, so the stage ships at most maxDf × |cold postings| rows.
+    */
+  private[operators] def containmentCandidates(sh: DataFrame, maxDf: Long): DataFrame = {
+    val cold = coldPostings(sh, maxDf).select(col("id"), col("g"))
+    cold.as("a").join(cold.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("contained"), col("b.id").as("container"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Full q182 core on an arbitrary `(doc_id, shingles)` frame. */
+  private[operators] def containmentPairs(sh: DataFrame, maxDf: Long): DataFrame =
+    containmentCandidates(sh, maxDf)
+      .join(sh.select(col("doc_id").as("contained"),
+        size(col("shingles")).cast(LongType).as("na")), "contained")
+      .filter(col("inter") * 5 >= col("na") * 4)
+      .select(col("contained"), col("container"), col("inter"), col("na"))
+      .orderBy(col("contained"), col("container"))
 
   /** q182: ASYMMETRIC containment detection — directed pairs where ≥ 80 %
     * of the contained document's 3-gram shingles appear in the container
@@ -786,47 +844,38 @@ object TextOps extends QueryModule {
     * quoted inside a long one has high containment but low resemblance,
     * and quotation/subset removal is its own pass in corpus prep.
     *
-    * Scale: the same inverted-index candidate generation as q74 (shuffle
-    * on shingle, never all-pairs), but candidates keep BOTH directions
-    * since the score is asymmetric; verification joins full sets once per
-    * surviving candidate.
+    * Round 7: joins the stop-shingle convention — `inter` counts COLD
+    * (df ≤ [[Jaccard.StopShingleDf]]) shared shingles while `na` keeps
+    * the full set size, so a doc whose overlap with another is pure
+    * boilerplate is NOT flagged as contained (the corpus-prep behavior
+    * you want: license headers don't make every short file "contained").
+    * The cap is interpolated into the oracle from the one definition.
+    *
+    * Scale: candidate generation shuffles on the shingle key, never
+    * all-pairs, and the df cap bounds the directed fan-out at
+    * maxDf × |cold postings|; intersections are counted in the same
+    * aggregation (map-side combined), with only the contained-side size
+    * joined after — candidates keep BOTH directions since the score is
+    * asymmetric. TextOpsSpec pins the bound on a hot-element fixture.
     */
-  private def q182(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).cache()
-    val postings = sh.select(col("doc_id").as("id"), explode(col("shingles")).as("g"))
-    val cand = postings.as("a").join(postings.as("b"),
-        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("contained"), col("b.id").as("container"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("contained"), col("shingles").as("sa")),
-        "contained")
-      .join(sh.select(col("doc_id").as("container"), col("shingles").as("sb")),
-        "container")
-      .select(col("contained"), col("container"),
-        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("inter"),
-        size(col("sa")).cast(LongType).as("na"))
-      .filter(col("inter") * 5 >= col("na") * 4)
-      .orderBy(col("contained"), col("container"))
-  }
+  private def q182(s: SparkSession, d: String): DataFrame =
+    containmentPairs(shingled(s, d).cache(), Jaccard.StopShingleDf)
 
   private val q182Sql =
     s"""WITH sh AS ($shingledSql),
        |p AS (SELECT doc_id AS id, unnest(shingles) AS g FROM sh),
-       |cand AS (
-       |  SELECT DISTINCT a.id AS contained, b.id AS container
-       |  FROM p a JOIN p b ON a.g = b.g AND a.id <> b.id),
-       |v AS (
-       |  SELECT cand.contained, cand.container,
-       |    len(list_filter(x.shingles, t -> list_contains(y.shingles, t)))
-       |      AS inter,
-       |    len(x.shingles) AS na
-       |  FROM cand
-       |  JOIN sh x ON x.doc_id = cand.contained
-       |  JOIN sh y ON y.doc_id = cand.container)
-       |SELECT contained, container, CAST(inter AS BIGINT) AS inter,
-       |  CAST(na AS BIGINT) AS na
-       |FROM v WHERE 5 * inter >= 4 * na
+       |hot AS (SELECT g FROM p GROUP BY g
+       |        HAVING COUNT(*) > ${Jaccard.StopShingleDf}),
+       |cold AS (SELECT id, g FROM p WHERE g NOT IN (SELECT g FROM hot)),
+       |i AS (
+       |  SELECT a.id AS contained, b.id AS container,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cold a JOIN cold b ON a.g = b.g AND a.id <> b.id
+       |  GROUP BY 1, 2),
+       |s AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS na FROM sh)
+       |SELECT contained, container, inter, na
+       |FROM i JOIN s ON contained = s.doc_id
+       |WHERE 5 * inter >= 4 * na
        |ORDER BY contained, container""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
