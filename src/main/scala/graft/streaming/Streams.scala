@@ -247,24 +247,35 @@ object Streams extends QueryModule {
       |) GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
-  /** q98: stream-stream inner join — signups joined to same-user purchases
-    * within 2 hours, both sides watermarked so the join state is bounded
-    * (the streaming analog of batch q15). Equi-key user_id partitions the
-    * state; the time-range condition bounds retention per key.
+  /** Shared legs of the stream-stream join matrix (q98 inner / q143 left
+    * / q194 full / q202 right): signups joined to same-user purchases
+    * within 2 hours, both sides watermarked at 1 hour so the join state
+    * is bounded. Exposed so StreamsSpec can drive the SAME body through a
+    * rate-limited multi-file source (`maxFilesPerTrigger = 1`) and pin
+    * that every join type's result is invariant to micro-batch slicing —
+    * the guarantee a production redeploy with a different trigger cadence
+    * leans on. Equi-key user_id partitions the state; the time-range
+    * condition bounds retention per key.
     */
-  private def q98(s: SparkSession, d: String): DataFrame = {
-    val ev = streamEvents(s, d)
+  private[streaming] def signupPurchaseJoin(ev: DataFrame,
+                                            joinType: String): DataFrame = {
     val signup = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("signup_ts"))
       .withWatermark("signup_ts", "1 hour")
     val purchase = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "1 hour")
-    val joined = signup.join(
+    signup.join(
       purchase,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("signup_ts") &&
-        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"))
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
+      joinType)
+  }
+
+  /** q98: stream-stream inner join — the streaming analog of batch q15. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val joined = signupPurchaseJoin(streamEvents(s, d), "inner")
     val out = runToMemory(s,
       joined.select(col("user_id"), col("signup_ts"), col("p_ts"), col("value")),
       "q98_sink", "append")
@@ -607,19 +618,7 @@ object Streams extends QueryModule {
     * the inner variant.
     */
   private def q143(s: SparkSession, d: String): DataFrame = {
-    val ev = streamEvents(s, d)
-    val signup = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts").as("signup_ts"))
-      .withWatermark("signup_ts", "1 hour")
-    val purchase = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signup.join(
-      purchase,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("signup_ts") &&
-        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
-      "left_outer")
+    val joined = signupPurchaseJoin(streamEvents(s, d), "left_outer")
     val out = runToMemory(s,
       joined.select(col("user_id"), col("signup_ts"), col("p_ts"), col("value")),
       "q143_sink", "append")
@@ -670,19 +669,7 @@ object Streams extends QueryModule {
     * time bound caps per-key retention, as in the inner variant.
     */
   private def q194(s: SparkSession, d: String): DataFrame = {
-    val ev = streamEvents(s, d)
-    val signup = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts").as("signup_ts"))
-      .withWatermark("signup_ts", "1 hour")
-    val purchase = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signup.join(
-      purchase,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("signup_ts") &&
-        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
-      "full_outer")
+    val joined = signupPurchaseJoin(streamEvents(s, d), "full_outer")
     val out = runToMemory(s,
       joined.select(coalesce(col("user_id"), col("p_user")).as("uid"),
         col("signup_ts"), col("p_ts"), col("value")),
@@ -748,19 +735,7 @@ object Streams extends QueryModule {
     * variant.
     */
   private def q202(s: SparkSession, d: String): DataFrame = {
-    val ev = streamEvents(s, d)
-    val signup = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts").as("signup_ts"))
-      .withWatermark("signup_ts", "1 hour")
-    val purchase = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signup.join(
-      purchase,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("signup_ts") &&
-        col("p_ts") <= col("signup_ts") + expr("INTERVAL 2 HOURS"),
-      "right_outer")
+    val joined = signupPurchaseJoin(streamEvents(s, d), "right_outer")
     val out = runToMemory(s,
       joined.select(col("p_user"), col("signup_ts"), col("p_ts"), col("value")),
       "q202_sink", "append")

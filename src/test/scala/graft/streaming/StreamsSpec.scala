@@ -278,6 +278,61 @@ class StreamsSpec extends SparkSpec {
       "restart re-processed already-committed input")
   }
 
+  test("stream-stream join matrix is invariant to micro-batch slicing") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // the guarantee a redeploy with a different trigger cadence leans on:
+    // q98/q143/q194/q202's join body yields the SAME rows whether the
+    // backfill arrives as one file or as four rate-limited micro-batches
+    // (maxFilesPerTrigger = 1 — the L1 num_pages analog on the source)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val one = java.nio.file.Files.createTempDirectory("graft_inv_one").toString
+    val sliced = java.nio.file.Files.createTempDirectory("graft_inv_sliced").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$one/all")
+    // four CONTIGUOUS time slices arriving in event-time order (mod times
+    // force the file source's processing order): watermarks then only
+    // ever advance past data already processed, so no input is dropped
+    // and the final emitted set must match the single-batch run exactly
+    val withSlice = ev.withColumn("sl", ntile(4).over(Window.orderBy(col("ts"))))
+    (1 to 4).foreach { i =>
+      withSlice.filter(col("sl") === i).drop("sl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$sliced/part$i")
+      new java.io.File(s"$sliced/part$i").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(1000000000000L + i * 60000L))
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def run(dir: String, rateLimited: Boolean, joinType: String,
+            name: String): (Seq[String], Int) = {
+      var reader = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+      if (rateLimited) reader = reader.option("maxFilesPerTrigger", 1)
+      val joined = Streams.signupPurchaseJoin(reader.parquet(dir), joinType)
+        .select(col("user_id"), col("p_user"), col("signup_ts"),
+          col("p_ts"), col("value"))
+      spark.catalog.dropTempView(name)
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (spark.table(name).collect().map(_.toSeq.mkString("|")).sorted.toSeq,
+        dataBatches)
+    }
+    for (jt <- Seq("inner", "left_outer", "full_outer", "right_outer")) {
+      val (a, nOne) = run(one, rateLimited = false, jt, s"inv_one_$jt")
+      val (b, nSliced) = run(sliced, rateLimited = true, jt, s"inv_sliced_$jt")
+      assert(nOne === 1, s"$jt single-file run took $nOne data batches")
+      assert(nSliced >= 4,
+        s"$jt rate-limited run coalesced into $nSliced data batches")
+      assert(a.nonEmpty, s"$jt produced no rows — vacuous")
+      assert(a === b, s"$jt results differ under micro-batch slicing")
+    }
+  }
+
   test("streaming file sink partitions output by column (landing-zone layout)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
