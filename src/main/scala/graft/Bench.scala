@@ -76,7 +76,11 @@ object Bench {
     // round 6d additions: the shapes completing all 22 TPC-H queries
     "q207_shipping_priority", "q208_priority_check", "q209_bilateral_volume",
     "q210_profit_by_nation", "q211_returned_items", "q212_late_shipments",
-    "q213_promo_share", "q214_incremental_dedup"
+    "q213_promo_share", "q214_incremental_dedup",
+    // round 7 additions: landed-binary ingestion, persisted snapshot
+    // gate, real WAV decode
+    "q215_multimodal_binaryfile", "q216_snapshot_gate_persisted",
+    "q217_multimodal_wav"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

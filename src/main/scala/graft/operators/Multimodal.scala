@@ -20,6 +20,12 @@ case class MediaHist(doc_id: Long, format: String, hist: Array[Long])
 case class ImageFeatures(doc_id: Long, format: String, width: Long,
                          height: Long, pixel_hash: String)
 
+/** Features from a REAL audio decode: frame count, rate, integer energy
+  * (sum of |sample|) and a hash of the decoded PCM.
+  */
+case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
+                         energy: Long, pcm_hash: String)
+
 /** Multimodal-column surface (north star: image/audio/video as opaque
   * binary + typed metadata, decoded per partition in batches).
   *
@@ -29,7 +35,9 @@ case class ImageFeatures(doc_id: Long, format: String, width: Long,
   * MultimodalSpec pins exact pixel recovery. The md5-of-bytes stand-in
   * ([[Multimodal.decodeStub]]) remains only on q95/q100, whose DuckDB
   * oracles must replay the feature in SQL — that needs byte-determinism
-  * SQL can express, which decoded pixels are not. Audio/video codecs are
+  * SQL can express, which decoded pixels are not. Audio is real where the
+  * JDK ships a codec: q217 round-trips genuine RIFF/WAVE PCM through
+  * javax.sound.sampled; compressed audio (mp3/ogg) and video codecs are
   * absent from the container, so those formats stay on the stub path.
   * Everything around the decoders — binary column + metadata struct
   * schema, partition-batched processing through a typed `mapPartitions`
@@ -90,6 +98,70 @@ object Multimodal extends QueryModule {
   /** Fixture image dimensions for `id` (small and varied). */
   private[operators] def fixtureDims(id: Long): (Int, Int) =
     (4 + (id % 5).toInt, 3 + (id % 4).toInt)
+
+  /** Fixture PCM sample for (id, i): deterministic 16-bit signed value,
+    * shared by the q217 encoder and the spec's independent expectation.
+    */
+  private[operators] def pcmSample(id: Long, i: Int): Short = {
+    val m = (id * 2654435761L + i.toLong * 104729L) % 65536L
+    (((m + 65536L) % 65536L) - 32768L).toShort
+  }
+
+  /** Fixture clip length for `id` (small and varied). */
+  private[operators] def fixtureSamples(id: Long): Int = 800 + (id % 7).toInt * 160
+
+  /** Encode the fixture clip for `id` as a real RIFF/WAVE container
+    * (16-bit little-endian mono PCM at 16 kHz) via the JDK's
+    * javax.sound.sampled — the audio twin of [[encodePng]], zero new
+    * dependencies.
+    */
+  private[operators] def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = fixtureSamples(id)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = pcmSample(id, i)
+      raw(i * 2) = (s & 0xff).toByte
+      raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode via javax.sound.sampled: parses the RIFF container
+    * for real and fingerprints the DECODED PCM frames, so the output
+    * depends only on the recovered samples — any spec-compliant WAV
+    * reader yields the same rows (the same property that makes q195 a
+    * decode test rather than a byte-hash test). Energy is the exact
+    * integer sum of |sample| — the loudness feature an audio-corpus
+    * quality gate thresholds on.
+    */
+  private[operators] def decodeWav(r: MediaRecord): AudioFeatures = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"unexpected PCM layout for doc ${r.doc_id}")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var energy = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff)).toShort
+      energy += math.abs(s.toLong)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    AudioFeatures(r.doc_id, n.toLong, fmt.getSampleRate.toLong, energy,
+      md.digest(bytes).map("%02x".format(_)).mkString)
+  }
 
   /** ====== STUB ======
     * Deterministic stand-in for a media decoder where the ORACLE needs
@@ -273,6 +345,34 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q217: REAL audio decode — the WAV twin of q195. Each document's
+    * fixture clip is encoded to a genuine RIFF/WAVE container (binary
+    * payload column) and decoded back with javax.sound.sampled inside the
+    * same partition-batched typed `mapPartitions`; output is (frame
+    * count, rate, integer energy, decoded-PCM hash). This retires the
+    * "audio stays on the stub path" caveat for the one audio container
+    * the JDK ships a codec for; compressed codecs (mp3/ogg) remain
+    * stubbed, as the container has no decoder. No DuckDB oracle (SQL
+    * cannot parse RIFF): rows-only; MultimodalSpec pins sample recovery
+    * bit-for-bit against the fixture formula.
+    *
+    * Scale shape: identical to q95/q195 — payload bytes are born and die
+    * inside one partition; only fixed-width features leave the stage.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).filter(col("doc_id") < 50)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRecord(id, encodeWav(id), "audio/wav", fixtureSamples(id).toLong)
+      })
+      .mapPartitions(_.map(decodeWav)) // one decoder per partition batch
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+        col("energy"), col("pcm_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Land the q195 fixture PNGs as individual files once per
     * (session, dataset) — the reference's land-then-re-read cycle
     * (`main.py:187-199` → the `data` dir) applied to binary artifacts. The
@@ -347,7 +447,8 @@ object Multimodal extends QueryModule {
     "q97_multimodal_resize" -> q97,
     "q100_multimodal_features" -> q100,
     "q195_multimodal_imageio" -> q195,
-    "q215_multimodal_binaryfile" -> q215
+    "q215_multimodal_binaryfile" -> q215,
+    "q217_multimodal_wav" -> q217
   )
 
   override def oracles: Map[String, String] = Map(

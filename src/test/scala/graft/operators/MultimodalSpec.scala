@@ -45,6 +45,49 @@ class MultimodalSpec extends SparkSpec {
     assert(r7.getString(3) === expectedHash(7L))
   }
 
+  /** Expected PCM hash + energy straight from the fixture formula
+    * (little-endian 16-bit frames), WITHOUT going through AudioSystem.
+    */
+  private def expectedPcm(id: Long): (String, Long) = {
+    val n = Multimodal.fixtureSamples(id)
+    val raw = new Array[Byte](n * 2)
+    var energy = 0L
+    for (i <- 0 until n) {
+      val s = Multimodal.pcmSample(id, i)
+      raw(i * 2) = (s & 0xff).toByte
+      raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      energy += math.abs(s.toLong)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(raw).map("%02x".format(_)).mkString, energy)
+  }
+
+  test("WAV round-trip recovers the exact fixture samples") {
+    for (id <- Seq(0L, 7L, 13L, 42L)) {
+      val wav = Multimodal.encodeWav(id)
+      // real container bytes: RIFF magic, not a fake
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF",
+        s"id=$id payload is not RIFF/WAVE")
+      val feats = Multimodal.decodeWav(MediaRecord(id, wav, "audio/wav", 0L))
+      val (hash, energy) = expectedPcm(id)
+      assert(feats.n_samples === Multimodal.fixtureSamples(id).toLong)
+      assert(feats.sample_rate === 16000L)
+      assert(feats.energy === energy, s"id=$id energy differs")
+      assert(feats.pcm_hash === hash, s"id=$id decoded PCM differs")
+    }
+  }
+
+  test("q217 decodes WAV payloads distributed, one row per document") {
+    val rows = SparkEntry.queries("q217_multimodal_wav")(spark, sf0001)
+      .collect()
+    assert(rows.length === 50)
+    val r13 = rows.find(_.getLong(0) == 13L).get
+    val (hash, energy) = expectedPcm(13L)
+    assert(r13.getLong(1) === Multimodal.fixtureSamples(13L).toLong)
+    assert(r13.getLong(3) === energy)
+    assert(r13.getString(4) === hash)
+  }
+
   test("q215 lands PNGs and re-reads them via binaryFile, row-identical to q195") {
     val landed = SparkEntry.queries("q215_multimodal_binaryfile")(spark, sf0001)
     // the scan must be the real binaryFile source, not an in-plan synth
