@@ -80,7 +80,7 @@ object Bench {
     // round 7 additions: landed-binary ingestion, persisted snapshot
     // gate, real WAV decode
     "q215_multimodal_binaryfile", "q216_snapshot_gate_persisted",
-    "q217_multimodal_wav"
+    "q217_multimodal_wav", "q218_ann_adc_rerank"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

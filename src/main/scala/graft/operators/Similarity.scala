@@ -688,6 +688,81 @@ object Similarity extends QueryModule {
        |  CAST(MAX(packed // 16) AS BIGINT) AS max_err2
        |FROM best GROUP BY m ORDER BY m""".stripMargin
 
+  /** q218: PQ ASYMMETRIC-DISTANCE re-ranking (ADC) — the query-side use
+    * of q157's codes, completing the PQ story: encode once (q157), then
+    * answer queries against the 4-bit codes without ever touching the
+    * full vectors. The query vector (vec 0) precomputes a 8×16 lookup
+    * table of exact integer squared distances to every codeword; each
+    * database vector's ADC distance is then Σ_m LUT[m, code_m] — by
+    * construction exactly d²(query, reconstruction(x)), the classic
+    * Jegou et al. ADC estimator. Top-20 nearest under the (adc_d2,
+    * vec_id) total order; all integers, so the DuckDB oracle replays it
+    * hash-exact (unlike LSH/IVF, ADC needs no rows-only escape hatch).
+    *
+    * Scale: the codebook (128 sub-codewords) and the LUT (128 rows)
+    * broadcast at ANY corpus size; after encode, the scan ships 8 small
+    * ints per vector into a map-side-combined per-vector sum, and top-20
+    * is TakeOrderedAndProject — no global sort, no full-vector shuffle
+    * anywhere past the encode. This is why a 100 TB ANN serving tier
+    * stores codes: the re-rank pass reads 4 bytes/vector, not 512.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val sub = vecs
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "sv")))
+    val codebook = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(v, m * 8 + 1, 8))"))
+        .as(Seq("m", "cv")))
+    val d2 = dotExpr("sv", "sv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("sv", "cv")
+    val codes = sub.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), (d2 * 16 + col("code")).as("k"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("k")).as("packed"))
+      .select(col("vec_id"), col("m"), (col("packed") % 16).as("code"))
+    val qsub = sub.filter(col("vec_id") === 0)
+      .select(col("m").as("qm"), col("sv").as("qv"))
+    val dq = dotExpr("qv", "qv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("qv", "cv")
+    val lut = qsub.join(codebook, col("qm") === col("m"))
+      .select(col("m"), col("code"), dq.as("dq"))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("dq")).as("adc_d2"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(20)
+  }
+
+  private val q218Sql =
+    s"""WITH q AS ($quantizedSql),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv FROM q CROSS JOIN ms),
+       |cb AS (
+       |  SELECT vec_id AS code, m, v[m*8+1 : m*8+8] AS cv
+       |  FROM q CROSS JOIN ms WHERE vec_id < 16),
+       |best AS (
+       |  SELECT s.vec_id, s.m,
+       |    MIN((list_sum(list_transform(range(1, 9),
+       |          i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) * 16) + c.code)
+       |      AS packed
+       |  FROM sub s JOIN cb c ON s.m = c.m
+       |  GROUP BY 1, 2),
+       |codes AS (SELECT vec_id, m, packed % 16 AS code FROM best),
+       |qs AS (SELECT m, sv AS qv FROM sub WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.m, c.code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i]))) AS dq
+       |  FROM cb c JOIN qs ON c.m = qs.m)
+       |SELECT codes.vec_id, CAST(SUM(l.dq) AS BIGINT) AS adc_d2
+       |FROM codes JOIN lut l ON codes.m = l.m AND codes.code = l.code
+       |WHERE codes.vec_id <> 0
+       |GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 20""".stripMargin
+
   /** q160: hybrid dedup agreement — for every LSH embedding-candidate
     * pair ([[bandedIds]] collisions, doc_id ≡ vec_id in the corpus), do
     * the TEXT signal (token Jaccard ≥ 0.5) and the EMBEDDING signal
@@ -932,6 +1007,7 @@ object Similarity extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_semantic_dedup" -> q199,
+    "q218_ann_adc_rerank" -> q218,
     "q147_kmeans_step" -> q147,
     "q154_random_projection" -> q154,
     "q157_pq_codes" -> q157,
@@ -947,6 +1023,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q199_semantic_dedup" -> q199Sql,
+    "q218_ann_adc_rerank" -> q218Sql,
     "q147_kmeans_step" -> q147Sql,
     "q154_random_projection" -> q154Sql,
     "q157_pq_codes" -> q157Sql,

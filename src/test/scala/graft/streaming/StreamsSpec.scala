@@ -333,6 +333,51 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("rate-micro-batch source: deterministic rows per trigger (backpressure knob)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the third source family next to files and MemoryStream: Spark's
+    // rate-micro-batch provider emits EXACTLY rowsPerBatch rows per
+    // trigger with deterministic (value, batch-aligned timestamp) rows —
+    // the harness analog of a throttled ingest (the L1 num_pages
+    // cadence), and the knob a backpressure story tunes. Drive 5 batches
+    // through the same hourly aggregation shape the file queries use and
+    // pin both the per-batch row count and the deterministic values.
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100)
+      .option("numPartitions", 4)
+      .option("startTimestamp", 0)
+      .load() // schema: (timestamp TIMESTAMP, value LONG)
+    spark.catalog.dropTempView("rate_sink")
+    val agg = src.groupBy((col("value") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("rate_sink")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // wait until 5 data batches (500 rows) have flowed
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        (q.recentProgress.map(_.numInputRows).sum < 500L)) Thread.sleep(100)
+      assert(q.recentProgress.map(_.numInputRows).sum >= 500L,
+        "rate-micro-batch source never delivered 5 batches")
+      // every data batch carried exactly rowsPerBatch rows
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes.forall(_ == 100L),
+        s"batch sizes not pinned to rowsPerBatch: $sizes")
+    } finally q.stop()
+    // deterministic content: values are exactly 0..N-1, so each mod-10
+    // bucket holds N/10 of them (complete mode re-emits the full agg)
+    val rows = spark.table("rate_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val n = rows.map(_._2).sum
+    assert(n % 100 == 0 && n >= 500, s"unexpected total $n")
+    rows.foreach { case (bucket, cnt, sv) =>
+      assert(cnt === n / 10, s"bucket $bucket count $cnt of $n")
+      // sum over {bucket, bucket+10, ..., bucket + 10*(cnt-1)}
+      assert(sv === cnt * bucket + 10L * cnt * (cnt - 1) / 2,
+        s"bucket $bucket sum $sv not the deterministic series")
+    }
+  }
+
   test("streaming file sink partitions output by column (landing-zone layout)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
