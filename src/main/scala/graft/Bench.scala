@@ -80,7 +80,8 @@ object Bench {
     // round 7 additions: landed-binary ingestion, persisted snapshot
     // gate, real WAV decode
     "q215_multimodal_binaryfile", "q216_snapshot_gate_persisted",
-    "q217_multimodal_wav", "q218_ann_adc_rerank"
+    "q217_multimodal_wav", "q218_ann_adc_rerank", "q219_dup_spans",
+    "q220_countmin_sketch"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

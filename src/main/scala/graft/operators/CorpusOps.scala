@@ -1017,6 +1017,91 @@ object CorpusOps extends QueryModule {
        |FROM seg GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
        |ORDER BY h""".stripMargin
 
+  // --------------------------------------------------------------- q219
+
+  /** q219: exact duplicate-SPAN detection — the substring-level dedup of
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better"): slide a 16-token window at stride 1 over every document,
+    * flag windows whose text occurs in ≥ 2 distinct documents, then merge
+    * ADJACENT flagged window starts per doc (gaps-and-islands, q37's
+    * machinery) into MAXIMAL duplicated spans. Per doc: span count,
+    * duplicated-token coverage, longest span, and integer-ppm coverage —
+    * the span-level signal q73 (whole-doc) and q102 (fixed 32-token
+    * passages) both miss, because a duplicated paragraph rarely starts on
+    * a passage boundary.
+    *
+    * Window identity travels as codegen'd 64-bit `xxhash64`, never window
+    * text (the q151 convention: the oracle groups raw window text, so the
+    * engines diverge only on a 64-bit collision — ≈5e-6 birthday bound at
+    * 10⁷ windows). A run of starts [a..b] covers tokens [a, b+15], so
+    * coverage = b − a + 16 per island, summed per doc.
+    *
+    * Scale: windows are O(corpus tokens) 8-byte keys into one
+    * partial-agg shuffle (distinct-doc count per hash); the flagged
+    * positions semi-join back on the same key; the island window and both
+    * downstream aggregates are doc-keyed — state per doc, never per
+    * corpus. The suffix-array build the paper uses is a single-machine
+    * construction; this is its shuffle-native equivalent.
+    */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("source"), size(col("t")).as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $k)," +
+            s" i -> xxhash64(array_join(slice(t, i + 1, $k), ' ')))"))
+          .as(Seq("pos", "h")))
+    val hot = docs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val isl = docs.join(hot, Seq("h"), "left_semi")
+      .withColumn("isl",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    isl.groupBy(col("doc_id"), col("source"), col("n_tokens"), col("isl"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("len")).as("dup_tokens"),
+        max(col("len")).as("longest_span"))
+      .select(col("doc_id"), col("source"), col("n_spans"),
+        col("dup_tokens"), col("longest_span"),
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q219Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $toksSql AS t FROM documents
+       |  WHERE len($toksSql) >= 16),
+       |w AS (
+       |  SELECT doc_id, source, n_tokens, pos,
+       |         array_to_string(t[(pos + 1):(pos + 16)], ' ') AS g
+       |  FROM (SELECT doc_id, source, len(t) AS n_tokens, t,
+       |               unnest(range(0, len(t) - 15)) AS pos
+       |        FROM d)),
+       |hot AS (SELECT g FROM w GROUP BY g
+       |        HAVING COUNT(DISTINCT doc_id) > 1),
+       |isl AS (
+       |  SELECT doc_id, source, n_tokens, pos,
+       |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+       |           AS isl
+       |  FROM w JOIN hot USING (g)),
+       |sp AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         MAX(pos) - MIN(pos) + 16 AS len
+       |  FROM isl GROUP BY doc_id, source, n_tokens, isl)
+       |SELECT doc_id, source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(len) AS BIGINT) AS dup_tokens,
+       |  CAST(MAX(len) AS BIGINT) AS longest_span,
+       |  CAST(SUM(len) * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+       |FROM sp GROUP BY doc_id, source, n_tokens
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q200
 
   /** q200: per-source LM fluency scoring — score every document under the
@@ -1273,7 +1358,8 @@ object CorpusOps extends QueryModule {
     "q125_reachability_cte" -> q125,
     "q86_sequence_packing" -> q86,
     "q112_token_graph_triangles" -> q112,
-    "q113_canonical_docs" -> q113
+    "q113_canonical_docs" -> q113,
+    "q219_dup_spans" -> q219
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1300,6 +1386,7 @@ object CorpusOps extends QueryModule {
     "q125_reachability_cte" -> q125Sql,
     "q86_sequence_packing" -> q86Sql,
     "q112_token_graph_triangles" -> q112Sql,
-    "q113_canonical_docs" -> q113Sql
+    "q113_canonical_docs" -> q113Sql,
+    "q219_dup_spans" -> q219Sql
   )
 }

@@ -564,8 +564,82 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE lang <> 'zh'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q220
+
+  /** q220: count-min sketch — the fixed-size MERGEABLE frequency summary
+    * (Cormode & Muthukrishnan) next to q141's exact two-pass heavy
+    * hitters: 4 hash rows × 512 buckets of integer counters built in ONE
+    * partial-agg shuffle that reduces the whole corpus to ≤ 2048 rows,
+    * regardless of corpus size. Each token increments one bucket per row
+    * (seeded md5-derived bucket, the q69/q201 seed-free spelling);
+    * estimate(w) = min over rows of its 4 counters — never under the
+    * true count, over only on bucket collisions. The readout probes the
+    * exact top-20 tokens and reports exact vs estimate vs overcount, so
+    * the one-sided error guarantee is hash-verified, not asserted.
+    *
+    * Scale: this is the structure you keep when q141's candidate re-scan
+    * is too expensive — the sketch is 2048 counters at 100 TB exactly as
+    * at 60 k rows, merges by addition (partial agg IS the merge), and
+    * the probe side joins a broadcast sketch map-side. Deliberately
+    * deterministic (no random seeds) so the DuckDB oracle replays it
+    * bit-for-bit.
+    */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val bucket = "CAST(conv(substring(md5(concat('cms-', CAST(r AS STRING)," +
+      " '-', w)), 1, 7), 16, 10) AS BIGINT) % 512"
+    val rb = expr(
+      s"transform(sequence(0, 3), r -> named_struct('r', r, 'b', $bucket))")
+    val tok = Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "),
+        t => length(t) > 0)).as("w"))
+    val sketch = tok.select(explode(rb).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probes = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("w")).limit(20)
+    probes
+      .select(col("w"), col("exact_cnt"), explode(rb).as("rb"))
+      .select(col("w"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("w"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("w"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(desc("exact_cnt"), col("w"))
+  }
+
+  private val q220Sql = {
+    val bucket = "(" + graft.Exact.sqlHexToLong(
+      "md5('cms-' || CAST(r AS VARCHAR) || '-' || w)", 1, 7) + ") % 512"
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |                t -> length(t) > 0)) AS w
+       |  FROM documents),
+       |rs AS (SELECT unnest(range(0, 4)) AS r),
+       |keys AS (SELECT w, r, $bucket AS b FROM tok CROSS JOIN rs),
+       |sketch AS (
+       |  SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM keys GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+       |  FROM tok GROUP BY 1),
+       |probes AS (
+       |  SELECT w, exact_cnt FROM exact
+       |  ORDER BY exact_cnt DESC, w LIMIT 20),
+       |pk AS (
+       |  SELECT p.w, p.exact_cnt, rs.r, $bucket AS b
+       |  FROM probes p CROSS JOIN rs)
+       |SELECT pk.w, pk.exact_cnt, MIN(s.c) AS cms_est,
+       |  MIN(s.c) - pk.exact_cnt AS overcount
+       |FROM pk JOIN sketch s ON pk.r = s.r AND pk.b = s.b
+       |GROUP BY pk.w, pk.exact_cnt
+       |ORDER BY exact_cnt DESC, w""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_orc_roundtrip" -> q203,
+    "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
     "q111_bloom_join" -> q111,
     "q141_heavy_hitters" -> q141,
@@ -582,6 +656,7 @@ object ScalePatterns extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q203_orc_roundtrip" -> q203Sql,
+    "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,
     "q111_bloom_join" -> q111Sql,
     "q141_heavy_hitters" -> q141Sql,
