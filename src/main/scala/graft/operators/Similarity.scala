@@ -763,6 +763,215 @@ object Similarity extends QueryModule {
        |WHERE codes.vec_id <> 0
        |GROUP BY 1 ORDER BY adc_d2, vec_id LIMIT 20""".stripMargin
 
+  /** q221: IVF-PQ end-to-end — the production ANN serving architecture
+    * (Jegou et al.) assembled from this module's verified parts: the
+    * TRAINED coarse quantizer (q83's seed + Lloyd superstep) partitions
+    * the corpus into inverted lists; each vector stores only its cell id
+    * plus 8 four-bit PQ codes of its RESIDUAL (v − centroid, the residual
+    * encoding that makes PQ codes cell-local); the 16 codewords per
+    * subspace are themselves TRAINED by one Lloyd superstep over residual
+    * sub-vectors (seeded from the first 16 — the q147 machinery applied
+    * per subspace); a query probes its `nprobe` nearest cells, builds one
+    * 8×16 LUT of exact integer squared distances from its per-cell
+    * residual to every codeword, scores candidates by ADC
+    * (Σ_m LUT[m, code_m] — q218's estimator gated by q83's cell pruning),
+    * and the ADC top-50 shortlist is REFINED by exact L2 on the full
+    * vectors — the two-stage shortlist→refine serving pattern. Top-5 per
+    * query under the (d2, nid) total order; all integer, so the DuckDB
+    * oracle replays the entire train→assign→encode→probe→rank→refine
+    * pipeline hash-exact. `LshRecallSpec` pins mean recall vs the
+    * exhaustive exact scan.
+    *
+    * Scale: centroids (nlist), codebook (128 rows) and the LUT
+    * (queries × nprobe × 128) broadcast at any corpus size; the encode is
+    * one (vec_id, m)-keyed partial-agg argmin; serving reads 4 bytes of
+    * code per candidate and only from probed cells — each query touches
+    * ~nprobe/nlist of the corpus — and the refine fetches full vectors
+    * for only 50 ids per query. This is the index layout a 100 TB vector
+    * store actually ships: IVF for pruning, PQ for memory, ADC for the
+    * scan, exact refine for the head.
+    */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val nlist = 10
+    val nprobe = 2
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val cents = lloydCents(vecs, seedCents(vecs, nlist))
+    val res = assignTo(vecs, cents).join(vecs, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("zip_with(v, cv, (x, y) -> x - y)").as("rv"))
+    val sub = res.select(col("vec_id"), col("cid"), posexplode(expr(
+      "transform(sequence(0, 7), m -> slice(rv, m * 8 + 1, 8))"))
+      .as(Seq("m", "sv")))
+    // train the per-subspace codebook: one Lloyd superstep over residual
+    // sub-vectors, seeded from the first 16 vectors' residuals
+    val seeds = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cw"))
+    val d2seed = dotExpr("sv", "sv") + dotExpr("cw", "cw") -
+      lit(2L) * dotExpr("sv", "cw")
+    val casg = sub.join(broadcast(seeds), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), (d2seed * 16 + col("code")).as("k"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("k")).as("packed"))
+      .select(col("vec_id"), col("m"), (col("packed") % 16).as("code"))
+    val cb = casg.join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "comp")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(expr("sum(comp) div count(1)").as("nc"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, nc))), x -> x.nc)")
+        .as("cw"))
+      .select(col("m").as("cm"), col("code"), col("cw"))
+    val d2enc = dotExpr("sv", "sv") + dotExpr("cw", "cw") -
+      lit(2L) * dotExpr("sv", "cw")
+    val codes = sub.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("vec_id"), col("cid"), col("m"),
+        (d2enc * 16 + col("code")).as("k"))
+      .groupBy(col("vec_id"), col("cid"), col("m"))
+      .agg(min(col("k")).as("packed"))
+      .select(col("vec_id"), col("cid"), col("m"),
+        (col("packed") % 16).as("code"))
+    val qs = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dprobe = dotExpr("qv", "qv") + dotExpr("cv", "cv") -
+      lit(2L) * dotExpr("qv", "cv")
+    val probes = qs.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"), dprobe.as("d2"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val qsub = probes.join(broadcast(cents), "cid")
+      .select(col("qid"), col("cid"), posexplode(expr(
+        "transform(sequence(0, 7)," +
+          " m -> slice(zip_with(qv, cv, (x, y) -> x - y), m * 8 + 1, 8))"))
+        .as(Seq("qm", "qsv")))
+    val dlut = dotExpr("qsv", "qsv") + dotExpr("cw", "cw") -
+      lit(2L) * dotExpr("qsv", "cw")
+    val lut = qsub.join(broadcast(cb), col("qm") === col("cm"))
+      .select(col("qid"), col("cid"), col("qm").as("m"), col("code"),
+        dlut.as("dq"))
+    val shortlist = codes.join(broadcast(lut), Seq("cid", "m", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_d2"))
+      .withColumn("ar", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("ar") <= 50)
+      .select(col("qid"), col("vec_id").as("nid"))
+    // exact refine on the shortlist: fetch full vectors for 20 ids/query
+    val d2ref = dotExpr("qv", "qv") + dotExpr("v", "v") -
+      lit(2L) * dotExpr("qv", "v")
+    shortlist
+      .join(vecs.withColumnRenamed("vec_id", "nid"), "nid")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("nid"), d2ref.as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid")))
+        .cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q221Sql =
+    s"""WITH q AS ($quantizedSql),
+       |${trainedCentsSql(10)},
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |res AS (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(range(1, len(v.v)+1), i -> v.v[i] - c.cv[i]) AS rv
+       |  FROM assigned a JOIN q v ON v.vec_id = a.vec_id
+       |  JOIN cents c ON c.cid = a.cid),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |sub AS (
+       |  SELECT vec_id, cid, m, rv[(m*8+1):(m*8+8)] AS sv
+       |  FROM res CROSS JOIN ms),
+       |cb0 AS (SELECT vec_id AS code, m AS cm, sv AS cw FROM sub
+       |        WHERE vec_id < 16),
+       |casg AS (
+       |  SELECT s.vec_id, s.m,
+       |    MIN((list_sum(list_transform(range(1, 9),
+       |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) * 16)
+       |        + c.code) % 16 AS code
+       |  FROM sub s JOIN cb0 c ON s.m = c.cm
+       |  GROUP BY 1, 2),
+       |ccomp AS (
+       |  SELECT a.m, a.code, u.pos AS pos, u.comp AS comp FROM (
+       |    SELECT a0.m, a0.code,
+       |      unnest(list_transform(range(1, 9),
+       |        i -> {'pos': i, 'comp': s.sv[i]})) AS u
+       |    FROM casg a0 JOIN sub s ON s.vec_id = a0.vec_id AND s.m = a0.m
+       |  ) a),
+       |cbn AS (
+       |  SELECT m, code, pos, CAST(SUM(comp) AS BIGINT) // COUNT(*) AS nc
+       |  FROM ccomp GROUP BY 1, 2, 3),
+       |cb AS (SELECT m AS cm, code, list(nc ORDER BY pos) AS cw
+       |       FROM cbn GROUP BY 1, 2),
+       |best AS (
+       |  SELECT s.vec_id, s.cid, s.m,
+       |    MIN((list_sum(list_transform(range(1, 9),
+       |          i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) * 16)
+       |        + c.code) AS packed
+       |  FROM sub s JOIN cb c ON s.m = c.cm
+       |  GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, cid, m, packed % 16 AS code FROM best),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM q WHERE vec_id < 4),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qs.qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+       |        list_sum(list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i]*qs.qv[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM qs CROSS JOIN cents c)
+       |  WHERE pr <= 2),
+       |qres AS (
+       |  SELECT p.qid, p.cid,
+       |    list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i] - c.cv[i]) AS qrv
+       |  FROM probes p JOIN qs ON qs.qid = p.qid
+       |  JOIN cents c ON c.cid = p.cid),
+       |qsub AS (
+       |  SELECT qid, cid, m, qrv[(m*8+1):(m*8+8)] AS qsv
+       |  FROM qres CROSS JOIN ms),
+       |lut AS (
+       |  SELECT s.qid, s.cid, s.m, c.code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (s.qsv[i] - c.cw[i]) * (s.qsv[i] - c.cw[i]))) AS dq
+       |  FROM qsub s JOIN cb c ON s.m = c.cm),
+       |scored AS (
+       |  SELECT l.qid, co.vec_id AS nid, CAST(SUM(l.dq) AS BIGINT) AS adc_d2
+       |  FROM codes co
+       |  JOIN lut l ON co.cid = l.cid AND co.m = l.m AND co.code = l.code
+       |  WHERE l.qid <> co.vec_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, nid) AS ar
+       |    FROM scored)
+       |  WHERE ar <= 50),
+       |refined AS (
+       |  SELECT s.qid, s.nid,
+       |    CAST(list_sum(list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i]*qs.qv[i]))
+       |     + list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*v.v[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i]*v.v[i]))
+       |     AS BIGINT) AS d2
+       |  FROM shortlist s JOIN qs ON qs.qid = s.qid
+       |  JOIN q v ON v.vec_id = s.nid)
+       |SELECT qid, rank, nid, d2 FROM (
+       |  SELECT qid, nid, d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rank
+       |  FROM refined)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** q160: hybrid dedup agreement — for every LSH embedding-candidate
     * pair ([[bandedIds]] collisions, doc_id ≡ vec_id in the corpus), do
     * the TEXT signal (token Jaccard ≥ 0.5) and the EMBEDDING signal
@@ -1008,6 +1217,7 @@ object Similarity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_semantic_dedup" -> q199,
     "q218_ann_adc_rerank" -> q218,
+    "q221_ivf_pq" -> q221,
     "q147_kmeans_step" -> q147,
     "q154_random_projection" -> q154,
     "q157_pq_codes" -> q157,
@@ -1024,6 +1234,7 @@ object Similarity extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q199_semantic_dedup" -> q199Sql,
     "q218_ann_adc_rerank" -> q218Sql,
+    "q221_ivf_pq" -> q221Sql,
     "q147_kmeans_step" -> q147Sql,
     "q154_random_projection" -> q154Sql,
     "q157_pq_codes" -> q157Sql,

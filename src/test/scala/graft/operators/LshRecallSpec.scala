@@ -41,4 +41,32 @@ class LshRecallSpec extends SparkSpec {
     info(s"mean IVF recall = $mean")
     assert(mean >= 0.8, s"mean IVF recall $mean below the trained-quantizer bar")
   }
+
+  test("q221 IVF-PQ top-5 overlaps the exact L2 top-5 with mean recall >= 0.7") {
+    // the compressed-index tradeoff made measurable: IVF pruning (2/10
+    // cells) plus 4-bit residual PQ codes against the exhaustive exact
+    // squared-L2 scan. PQ quantization costs recall on top of the cell
+    // gate, so the bar sits below q83's uncompressed 0.8.
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 4L).map { qid =>
+      qid -> vecs.collect { case (id, v) if id != qid => (d2(vecs(qid), v), id) }
+        .toSeq.sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = SparkEntry.queries("q221_ivf_pq")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === exact.keySet)
+    val recalls = exact.map { case (qid, want) =>
+      (got(qid) intersect want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean IVF-PQ recall = $mean")
+    assert(mean >= 0.7, s"mean IVF-PQ recall $mean below the compressed-index bar")
+  }
 }
