@@ -81,7 +81,7 @@ object Bench {
     // gate, real WAV decode
     "q215_multimodal_binaryfile", "q216_snapshot_gate_persisted",
     "q217_multimodal_wav", "q218_ann_adc_rerank", "q219_dup_spans",
-    "q220_countmin_sketch", "q221_ivf_pq"
+    "q220_countmin_sketch", "q221_ivf_pq", "q222_dsv2_articles"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

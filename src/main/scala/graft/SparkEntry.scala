@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Graphs,
     operators.Similarity,
     operators.Multimodal,
+    sources.ArticlesV2,
     streaming.Streams
   )
 

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import graft.QueryModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull, StringContains, StringStartsWith}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A genuine DataSource V2 connector for the reference's landed article
+  * corpora — the SOURCE-side rung of the §2.10 extension ladder (scalar
+  * Expression → Aggregator → Generator → whole-operator plan → source).
+  * Where [[ArticleSource]] composes Spark's built-in JSON reader, this is
+  * the connector a paginated upstream (the reference's selenium scraper,
+  * `main.py:26-148`) would actually get: a `TableProvider` whose scan
+  * plans ONE InputPartition per corpus (the unit the upstream paginates
+  * by), prunes columns, and pushes filters into the reader so rows are
+  * dropped AT THE SOURCE — never materialized into Spark's memory, the
+  * behavior that matters when the source is remote and metered.
+  *
+  * Surface: `spark.read.format("graft.sources.ArticleSourceV2")
+  * .option("corpus", "all" | comma-list).load()`; schema is the canonical
+  * 11-column article schema, `''` normalized to NULL at the reader (the
+  * §1.2 sentinel rule), ACM 9-column rows NULL-aligned by name.
+  *
+  * Pushdown contract: `EqualTo`/`IsNull`/`IsNotNull`/`StringContains`/
+  * `StringStartsWith` on string columns are FULLY handled by the reader
+  * (returned as pushed, removed from `pushFilters`' residual), so the
+  * plan above the scan carries no Filter node for them — pinned by
+  * `ArticleSourceV2Spec` together with row-identity against the
+  * [[ArticleSource]] spelling. Pruned columns never leave the reader:
+  * filters evaluate on the parsed record, projection happens before the
+  * row is handed to Spark.
+  */
+class ArticleSourceV2 extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ArticleSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val corpus = Option(properties.get("corpus")).getOrElse("all")
+    val dir = Option(properties.get("dataDir")).getOrElse(ArticleSource.dataDir)
+    new ArticlesTable(corpus, dir)
+  }
+}
+
+private[sources] class ArticlesTable(corpus: String, dataDir: String)
+    extends Table with SupportsRead {
+  private val corpora: Seq[String] =
+    if (corpus == "all")
+      Seq("ai_articles", "blockchain_articles",
+        "acm_machine_learning_articles", "acm_blockchain_articles")
+    else corpus.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  override def name(): String = s"graft_articles(${corpora.mkString(",")})"
+  override def schema(): StructType = ArticleSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArticlesScanBuilder(corpora, dataDir)
+}
+
+private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ArticleSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(ArticlesReader.supported)
+    pushed = sup
+    unsup // residual: Spark keeps a Filter node only for these
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new ArticlesScan(corpora, dataDir, required, pushed)
+}
+
+private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
+                                    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-articles corpora=${corpora.mkString(",")} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    corpora.map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArticlesReaderFactory(required, pushed)
+}
+
+private[sources] case class ArticlesPartition(corpus: String, path: String)
+    extends InputPartition
+
+private[sources] class ArticlesReaderFactory(required: StructType,
+                                             pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ArticlesReader(partition.asInstanceOf[ArticlesPartition], required, pushed)
+}
+
+private[sources] object ArticlesReader {
+  /** Filters the reader evaluates itself (on string columns). */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _: String) => true
+    case IsNotNull(_) | IsNull(_) => true
+    case StringContains(_, _) | StringStartsWith(_, _) => true
+    case _ => false
+  }
+
+  def eval(f: Filter, field: String => String): Boolean = f match {
+    case EqualTo(a, v: String) => field(a) == v
+    case IsNotNull(a) => field(a) != null
+    case IsNull(a) => field(a) == null
+    case StringContains(a, v) =>
+      field(a) != null && field(a).contains(v)
+    case StringStartsWith(a, v) =>
+      field(a) != null && field(a).startsWith(v)
+    case _ => true
+  }
+}
+
+/** Parses one corpus file (a single pretty-printed JSON ARRAY,
+  * `main.py:197-198`) with Jackson from Spark's own classpath, normalizes
+  * `''` → NULL, applies the pushed filters on the full record, and emits
+  * only the projected columns. Missing ACM columns read as NULL (the
+  * unionByName alignment, done at the source).
+  */
+private[sources] class ArticlesReader(part: ArticlesPartition,
+                                      required: StructType,
+                                      pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private val it = {
+    val root = new ObjectMapper().readTree(new java.io.File(part.path))
+    require(root.isArray, s"${part.path} is not a JSON array")
+    root.elements().asScala
+  }
+  private var current: InternalRow = _
+
+  private def fieldOf(node: com.fasterxml.jackson.databind.JsonNode)
+                     (name: String): String = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null
+    else {
+      val s = v.asText()
+      if (s.isEmpty) null else s // '' → NULL sentinel rule
+    }
+  }
+
+  override def next(): Boolean = {
+    while (it.hasNext) {
+      val node = it.next()
+      val field = fieldOf(node) _
+      if (pushed.forall(ArticlesReader.eval(_, field))) {
+        current = InternalRow.fromSeq(required.fields.toSeq.map { f =>
+          val s = field(f.name)
+          if (s == null) null else UTF8String.fromString(s)
+        })
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** The oracle-verified query face of the connector. */
+object ArticlesV2 extends QueryModule {
+
+  /** q222: per-index article counts read THROUGH the V2 connector with
+    * the `indexation` filter pushed into the reader — the plan shows a
+    * BatchScan whose description carries the pushed
+    * `IsNotNull(indexation)` and no Filter node above it. Oracle reads
+    * the same landed JSON through DuckDB; `dir` is unused (the corpora
+    * are fixed landed artifacts, the reference's `data/`).
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .filter(col("indexation").isNotNull)
+      .groupBy(col("indexation"))
+      .agg(count(lit(1)).as("n_articles"))
+      .orderBy(col("indexation"))
+
+  private val q222Sql =
+    s"""SELECT indexation, CAST(COUNT(*) AS BIGINT) AS n_articles
+       |FROM (${ArticleSource.unionAllSql})
+       |WHERE indexation IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q222_dsv2_articles" -> q222)
+
+  override def oracles: Map[String, String] =
+    Map("q222_dsv2_articles" -> q222Sql)
+}
