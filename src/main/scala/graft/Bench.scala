@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   * than re-running a 70x-slowed query. A query that throws
   * is reported as -1 with its error in an "errors" map — never as a
   * misleading timing.
+  *
+  * Session-residue handling (r7 verdict): `CacheHygiene.release` runs
+  * after every execution, outside the timed window, so localCheckpoint
+  * blocks and streaming state-store providers from one query can never
+  * inflate a later one; a late-session re-quote of the slowest rows
+  * cross-checks that the first quotes were residue-free ("requote" /
+  * "inflated" fields).
   */
 object Bench {
 
@@ -81,7 +88,10 @@ object Bench {
     // gate, real WAV decode
     "q215_multimodal_binaryfile", "q216_snapshot_gate_persisted",
     "q217_multimodal_wav", "q218_ann_adc_rerank", "q219_dup_spans",
-    "q220_countmin_sketch", "q221_ivf_pq", "q222_dsv2_articles"
+    "q220_countmin_sketch", "q221_ivf_pq", "q222_dsv2_articles",
+    // round 8 additions: the connector's streaming face, BM25 lexical
+    // retrieval, hybrid RRF fusion
+    "q223_dsv2_stream", "q224_bm25_retrieval", "q225_hybrid_rrf"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */
@@ -140,20 +150,27 @@ object Bench {
         var frac = sampleStealFrac(250)
         while (frac > 0.05 && quietBudgetMs > 0) frac = sampleStealFrac(1000)
       }
-    val results = names.map { name =>
-      // warm at the BENCH SF, untimed, right before the timed attempts:
-      // an sf0.001 pass leaves per-query codegen cold (q26's min-of-2
-      // landed 5.9s inside the first-codegen window in r6 — warm it is
-      // 0.9s), so the minimum must never include a first-codegen run.
-      // Errors surface in the timed attempt, which reports them.
+    // measure one query: warm once (untimed) at the BENCH SF right before
+    // the timed attempts — an sf0.001 pass leaves per-query codegen cold
+    // (q26's min-of-2 landed 5.9s inside the first-codegen window in r6;
+    // warm it is 0.9s), so the minimum must never include a first-codegen
+    // run. Session storage is released after EVERY execution, outside the
+    // timed window (r7 verdict: never-unpersisted localCheckpoint blocks +
+    // streaming state-store providers accumulated across the ~336
+    // executions of a full run and inflated late rows up to 10x — q152
+    // 9.76s bench vs 0.94s fresh-JVM warm, with steal = 0). Codegen, JIT
+    // and parquet-footer caches are unaffected by the release, so warm
+    // stays warm.
+    def measure(name: String): (Double, Double, Int, Option[String]) = {
       try exec(name, sfDir) catch { case _: Throwable => () }
+      CacheHygiene.release(spark)
       var best = Double.MaxValue
       var bestStealFrac = 1.0
       var attempt = 0
-      var failed = false
+      var err: Option[String] = None
       // >=2 attempts always; keep retrying (to 4) while the best attempt
       // overlapped noticeable steal — min-of-clean beats min-of-noisy
-      while (!failed && attempt < 4 && (attempt < 2 || bestStealFrac > 0.02)) {
+      while (err.isEmpty && attempt < 4 && (attempt < 2 || bestStealFrac > 0.02)) {
         attempt += 1
         // don't measure INTO a burst: retries exist to catch a quiet
         // window, so sit out visible steal first (bounded shared budget)
@@ -176,14 +193,40 @@ object Bench {
             // a transient failure on a RETRY must not discard a valid
             // earlier measurement — only report -1 when no attempt succeeded
             if (best == Double.MaxValue) {
-              failed = true
               val msg = Option(t.getMessage).getOrElse(t.getClass.getName)
-              errors(name) = msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              err = Some(msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
             } else attempt = 4 // stop retrying, keep the valid best
         }
+        CacheHygiene.release(spark)
       }
-      (name, if (failed) -1.0 else best,
-        if (failed) -1.0 else bestStealFrac, attempt)
+      (best, bestStealFrac, attempt, err)
+    }
+    val firstPass = names.map { name =>
+      val (best, sf, attempt, err) = measure(name)
+      err.foreach(errors(name) = _)
+      (name, if (err.isDefined) -1.0 else best,
+        if (err.isDefined) -1.0 else sf, attempt)
+    }
+    // cross-check (r7 verdict): re-measure the slowest rows at the END of
+    // the session. If the per-execution release above does its job, a
+    // late-session re-quote matches the first quote; a first quote > 2x
+    // its re-quote means session residue STILL distorts measurements and
+    // is flagged in "inflated" rather than silently reported as a plan
+    // cost. The re-quote is the same protocol (warm + min of timed
+    // attempts), so the reported value is min(first, requote) — a tighter
+    // minimum over more attempts, not a different measurement.
+    val requote: Map[String, Double] = firstPass
+      .filter(_._2 > 0).sortBy(-_._2).take(8)
+      .map { case (name, _, _, _) =>
+        val (best, _, _, err) = measure(name)
+        name -> (if (err.isDefined) -1.0 else best)
+      }.toMap
+    val inflated = firstPass.collect {
+      case (n, v, _, _) if requote.getOrElse(n, -1.0) > 0 && v > 2 * requote(n) => n
+    }
+    val results = firstPass.map { case (n, v, sf, a) =>
+      val rq = requote.getOrElse(n, -1.0)
+      (n, if (rq > 0 && rq < v) rq else v, sf, a)
     }
     val qjson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -198,9 +241,12 @@ object Bench {
       .mkString("{", ",", "}")
     val ejson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val rqjson = requote.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ijson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val contaminated = results.count { case (_, v, sf, _) => v >= 0 && sf > 0.02 }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"steal":$sjson,"attempts":$ajson,"contaminated":$contaminated,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"steal":$sjson,"attempts":$ajson,"requote":$rqjson,"inflated":$ijson,"contaminated":$contaminated,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // the driver artifact keeps only the stdout tail (r5's per-query map
     // was truncated past 2000 chars) — persist the full line for audit

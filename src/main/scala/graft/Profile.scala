@@ -24,7 +24,12 @@ object Profile {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // NOTE: releasing here would break iterative queries whose result
+        // depends on localCheckpoint blocks built at construction (q85
+        // et al. re-execute from the checkpointed RDD); release only
+        // between queries, after this df's last run.
       }
+      CacheHygiene.release(spark)
       println(s"[profile] active streams after $name: " +
         spark.streams.active.length)
     }

@@ -20,16 +20,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** The events table is written with parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read nanos as a
-    * plain long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncate
-    * to microseconds — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-    * does, so the oracle sees identical values.
+  /** The events table's `ts` has shipped in two physical spellings across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's reader rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]) unless read as a plain long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-truncated to
+    * microseconds — and plain TIMESTAMP(MICROS) without UTC adjustment,
+    * which Spark infers as TIMESTAMP_NTZ. Dispatch on the landed type and
+    * normalize both to session-zone TIMESTAMP: under the harness's UTC
+    * session the NTZ→LTZ cast is wall-clock-identical to what DuckDB's
+    * naive-timestamp read sees, so the oracle compares equal either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long generation: floor-truncate to micros
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ generation: reinterpret in the UTC session zone
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

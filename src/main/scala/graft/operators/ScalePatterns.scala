@@ -547,8 +547,9 @@ object ScalePatterns extends QueryModule {
     // staging dir keyed by the application id (unique per SparkSession —
     // two concurrent runs never race on the overwrite) AND the full
     // sanitized dataset path (no hashCode collisions between datasets)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-      s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
     Tables.documents(s, d).write.mode("overwrite").orc(dir)
     s.read.orc(dir)
       .filter(col("lang") =!= "zh")

@@ -24,13 +24,18 @@ import org.apache.spark.sql.types._
   */
 object Streams extends QueryModule {
 
-  /** Raw parquet schema of the events table (ts is INT64 nanos on disk —
-    * see Tables.events) for the schema-mandatory streaming file source.
+  /** Raw parquet schema of the events table for the schema-mandatory
+    * streaming file source. `ts`'s landed type varies by testdata
+    * generation (INT64 nanos vs TIMESTAMP(MICROS) — see Tables.events),
+    * so it is passed in from a footer probe of the actual file; declaring
+    * the wrong one would not fail, it would silently misread micros as
+    * nanos and shift every event to 1970.
     */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming scan of the events table: one file = one backfill batch;
     * a production deployment points the same code at an arriving directory.
@@ -43,12 +48,20 @@ object Streams extends QueryModule {
     val stage = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_stream_" + Integer.toHexString(d.hashCode))
     stage.mkdirs()
+    graft.StagingDirs.register(stage.getAbsolutePath)
     val link = new java.io.File(stage, "events.parquet").toPath
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(
         link, new java.io.File(s"$d/events.parquet").toPath)
-    s.readStream.schema(rawSchema).parquet(stage.getAbsolutePath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // probe the landed ts type from the batch footer, then apply the same
+    // normalization as Tables.events (both generations → session-zone ts)
+    val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val raw = s.readStream.schema(rawSchema(tsType)).parquet(stage.getAbsolutePath)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Run a bounded stream into a memory sink and return the result. */

@@ -58,4 +58,43 @@ class ArticleSourceV2Spec extends SparkSpec {
     assert(one.count() === ArticleSource.json(spark, "ai_articles").count())
     assert(v2.rdd.getNumPartitions === 4)
   }
+
+  test("micro-batch stream paces one corpus per batch and collapses to the batch read") {
+    spark.catalog.dropTempView("v2_stream_spec_sink")
+    val agg = spark.readStream.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .groupBy(col("indexation")).count()
+    val q = agg.writeStream.format("memory").queryName("v2_stream_spec_sink")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the admission-controlled pacing: exactly the four corpora, one per
+    // micro-batch (50/50 IEEE, 20/20 ACM), nothing merged or dropped
+    val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(perBatch.sorted === Seq(20L, 20L, 50L, 50L),
+      s"per-batch input rows: $perBatch")
+    val got = spark.table("v2_stream_spec_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = v2.groupBy(col("indexation")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want, "stream collapse diverges from the batch read")
+  }
+
+  test("a divergent user schema is rejected, not silently dropped") {
+    import org.apache.spark.sql.types._
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.ArticleSourceV2")
+        .schema(StructType(Seq(StructField("nope", StringType))))
+        .load()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected UnsupportedOperationException, got: $ex")
+    // and the EXACT fixed schema is accepted as a no-op override
+    val same = spark.read.format("graft.sources.ArticleSourceV2")
+      .schema(ArticleSource.schema).load()
+    assert(same.schema === ArticleSource.schema)
+  }
 }
