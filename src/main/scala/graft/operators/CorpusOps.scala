@@ -1023,18 +1023,23 @@ object CorpusOps extends QueryModule {
     * Lee et al. ("Deduplicating Training Data Makes Language Models
     * Better"): slide a 16-token window at stride 1 over every document,
     * flag windows whose text occurs in ≥ 2 distinct documents, then merge
-    * ADJACENT flagged window starts per doc (gaps-and-islands, q37's
-    * machinery) into MAXIMAL duplicated spans. Per doc: span count,
-    * duplicated-token coverage, longest span, and integer-ppm coverage —
-    * the span-level signal q73 (whole-doc) and q102 (fixed 32-token
-    * passages) both miss, because a duplicated paragraph rarely starts on
-    * a passage boundary.
+    * flagged window starts per doc into MAXIMAL duplicated spans
+    * (gaps-and-islands with an OVERLAP-AWARE gap: successive starts a < b
+    * merge while b − a ≤ 16, since their windows overlap below 16 and
+    * touch at exactly 16 — r7 ADVICE closed: the earlier stride-1-only
+    * merge double-counted tokens shared by starts 2..15 apart, letting
+    * dup_ppm exceed 1,000,000). Per doc: span count, duplicated-token
+    * coverage, longest span, and integer-ppm coverage — the span-level
+    * signal q73 (whole-doc) and q102 (fixed 32-token passages) both miss,
+    * because a duplicated paragraph rarely starts on a passage boundary.
     *
     * Window identity travels as codegen'd 64-bit `xxhash64`, never window
     * text (the q151 convention: the oracle groups raw window text, so the
     * engines diverge only on a 64-bit collision — ≈5e-6 birthday bound at
-    * 10⁷ windows). A run of starts [a..b] covers tokens [a, b+15], so
-    * coverage = b − a + 16 per island, summed per doc.
+    * 10⁷ windows). A merged run of starts [a..b] covers tokens [a, b+15]
+    * with each token counted ONCE, so coverage = b − a + 16 per island,
+    * summed per doc, is ≤ n_tokens and dup_ppm ≤ 1,000,000 by
+    * construction.
     *
     * Scale: windows are O(corpus tokens) 8-byte keys into one
     * partial-agg shuffle (distinct-doc count per hash); the flagged
@@ -1057,10 +1062,16 @@ object CorpusOps extends QueryModule {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("h"))
+    // overlap-aware islands: a start opens a NEW island only when it is
+    // more than k past the previous one (lag NULL on the first row → 1).
+    // Two windows over one doc-keyed partitioning: a single exchange, the
+    // second window reuses the first's sort.
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = docs.join(hot, Seq("h"), "left_semi")
-      .withColumn("isl",
-        col("pos") - row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("nw",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("isl", sum(col("nw")).over(byDoc))
     isl.groupBy(col("doc_id"), col("source"), col("n_tokens"), col("isl"))
       .agg((max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))
       .groupBy(col("doc_id"), col("source"), col("n_tokens"))
@@ -1085,11 +1096,16 @@ object CorpusOps extends QueryModule {
        |        FROM d)),
        |hot AS (SELECT g FROM w GROUP BY g
        |        HAVING COUNT(DISTINCT doc_id) > 1),
+       |flags AS (
+       |  SELECT doc_id, source, n_tokens, pos,
+       |         CASE WHEN pos - LAG(pos) OVER
+       |                (PARTITION BY doc_id ORDER BY pos) <= 16
+       |              THEN 0 ELSE 1 END AS nw
+       |  FROM w JOIN hot USING (g)),
        |isl AS (
        |  SELECT doc_id, source, n_tokens, pos,
-       |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
-       |           AS isl
-       |  FROM w JOIN hot USING (g)),
+       |         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM flags),
        |sp AS (
        |  SELECT doc_id, source, n_tokens,
        |         MAX(pos) - MIN(pos) + 16 AS len
@@ -1326,13 +1342,124 @@ object CorpusOps extends QueryModule {
     * applicationId + sanitized dataset path (q203's non-racing scheme).
     */
   private def q216(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snapfp_" +
-      s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_snapfp_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
     val f = snapshotFingerprints(s, d)
     f.filter(col("bucket") < 80).select(col("fp")).distinct()
       .write.mode("overwrite").parquet(dir)
     gateClasses(f.filter(col("bucket") >= 80), s.read.parquet(dir))
   }
+
+  // --------------------------------------------------------------- q224
+
+  /** BM25 "more-like-this" ranks for the first `nq` docs as queries:
+    * (qid, nid, lrank) with lrank ≤ `topk` — the lexical leg shared by
+    * q224's presentation and q225's hybrid fusion.
+    *
+    * BM25's defining parts — tf saturation and document-length
+    * normalization (k1 = 1.2, b = 0.75) — are spelled EXACTLY in scaled
+    * integers: with `avgdl_milli = (1000·T) div N` precomputed (T = corpus
+    * tokens, N = docs), the per-term gain
+    * `tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)` becomes
+    * `(10⁶·22·tf·am) div (10·am·tf + 3·am + 9000·dl)` — every operand an
+    * integer, every intermediate ≤ 10⁷·tf·am < 2⁶³ at ANY corpus size
+    * because avgdl is corpus-size-independent. The idf factor follows
+    * q66's established linear-idf convention (`(1000·(2(N−df)+1)) div
+    * (2df+1)`, the exact integer odds that the BM25 log dampens;
+    * monotone in true idf, so single-term orderings agree) — the one
+    * deliberate deviation, because a libm `ln` in either engine would
+    * break bit-exact cross-engine comparison (the q200 rule).
+    *
+    * Scale: tf/df/dl are the q66 partial-agg shuffles (O(corpus tokens)
+    * once, reused across any query batch). The query side is `nq` doc
+    * term-sets — broadcast — so the probe is a map-side semi join over
+    * tf (only the posting lists of query terms are touched, the
+    * inverted-index discipline), one (qid, doc) partial agg, and a
+    * bounded per-query top-k window. Per-batch cost is O(Σ postings of
+    * query terms) ≤ O(corpus tf), never n²; a production engine bounds
+    * hot-term postings further with WAND/impact ordering, which prunes
+    * candidates this exact spelling keeps.
+    */
+  private[operators] def bm25Ranks(s: SparkSession, d: String,
+                                   nq: Int = 5, topk: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val consts = dl.agg(
+      count(lit(1)).as("n"),
+      expr("(1000 * sum(dl)) div count(1)").as("am"))
+    val qterms = tf.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("qid"), col("term"))
+    val postings = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("qid") =!= col("doc_id"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+    postings
+      .withColumn("gain_ppm",
+        expr("(1000000 * 22 * tf * am) div (10 * am * tf + 3 * am + 9000 * dl)"))
+      .withColumn("idf_milli",
+        expr("(1000 * (2 * (n - df) + 1)) div (2 * df + 1)"))
+      .groupBy(col("qid"), col("doc_id").as("nid"))
+      .agg(sum(col("idf_milli") * col("gain_ppm")).as("score"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid")))
+        .cast(LongType))
+      .filter(col("lrank") <= topk)
+      .select(col("qid"), col("nid"), col("lrank"), col("score"))
+  }
+
+  /** DuckDB spelling of [[bm25Ranks]] — a CTE block ending in relation
+    * `lex(qid, nid, lrank, score)`, shared by q224's and q225's oracles.
+    */
+  private[operators] def bm25RanksSql(nq: Int = 5, topk: Int = 20): String =
+    s"""tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |                  CAST((1000 * SUM(dl)) // COUNT(*) AS BIGINT) AS am
+       |           FROM dl),
+       |qterms AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id < $nq),
+       |scored AS (
+       |  SELECT qid, tf.doc_id AS nid,
+       |    SUM(((1000 * (2 * (n - df) + 1)) // (2 * df + 1)) *
+       |        ((1000000 * 22 * tf * am) // (10 * am * tf + 3 * am + 9000 * dl)))
+       |      AS score
+       |  FROM tf JOIN qterms USING (term)
+       |  JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN consts
+       |  WHERE qid <> tf.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, nid, lrank, score FROM (
+       |    SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+       |             PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS lrank,
+       |           CAST(score AS BIGINT) AS score
+       |    FROM scored)
+       |  WHERE lrank <= $topk)""".stripMargin
+
+  /** q224: BM25 ranked retrieval — the lexical top-10 per query doc, the
+    * text-search leg every RAG/retrieval pipeline runs next to its vector
+    * index (and the "more-like-this" primitive of lexical dedup review).
+    * Semantics and exactness in [[bm25Ranks]].
+    */
+  private def q224(s: SparkSession, d: String): DataFrame =
+    bm25Ranks(s, d)
+      .filter(col("lrank") <= 10)
+      .select(col("qid"), col("lrank").as("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+
+  private val q224Sql =
+    s"""WITH ${bm25RanksSql()}
+       |SELECT qid, lrank AS rank, nid, score FROM lex
+       |WHERE lrank <= 10 ORDER BY qid, rank""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q214_incremental_dedup" -> q214,
@@ -1359,7 +1486,8 @@ object CorpusOps extends QueryModule {
     "q86_sequence_packing" -> q86,
     "q112_token_graph_triangles" -> q112,
     "q113_canonical_docs" -> q113,
-    "q219_dup_spans" -> q219
+    "q219_dup_spans" -> q219,
+    "q224_bm25_retrieval" -> q224
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1387,6 +1515,7 @@ object CorpusOps extends QueryModule {
     "q86_sequence_packing" -> q86Sql,
     "q112_token_graph_triangles" -> q112Sql,
     "q113_canonical_docs" -> q113Sql,
-    "q219_dup_spans" -> q219Sql
+    "q219_dup_spans" -> q219Sql,
+    "q224_bm25_retrieval" -> q224Sql
   )
 }

@@ -16,15 +16,22 @@ case class MediaFeatures(doc_id: Long, format: String, byte_len: Long,
 /** A fixed-width feature vector extracted from one media payload. */
 case class MediaHist(doc_id: Long, format: String, hist: Array[Long])
 
-/** Features from a REAL image decode: dimensions + decoded-pixel hash. */
+/** Features from a REAL image decode: dimensions, decoded-pixel hash, and
+  * two position-weighted integer checksums over the decoded 24-bit pixels
+  * (Σ (pos+1)·rgb and Σ (pos+1)·rgb², row-major pos) — integer-exact
+  * functions of the RECOVERED pixels that a SQL oracle can recompute from
+  * the fixture's closed form, which the md5 cannot be.
+  */
 case class ImageFeatures(doc_id: Long, format: String, width: Long,
-                         height: Long, pixel_hash: String)
+                         height: Long, pixel_hash: String,
+                         pix_csum: Long, pix_csum2: Long)
 
 /** Features from a REAL audio decode: frame count, rate, integer energy
-  * (sum of |sample|) and a hash of the decoded PCM.
+  * (sum of |sample|), a hash of the decoded PCM, and the position-weighted
+  * checksum Σ (i+1)·sample — the PCM twin of [[ImageFeatures]]'s csum.
   */
 case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
-                         energy: Long, pcm_hash: String)
+                         energy: Long, pcm_hash: String, pcm_csum: Long)
 
 /** Multimodal-column surface (north star: image/audio/video as opaque
   * binary + typed metadata, decoded per partition in batches).
@@ -66,15 +73,28 @@ object Multimodal extends QueryModule {
     require(img != null, s"undecodable image payload for doc ${r.doc_id}")
     val (w, h) = (img.getWidth, img.getHeight)
     val buf = java.nio.ByteBuffer.allocate(w * h * 4)
+    // the checksums are over the 24-bit rgb in row-major order; bounds:
+    // weight ≤ w·h ≤ 48, rgb² < 2^48 → Σ (pos+1)·rgb² < 48·48·2^48 ≈ 6e17,
+    // inside Long
+    var csum = 0L
+    var csum2 = 0L
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { buf.putInt(img.getRGB(x, y)); x += 1 }
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        buf.putInt(argb)
+        val rgb = (argb & 0xffffff).toLong
+        val wgt = (y * w + x + 1).toLong
+        csum += wgt * rgb
+        csum2 += wgt * rgb * rgb
+        x += 1
+      }
       y += 1
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     ImageFeatures(r.doc_id, r.format, w.toLong, h.toLong,
-      md.digest(buf.array).map("%02x".format(_)).mkString)
+      md.digest(buf.array).map("%02x".format(_)).mkString, csum, csum2)
   }
 
   /** Deterministic fixture pixel: RGB for (id, x, y). Shared by the q195
@@ -152,15 +172,17 @@ object Multimodal extends QueryModule {
     val bytes = ais.readAllBytes()
     val n = bytes.length / 2
     var energy = 0L
+    var csum = 0L
     var i = 0
     while (i < n) {
       val s = ((bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff)).toShort
       energy += math.abs(s.toLong)
+      csum += (i + 1).toLong * s.toLong // |Σ| < n²·2^15 ≈ 1e11, inside Long
       i += 1
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     AudioFeatures(r.doc_id, n.toLong, fmt.getSampleRate.toLong, energy,
-      md.digest(bytes).map("%02x".format(_)).mkString)
+      md.digest(bytes).map("%02x".format(_)).mkString, csum)
   }
 
   /** ====== STUB ======
@@ -324,9 +346,15 @@ object Multimodal extends QueryModule {
     * as q95; output is (dims, decoded-pixel hash). The output depends
     * only on the recovered PIXELS — any spec-compliant PNG encoder
     * yields the same rows — which is exactly what makes it a decode
-    * test rather than a byte-hash test. No DuckDB oracle (SQL cannot
-    * decode PNG): driver records the rows-only check; MultimodalSpec
-    * pins the pixel recovery bit-for-bit against the fixture formula.
+    * test rather than a byte-hash test. Oracle-checked (r7 verdict #8):
+    * SQL cannot decode PNG, but the emitted columns are integer-exact
+    * functions of the decoded pixels — dims plus two position-weighted
+    * checksums — and the fixture pixel is a closed integer form of
+    * (doc_id, x, y), so DuckDB recomputes the SAME columns from the
+    * formula without any decoder. A decode that recovered even one wrong
+    * pixel shifts both weighted sums. The md5-of-pixels fingerprint stays
+    * pinned bit-for-bit in MultimodalSpec (it cannot travel through a SQL
+    * oracle).
     *
     * Scale shape: identical to q95 — payload bytes are born and die
     * inside one partition; only fixed-width features leave the stage.
@@ -341,9 +369,30 @@ object Multimodal extends QueryModule {
       })
       .mapPartitions(_.map(decodeImage)) // one ImageIO reader per batch
       .toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("pixel_hash"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("pix_csum"), col("pix_csum2"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replay of q195/q215's decoded-pixel checksums from the fixture
+    * closed form: w=4+id%5, h=3+id%4, rgb(x,y) = (id·2654435761 + y·131 +
+    * x·17) mod 2^24 (the `& 0xffffff` of [[pixel]] — the argument is
+    * non-negative, so mod = mask), weight = row-major position + 1.
+    */
+  private val pngChecksumSql =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |ys AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+      |              unnest(range(0, 3 + doc_id % 4)) AS y FROM ids),
+      |px AS (SELECT doc_id, w, y, unnest(range(0, w)) AS x FROM ys),
+      |v AS (SELECT doc_id, w, (y * w + x + 1) AS wgt,
+      |             (doc_id * 2654435761 + y * 131 + x * 17) % 16777216 AS rgb
+      |      FROM px)
+      |SELECT doc_id,
+      |  CAST(MAX(w) AS BIGINT) AS width,
+      |  CAST(3 + doc_id % 4 AS BIGINT) AS height,
+      |  CAST(SUM(wgt * rgb) AS BIGINT) AS pix_csum,
+      |  CAST(SUM(wgt * rgb * rgb) AS BIGINT) AS pix_csum2
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q217: REAL audio decode — the WAV twin of q195. Each document's
     * fixture clip is encoded to a genuine RIFF/WAVE container (binary
@@ -352,9 +401,13 @@ object Multimodal extends QueryModule {
     * count, rate, integer energy, decoded-PCM hash). This retires the
     * "audio stays on the stub path" caveat for the one audio container
     * the JDK ships a codec for; compressed codecs (mp3/ogg) remain
-    * stubbed, as the container has no decoder. No DuckDB oracle (SQL
-    * cannot parse RIFF): rows-only; MultimodalSpec pins sample recovery
-    * bit-for-bit against the fixture formula.
+    * stubbed, as the container has no decoder. Oracle-checked (r7 verdict
+    * #8, same scheme as q195): SQL cannot parse RIFF, but every emitted
+    * column — frame count, rate, Σ|sample|, Σ (i+1)·sample — is an
+    * integer-exact function of the DECODED samples, and the fixture
+    * sample is a closed integer form of (doc_id, i), so DuckDB recomputes
+    * them all without a decoder. The decoded-PCM md5 stays pinned
+    * bit-for-bit in MultimodalSpec.
     *
     * Scale shape: identical to q95/q195 — payload bytes are born and die
     * inside one partition; only fixed-width features leave the stage.
@@ -369,9 +422,27 @@ object Multimodal extends QueryModule {
       .mapPartitions(_.map(decodeWav)) // one decoder per partition batch
       .toDF()
       .select(col("doc_id"), col("n_samples"), col("sample_rate"),
-        col("energy"), col("pcm_hash"))
+        col("energy"), col("pcm_csum"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replay of q217's decoded-PCM features from the fixture closed
+    * form: n = 800 + (id%7)·160, sample(i) = (id·2654435761 + i·104729)
+    * mod 2^16 − 32768 (the unsigned-to-signed fold of [[pcmSample]]).
+    */
+  private val wavChecksumSql =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |s AS (SELECT doc_id,
+      |             unnest(range(0, 800 + (doc_id % 7) * 160)) AS i FROM ids),
+      |v AS (SELECT doc_id, i,
+      |             (doc_id * 2654435761 + i * 104729) % 65536 - 32768 AS smp
+      |      FROM s)
+      |SELECT doc_id,
+      |  CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples,
+      |  CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(SUM(ABS(smp)) AS BIGINT) AS energy,
+      |  CAST(SUM((i + 1) * smp) AS BIGINT) AS pcm_csum
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Land the q195 fixture PNGs as individual files once per
     * (session, dataset) — the reference's land-then-re-read cycle
@@ -405,7 +476,7 @@ object Multimodal extends QueryModule {
         }
         require(tmp.renameTo(root), s"atomic publish of $root failed")
       }
-      root.getAbsolutePath
+      graft.StagingDirs.register(root.getAbsolutePath)
     }
 
   /** q215: binaryFile ingestion — the REAL on-disk surface for images.
@@ -414,8 +485,8 @@ object Multimodal extends QueryModule {
     * (path, modificationTime, length, content), with the doc id recovered
     * from the filename and the pixels decoded from the `content` column.
     * MultimodalSpec pins the output row-identical to q195 and the scan
-    * node to a binaryFile FileScan. No DuckDB oracle (SQL cannot decode
-    * PNG): rows-only, like q195.
+    * node to a binaryFile FileScan. Oracle-checked like q195 (same
+    * checksum replay — the landed files carry the same fixture pixels).
     *
     * Scale shape: binaryFile splits per FILE (one row per artifact), so a
     * 100 TB image corpus parallelizes across files with no splitting
@@ -437,7 +508,8 @@ object Multimodal extends QueryModule {
         decodeImage(MediaRecord(id, bytes, "image/png", bytes.length.toLong))
       })
       .toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("pixel_hash"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("pix_csum"), col("pix_csum2"))
       .orderBy(col("doc_id"))
   }
 
@@ -455,6 +527,9 @@ object Multimodal extends QueryModule {
     "q95_multimodal_decode" -> q95Sql,
     "q96_multimodal_frames" -> q96Sql,
     "q97_multimodal_resize" -> q97Sql,
-    "q100_multimodal_features" -> q100Sql
+    "q100_multimodal_features" -> q100Sql,
+    "q195_multimodal_imageio" -> pngChecksumSql,
+    "q215_multimodal_binaryfile" -> pngChecksumSql,
+    "q217_multimodal_wav" -> wavChecksumSql
   )
 }

