@@ -89,9 +89,10 @@ object Bench {
     "q215_multimodal_binaryfile", "q216_snapshot_gate_persisted",
     "q217_multimodal_wav", "q218_ann_adc_rerank", "q219_dup_spans",
     "q220_countmin_sketch", "q221_ivf_pq", "q222_dsv2_articles",
-    // round 8 additions: the connector's streaming face, BM25 lexical
-    // retrieval, hybrid RRF fusion
-    "q223_dsv2_stream", "q224_bm25_retrieval", "q225_hybrid_rrf"
+    // round 8 additions: the connector's streaming + write faces, BM25
+    // lexical retrieval, hybrid RRF fusion, continuous dedup gate
+    "q223_dsv2_stream", "q224_bm25_retrieval", "q225_hybrid_rrf",
+    "q226_dsv2_write", "q227_stream_dedup_gate", "q228_corpus_mixing"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

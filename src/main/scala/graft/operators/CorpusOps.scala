@@ -1445,6 +1445,83 @@ object CorpusOps extends QueryModule {
        |    FROM scored)
        |  WHERE lrank <= $topk)""".stripMargin
 
+  // --------------------------------------------------------------- q228
+
+  /** q228: corpus mixing to a target distribution — the data-mixing step
+    * every LLM pretraining run executes after cleaning: given a TOKEN
+    * budget (half the corpus here) and a target share per source (uniform
+    * here; production passes learned weights, e.g. DoReMi's), compute each
+    * source's Bernoulli keep-rate and select documents DETERMINISTICALLY
+    * by the q69 seed-free hash bucket (`md5('doc-'||id)` ppm), so the mix
+    * is reproducible row-for-row across runs and engines. Over-subscribed
+    * sources cap at keep-all (rate 10⁶ ppm): a source with fewer tokens
+    * than its target slot contributes what it has — the standard
+    * up-to-budget mixing rule. All arithmetic is integer (ppm rates via
+    * `div`), so the oracle hash-matches.
+    *
+    * Scale: one per-source token aggregate (a handful of rows —
+    * broadcast), a map-side hash filter at ppm granularity, one final
+    * per-source aggregate. The doc text never shuffles; rates derive
+    * from O(#sources) state.
+    */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("n_tok"),
+        expr("CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 1000000")
+          .as("ppm"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tok"))
+    val consts = bySrc.agg(
+      count(lit(1)).as("k"), sum(col("src_tok")).as("total_tok"))
+    val rates = bySrc.crossJoin(broadcast(consts))
+      // uniform target share of a half-corpus budget, capped at keep-all
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("((total_tok div 2) div k) * 1000000 div src_tok")))
+      .select(col("source"), col("n_docs"), col("src_tok"), col("rate_ppm"))
+    val kept = docs.join(broadcast(rates.select(col("source"), col("rate_ppm"))),
+        Seq("source"))
+      .filter(col("ppm") < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tok"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val q228Sql = {
+    val hex7 = graft.Exact.sqlHexToLong("md5('doc-' || doc_id)", 1, 7)
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    CAST($hex7 AS BIGINT) % 1000000 AS ppm
+       |  FROM documents),
+       |bysrc AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(n_tok) AS BIGINT) AS src_tok
+       |  FROM d GROUP BY 1),
+       |consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |                  CAST(SUM(src_tok) AS BIGINT) AS total_tok FROM bysrc),
+       |rates AS (
+       |  SELECT source, n_docs, src_tok,
+       |    LEAST(CAST(1000000 AS BIGINT),
+       |          ((total_tok // 2) // k) * 1000000 // src_tok) AS rate_ppm
+       |  FROM bysrc CROSS JOIN consts),
+       |kept AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+       |  FROM d JOIN rates USING (source)
+       |  WHERE ppm < rate_ppm GROUP BY 1)
+       |SELECT rates.source, n_docs, src_tok, rate_ppm,
+       |  COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(tok_kept, CAST(0 AS BIGINT)) AS tok_kept
+       |FROM rates LEFT JOIN kept ON rates.source = kept.source
+       |ORDER BY rates.source""".stripMargin
+  }
+
   /** q224: BM25 ranked retrieval — the lexical top-10 per query doc, the
     * text-search leg every RAG/retrieval pipeline runs next to its vector
     * index (and the "more-like-this" primitive of lexical dedup review).
@@ -1487,7 +1564,8 @@ object CorpusOps extends QueryModule {
     "q112_token_graph_triangles" -> q112,
     "q113_canonical_docs" -> q113,
     "q219_dup_spans" -> q219,
-    "q224_bm25_retrieval" -> q224
+    "q224_bm25_retrieval" -> q224,
+    "q228_corpus_mixing" -> q228
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1516,6 +1594,7 @@ object CorpusOps extends QueryModule {
     "q112_token_graph_triangles" -> q112Sql,
     "q113_canonical_docs" -> q113Sql,
     "q219_dup_spans" -> q219Sql,
-    "q224_bm25_retrieval" -> q224Sql
+    "q224_bm25_retrieval" -> q224Sql,
+    "q228_corpus_mixing" -> q228Sql
   )
 }

@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import graft.QueryModule
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.StructType
@@ -62,12 +63,13 @@ class ArticleSourceV2 extends TableProvider {
           s".schema(...) overrides are not supported")
     val corpus = Option(properties.get("corpus")).getOrElse("all")
     val dir = Option(properties.get("dataDir")).getOrElse(ArticleSource.dataDir)
-    new ArticlesTable(corpus, dir)
+    new ArticlesTable(corpus, dir, Option(properties.get("path")))
   }
 }
 
-private[sources] class ArticlesTable(corpus: String, dataDir: String)
-    extends Table with SupportsRead {
+private[sources] class ArticlesTable(corpus: String, dataDir: String,
+                                     writeDir: Option[String] = None)
+    extends Table with SupportsRead with SupportsWrite {
   private val corpora: Seq[String] =
     if (corpus == "all")
       Seq("ai_articles", "blockchain_articles",
@@ -77,9 +79,142 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String)
   override def name(): String = s"graft_articles(${corpora.mkString(",")})"
   override def schema(): StructType = ArticleSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(corpora, dataDir)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val dir = Option(info.options.get("path")).orElse(writeDir).getOrElse(
+      throw new IllegalArgumentException(
+        "writing graft.sources.ArticleSourceV2 requires a 'path' option"))
+    new ArticlesWriteBuilder(dir, info)
+  }
+}
+
+/** The WRITE face of the connector — the final source-ladder rung after
+  * batch read (q222) and micro-batch read (q223): the reference's SAVE
+  * side (`main.py:187-199` lands the scraped corpus as a JSON artifact)
+  * as a genuine DSv2 `BatchWrite`. Tasks serialize rows to
+  * JSON-lines part files in a hidden per-query staging dir; the driver
+  * commit MOVES them into the target atomically-per-file, so a failed or
+  * speculative task never leaves a partial artifact visible (the
+  * standard stage-then-publish commit protocol; `abort` deletes the
+  * stage). `SaveMode.Overwrite` arrives as overwrite-by-TRUE-filter
+  * ([[SupportsOverwrite]]) and clears previously-published part files at
+  * commit time — readers see the old artifact until the commit point.
+  *
+  * Scale: one writer per input partition, no coordination except the
+  * O(#tasks) commit-message pass on the driver — the same shape Spark's
+  * own file sinks use at thousand-executor scale.
+  */
+private[sources] class ArticlesWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val all = filters.isEmpty || filters.forall {
+      case org.apache.spark.sql.sources.AlwaysTrue() => true
+      case _ => false
+    }
+    if (!all) throw new UnsupportedOperationException(
+      s"only overwrite-all is supported, got ${filters.mkString(",")}")
+    truncate()
+  }
+  override def build(): Write =
+    new ArticlesWrite(dir, info.queryId, info.schema, truncateFirst)
+}
+
+private[sources] case class ArticlesCommit(stagedPath: String)
+    extends WriterCommitMessage
+
+private[sources] class ArticlesWrite(dir: String, queryId: String,
+                                     schema: StructType, truncateFirst: Boolean)
+    extends Write with BatchWrite {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def stageDir = Paths.get(dir, s".staging-$queryId")
+
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(stageDir)
+    new ArticlesWriterFactory(dir, queryId, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = Paths.get(dir)
+    Files.createDirectories(target)
+    if (truncateFirst) {
+      val s = Files.list(target)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+    messages.foreach { case ArticlesCommit(staged) =>
+      val src = Paths.get(staged)
+      Files.move(src, target.resolve(src.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    dropStage()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case ArticlesCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+    dropStage()
+  }
+  // best-effort: a speculative task's orphan must not fail the commit
+  private def dropStage(): Unit =
+    try {
+      val s = Files.list(stageDir)
+      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      Files.deleteIfExists(stageDir)
+    } catch { case _: Exception => () }
+}
+
+private[sources] class ArticlesWriterFactory(dir: String, queryId: String,
+                                             schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArticlesWriter(dir, queryId, schema, partitionId, taskId)
+}
+
+/** One task's writer: rows → JSON lines in a staged part file. Fields are
+  * serialized through Jackson (proper escaping), NULLs as JSON null — the
+  * re-read side (`spark.read.schema(...).json`) recovers them exactly.
+  */
+private[sources] class ArticlesWriter(dir: String, queryId: String,
+                                      schema: StructType,
+                                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import java.nio.file.{Files, Paths}
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+  private val staged = Paths.get(dir, s".staging-$queryId",
+    f"part-$partitionId%05d-$taskId.json")
+  private val out = Files.newBufferedWriter(staged,
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else node.put(f.name, row.getUTF8String(i).toString)
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    ArticlesCommit(staged.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staged)
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String)
@@ -289,9 +424,41 @@ object ArticlesV2 extends QueryModule {
     s.table("q223_sink").orderBy(col("indexation"))
   }
 
+  /** q226: the connector's WRITE face closing the land→re-read loop —
+    * read all corpora through the V2 reader, land them through the V2
+    * [[ArticlesWriteBuilder]] (staged JSON-lines part files, publish at
+    * commit), re-read the LANDED artifact with Spark's JSON source, and
+    * aggregate. Landing is row-identity (Jackson-escaped JSON null/text
+    * round-trips exactly), so the q222 oracle applies verbatim to the
+    * re-read — which is the check that the writer published everything,
+    * exactly once, with nothing truncated or double-landed.
+    *
+    * The artifact store here is the local filesystem (StagingDirs-scoped
+    * tmp); a production deployment points `path` at shared storage — the
+    * commit protocol (stage per task, publish per commit message, abort
+    * deletes the stage) is the same one Spark's own file sinks run at
+    * thousand-executor scale.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_v2write_" +
+        s.sparkContext.applicationId)
+    s.read.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .write.format("graft.sources.ArticleSourceV2")
+      .mode("overwrite").save(out)
+    s.read.schema(ArticleSource.schema).json(out)
+      .filter(col("indexation").isNotNull)
+      .groupBy(col("indexation"))
+      .agg(count(lit(1)).as("n_articles"))
+      .orderBy(col("indexation"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q222_dsv2_articles" -> q222, "q223_dsv2_stream" -> q223)
+    Map("q222_dsv2_articles" -> q222, "q223_dsv2_stream" -> q223,
+      "q226_dsv2_write" -> q226)
 
   override def oracles: Map[String, String] =
-    Map("q222_dsv2_articles" -> q222Sql, "q223_dsv2_stream" -> q222Sql)
+    Map("q222_dsv2_articles" -> q222Sql, "q223_dsv2_stream" -> q222Sql,
+      "q226_dsv2_write" -> q222Sql)
 }

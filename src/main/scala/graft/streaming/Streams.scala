@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Exact, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -868,7 +868,98 @@ object Streams extends QueryModule {
        |FROM agg, wm WHERE win_start + INTERVAL 6 HOURS <= wm.w
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q227
+
+  /** Streaming scan of the documents table (the streamEvents staging
+    * scheme: one file = one backfill batch; production points the same
+    * code at an arriving directory).
+    */
+  private def streamDocs(s: SparkSession, d: String): DataFrame = {
+    val stage = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_docstream_" + Integer.toHexString(d.hashCode))
+    stage.mkdirs()
+    graft.StagingDirs.register(stage.getAbsolutePath)
+    val link = new java.io.File(stage, "documents.parquet").toPath
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, new java.io.File(s"$d/documents.parquet").toPath)
+    s.readStream
+      .schema(s.read.parquet(s"$d/documents.parquet").schema)
+      .parquet(stage.getAbsolutePath)
+  }
+
+  /** The continuous dedup-gate transform shared by q227 and its
+    * multi-batch spec: documents keyed by passage fingerprint (md5 of the
+    * 32-token prefix, the q102/q214 grain), with `flatMapGroupsWithState`
+    * holding ONE Long per distinct fingerprint ever seen (the first
+    * accepted doc_id). Arrival order wins across batches; within a batch
+    * the lowest doc_id wins (deterministic under any input split).
+    */
+  private[streaming] def dedupGate(s: SparkSession, docs: DataFrame): Dataset[(Long, String, String)] = {
+    import s.implicits._
+    docs
+      .select(col("doc_id").cast(LongType),
+        md5(concat_ws(" ",
+          slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 32)))
+          .as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, it, state) =>
+          val batch = it.map(_._1).toSeq.sorted
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String)]
+          var first = state.getOption
+          batch.foreach { id =>
+            first match {
+              case None =>
+                first = Some(id); out += ((id, fp, "first"))
+              case Some(_) =>
+                out += ((id, fp, "dup"))
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** q227: continuous ingest dedup gate — the STREAMING spelling of the
+    * q214/q216 snapshot gate: every arriving document classifies as
+    * `first` (fingerprint never seen) or `dup` (fingerprint held in
+    * state from any earlier batch or an earlier doc this batch), with the
+    * seen-set carried as one Long of state per distinct fingerprint —
+    * the at-least-once ingest gate a crawler feeds. On the one-file
+    * backfill the arrival-order rule collapses to min-doc_id-wins, which
+    * is exactly the batch oracle; the multi-batch arrival-order behavior
+    * (an EARLIER batch's doc beats a LATER batch's lower id) is pinned by
+    * StreamsSpec through MemoryStream, where no batch oracle can reach.
+    *
+    * Scale: state is fingerprint-keyed — 16 bytes of key + 8 of value per
+    * DISTINCT passage, shuffled once on fp; doc text never enters state.
+    * A production run ages state with a timeout or pairs it with the
+    * q216 persisted snapshot for bounded retention.
+    */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val classes = dedupGate(s, streamDocs(s, d)).toDF("doc_id", "fp", "status")
+    runToMemory(s, classes, "q227_sink", "append")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q227Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(
+      |      (list_filter(string_split(text, ' '), t -> length(t) > 0))[1:32],
+      |      ' ')) AS fp
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+      |       THEN 'first' ELSE 'dup' END AS status
+      |FROM f ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_stream_dedup_gate" -> q227,
     "q143_stream_left_outer" -> q143,
     "q194_stream_full_outer" -> q194,
     "q202_stream_right_outer" -> q202,
@@ -887,6 +978,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q227_stream_dedup_gate" -> q227Sql,
     "q143_stream_left_outer" -> q143Sql,
     "q194_stream_full_outer" -> q194Sql,
     "q202_stream_right_outer" -> q202Sql,

@@ -97,4 +97,36 @@ class ArticleSourceV2Spec extends SparkSpec {
       .schema(ArticleSource.schema).load()
     assert(same.schema === ArticleSource.schema)
   }
+
+  test("v2 write lands staged part files, publishes on commit, truncates on overwrite") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_v2write_spec_${spark.sparkContext.applicationId}")
+    def partFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("part-")).sorted.toSeq
+
+    v2.write.format("graft.sources.ArticleSourceV2")
+      .mode("overwrite").save(dir.getAbsolutePath)
+    val first = partFiles
+    // one part file per input partition (one per corpus), no stage left
+    assert(first.size === 4, s"part files: $first")
+    assert(Option(dir.listFiles()).getOrElse(Array.empty)
+      .forall(!_.getName.startsWith(".staging")), "staging dir survived commit")
+
+    // the landed artifact re-reads row-identical to the direct read
+    val landed = spark.read.schema(ArticleSource.schema)
+      .json(dir.getAbsolutePath)
+    val got = landed.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = v2.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(got === want, "landed artifact diverges from the source rows")
+
+    // overwrite truncates: a second write must REPLACE, not accumulate
+    v2.write.format("graft.sources.ArticleSourceV2")
+      .mode("overwrite").save(dir.getAbsolutePath)
+    assert(partFiles.size === 4, s"overwrite accumulated: $partFiles")
+    first.foreach(f => new java.io.File(dir, f).delete())
+    partFiles.foreach(f => new java.io.File(dir, f).delete())
+    dir.delete()
+  }
 }

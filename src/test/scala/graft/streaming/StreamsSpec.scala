@@ -402,4 +402,30 @@ class StreamsSpec extends SparkSpec {
     val back = spark.read.parquet(out).filter(col("k") === "a").select("v")
     assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("q227 dedup gate: ARRIVAL order wins across batches, state persists") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.dedupGate(spark, input.toDS().toDF("doc_id", "text"))
+      .toDF("doc_id", "fp", "status")
+      .writeStream.format("memory").queryName("gate_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: docs 10 and 11 (distinct text), doc 12 duplicating 10
+      input.addData((10L, "alpha beta gamma"), (11L, "delta epsilon"),
+        (12L, "alpha beta gamma"))
+      q.processAllAvailable()
+      // batch 2: doc 5 re-sends doc 10's text — a LOWER id arriving LATER
+      // must still classify dup (arrival order, not id order: the batch
+      // oracle can't see this, which is why this pin exists), plus a
+      // fresh doc 13
+      input.addData((5L, "alpha beta gamma"), (13L, "zeta eta"))
+      q.processAllAvailable()
+      val got = spark.table("gate_sink").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got === Map(10L -> "first", 11L -> "first", 12L -> "dup",
+        5L -> "dup", 13L -> "first"), s"got $got")
+    } finally q.stop()
+  }
 }
