@@ -1445,6 +1445,136 @@ object CorpusOps extends QueryModule {
        |    FROM scored)
        |  WHERE lrank <= $topk)""".stripMargin
 
+  // --------------------------------------------------------------- q229
+
+  /** One BPE merge iteration over a (w, freq, s) vocabulary — s is the
+    * word's current SYMBOL string (space-joined; symbols are space-free
+    * by construction since words come from whitespace tokenization).
+    * Returns (next vocabulary, this step's 1-row merge table).
+    *
+    * The global argmax pair stays IN-PLAN (1-row broadcast back into the
+    * merge transformation — never a driver collect), and non-overlapping
+    * left-to-right pair replacement — the part of BPE that is genuinely
+    * sequential WITHIN a word — is spelled with gaps-and-islands over the
+    * marked positions: inside each maximal run of consecutive matches,
+    * keep every other one starting at the first (a run 'a a a a' under
+    * merge 'a a' yields 'aa aa', exactly the scan semantics). Everything
+    * rides ONE word-keyed partitioning: the lead, the island windows and
+    * the rebuild group share it with no extra exchange.
+    */
+  private def bpeStep(vocab: DataFrame, stepNo: Int): (DataFrame, DataFrame) = {
+    val byW = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val m = vocab
+      .select(col("w"), col("freq"),
+        posexplode(split(col("s"), " ")).as(Seq("pos", "sym")))
+      .withColumn("nxt", lead(col("sym"), 1).over(byW))
+    val best = m.filter(col("nxt").isNotNull)
+      .groupBy(concat(col("sym"), lit(" "), col("nxt")).as("pair"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(1)
+      .localCheckpoint()
+    val marked = m.crossJoin(broadcast(best.select(col("pair"))))
+      .withColumn("mark",
+        coalesce(concat(col("sym"), lit(" "), col("nxt")) === col("pair"),
+          lit(false)))
+    val runWin = Window.partitionBy(col("w"), col("mark")).orderBy(col("pos"))
+    val next = marked
+      .withColumn("run",
+        when(col("mark"), col("pos") - row_number().over(runWin)))
+      .withColumn("keep",
+        col("mark") &&
+          (col("pos") - min(col("pos"))
+            .over(Window.partitionBy(col("w"), col("run")))) % 2 === 0)
+      .withColumn("pk", coalesce(lag(col("keep"), 1).over(byW), lit(false)))
+      .filter(!col("pk"))
+      .withColumn("out",
+        when(col("keep"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+      .groupBy(col("w"), col("freq"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("out")))),
+          x => x.getField("out")), " ").as("s"))
+      .localCheckpoint()
+    (next, best.withColumn("step", lit(stepNo.toLong)))
+  }
+
+  /** q229: BPE tokenizer TRAINING — q166 (one weighted pair count) run to
+    * completion for 8 merges: count adjacent symbol pairs over the
+    * frequency-weighted distinct-word vocabulary, adopt the argmax pair
+    * (ties to the lexicographically first), apply it non-overlapping
+    * left-to-right in every word, repeat on the MERGED symbols — so later
+    * steps learn multi-character units ('t h e' → 'th e' → 'the'), which
+    * is what separates training from q166's single step. Output is the
+    * ordered merge table (step, pair, n_occurrences) — the artifact a
+    * tokenizer ships.
+    *
+    * Scale: each step is one |vocab|-keyed shuffle (explode runs over
+    * DISTINCT words; corpus frequency is a multiplier, the q166
+    * discipline) + a 1-row broadcast back. The 8-step chain
+    * localCheckpoints per step — the q85 iterative discipline — so plan
+    * depth stays constant; CacheHygiene releases the blocks after the
+    * query. The oracle replays all 8 steps as chained CTEs generated by
+    * the same loop, so both engines walk the identical merge sequence.
+    */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val chars = expr(
+      "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")
+    var vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("s", chars)
+      .localCheckpoint()
+    val merges = (1 to 8).map { k =>
+      val (next, best) = bpeStep(vocab, k)
+      vocab = next
+      best
+    }
+    merges.reduce(_.unionAll(_))
+      .select(col("step"), col("pair"),
+        col("cnt").cast(LongType).as("n_occurrences"))
+      .orderBy(col("step"))
+  }
+
+  private val q229Sql = {
+    val v0 =
+      s"""v0 AS (
+         |  SELECT w, freq,
+         |    array_to_string(list_transform(range(1, length(w)+1),
+         |      i -> substring(w, CAST(i AS INT), 1)), ' ') AS s
+         |  FROM (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+         |        FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |        GROUP BY 1))""".stripMargin
+    val steps = (1 to 8).map { k =>
+      s"""m$k AS (
+         |  SELECT w, freq, pos, arr[CAST(pos AS INT)] AS sym,
+         |    lead(arr[CAST(pos AS INT)]) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM (SELECT w, freq, string_split(s, ' ') AS arr,
+         |          unnest(range(1, len(string_split(s, ' '))+1)) AS pos
+         |        FROM v${k - 1})),
+         |b$k AS (
+         |  SELECT sym || ' ' || nxt AS pair, SUM(freq) AS cnt FROM m$k
+         |  WHERE nxt IS NOT NULL GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |p$k AS (
+         |  SELECT *, mark AND (pos - MIN(pos) OVER (PARTITION BY w, run)) % 2 = 0 AS keep
+         |  FROM (
+         |    SELECT *, CASE WHEN mark THEN
+         |        pos - ROW_NUMBER() OVER (PARTITION BY w, mark ORDER BY pos) END AS run
+         |    FROM (SELECT *, COALESCE(sym || ' ' || nxt = (SELECT pair FROM b$k), false) AS mark
+         |          FROM m$k))),
+         |v$k AS (
+         |  SELECT w, freq,
+         |    string_agg(CASE WHEN keep THEN sym || nxt ELSE sym END, ' ' ORDER BY pos) AS s
+         |  FROM (SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY pos), false) AS pk
+         |        FROM p$k)
+         |  WHERE NOT pk GROUP BY w, freq)""".stripMargin
+    }
+    val union = (1 to 8)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS n_occurrences FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $v0,\n${steps.mkString(",\n")}\n$union\nORDER BY step"
+  }
+
   // --------------------------------------------------------------- q228
 
   /** q228: corpus mixing to a target distribution — the data-mixing step
@@ -1565,7 +1695,8 @@ object CorpusOps extends QueryModule {
     "q113_canonical_docs" -> q113,
     "q219_dup_spans" -> q219,
     "q224_bm25_retrieval" -> q224,
-    "q228_corpus_mixing" -> q228
+    "q228_corpus_mixing" -> q228,
+    "q229_bpe_train" -> q229
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1595,6 +1726,7 @@ object CorpusOps extends QueryModule {
     "q113_canonical_docs" -> q113Sql,
     "q219_dup_spans" -> q219Sql,
     "q224_bm25_retrieval" -> q224Sql,
-    "q228_corpus_mixing" -> q228Sql
+    "q228_corpus_mixing" -> q228Sql,
+    "q229_bpe_train" -> q229Sql
   )
 }

@@ -67,4 +67,20 @@ class Round8Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got === expected, "RRF fusion diverges from the driver-side replay")
   }
+
+  test("q229 BPE training learns multi-character merges, monotone within ties") {
+    val rows = SparkEntry.queries("q229_bpe_train")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === (1L to 8L), "one merge per step, ordered")
+    // TRAINING, not 8 independent counts: some later merge must consume a
+    // symbol built by an earlier one (a side of length > 1)
+    assert(rows.exists { case (_, pair, _) =>
+      pair.split(" ").exists(_.length > 1) },
+      s"no multi-character merge in ${rows.map(_._2).toSeq}")
+    // each adopted pair's count never exceeds an earlier step's count by
+    // more than the merges allow: counts are the argmax of their OWN step
+    // (weak monotone check: step 1 is the global max over raw chars)
+    assert(rows.head._3 === rows.map(_._3).max,
+      "step 1 must carry the largest raw pair count")
+  }
 }

@@ -76,4 +76,43 @@ class ScalePatternsSpec extends SparkSpec {
     assert(survivors.contains("hot"),
       "token above the MG frequency bound was evicted")
   }
+
+  test("AQE splits a skewed join partition at runtime (the q105 alternative)") {
+    // q105 is the MANUAL skew rewrite (salt + replicate); this pins the
+    // RUNTIME path a 1000-executor deployment leans on: AQE detecting a
+    // skewed shuffle partition and splitting it. One hot key carries ~90%
+    // of the fact side; thresholds are tuned down so the sf-sized fixture
+    // trips the same detector a 100 TB run would.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      // force a shuffle join: broadcast would dodge the skew machinery
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // drive THIS dataset's own QueryExecution (collect does; count and
+      // write wrap the plan in a fresh one) so the adaptive plan we
+      // inspect is the executed, final one
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan not final: ${plan.take(200)}")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (plan: ${plan.take(600)})")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
