@@ -878,7 +878,80 @@ object TextOps extends QueryModule {
        |WHERE 5 * inter >= 4 * na
        |ORDER BY contained, container""".stripMargin
 
+  // --------------------------------------------------------------- q230
+
+  /** q230: cross-source contamination MATRIX — q151 generalized from one
+    * aggregate row per train source to the full (train source × eval
+    * source) grid: shared distinct 8-grams and contaminated eval docs per
+    * cell, zeros included (the complete grid is the artifact a data audit
+    * publishes: WHICH corpus leaked into WHICH eval suite). Eval set =
+    * doc_id % 7 == 0, the q151 convention; gram identity travels as
+    * codegen'd xxhash64 while the oracle groups raw gram text (engines
+    * diverge only on a 64-bit collision, the q151/q219 rule).
+    *
+    * Scale: train grams dedup to (source, gram) before the join — the
+    * per-source distinct bounds the train side at #sources × vocab; the
+    * probe joins on the 8-byte gram key and aggregates with partial
+    * combine. The zero-filling cross join is #sources² rows — driver
+    * trivial. Eval suites are small by construction (the bench split),
+    * so the hit fan-out is bounded by eval size, not corpus size.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+    val grams = base.select(col("doc_id"), col("source"),
+      explode(array_distinct(expr(
+        """transform(sequence(0, size(t)-8),
+          |  i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+          |                          t[i+4], t[i+5], t[i+6], t[i+7])))""".stripMargin)))
+        .as("g"))
+    val tg = grams.filter(col("doc_id") % 7 =!= 0)
+      .select(col("source").as("train_source"), col("g")).distinct()
+    val eg = grams.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("source").as("eval_source"), col("g"))
+    val hits = eg.join(tg, "g")
+      .groupBy(col("train_source"), col("eval_source"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("doc_id")).as("n_contaminated_docs"))
+    tg.select(col("train_source")).distinct()
+      .crossJoin(eg.select(col("eval_source")).distinct())
+      .join(hits, Seq("train_source", "eval_source"), "left")
+      .select(col("train_source"), col("eval_source"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"))
+      .orderBy(col("train_source"), col("eval_source"))
+  }
+
+  private val q230Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, len(t)-6),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS g
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 8),
+      |tg AS (SELECT DISTINCT source AS train_source, unnest(g) AS g
+      |       FROM sh WHERE doc_id % 7 <> 0),
+      |eg AS (SELECT doc_id, source AS eval_source, unnest(g) AS g
+      |       FROM sh WHERE doc_id % 7 = 0),
+      |hits AS (
+      |  SELECT train_source, eval_source,
+      |    CAST(COUNT(DISTINCT eg.g) AS BIGINT) AS n_shared_grams,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs
+      |  FROM eg JOIN tg ON eg.g = tg.g
+      |  GROUP BY 1, 2)
+      |SELECT t.train_source, e.eval_source,
+      |  COALESCE(n_shared_grams, CAST(0 AS BIGINT)) AS n_shared_grams,
+      |  COALESCE(n_contaminated_docs, CAST(0 AS BIGINT)) AS n_contaminated_docs
+      |FROM (SELECT DISTINCT train_source FROM tg) t
+      |CROSS JOIN (SELECT DISTINCT eval_source FROM eg) e
+      |LEFT JOIN hits h
+      |  ON h.train_source = t.train_source AND h.eval_source = e.eval_source
+      |ORDER BY t.train_source, e.eval_source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_contamination_matrix" -> q230,
     "q150_canonical_dedup" -> q150,
     "q151_decontamination" -> q151,
     "q169_sorted_neighborhood" -> q169,
@@ -898,6 +971,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q230_contamination_matrix" -> q230Sql,
     "q150_canonical_dedup" -> q150Sql,
     "q151_decontamination" -> q151Sql,
     "q169_sorted_neighborhood" -> q169Sql,
