@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull, StringContains, StringStartsWith}
 import org.apache.spark.sql.types.StructType
@@ -80,8 +81,8 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
   override def schema(): StructType = ArticleSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(corpora, dataDir)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -136,6 +137,8 @@ private[sources] class ArticlesWrite(dir: String, queryId: String,
   private def stageDir = Paths.get(dir, s".staging-$queryId")
 
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite =
+    new ArticlesStreamingWrite(dir, queryId, schema)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stageDir)
     new ArticlesWriterFactory(dir, queryId, schema)
@@ -178,7 +181,62 @@ private[sources] class ArticlesWriterFactory(dir: String, queryId: String,
                                              schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ArticlesWriter(dir, queryId, schema, partitionId, taskId)
+    new ArticlesWriter(dir, queryId, schema,
+      f"part-$partitionId%05d-$taskId.json")
+}
+
+/** The STREAMING write face — with [[ArticlesMicroBatchStream]] this
+  * completes the connector's 2×2 surface (batch/stream × read/write).
+  * Same stage-then-publish protocol as the batch write, with the epoch
+  * baked into every part-file name (`part-e<epoch>-<pid>-<tid>`), which
+  * makes the per-epoch commit IDEMPOTENT: a replayed epoch (restart from
+  * checkpoint after a crash between sink commit and offset commit — the
+  * at-least-once window every streaming sink must close) first clears
+  * that epoch's previously-published files, so the landed artifact holds
+  * each micro-batch exactly once.
+  */
+private[sources] class ArticlesStreamingWrite(dir: String, queryId: String,
+                                              schema: StructType)
+    extends StreamingWrite {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def stageDir = Paths.get(dir, s".staging-$queryId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(stageDir)
+    new ArticlesStreamingWriterFactory(dir, queryId, schema)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val target = Paths.get(dir)
+    Files.createDirectories(target)
+    // idempotent epoch replay: drop anything this epoch published before
+    val s = Files.list(target)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"part-e$epochId-"))
+      .toSeq.foreach(Files.deleteIfExists(_))
+    finally s.close()
+    messages.foreach { case ArticlesCommit(staged) =>
+      val src = Paths.get(staged)
+      if (Files.exists(src))
+        Files.move(src, target.resolve(src.getFileName),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ArticlesCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
+private[sources] class ArticlesStreamingWriterFactory(dir: String,
+                                                      queryId: String,
+                                                      schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ArticlesWriter(dir, queryId, schema,
+      f"part-e$epochId-$partitionId%05d-$taskId.json")
 }
 
 /** One task's writer: rows → JSON lines in a staged part file. Fields are
@@ -186,14 +244,12 @@ private[sources] class ArticlesWriterFactory(dir: String, queryId: String,
   * re-read side (`spark.read.schema(...).json`) recovers them exactly.
   */
 private[sources] class ArticlesWriter(dir: String, queryId: String,
-                                      schema: StructType,
-                                      partitionId: Int, taskId: Long)
+                                      schema: StructType, fileName: String)
     extends DataWriter[InternalRow] {
   import java.nio.file.{Files, Paths}
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-  private val staged = Paths.get(dir, s".staging-$queryId",
-    f"part-$partitionId%05d-$taskId.json")
+  private val staged = Paths.get(dir, s".staging-$queryId", fileName)
   private val out = Files.newBufferedWriter(staged,
     java.nio.charset.StandardCharsets.UTF_8)
 
@@ -454,11 +510,43 @@ object ArticlesV2 extends QueryModule {
       .orderBy(col("indexation"))
   }
 
+  /** q231: the full streaming LOOP through the connector — micro-batch
+    * READ (q223's one-corpus-per-trigger pacing) piped into the
+    * connector's STREAMING WRITE ([[ArticlesStreamingWrite]]): each epoch
+    * lands its own epoch-tagged part files, replays idempotently, and the
+    * re-read of the landed artifact aggregates to the same q222 oracle —
+    * exactly-once landing across all four micro-batches. This is the
+    * reference's scrape loop end to end: paginate in, land each page as
+    * it arrives (`main.py:64-136` → `main.py:187-199`), with the
+    * checkpoint making a crashed run resume instead of duplicate.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_v2swrite_" +
+        s.sparkContext.applicationId)
+    val ckpt = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_v2swrite_ckpt_" +
+        s.sparkContext.applicationId)
+    val q = s.readStream.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .writeStream.format("graft.sources.ArticleSourceV2")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.schema(ArticleSource.schema).json(out)
+      .filter(col("indexation").isNotNull)
+      .groupBy(col("indexation"))
+      .agg(count(lit(1)).as("n_articles"))
+      .orderBy(col("indexation"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q222_dsv2_articles" -> q222, "q223_dsv2_stream" -> q223,
-      "q226_dsv2_write" -> q226)
+      "q226_dsv2_write" -> q226, "q231_dsv2_stream_write" -> q231)
 
   override def oracles: Map[String, String] =
     Map("q222_dsv2_articles" -> q222Sql, "q223_dsv2_stream" -> q222Sql,
-      "q226_dsv2_write" -> q222Sql)
+      "q226_dsv2_write" -> q222Sql, "q231_dsv2_stream_write" -> q222Sql)
 }

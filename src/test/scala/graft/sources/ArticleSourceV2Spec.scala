@@ -129,4 +129,36 @@ class ArticleSourceV2Spec extends SparkSpec {
     partFiles.foreach(f => new java.io.File(dir, f).delete())
     dir.delete()
   }
+
+  test("v2 streaming write lands one epoch-tagged part file per micro-batch") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_v2swrite_spec_${spark.sparkContext.applicationId}")
+    val ckpt = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_v2swrite_spec_ckpt_${spark.sparkContext.applicationId}")
+    val q = spark.readStream.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .writeStream.format("graft.sources.ArticleSourceV2")
+      .option("path", dir.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("part-e")).sorted.toSeq
+    // four micro-batches (one corpus each, the admission-control pacing)
+    // -> four distinct epochs, each its own published file
+    assert(parts.size === 4, s"part files: $parts")
+    assert(parts.map(_.split("-")(1)).distinct.size === 4,
+      s"expected 4 distinct epochs, got: $parts")
+    // the landed loop re-reads row-identical to the direct batch read
+    val landed = spark.read.schema(ArticleSource.schema)
+      .json(dir.getAbsolutePath)
+    assert(landed.count() === v2.count(), "stream-landed artifact lost rows")
+    // cleanup
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir); rm(ckpt)
+  }
 }
