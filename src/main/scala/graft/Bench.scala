@@ -93,7 +93,8 @@ object Bench {
     // lexical retrieval, hybrid RRF fusion, continuous dedup gate
     "q223_dsv2_stream", "q224_bm25_retrieval", "q225_hybrid_rrf",
     "q226_dsv2_write", "q227_stream_dedup_gate", "q228_corpus_mixing",
-    "q229_bpe_train", "q230_contamination_matrix", "q231_dsv2_stream_write"
+    "q229_bpe_train", "q230_contamination_matrix", "q231_dsv2_stream_write",
+    "q232_winnowing_fingerprints"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -950,8 +950,101 @@ object TextOps extends QueryModule {
       |  ON h.train_source = t.train_source AND h.eval_source = e.eval_source
       |ORDER BY t.train_source, e.eval_source""".stripMargin
 
+  // --------------------------------------------------------------- q232
+
+  /** q232: POSITIONAL winnowing (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting") — the plagiarism-detection
+    * fingerprint q77's global bottom-k cannot give: slide a w=4 window
+    * over the positional token-3-gram hash sequence, select each window's
+    * RIGHTMOST MINIMUM hash, dedup selected positions per doc, then rank
+    * document pairs by shared fingerprints. Winnowing guarantees any
+    * shared run of ≥ w+2 grams yields a shared fingerprint (local
+    * matches survive), at an expected density of 2/(w+1) — properties a
+    * global sketch loses.
+    *
+    * The selection depends on hash VALUES, so both engines must hash
+    * identically: grams hash through the md5-hex-prefix integer
+    * (`conv(substr(md5(g),1,14),16,10)`, the q69 seed-free convention, 56
+    * bits — positive, collision-safe at corpus scale), and the rightmost
+    * minimum is a pure CASE over the window's four lead columns — no
+    * frame semantics to diverge on.
+    *
+    * Scale: grams and leads are one doc-keyed window pass; fingerprints
+    * shrink the sequence ~2/(w+1)×; the pair join keys on the 8-byte
+    * fingerprint with the house df ≤ 256 cold-fingerprint cap bounding
+    * hot-boilerplate fan-out (candidates over cold fingerprints only,
+    * the q74/q175 discipline); top-20 is TakeOrderedAndProject.
+    */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as(Seq("pos", "g")))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT)"))
+    val fps = grams
+      .withColumn("h1", lead(col("h"), 1).over(byDoc))
+      .withColumn("h2", lead(col("h"), 2).over(byDoc))
+      .withColumn("h3", lead(col("h"), 3).over(byDoc))
+      .filter(col("h3").isNotNull) // full windows only
+      .withColumn("mh", least(col("h"), col("h1"), col("h2"), col("h3")))
+      .withColumn("fpos",
+        when(col("h3") === col("mh"), col("pos") + 3)
+          .when(col("h2") === col("mh"), col("pos") + 2)
+          .when(col("h1") === col("mh"), col("pos") + 1)
+          .otherwise(col("pos")))
+      .select(col("doc_id"), col("fpos"), col("mh")).distinct()
+    // hot-fingerprint cap: candidates only over fingerprints shared by
+    // few docs (boilerplate fingerprints pair everything with everything)
+    val cold = fps.select(col("doc_id"), col("mh")).distinct()
+      .groupBy(col("mh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 256)
+      .select(col("mh"))
+    val docFp = fps.select(col("doc_id"), col("mh")).distinct()
+      .join(cold, Seq("mh"))
+    docFp.as("a").join(docFp.as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(desc("n_shared"), col("da"), col("db"))
+      .limit(20)
+  }
+
+  private val q232Sql = {
+    val h14 = graft.Exact.sqlHexToLong(
+      "md5(t[pos+1] || ' ' || t[pos+2] || ' ' || t[pos+3])", 1, 14)
+    s"""WITH grams AS (
+      |  SELECT doc_id, pos,
+      |    CAST($h14 AS BIGINT) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS pos
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |        WHERE len(t) >= 3)),
+      |leads AS (
+      |  SELECT doc_id, pos, h,
+      |    lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2,
+      |    lead(h, 3) OVER w AS h3
+      |  FROM grams WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN h3 = mh THEN pos + 3 WHEN h2 = mh THEN pos + 2
+      |         WHEN h1 = mh THEN pos + 1 ELSE pos END AS fpos, mh
+      |  FROM (SELECT *, LEAST(h, h1, h2, h3) AS mh FROM leads
+      |        WHERE h3 IS NOT NULL)),
+      |docfp0 AS (SELECT DISTINCT doc_id, mh FROM fps),
+      |cold AS (SELECT mh FROM docfp0 GROUP BY mh HAVING COUNT(*) <= 256),
+      |docfp AS (SELECT doc_id, mh FROM docfp0 JOIN cold USING (mh))
+      |SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM docfp a JOIN docfp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY n_shared DESC, da, db LIMIT 20""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q230_contamination_matrix" -> q230,
+    "q232_winnowing_fingerprints" -> q232,
     "q150_canonical_dedup" -> q150,
     "q151_decontamination" -> q151,
     "q169_sorted_neighborhood" -> q169,
@@ -972,6 +1065,7 @@ object TextOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q230_contamination_matrix" -> q230Sql,
+    "q232_winnowing_fingerprints" -> q232Sql,
     "q150_canonical_dedup" -> q150Sql,
     "q151_decontamination" -> q151Sql,
     "q169_sorted_neighborhood" -> q169Sql,
