@@ -68,6 +68,58 @@ class Round8Spec extends SparkSpec {
     assert(got === expected, "RRF fusion diverges from the driver-side replay")
   }
 
+  test("q228 mixing rates derive from O(#sources) broadcast state, text never shuffles") {
+    val df = SparkEntry.queries("q228_corpus_mixing")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rates join the fact side by BROADCAST (rates are #sources rows);
+    // a shuffle join here would re-partition the corpus for a 20-row dim
+    assert(plan.contains("BroadcastHashJoin"), "rates are not broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (srcTok, rate, tokKept) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(rate >= 0 && rate <= 1000000, s"rate out of ppm range: $rate")
+      assert(tokKept <= srcTok, "kept more tokens than the source has")
+    }
+    // the budget rule: total kept stays at or under the half-corpus
+    // budget + one source's worth of rounding slack
+    val total = rows.map(_.getLong(2)).sum
+    val kept = rows.map(_.getLong(5)).sum
+    assert(kept <= total, s"kept $kept of $total")
+  }
+
+  test("q232 winnowing density and local-match guarantee hold on the corpus") {
+    // winnowing selects ~2/(w+1) of gram positions; with w=4 the density
+    // must sit well inside (1/(w+1), 1) — a selection bug (every window
+    // start, or one global min) lands outside this band
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val grams = docs.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as(Seq("pos", "g")))
+      .withColumn("h", expr("CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT)"))
+    val n = grams.count()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val fps = grams
+      .withColumn("h1", lead(col("h"), 1).over(byDoc))
+      .withColumn("h2", lead(col("h"), 2).over(byDoc))
+      .withColumn("h3", lead(col("h"), 3).over(byDoc))
+      .filter(col("h3").isNotNull)
+      .withColumn("mh", least(col("h"), col("h1"), col("h2"), col("h3")))
+      .withColumn("fpos",
+        when(col("h3") === col("mh"), col("pos") + 3)
+          .when(col("h2") === col("mh"), col("pos") + 2)
+          .when(col("h1") === col("mh"), col("pos") + 1)
+          .otherwise(col("pos")))
+      .select(col("doc_id"), col("fpos")).distinct().count()
+    val density = fps.toDouble / n
+    info(f"winnowing density = $density%.3f (theory ~ ${2.0 / 5}%.3f)")
+    assert(density > 0.25 && density < 0.6, s"density $density outside winnowing band")
+  }
+
   test("q229 BPE training learns multi-character merges, monotone within ties") {
     val rows = SparkEntry.queries("q229_bpe_train")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
