@@ -27,7 +27,9 @@ object ScaleCheck {
     "q189_sole_supplier", "q197_dormant_customers",
     // shuffle-bound corpus family
     "q74_ngram_jaccard", "q85_dedup_components", "q151_decontamination",
-    "q152_pmi_collocations", "q221_ivf_pq", "q224_bm25_retrieval")
+    "q152_pmi_collocations", "q221_ivf_pq", "q224_bm25_retrieval",
+    "q225_hybrid_rrf", "q229_bpe_train", "q230_contamination_matrix",
+    "q232_winnowing_fingerprints")
 
   def main(args: Array[String]): Unit = {
     val (dirA, dirB) = (args(0), args(1))
