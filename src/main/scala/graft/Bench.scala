@@ -127,13 +127,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.cpus("4")
     val nCpus = cpus.toInt
-    val spark = GraftSession.get(cpus)
+    var spark = GraftSession.get(cpus)
 
     val qs = SparkEntry.queries
     val names = headline.filter(qs.contains)
 
+    // a dead context (host OOM-kill of an executor thread pool, external
+    // SIGTERM of the backend) must cost ONE query's measurement, not every
+    // row after it: getOrCreate builds a fresh session when the default's
+    // context is stopped, so revival is one call away
+    def liveSession(): org.apache.spark.sql.SparkSession = {
+      if (spark.sparkContext.isStopped) spark = GraftSession.get(cpus)
+      spark
+    }
     def exec(name: String, dir: String): Unit =
-      qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      qs(name)(liveSession(), dir).write.format("noop").mode("overwrite").save()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val nHostCpus = math.max(nCpus, hostCpus())

@@ -35,6 +35,7 @@ object CacheHygiene {
     */
   def release(spark: SparkSession, blocking: Boolean = false): Unit = {
     val sc = spark.sparkContext
+    if (sc.isStopped) return // nothing to release; the caller revives
     sc.getPersistentRDDs.values.foreach(_.unpersist(blocking))
     spark.catalog.clearCache()
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()

@@ -33,12 +33,19 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val (dirA, dirB) = (args(0), args(1))
-    val spark = GraftSession.get(GraftSession.cpus("32"))
+    var spark = GraftSession.get(GraftSession.cpus("32"))
     val qs = SparkEntry.queries
 
+    // revive a dead context so one casualty doesn't void every later row
+    // (the Bench discipline — see Bench.liveSession)
+    def liveSession() = {
+      if (spark.sparkContext.isStopped)
+        spark = GraftSession.get(GraftSession.cpus("32"))
+      spark
+    }
     def timed(name: String, dir: String): Double = {
       def exec(): Unit =
-        qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        qs(name)(liveSession(), dir).write.format("noop").mode("overwrite").save()
       try exec() catch { case t: Throwable =>
         CacheHygiene.release(spark); throw t }
       CacheHygiene.release(spark)
