@@ -140,8 +140,18 @@ object Bench {
       if (spark.sparkContext.isStopped) spark = GraftSession.get(cpus)
       spark
     }
-    def exec(name: String, dir: String): Unit =
-      qs(name)(liveSession(), dir).write.format("noop").mode("overwrite").save()
+    // returns construction seconds (plan build — which for the iterative
+    // fixpoint queries q85/q113/q227 runs real jobs) so the JSON can
+    // attribute construct vs execute honestly (r8 verdict #7); the timed
+    // window in measure() still covers BOTH, so "queries" totals are
+    // unchanged in meaning
+    def exec(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      val df = qs(name)(liveSession(), dir)
+      val tc = (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
+      tc
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val nHostCpus = math.max(nCpus, hostCpus())
@@ -172,10 +182,11 @@ object Bench {
     // 9.76s bench vs 0.94s fresh-JVM warm, with steal = 0). Codegen, JIT
     // and parquet-footer caches are unaffected by the release, so warm
     // stays warm.
-    def measure(name: String): (Double, Double, Int, Option[String]) = {
+    def measure(name: String): (Double, Double, Double, Int, Option[String]) = {
       try exec(name, sfDir) catch { case _: Throwable => () }
       CacheHygiene.release(spark)
       var best = Double.MaxValue
+      var bestConstruct = -1.0
       var bestStealFrac = 1.0
       var attempt = 0
       var err: Option[String] = None
@@ -189,7 +200,7 @@ object Bench {
         val s0 = stealTicks()
         val t0 = System.nanoTime()
         try {
-          exec(name, sfDir)
+          val tc = exec(name, sfDir)
           val dt = (System.nanoTime() - t0) / 1e9
           // steal ticks are host-wide: normalize by the HOST cpu count
           // (cpuN lines, not availableProcessors — see hostCpus()), or the
@@ -198,7 +209,7 @@ object Bench {
           val stealFrac =
             if (dt <= 0) 0.0
             else (stealTicks() - s0) / (nHostCpus * 100.0 * dt)
-          if (dt < best) { best = dt; bestStealFrac = stealFrac }
+          if (dt < best) { best = dt; bestConstruct = tc; bestStealFrac = stealFrac }
         } catch {
           case t: Throwable =>
             // a transient failure on a RETRY must not discard a valid
@@ -210,54 +221,80 @@ object Bench {
         }
         CacheHygiene.release(spark)
       }
-      (best, bestStealFrac, attempt, err)
+      (best, bestConstruct, bestStealFrac, attempt, err)
     }
-    val firstPass = names.map { name =>
-      val (best, sf, attempt, err) = measure(name)
+    // name -> (value, constructSec, bestStealFrac, attempts)
+    val state =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Int)]
+    names.foreach { name =>
+      val (best, tc, sf, attempt, err) = measure(name)
       err.foreach(errors(name) = _)
-      (name, if (err.isDefined) -1.0 else best,
-        if (err.isDefined) -1.0 else sf, attempt)
+      state(name) =
+        (if (err.isDefined) -1.0 else best, if (err.isDefined) -1.0 else tc,
+          if (err.isDefined) -1.0 else sf, attempt)
     }
-    // cross-check (r7 verdict): re-measure the slowest rows at the END of
-    // the session. If the per-execution release above does its job, a
-    // late-session re-quote matches the first quote; a first quote > 2x
-    // its re-quote means session residue STILL distorts measurements and
-    // is flagged in "inflated" rather than silently reported as a plan
-    // cost. The re-quote is the same protocol (warm + min of timed
-    // attempts), so the reported value is min(first, requote) — a tighter
-    // minimum over more attempts, not a different measurement.
-    val requote: Map[String, Double] = firstPass
-      .filter(_._2 > 0).sortBy(-_._2).take(8)
-      .map { case (name, _, _, _) =>
-        val (best, _, _, err) = measure(name)
-        name -> (if (err.isDefined) -1.0 else best)
-      }.toMap
-    val inflated = firstPass.collect {
-      case (n, v, _, _) if requote.getOrElse(n, -1.0) > 0 && v > 2 * requote(n) => n
+    val firstQuote = state.map { case (n, (v, _, _, _)) => n -> v }.toMap
+    // re-quote UNTIL QUIET (r8 verdict: the single-pass cross-check caught
+    // BENCH_r08's contaminated:10 / 3 inflated rows but could not clear
+    // them). Round 1 re-measures the slowest 8 (the r7 residue
+    // cross-check) plus every row whose best attempt overlapped steal;
+    // later rounds only the rows still dirty. A row is dirty while its
+    // best-so-far was measured into a burst (stealFrac > 0.02) — a clean
+    // re-measure marks it clean even when slower, because steal only ever
+    // INFLATES a timing, so a contaminated minimum validated by a clean
+    // run is an honest upper-bound-tight quote. Reported value stays the
+    // min over all rounds; bounded rounds so a never-quiet host terminates.
+    val requoteLast = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def dirtyRows(): Seq[String] =
+      state.collect { case (n, (v, _, sf, _)) if v > 0 && sf > 0.02 => n }.toSeq
+    var round = 0
+    var targets = (state.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1).take(8)
+      .map(_._1) ++ dirtyRows()).distinct
+    while (targets.nonEmpty && round < 4) {
+      round += 1
+      targets.foreach { name =>
+        val (best, tc, sf, _, err) = measure(name)
+        if (err.isEmpty && best < Double.MaxValue) {
+          requoteLast(name) = best
+          val (v0, tc0, sf0, a0) = state(name)
+          if (best < v0) state(name) = (best, tc, sf, a0)
+          else if (sf <= 0.02 && sf0 > 0.02)
+            // clean confirmation of a contaminated minimum: keep the min,
+            // clear the dirty flag
+            state(name) = (v0, tc0, sf, a0)
+        }
+      }
+      targets = dirtyRows()
     }
-    val results = firstPass.map { case (n, v, sf, a) =>
-      val rq = requote.getOrElse(n, -1.0)
-      (n, if (rq > 0 && rq < v) rq else v, sf, a)
-    }
-    val qjson = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val inflated = state.collect {
+      case (n, (v, _, _, _)) if v > 0 && firstQuote(n) > 2 * v => n
+    }.toSeq
+    val results = state.toSeq.map { case (n, (v, tc, sf, a)) => (n, v, tc, sf, a) }
+    val requote = requoteLast.toMap
+    val qjson = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cjson = results
+      .map { case (k, _, tc, _, _) =>
+        "\"" + k + "\":" + (math.round(tc * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     // per-query contamination label: the steal fraction overlapping the
     // BEST attempt (>0.02 means even the minimum was measured into a
     // burst — treat that timing as an upper bound, not a regression)
     val sjson = results
-      .map { case (k, _, sf, _) =>
+      .map { case (k, _, _, sf, _) =>
         "\"" + k + "\":" + (math.round(sf * 1000) / 1000.0) }
       .mkString("{", ",", "}")
-    val ajson = results.map { case (k, _, _, a) => "\"" + k + "\":" + a }
+    val ajson = results.map { case (k, _, _, _, a) => "\"" + k + "\":" + a }
       .mkString("{", ",", "}")
     val ejson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val rqjson = requote.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ijson = inflated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val contaminated = results.count { case (_, v, sf, _) => v >= 0 && sf > 0.02 }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"steal":$sjson,"attempts":$ajson,"requote":$rqjson,"inflated":$ijson,"contaminated":$contaminated,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val contaminated =
+      results.count { case (_, v, _, sf, _) => v >= 0 && sf > 0.02 }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"construct":$cjson,"steal":$sjson,"attempts":$ajson,"requote":$rqjson,"inflated":$ijson,"contaminated":$contaminated,"requote_rounds":$round,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // the driver artifact keeps only the stdout tail (r5's per-query map
     // was truncated past 2000 chars) — persist the full line for audit

@@ -32,11 +32,20 @@ object CacheHygiene {
   /** Release all session-held storage: persisted RDD blocks, cached plans,
     * streaming state-store providers. `blocking = true` waits for block
     * removal (deterministic for specs); benches use fire-and-forget.
+    *
+    * CAUTION for embedders: this unpersists EVERY persisted RDD in the
+    * session, including DataFrames a host application cached for its own
+    * reuse — correct for the harness (which owns the whole session), but
+    * a deployment embedding the engine alongside user caches should pass
+    * `keep` with the RDD ids it wants preserved.
     */
-  def release(spark: SparkSession, blocking: Boolean = false): Unit = {
+  def release(spark: SparkSession, blocking: Boolean = false,
+              keep: Set[Int] = Set.empty): Unit = {
     val sc = spark.sparkContext
     if (sc.isStopped) return // nothing to release; the caller revives
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking))
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(blocking)
+    }
     spark.catalog.clearCache()
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case scala.util.control.NonFatal(_) => () }

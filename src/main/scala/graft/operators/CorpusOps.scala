@@ -1363,8 +1363,14 @@ object CorpusOps extends QueryModule {
     * tokens, N = docs), the per-term gain
     * `tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)` becomes
     * `(10⁶·22·tf·am) div (10·am·tf + 3·am + 9000·dl)` — every operand an
-    * integer, every intermediate ≤ 10⁷·tf·am < 2⁶³ at ANY corpus size
-    * because avgdl is corpus-size-independent. The idf factor follows
+    * integer. The widest intermediate is 2.2·10⁷·tf·am, so the real
+    * overflow bound is `tf·avgdl_milli < 2⁶³ / 2.2·10⁷ ≈ 4.2·10¹¹` —
+    * set by DOCUMENT length (tf ≤ dl) and average length, NOT corpus
+    * size: a corpus would need a single term repeated ~10⁸ times inside
+    * one document alongside a ~4000-token average before this wraps
+    * (DuckDB errors on the same overflow; Spark would wrap silently, so
+    * the bound is stated here rather than discovered). The idf factor
+    * follows
     * q66's established linear-idf convention (`(1000·(2(N−df)+1)) div
     * (2df+1)`, the exact integer odds that the BM25 log dampens;
     * monotone in true idf, so single-term orderings agree) — the one
@@ -1524,10 +1530,19 @@ object CorpusOps extends QueryModule {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("s", chars)
       .localCheckpoint()
-    val merges = (1 to 8).map { k =>
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1
+    var exhausted = false
+    while (k <= 8 && !exhausted) {
       val (next, best) = bpeStep(vocab, k)
-      vocab = next
-      best
+      // short-circuit when no adjacent pair remains (every word fully
+      // merged): an empty argmax broadcast would cross-join the vocab
+      // down to zero rows and the remaining steps would run on a wiped
+      // vocabulary — DuckDB's scalar subquery yields NULL and keeps it,
+      // so the engines would silently diverge past this point. `best` is
+      // already localCheckpointed, so the emptiness probe is a local scan.
+      if (best.isEmpty) exhausted = true
+      else { vocab = next; merges += best; k += 1 }
     }
     merges.reduce(_.unionAll(_))
       .select(col("step"), col("pair"),

@@ -295,6 +295,27 @@ object Similarity extends QueryModule {
     vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  /** Corpus-derived coarse geometry, computed IN-PLAN (r8 verdict: the
+    * registered IVF queries ran a fixed toy nlist=10 while the lifted
+    * 1024 cap was spec-only): `nlist = least(1024, ceil(√n))` — constant
+    * expected cell occupancy √n, the standard IVF sizing — and
+    * `nprobe = greatest(2, nlist div 5)`, holding the probed-cell
+    * fraction ≈ the old 2/10 so the LshRecallSpec bar carries over. One
+    * 1-row aggregate broadcast wherever the geometry is needed; no
+    * driver-side count.
+    */
+  private def ivfGeom(vecs: DataFrame): DataFrame =
+    vecs.agg(least(lit(1024L), ceil(sqrt(count(lit(1))))).as("nl"))
+      .withColumn("npr", greatest(lit(2L), expr("nl div 5")))
+
+  /** [[seedCents]] with [[ivfGeom]]'s derived nlist: first ceil(√n)
+    * vectors, selected by a 1-row broadcast — stays in-plan.
+    */
+  private def seedCentsScaled(vecs: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(ivfGeom(vecs).select(col("nl"))))
+      .filter(col("vec_id") < col("nl"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
   /** Nearest-centroid assignment by exact integer squared L2 with the
     * deterministic packed argmin (dist²·1024 + cid — reserves 10 bits, so
     * nlist ≤ 1024: the r7 verdict's nlist ≤ 16 cap lifted, letting the
@@ -332,6 +353,34 @@ object Similarity extends QueryModule {
   /** DuckDB twin of [[seedCents]] + [[lloydCents]]: the CTE chain ending
     * in `cents(cid, cv)` — trained centroids from one superstep.
     */
+  /** [[trainedCentsSql]] with the [[ivfGeom]] derivation: a `geom(nl,
+    * npr)` CTE both engines compute identically (IEEE-correctly-rounded
+    * sqrt, so CEIL agrees), feeding the seed cutoff and the probe budget.
+    */
+  private def trainedCentsSqlScaled: String =
+    s"""geom AS (
+       |  SELECT nl, GREATEST(2, nl // 5) AS npr FROM (
+       |    SELECT LEAST(1024, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nl
+       |    FROM q)),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, v AS cv FROM q CROSS JOIN geom
+       |  WHERE vec_id < nl),
+       |assigned0 AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents0 GROUP BY vec_id),
+       |comps0 AS (
+       |  SELECT cid, u.pos AS pos, u.comp AS comp FROM (
+       |    SELECT a.cid, unnest(list_transform(range(1, len(v.v)+1),
+       |      i -> {'pos': i, 'comp': v.v[i]})) AS u
+       |    FROM assigned0 a JOIN q v ON v.vec_id = a.vec_id)),
+       |newc0 AS (
+       |  SELECT cid, pos, CAST(SUM(comp) AS BIGINT) // COUNT(*) AS nc
+       |  FROM comps0 GROUP BY 1, 2),
+       |cents AS (SELECT cid, list(nc ORDER BY pos) AS cv FROM newc0 GROUP BY cid)""".stripMargin
+
   private def trainedCentsSql(nlist: Int): String =
     s"""cents0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < $nlist),
        |assigned0 AS (
@@ -357,29 +406,36 @@ object Similarity extends QueryModule {
     * L2 (inverted lists), queries probe their `nprobe` nearest lists and
     * re-score candidates exactly. The partition story at scale: inverted
     * lists ARE the partitioning — each query touches ~nprobe/nlist of the
-    * corpus, and nlist/nprobe are arguments (defaults 10/2 here; a real
-    * deployment raises nlist with corpus size and re-runs supersteps to
-    * convergence — the loop is the same two shuffles per step).
+    * corpus. The REGISTERED spelling derives the geometry from the corpus
+    * ([[ivfGeom]]: nlist = ⌈√n⌉ clamped to 1024, nprobe = nlist/5) so the
+    * query runs real scaled geometry at every SF (r8 verdict); explicit
+    * nlist/nprobe arguments remain for the recall specs.
     */
   private def q83(s: SparkSession, d: String): DataFrame = ivfTopK(s, d)
 
   private[operators] def ivfTopK(s: SparkSession, d: String,
-                      nlist: Int = 10, nprobe: Int = 2): DataFrame = {
+                      nlist: Int = 0, nprobe: Int = 0): DataFrame = {
     require(nlist <= 1024, "packed argmin key reserves 10 bits for cid")
     GraftFunctions.register(s)
     val vecs = quantized(s, d)
-    val cents = lloydCents(vecs, seedCents(vecs, nlist))
+    val derived = nlist <= 0
+    val cents = lloydCents(vecs,
+      if (derived) seedCentsScaled(vecs) else seedCents(vecs, nlist))
     val assigned = assignTo(vecs, cents).join(vecs, "vec_id")
     val queries = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    // probe the nprobe nearest trained lists per query
-    val probes = queries.join(broadcast(cents))
+    // probe the nprobe nearest trained lists per query (derived geometry:
+    // budget comes from the 1-row broadcast, not a literal)
+    val ranked = queries.join(broadcast(cents))
       .select(col("qid"), col("qv"), col("cid"),
         (dotExpr("qv", "qv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("qv", "cv"))
           .as("d2"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
-      .filter(col("pr") <= nprobe)
+    val probes = (if (derived)
+        ranked.crossJoin(broadcast(ivfGeom(vecs).select(col("npr"))))
+          .filter(col("pr") <= col("npr"))
+      else ranked.filter(col("pr") <= nprobe))
       .select(col("qid"), col("qv"), col("cid"))
     val scored = probes.join(assigned, "cid")
       .filter(col("qid") =!= col("vec_id"))
@@ -396,7 +452,7 @@ object Similarity extends QueryModule {
 
   private val q83Sql =
     s"""WITH q AS ($quantizedSql),
-       |${trainedCentsSql(10)},
+       |$trainedCentsSqlScaled,
        |assigned AS (
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
@@ -412,7 +468,7 @@ object Similarity extends QueryModule {
        |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
        |        c.cid) AS pr
        |    FROM q a CROSS JOIN cents c WHERE a.vec_id < 10)
-       |  WHERE pr <= 2),
+       |  WHERE pr <= (SELECT npr FROM geom)),
        |scored AS (
        |  SELECT p.qid, m.vec_id AS nid,
        |    CAST(list_sum(list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*vv.v[i])) AS DOUBLE)
@@ -796,11 +852,11 @@ object Similarity extends QueryModule {
     * scan, exact refine for the head.
     */
   private def q221(s: SparkSession, d: String): DataFrame = {
-    val nlist = 10
-    val nprobe = 2
     GraftFunctions.register(s)
     val vecs = quantized(s, d)
-    val cents = lloydCents(vecs, seedCents(vecs, nlist))
+    // corpus-derived coarse geometry (ivfGeom), same as q83's registered
+    // spelling — the serving index trains at the scale of the corpus
+    val cents = lloydCents(vecs, seedCentsScaled(vecs))
     val res = assignTo(vecs, cents).join(vecs, "vec_id")
       .join(broadcast(cents), "cid")
       .select(col("vec_id"), col("cid"),
@@ -844,7 +900,8 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("qv"), col("cid"), dprobe.as("d2"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
-      .filter(col("pr") <= nprobe)
+      .crossJoin(broadcast(ivfGeom(vecs).select(col("npr"))))
+      .filter(col("pr") <= col("npr"))
       .select(col("qid"), col("qv"), col("cid"))
     val qsub = probes.join(broadcast(cents), "cid")
       .select(col("qid"), col("cid"), posexplode(expr(
@@ -881,7 +938,7 @@ object Similarity extends QueryModule {
 
   private val q221Sql =
     s"""WITH q AS ($quantizedSql),
-       |${trainedCentsSql(10)},
+       |$trainedCentsSqlScaled,
        |assigned AS (
        |  SELECT vec_id, arg_min(cid,
        |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
@@ -936,7 +993,7 @@ object Similarity extends QueryModule {
        |        - 2 * list_sum(list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i]*c.cv[i])),
        |        c.cid) AS pr
        |    FROM qs CROSS JOIN cents c)
-       |  WHERE pr <= 2),
+       |  WHERE pr <= (SELECT npr FROM geom)),
        |qres AS (
        |  SELECT p.qid, p.cid,
        |    list_transform(range(1, len(qs.qv)+1), i -> qs.qv[i] - c.cv[i]) AS qrv

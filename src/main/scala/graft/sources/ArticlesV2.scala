@@ -86,6 +86,13 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(corpora, dataDir)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // mirror the read-side getTable check: ArticlesWriter serializes every
+    // field via getUTF8String, so a non-matching incoming schema must be
+    // rejected up front, not fail with ClassCastException mid-task
+    if (info.schema != ArticleSource.schema)
+      throw new UnsupportedOperationException(
+        s"${getClass.getSimpleName} has a fixed schema; cannot write " +
+          s"${info.schema.simpleString}")
     val dir = Option(info.options.get("path")).orElse(writeDir).getOrElse(
       throw new IllegalArgumentException(
         "writing graft.sources.ArticleSourceV2 requires a 'path' option"))
@@ -106,8 +113,13 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
   * commit time — readers see the old artifact until the commit point.
   *
   * Scale: one writer per input partition, no coordination except the
-  * O(#tasks) commit-message pass on the driver — the same shape Spark's
-  * own file sinks use at thousand-executor scale.
+  * O(#tasks) commit-message pass on the driver. NOTE the deployment
+  * assumption: staging and publish use `java.nio` local-file moves, so
+  * driver and executors must share one filesystem (local mode, or a
+  * shared mount). A multi-node cluster deployment would stage through a
+  * Hadoop `FileSystem` path instead — the commit PROTOCOL (stage, then
+  * publish by rename at driver commit) carries over unchanged; only the
+  * move primitive is single-node here.
   */
 private[sources] class ArticlesWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite {
@@ -436,6 +448,7 @@ private[sources] class ArticlesReader(part: ArticlesPartition,
 
 /** The oracle-verified query face of the connector. */
 object ArticlesV2 extends QueryModule {
+  private val q231Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** q222: per-index article counts read THROUGH the V2 connector with
     * the `indexation` filter pushed into the reader — the plan shows a
@@ -521,12 +534,17 @@ object ArticlesV2 extends QueryModule {
     * checkpoint making a crashed run resume instead of duplicate.
     */
   private def q231(s: SparkSession, dir: String): DataFrame = {
+    // key checkpoint AND output per EXECUTION, not per session: a
+    // session-keyed checkpoint means every re-run after the first
+    // resumes a fully committed checkpoint and measures a no-data pass
+    // (~0.1s), so the bench would quote resume cost as the write cost
+    val run = q231Runs.incrementAndGet()
     val out = graft.StagingDirs.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_v2swrite_" +
-        s.sparkContext.applicationId)
+        s"${s.sparkContext.applicationId}_r$run")
     val ckpt = graft.StagingDirs.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_v2swrite_ckpt_" +
-        s.sparkContext.applicationId)
+        s"${s.sparkContext.applicationId}_r$run")
     val q = s.readStream.format("graft.sources.ArticleSourceV2")
       .option("corpus", "all").load()
       .writeStream.format("graft.sources.ArticleSourceV2")
