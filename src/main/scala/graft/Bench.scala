@@ -94,7 +94,9 @@ object Bench {
     "q223_dsv2_stream", "q224_bm25_retrieval", "q225_hybrid_rrf",
     "q226_dsv2_write", "q227_stream_dedup_gate", "q228_corpus_mixing",
     "q229_bpe_train", "q230_contamination_matrix", "q231_dsv2_stream_write",
-    "q232_winnowing_fingerprints"
+    "q232_winnowing_fingerprints",
+    // round 9 additions: dynamic partition pruning star, BPE encode
+    "q233_dpp_star"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -638,7 +638,75 @@ object ScalePatterns extends QueryModule {
        |ORDER BY exact_cnt DESC, w""".stripMargin
   }
 
+  // --------------------------------------------------------------- q233
+
+  /** q233: DYNAMIC partition pruning end-to-end — the bread-and-butter
+    * plan for a date-partitioned 100 TB fact (TPC-DS's
+    * store_sales ⋈ date_dim[d_year = N] shape, the single most important
+    * scan optimization Spark ships for partitioned layouts). The fact is
+    * a hive-partitioned copy of lineitem laid out by ship month
+    * (l_ship_ym = year·100 + month, ~80 directories over the generated 1995-2001 date
+    * range), landed ONCE per (session, dataset) through [[graft.StagingDirs]]
+    * exactly like q215's binary fixtures. The dim side is computed at
+    * RUNTIME — the distinct order months of 1997's urgent orders — so no
+    * static filter on the partition column exists anywhere in the query:
+    * the only way the scan can avoid reading all ~84 partitions is
+    * Catalyst's PartitionPruning rule inserting a `dynamicpruning#`
+    * subquery into the scan's PartitionFilters and reusing the join's
+    * broadcast as the filter source. `PlanSpec` pins exactly that (the
+    * pin FAILS if DPP does not fire), and a second pin counts the files
+    * the pruned scan actually touched (12 of ~80 months). The oracle
+    * replays the star join on the unpartitioned original — identical
+    * rows prove pruning changed the I/O, not the answer.
+    *
+    * Scale: at 1000 executors the unpruned scan reads 7 years of fact;
+    * the DPP'd scan reads 12 months' directories — the dim broadcast
+    * (≤12 rows) is the only extra cost. Revenue stays decimal-exact
+    * ([[Exact.money]]/[[Exact.rate]]) and surfaces as double.
+    */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dpp_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    // land the partitioned fact once per session+dataset: bench attempts
+    // must measure the PRUNED SCAN, not re-landing the layout
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+      Tables.lineitem(s, d)
+        .withColumn("l_ship_ym",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long"))
+        .write.mode("overwrite").partitionBy("l_ship_ym").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1997)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("d_ym"))
+      .distinct()
+    fact.join(dim, col("l_ship_ym") === col("d_ym"))
+      .groupBy(col("l_ship_ym").cast("long").as("ship_ym"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Exact.money(col("l_extendedprice")) *
+          (lit(1) - Exact.rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("ship_ym"))
+  }
+
+  private val q233Sql =
+    """WITH dim AS (
+      |  SELECT DISTINCT year(o_orderdate) * 100 + month(o_orderdate) AS d_ym
+      |  FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997)
+      |SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_ym,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN dim ON year(l_shipdate) * 100 + month(l_shipdate) = d_ym
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_dpp_star" -> q233,
     "q203_orc_roundtrip" -> q203,
     "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
@@ -656,6 +724,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q233_dpp_star" -> q233Sql,
     "q203_orc_roundtrip" -> q203Sql,
     "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,

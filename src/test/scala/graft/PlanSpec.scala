@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 /** Physical-plan shape assertions — the scale posture is part of the
   * contract, not an accident of the optimizer's mood. Each test pins a
   * plan property that must survive refactors: pushdown reaching the scan,
@@ -410,5 +412,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(lang), Not(EqualTo(lang,zh))]"),
       s"lang predicate not pushed into the ORC reader:\n$p")
     assert(!p.contains("doc_id"), s"unprojected column read from ORC scan:\n$p")
+  }
+
+  test("q233 star join prunes fact partitions DYNAMICALLY from the dim filter") {
+    // the registered query has NO static predicate on the partition
+    // column — if Catalyst's PartitionPruning rule doesn't inject the
+    // dynamicpruning# subquery into the fact scan's PartitionFilters,
+    // the scan reads all ~80 ship months and this pin fails
+    val df = SparkEntry.queries("q233_dpp_star")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("l_ship_ym"),
+      s"partition filter not on the layout column:\n$p")
+    // run it, then read the fact scan's own metrics: the pruned scan
+    // must report having read FEWER partitions than the layout holds
+    // (1997's 12 ship months of ~80) — plan-string evidence alone could
+    // mask a filter that never actually prunes
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val fact = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.getOrElse("Location", "").contains("graft_dpp_"))
+    assert(fact.isDefined, s"fact scan not found in executed plan:\n$p")
+    val readPartitions = fact.get.metrics("numPartitions").value
+    val layout = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dpp_" +
+        s"${spark.sparkContext.applicationId}_" +
+        sf0001.replaceAll("[^A-Za-z0-9.-]", "_"))
+    val stream = java.nio.file.Files.list(layout)
+    val totalPartitions =
+      try stream.iterator().asScala.count(
+        _.getFileName.toString.startsWith("l_ship_ym="))
+      finally stream.close()
+    // ≤12 of 1997's months carry urgent orders at this SF (11 at
+    // sf0.001); the layout holds the full 1995-2001 range (~80 dirs)
+    assert(readPartitions > 0 && readPartitions <= 12 &&
+      totalPartitions > 4 * readPartitions,
+      s"DPP did not prune: read $readPartitions of $totalPartitions partitions")
   }
 }
