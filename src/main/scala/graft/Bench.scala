@@ -96,7 +96,7 @@ object Bench {
     "q229_bpe_train", "q230_contamination_matrix", "q231_dsv2_stream_write",
     "q232_winnowing_fingerprints",
     // round 9 additions: dynamic partition pruning star, BPE encode
-    "q233_dpp_star"
+    "q233_dpp_star", "q234_bpe_encode"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -1468,15 +1468,17 @@ object CorpusOps extends QueryModule {
     * rides ONE word-keyed partitioning: the lead, the island windows and
     * the rebuild group share it with no extra exchange.
     */
-  private def bpeStep(vocab: DataFrame, stepNo: Int): (DataFrame, DataFrame) = {
+  private def bpeStep(vocab: DataFrame, stepNo: Int,
+                      weight: String = "freq",
+                      carry: Seq[String] = Seq("freq")): (DataFrame, DataFrame) = {
     val byW = Window.partitionBy(col("w")).orderBy(col("pos"))
     val m = vocab
-      .select(col("w"), col("freq"),
-        posexplode(split(col("s"), " ")).as(Seq("pos", "sym")))
+      .select(col("w") +: carry.map(col) :+
+        posexplode(split(col("s"), " ")).as(Seq("pos", "sym")): _*)
       .withColumn("nxt", lead(col("sym"), 1).over(byW))
     val best = m.filter(col("nxt").isNotNull)
       .groupBy(concat(col("sym"), lit(" "), col("nxt")).as("pair"))
-      .agg(sum(col("freq")).as("cnt"))
+      .agg(sum(col(weight)).as("cnt"))
       .orderBy(desc("cnt"), col("pair"))
       .limit(1)
       .localCheckpoint()
@@ -1496,7 +1498,7 @@ object CorpusOps extends QueryModule {
       .filter(!col("pk"))
       .withColumn("out",
         when(col("keep"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
-      .groupBy(col("w"), col("freq"))
+      .groupBy((col("w") +: carry.map(col)): _*)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("out")))),
           x => x.getField("out")), " ").as("s"))
@@ -1588,6 +1590,139 @@ object CorpusOps extends QueryModule {
       .map(k => s"SELECT CAST($k AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS n_occurrences FROM b$k")
       .mkString("\nUNION ALL\n")
     s"WITH $v0,\n${steps.mkString(",\n")}\n$union\nORDER BY step"
+  }
+
+  // --------------------------------------------------------------- q234
+
+  /** q234: BPE ENCODE — the pass a training-data pipeline actually runs
+    * at scale: APPLY a trained merge sequence to tokenize the corpus
+    * (q229 trains; training without encode is half a tokenizer). The
+    * tokenizer trains on the EVEN doc_ids and encodes EVERY document, a
+    * genuine train→serve split, spelled as ONE merge chain: the vocab
+    * carries two weights per distinct word — train-half token frequency
+    * (`freq_t`, drives each step's argmax exactly as if trained on the
+    * even half alone: encode-only words weigh 0 in the pair counts) and
+    * full-corpus frequency — so the 8 [[bpeStep]]s both LEARN the merges
+    * and APPLY them to all words in a single pass, half the work of two
+    * chains. Output is per-document encode statistics: words, chars,
+    * tokens after merging, multi-character (merged) tokens, and OOV
+    * tokens — single characters the training half never saw (the only
+    * OOV a byte/char-level BPE can have; merged units are in-vocabulary
+    * by construction).
+    *
+    * Scale: the merge chain is q229's (|distinct words|-keyed shuffles,
+    * 1-row argmax broadcast per step, localCheckpoint per step); the
+    * encode join keys corpus tokens to the |vocab| segmentation table on
+    * the word — the standard trained-tokenizer serve shape (at 100 TB the
+    * segmentation table is the artifact you'd persist and the token
+    * stream shuffles once on `w`); per-doc stats partial-aggregate on
+    * doc_id. The training charset rides as one collect_set broadcast.
+    */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val chars = expr(
+      "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    var vocab = words
+      .groupBy(col("w"))
+      .agg(count(when(col("doc_id") % 2 === 0, 1)).as("freq_t"),
+        count(lit(1)).as("freq_a"))
+      .withColumn("s", chars)
+      .localCheckpoint()
+    // charset of the TRAINING half, captured before any merge
+    val trainChars = vocab.filter(col("freq_t") > 0)
+      .select(explode(split(col("s"), " ")).as("c")).distinct()
+      .agg(collect_set(col("c")).as("cs"))
+    var k = 1
+    var exhausted = false
+    while (k <= 8 && !exhausted) {
+      val (next, best) =
+        bpeStep(vocab, k, weight = "freq_t", carry = Seq("freq_t", "freq_a"))
+      if (best.isEmpty) exhausted = true
+      else { vocab = next; k += 1 }
+    }
+    val wstats = vocab
+      .crossJoin(broadcast(trainChars))
+      .withColumn("syms", split(col("s"), " "))
+      .select(col("w"),
+        size(col("syms")).cast(LongType).as("n_tok_w"),
+        size(filter(col("syms"), x => length(x) > 1))
+          .cast(LongType).as("n_merged_w"),
+        size(filter(col("syms"),
+          x => length(x) === 1 && !array_contains(col("cs"), x)))
+          .cast(LongType).as("n_oov_w"))
+    words.join(wstats, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast(LongType).as("n_chars"),
+        sum(col("n_tok_w")).as("n_tokens"),
+        sum(col("n_merged_w")).as("n_merged_tokens"),
+        sum(col("n_oov_w")).as("n_oov_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[q234]]: the q229 CTE template with the two-weight
+    * vocabulary (argmax over `freq_t` only), then the charset, the
+    * per-word stats over the final segmentation, and the per-doc rollup.
+    */
+  private val q234Sql = {
+    val v0 =
+      s"""v0 AS (
+         |  SELECT w, freq_t, freq_a,
+         |    array_to_string(list_transform(range(1, length(w)+1),
+         |      i -> substring(w, CAST(i AS INT), 1)), ' ') AS s
+         |  FROM (SELECT tok AS w,
+         |          CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS freq_t,
+         |          CAST(COUNT(*) AS BIGINT) AS freq_a
+         |        FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |        GROUP BY 1))""".stripMargin
+    val steps = (1 to 8).map { k =>
+      s"""m$k AS (
+         |  SELECT w, freq_t, freq_a, pos, arr[CAST(pos AS INT)] AS sym,
+         |    lead(arr[CAST(pos AS INT)]) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM (SELECT w, freq_t, freq_a, string_split(s, ' ') AS arr,
+         |          unnest(range(1, len(string_split(s, ' '))+1)) AS pos
+         |        FROM v${k - 1})),
+         |b$k AS (
+         |  SELECT sym || ' ' || nxt AS pair, SUM(freq_t) AS cnt FROM m$k
+         |  WHERE nxt IS NOT NULL GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |p$k AS (
+         |  SELECT *, mark AND (pos - MIN(pos) OVER (PARTITION BY w, run)) % 2 = 0 AS keep
+         |  FROM (
+         |    SELECT *, CASE WHEN mark THEN
+         |        pos - ROW_NUMBER() OVER (PARTITION BY w, mark ORDER BY pos) END AS run
+         |    FROM (SELECT *, COALESCE(sym || ' ' || nxt = (SELECT pair FROM b$k), false) AS mark
+         |          FROM m$k))),
+         |v$k AS (
+         |  SELECT w, freq_t, freq_a,
+         |    string_agg(CASE WHEN keep THEN sym || nxt ELSE sym END, ' ' ORDER BY pos) AS s
+         |  FROM (SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY pos), false) AS pk
+         |        FROM p$k)
+         |  WHERE NOT pk GROUP BY w, freq_t, freq_a)""".stripMargin
+    }
+    s"""WITH $v0,
+       |${steps.mkString(",\n")},
+       |clist AS (
+       |  SELECT list(DISTINCT c) AS cs FROM (
+       |    SELECT unnest(string_split(s, ' ')) AS c FROM v0 WHERE freq_t > 0)),
+       |wstats AS (
+       |  SELECT w,
+       |    CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tok_w,
+       |    CAST(len(list_filter(string_split(s, ' '),
+       |      x -> length(x) > 1)) AS BIGINT) AS n_merged_w,
+       |    CAST(len(list_filter(string_split(s, ' '),
+       |      x -> length(x) = 1 AND NOT list_contains(cs, x))) AS BIGINT) AS n_oov_w
+       |  FROM v8 CROSS JOIN clist)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(ws.n_tok_w) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(ws.n_merged_w) AS BIGINT) AS n_merged_tokens,
+       |  CAST(SUM(ws.n_oov_w) AS BIGINT) AS n_oov_tokens
+       |FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) d
+       |JOIN wstats ws ON ws.w = d.w
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------- q228
@@ -1711,7 +1846,8 @@ object CorpusOps extends QueryModule {
     "q219_dup_spans" -> q219,
     "q224_bm25_retrieval" -> q224,
     "q228_corpus_mixing" -> q228,
-    "q229_bpe_train" -> q229
+    "q229_bpe_train" -> q229,
+    "q234_bpe_encode" -> q234
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1742,6 +1878,7 @@ object CorpusOps extends QueryModule {
     "q219_dup_spans" -> q219Sql,
     "q224_bm25_retrieval" -> q224Sql,
     "q228_corpus_mixing" -> q228Sql,
-    "q229_bpe_train" -> q229Sql
+    "q229_bpe_train" -> q229Sql,
+    "q234_bpe_encode" -> q234Sql
   )
 }
