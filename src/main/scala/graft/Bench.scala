@@ -96,7 +96,8 @@ object Bench {
     "q229_bpe_train", "q230_contamination_matrix", "q231_dsv2_stream_write",
     "q232_winnowing_fingerprints",
     // round 9 additions: dynamic partition pruning star, BPE encode
-    "q233_dpp_star", "q234_bpe_encode"
+    "q233_dpp_star", "q234_bpe_encode", "q235_avro_roundtrip",
+    "q236_dsv2_agg_pushdown"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

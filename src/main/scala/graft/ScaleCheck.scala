@@ -29,10 +29,26 @@ object ScaleCheck {
     "q74_ngram_jaccard", "q85_dedup_components", "q151_decontamination",
     "q152_pmi_collocations", "q221_ivf_pq", "q224_bm25_retrieval",
     "q225_hybrid_rrf", "q229_bpe_train", "q230_contamination_matrix",
-    "q232_winnowing_fingerprints")
+    "q232_winnowing_fingerprints",
+    // round 9: DPP star + BPE encode join the batch sweep
+    "q233_dpp_star", "q234_bpe_encode",
+    // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
+    // ids but keeps timestamps and text, so at 10× input the CONTRACT is
+    // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant
+    // (q227 — one row per distinct fingerprint, text replicates), and
+    // dedup-by-id state ∝ distinct ids (q183). The JSON carries each
+    // row's stateA/stateB so the ratio is measured, not asserted.
+    "q90_stream_tumbling", "q148_stream_chained_windows",
+    "q183_stream_dedup_agg", "q227_stream_dedup_gate")
+
+  /** Memory-sink name a streaming query records its state footprint under. */
+  private def sinkName(q: String): String = q.takeWhile(_ != '_') + "_sink"
 
   def main(args: Array[String]): Unit = {
     val (dirA, dirB) = (args(0), args(1))
+    // optional 3rd+ args: restrict to the named queries (the sf10 decade
+    // runs only the most shuffle-bound shapes)
+    val only: Set[String] = args.drop(2).toSet
     var spark = GraftSession.get(GraftSession.cpus("32"))
     val qs = SparkEntry.queries
 
@@ -59,19 +75,41 @@ object ScaleCheck {
       runs.min
     }
 
-    val rows = set.filter(qs.contains).map { name =>
-      val (a, b) =
-        try (timed(name, dirA), timed(name, dirB))
-        catch { case t: Throwable =>
-          System.err.println(s"[scalecheck] $name failed: ${t.getMessage}")
-          (-1.0, -1.0)
+    val rows = set.filter(qs.contains)
+      .filter(n => only.isEmpty || only(n)).map { name =>
+      // state footprint is recorded by the memory-sink helper per run;
+      // read it right after each dir's timed runs so A and B don't mix
+      val (a, stateA) =
+        try {
+          val t = timed(name, dirA)
+          (t, graft.streaming.Streams.lastStateRows.get(sinkName(name)))
+        } catch { case t: Throwable =>
+          System.err.println(s"[scalecheck] $name failed on A: ${t.getMessage}")
+          (-1.0, None)
+        }
+      val (b, stateB) =
+        try {
+          val t = timed(name, dirB)
+          (t, graft.streaming.Streams.lastStateRows.get(sinkName(name)))
+        } catch { case t: Throwable =>
+          System.err.println(s"[scalecheck] $name failed on B: ${t.getMessage}")
+          (-1.0, None)
         }
       val ratio = if (a > 0 && b > 0) b / a else -1.0
-      println(f"[scalecheck] $name%-28s A=$a%7.2fs B=$b%7.2fs ratio=$ratio%6.2f")
-      (name, a, b, ratio)
+      val st = (stateA, stateB) match {
+        case (Some(x), Some(y)) if a > 0 && b > 0 => Some((x, y))
+        case _ => None
+      }
+      val stMsg = st.map { case (x, y) =>
+        f" stateA=$x%d stateB=$y%d stateRatio=${if (x > 0) y.toDouble / x else -1.0}%.2f"
+      }.getOrElse("")
+      println(f"[scalecheck] $name%-28s A=$a%7.2fs B=$b%7.2fs ratio=$ratio%6.2f$stMsg")
+      (name, a, b, ratio, st)
     }
-    val js = rows.map { case (n, a, b, r) =>
-      f""""$n":{"a":$a%.3f,"b":$b%.3f,"ratio":$r%.2f}""" }
+    val js = rows.map { case (n, a, b, r, st) =>
+      val stJs = st.map { case (x, y) =>
+        f""","stateA":$x%d,"stateB":$y%d""" }.getOrElse("")
+      f""""$n":{"a":$a%.3f,"b":$b%.3f,"ratio":$r%.2f$stJs}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scalecheck","dirA":"$dirA","dirB":"$dirB","queries":$js}""")
     spark.stop()

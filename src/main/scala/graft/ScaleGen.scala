@@ -35,6 +35,13 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset — the second decade
+    // (sf1 → sf10) only needs the tables its query set reads, and the
+    // disk ceiling is real at 100× (r8 verdict #2)
+    val only: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def wanted(n: String) = only.isEmpty || only(n)
     val spark = GraftSession.get(GraftSession.cpus("32"))
 
     def load(n: String) = Tables(spark, src, n)
@@ -57,7 +64,7 @@ object ScaleGen {
       "embeddings" -> Map("vec_id" -> sVec),
       "nation" -> Map.empty, "region" -> Map.empty)
 
-    plans.foreach { case (name, keys) =>
+    plans.filter(p => wanted(p._1)).foreach { case (name, keys) =>
       val base = load(name)
       val out =
         if (keys.isEmpty) base
@@ -65,10 +72,21 @@ object ScaleGen {
       out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scalegen] $name: ${out.count()} rows -> $dst/$name.parquet")
     }
-    // events passes through (the streaming set is not part of the scale
-    // check; the file must still exist for Tables.events callers)
-    load("events").write.mode("overwrite").parquet(s"$dst/events.parquet")
-    println(s"[scalegen] events: copied through")
+    // events scales like the facts — copies shift event_id (and user_id,
+    // which some stateful queries key on) but keep TIMESTAMPS as-is, so
+    // at 10× input the event-time window count is unchanged: exactly the
+    // contrast the streaming state sweep measures (window-agg state
+    // constant, dedup-by-id state ∝ distinct ids — r8 verdict #5)
+    if (wanted("events")) {
+    val ev = load("events")
+    val sEvt = stride(ev, "event_id")
+    val sUsr = stride(ev, "user_id")
+    val evOut = (0 until copies)
+      .map(shifted(ev, Map("event_id" -> sEvt, "user_id" -> sUsr), _))
+      .reduce(_.unionAll(_))
+    evOut.write.mode("overwrite").parquet(s"$dst/events.parquet")
+    println(s"[scalegen] events: ${evOut.count()} rows -> $dst/events.parquet")
+    }
     spark.stop()
   }
 }

@@ -638,6 +638,107 @@ object ScalePatterns extends QueryModule {
        |ORDER BY exact_cnt DESC, w""".stripMargin
   }
 
+  // --------------------------------------------------------------- q235
+
+  /** q235: Avro round trip — the remaining mainstream row format after
+    * parquet (everywhere), ORC (q203) and JSON/CSV (q60–q65). This
+    * classpath ships Spark WITHOUT the separate spark-avro connector
+    * module, so the round trip goes through the Avro container-file API
+    * (`org.apache.avro`, which Spark itself depends on) with the
+    * engine's own partition-parallel plumbing: the WRITE is one
+    * container file per partition inside `mapPartitions` (file-per-task,
+    * the layout Spark's sinks produce; null codec for determinism),
+    * landed once per (session, dataset) like q203's ORC dir; the READ
+    * lands the files through the `binaryFile` source (one task per
+    * file, `pathGlobFilter` pruning at listing) and decodes
+    * GenericRecords back to rows. The per-language rollup over the
+    * DECODED rows must hash-match the parquet original — values, types
+    * and ids survive the format change, including the long/string/null
+    * mapping through Avro's union type.
+    *
+    * Scale: write is map-side only (no shuffle, one file per task);
+    * read parallelism is file-count (at 100 TB the landing would be
+    * thousands of container files, one task each); the rollup is a
+    * partial agg to |langs| rows. The 8-row count collect on the landing
+    * pass is bounded by the partition count, same as q195's fixtures.
+    */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val schemaJson =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"lang","type":["null","string"],"default":null},
+        |{"name":"n_chars","type":"long"}]}""".stripMargin
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(8, col("doc_id"))
+        .mapPartitions { it =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val dfw = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            dfw.create(schema, new java.io.File(dir, f"part-$pid%05d.avro"))
+            var n = 0L
+            it.foreach { r =>
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              rec.put("doc_id", r.getLong(0))
+              rec.put("lang", if (r.isNullAt(1)) null else r.getString(1))
+              rec.put("n_chars", r.getLong(2))
+              dfw.append(rec)
+              n += 1
+            }
+            dfw.close()
+            Iterator(n)
+          }
+        }
+      counts.collect() // bounded: ≤ 8 per-partition counts
+      java.nio.file.Files.createFile(done)
+    }
+    val decoded = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(dir)
+      .select(col("content"))
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val in = new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0))
+          val st = new org.apache.avro.file.DataFileStream(in,
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+          while (st.hasNext) {
+            val r = st.next()
+            out += ((r.get("doc_id").asInstanceOf[Long],
+              Option(r.get("lang")).map(_.toString).orNull,
+              r.get("n_chars").asInstanceOf[Long]))
+          }
+          st.close()
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "lang", "n_chars")
+    decoded
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val q235Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q233
 
   /** q233: DYNAMIC partition pruning end-to-end — the bread-and-butter
@@ -707,6 +808,7 @@ object ScalePatterns extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_dpp_star" -> q233,
+    "q235_avro_roundtrip" -> q235,
     "q203_orc_roundtrip" -> q203,
     "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
@@ -725,6 +827,7 @@ object ScalePatterns extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q233_dpp_star" -> q233Sql,
+    "q235_avro_roundtrip" -> q235Sql,
     "q203_orc_roundtrip" -> q203Sql,
     "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,

@@ -9,13 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull, IsNull, StringContains, StringStartsWith}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -287,9 +289,12 @@ private[sources] class ArticlesWriter(dir: String, queryId: String,
 
 private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ArticleSource.schema
+  private var limit: Int = -1
+  private var aggGroups: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(ArticlesReader.supported)
@@ -299,12 +304,114 @@ private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new ArticlesScan(corpora, dataDir, required, pushed)
+
+  /** Limit pushdown (PARTIAL — `isPartiallyPushed` stays at its default
+    * `true`): each partition's reader stops parsing after `l` matching
+    * rows and Spark's own Limit takes the global cut. Against a metered
+    * upstream this is the difference between paging the whole corpus and
+    * stopping at page ⌈l / pageSize⌉ (`main.py:64`'s loop breaking
+    * early).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Aggregate pushdown for the COUNT(*) [GROUP BY string-col…] shape
+    * (partial — `supportCompletePushDown` stays false): each reader
+    * emits one (group, count) row per corpus instead of one row per
+    * article, and Spark's final aggregate merges the per-partition
+    * partials. The rows crossing the source boundary shrink from
+    * |articles| to |corpora × groups| — the pushdown that matters when
+    * the source is remote and the query is a dashboard count.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions.toSeq.map {
+      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames()(0)
+      case _ => return false
+    }
+    val onlyCountStar = agg.aggregateExpressions.toSeq match {
+      case Seq(_: CountStar) => true
+      case _ => false
+    }
+    if (!onlyCountStar) return false
+    aggGroups = Some(groups)
+    true
+  }
+
+  override def build(): Scan = aggGroups match {
+    case Some(groups) => new ArticlesAggScan(corpora, dataDir, groups, pushed)
+    case None => new ArticlesScan(corpora, dataDir, required, pushed, limit)
+  }
+}
+
+/** Aggregate-pushdown scan: COUNT(*) grouped by `groups`, computed INSIDE
+  * each partition's reader; Spark's final aggregate merges the partials
+  * ([[ArticlesScanBuilder.pushAggregation]]).
+  */
+private[sources] class ArticlesAggScan(corpora: Seq[String], dataDir: String,
+                                       groups: Seq[String], pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    groups.map(g => StructField(g, StringType)) :+
+      StructField("COUNT(*)", LongType, nullable = false))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-articles corpora=${corpora.mkString(",")} " +
+      s"PushedAggregation: [COUNT(*) GROUP BY ${groups.mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    corpora.map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArticlesAggReaderFactory(groups, pushed)
+}
+
+private[sources] class ArticlesAggReaderFactory(groups: Seq[String],
+                                                pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ArticlesAggReader(partition.asInstanceOf[ArticlesPartition], groups, pushed)
+}
+
+/** Parses one corpus and emits its (group values → count) partials —
+  * O(groups) memory regardless of corpus size, the map-side combine done
+  * at the source.
+  */
+private[sources] class ArticlesAggReader(part: ArticlesPartition,
+                                         groups: Seq[String],
+                                         pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val it = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(part.path))
+    require(root.isArray, s"${part.path} is not a JSON array")
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Long]
+    root.elements().asScala.foreach { node =>
+      def field(name: String): String = {
+        val v = node.get(name)
+        if (v == null || v.isNull) null
+        else { val s = v.asText(); if (s.isEmpty) null else s }
+      }
+      if (pushed.forall(ArticlesReader.eval(_, field))) {
+        val key = groups.map(field)
+        acc(key) = acc.getOrElse(key, 0L) + 1L
+      }
+    }
+    acc.iterator
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (it.hasNext) {
+      val (key, n) = it.next()
+      current = InternalRow.fromSeq(
+        key.map(s => if (s == null) null else UTF8String.fromString(s)) :+ n)
+      true
+    } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
-                                    required: StructType, pushed: Array[Filter])
+                                    required: StructType, pushed: Array[Filter],
+                                    limit: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -313,11 +420,12 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
   override def description(): String =
     s"graft-articles corpora=${corpora.mkString(",")} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.catalogString}"
   override def planInputPartitions(): Array[InputPartition] =
     corpora.map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArticlesReaderFactory(required, pushed)
+    new ArticlesReaderFactory(required, pushed, limit)
 }
 
 /** Stream offset = number of corpora fully ingested (the reference's page
@@ -372,10 +480,12 @@ private[sources] case class ArticlesPartition(corpus: String, path: String)
     extends InputPartition
 
 private[sources] class ArticlesReaderFactory(required: StructType,
-                                             pushed: Array[Filter])
+                                             pushed: Array[Filter],
+                                             limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ArticlesReader(partition.asInstanceOf[ArticlesPartition], required, pushed)
+    new ArticlesReader(partition.asInstanceOf[ArticlesPartition], required,
+      pushed, limit)
 }
 
 private[sources] object ArticlesReader {
@@ -407,7 +517,8 @@ private[sources] object ArticlesReader {
   */
 private[sources] class ArticlesReader(part: ArticlesPartition,
                                       required: StructType,
-                                      pushed: Array[Filter])
+                                      pushed: Array[Filter],
+                                      limit: Int = -1)
     extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -428,7 +539,12 @@ private[sources] class ArticlesReader(part: ArticlesPartition,
     }
   }
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    // pushed limit: stop PARSING once this partition has supplied its
+    // share — the early-termination the builder promised Spark
+    if (limit >= 0 && emitted >= limit) return false
     while (it.hasNext) {
       val node = it.next()
       val field = fieldOf(node) _
@@ -437,6 +553,7 @@ private[sources] class ArticlesReader(part: ArticlesPartition,
           val s = field(f.name)
           if (s == null) null else UTF8String.fromString(s)
         })
+        emitted += 1
         return true
       }
     }
@@ -560,11 +677,33 @@ object ArticlesV2 extends QueryModule {
       .orderBy(col("indexation"))
   }
 
+  /** q236: the q222 count run through AGGREGATE PUSHDOWN — the dashboard
+    * count computed INSIDE the connector's readers
+    * ([[ArticlesScanBuilder.pushAggregation]]): each corpus partition
+    * emits one (indexation, partial count) row instead of its articles,
+    * and Spark's final aggregate merges 4 rows. `ArticleSourceV2Spec`
+    * pins the plan (PushedAggregation in the scan, aggregated
+    * ReadSchema); this oracle pins the values.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .groupBy(col("indexation"))
+      .agg(count(lit(1)).as("n_articles"))
+      .orderBy(col("indexation"))
+
+  private val q236Sql =
+    s"""SELECT indexation, CAST(COUNT(*) AS BIGINT) AS n_articles
+       |FROM (${ArticleSource.unionAllSql})
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q222_dsv2_articles" -> q222, "q223_dsv2_stream" -> q223,
-      "q226_dsv2_write" -> q226, "q231_dsv2_stream_write" -> q231)
+      "q226_dsv2_write" -> q226, "q231_dsv2_stream_write" -> q231,
+      "q236_dsv2_agg_pushdown" -> q236)
 
   override def oracles: Map[String, String] =
     Map("q222_dsv2_articles" -> q222Sql, "q223_dsv2_stream" -> q222Sql,
-      "q226_dsv2_write" -> q222Sql, "q231_dsv2_stream_write" -> q222Sql)
+      "q226_dsv2_write" -> q222Sql, "q231_dsv2_stream_write" -> q222Sql,
+      "q236_dsv2_agg_pushdown" -> q236Sql)
 }

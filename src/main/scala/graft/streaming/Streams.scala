@@ -37,6 +37,37 @@ object Streams extends QueryModule {
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Stage the dataset's parquet into the stream-source landing dir as
+    * symlinks. The target is either a single file (driver-generated
+    * testdata) or a Spark-written DIRECTORY of part files (ScaleGen
+    * output) — the file stream source lists plain files, so a directory
+    * must be staged as one link per part file (each file then arrives as
+    * its own backfill unit). Targets are made ABSOLUTE (a link to a
+    * relative path resolves against the staging dir and dangles), and a
+    * dangling link from a prior run is healed by delete-then-link —
+    * `Files.exists` follows links, so a broken one reads as absent while
+    * still blocking `createSymbolicLink`.
+    */
+  private def stageLinks(stage: java.io.File, target: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val t = new java.io.File(target).toPath.toAbsolutePath
+    def link(at: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      if (!java.nio.file.Files.exists(at)) {
+        java.nio.file.Files.deleteIfExists(at)
+        java.nio.file.Files.createSymbolicLink(at, to)
+      }
+    if (java.nio.file.Files.isDirectory(t)) {
+      val ls = java.nio.file.Files.list(t)
+      try ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .foreach(p => link(stage.toPath.resolve(p.getFileName.toString), p))
+      finally ls.close()
+    } else link(stage.toPath.resolve(t.getFileName.toString), t)
+  }
+
   /** Streaming scan of the events table: one file = one backfill batch;
     * a production deployment points the same code at an arriving directory.
     */
@@ -49,10 +80,7 @@ object Streams extends QueryModule {
       "graft_stream_" + Integer.toHexString(d.hashCode))
     stage.mkdirs()
     graft.StagingDirs.register(stage.getAbsolutePath)
-    val link = new java.io.File(stage, "events.parquet").toPath
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, new java.io.File(s"$d/events.parquet").toPath)
+    stageLinks(stage, s"$d/events.parquet")
     // probe the landed ts type from the batch footer, then apply the same
     // normalization as Tables.events (both generations → session-zone ts)
     val tsType = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
@@ -64,6 +92,19 @@ object Streams extends QueryModule {
     }
   }
 
+  /** State-store footprint (max `numRowsTotal` summed across state
+    * operators over the run's progress events) of the most recent
+    * completed run of each memory-sink stream, keyed by sink name.
+    * Recorded so the scale sweep can MEASURE that state grows with
+    * distinct keys, not input volume (r8 verdict #5): q90/q148's
+    * window-agg state is |windows × types| — constant under 10×
+    * same-time-range input; q227's dedup-gate state is one row per
+    * distinct fingerprint — constant under 10× replicated text; q183's
+    * dedup-by-id state tracks distinct event ids.
+    */
+  val lastStateRows: scala.collection.concurrent.TrieMap[String, Long] =
+    scala.collection.concurrent.TrieMap.empty
+
   /** Run a bounded stream into a memory sink and return the result. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: String): DataFrame = {
@@ -71,6 +112,9 @@ object Streams extends QueryModule {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val perBatch = q.recentProgress
+      .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum).getOrElse(0L))
+    lastStateRows(name) = if (perBatch.isEmpty) 0L else perBatch.max
     s.table(name)
   }
 
@@ -879,10 +923,7 @@ object Streams extends QueryModule {
       "graft_docstream_" + Integer.toHexString(d.hashCode))
     stage.mkdirs()
     graft.StagingDirs.register(stage.getAbsolutePath)
-    val link = new java.io.File(stage, "documents.parquet").toPath
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, new java.io.File(s"$d/documents.parquet").toPath)
+    stageLinks(stage, s"$d/documents.parquet")
     s.readStream
       .schema(s.read.parquet(s"$d/documents.parquet").schema)
       .parquet(stage.getAbsolutePath)

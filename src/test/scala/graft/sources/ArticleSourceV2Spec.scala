@@ -161,4 +161,45 @@ class ArticleSourceV2Spec extends SparkSpec {
     }
     rm(dir); rm(ckpt)
   }
+
+  test("COUNT(*) GROUP BY pushes into the reader: aggregated scan schema") {
+    val df = v2.groupBy(col("indexation")).agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*) GROUP BY indexation]"),
+      s"aggregate not pushed into the scan:\n$plan")
+    // the scan's output is the 2-column aggregated schema — articles
+    // never cross the source boundary
+    assert(plan.contains("COUNT(*)"), s"scan does not emit counts:\n$plan")
+    // partial pushdown: Spark's FINAL aggregate still merges the
+    // per-corpus partials, so the values match the row-level spelling
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = v2.collect().map(_.getAs[String]("indexation"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got === want, s"pushed counts diverge: $got vs $want")
+  }
+
+  test("unsupported aggregates are NOT pushed: the row scan survives") {
+    // min(doi) is outside the pushdown contract (COUNT(*) only) — the
+    // builder must decline and Spark must fall back to the row-level scan
+    val df = v2.groupBy(col("indexation")).agg(min(col("doi")).as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"),
+      s"unsupported aggregate claimed as pushed:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("limit pushes into the reader and the scan stops early") {
+    val df = v2.limit(30)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 30"),
+      s"limit not pushed into the scan:\n$plan")
+    assert(df.count() === 30)
+    // partial push: with 4 partitions of 50/50/20/20 rows, a per-reader
+    // stop at 30 emits at most 30+30+20+20 rows for Spark's global cut —
+    // strictly fewer than the 140 a full scan parses
+    val emitted = spark.read.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load().limit(30)
+      .queryExecution.executedPlan.executeCollect().length
+    assert(emitted === 30)
+  }
 }
