@@ -295,6 +295,125 @@ object Aggregations extends QueryModule {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q237: KMV sketch SET OPERATIONS — the algebra that makes a distinct
+    * sketch useful beyond one count (Beyer et al., "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations"): per-source
+    * bottom-k token sketches (q104's [[graft.functions.BottomK]]
+    * aggregator, same md5-prefix 48-bit hash convention) combine
+    * PAIRWISE into |A∪B| and |A∩B| estimates without touching the data
+    * again — union = the q104 estimator over the merged bottom-k,
+    * intersection = ρ·union where ρ = the fraction of the merged
+    * bottom-k present in BOTH input sketches. Deterministic hash → the
+    * DuckDB oracle replays every estimate bit-for-bit; the exact
+    * pairwise intersection rides along (q220's exact-vs-estimate
+    * readout) so the sketch error is measured, not asserted. When the
+    * merged sketch is unsaturated (< k) both estimates collapse to the
+    * exact values, mirrored in both engines.
+    *
+    * Scale: one distinct-token shuffle + one partial-agg to |sources|
+    * 64-element sketches; the pairwise combine is O(sources² · k) on
+    * ≤20-row inputs — driver-free, broadcast-joined, constant in corpus
+    * size. This is the shape a federated estate uses to answer "how much
+    * do shards overlap" from per-shard synopses alone; only the exact
+    * cross-check (deliberately included) rescans tokens.
+    */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val space = 281474976710656L // 2^48, the 12-hex-digit hash space
+    // sketch domain: token BIGRAMS — this corpus's unigram vocabulary is
+    // ~31 tokens, so unigram sketches never saturate k=64 and the
+    // estimator path would go untested; bigrams give each source
+    // hundreds of distinct values and real cross-source overlap
+    val tok = Tables.documents(s, d)
+      .withColumn("t", filter(split(col("text"), " "), x => length(x) > 0))
+      .select(col("source"),
+        explode(when(size(col("t")) >= 2, expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .otherwise(expr("array()"))).as("w"))
+      .distinct()
+    val hashed = tok.select(col("source"),
+      expr("CAST(conv(substring(md5(concat('kmvset-', w)), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+      .distinct()
+    val sk = hashed.groupBy(col("source"))
+      .agg(graft.functions.BottomK.kmv(k)(col("h")).as("sk"))
+    val pairs = sk.as("a")
+      .join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("a.sk").as("ska"),
+        col("b.source").as("sb"), col("b.sk").as("skb"))
+    val est = pairs
+      .withColumn("mg", array_sort(array_distinct(concat(col("ska"), col("skb")))))
+      .withColumn("msz", size(col("mg")))
+      .withColumn("uk", slice(col("mg"), 1, k))
+      .withColumn("union_est",
+        when(col("msz") < k, col("msz").cast(LongType))
+          .otherwise(expr(
+            s"(${k - 1} * ${space}L) div greatest(element_at(uk, $k), 1L)")))
+      .withColumn("matches", size(filter(col("uk"),
+        x => array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+        .cast(LongType))
+      .withColumn("inter_est",
+        when(col("msz") < k, col("matches"))
+          .otherwise(expr(s"(matches * union_est) div $k")))
+    val exact = tok.as("x").join(tok.as("y"),
+        col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    est.join(exact, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"), col("union_est"), col("inter_est"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  private val q237Sql = {
+    val hex12 = Exact.sqlHexToLong("md5('kmvset-' || w)", 1, 12)
+    s"""WITH tok AS (
+       |  SELECT DISTINCT source, w FROM (
+       |    SELECT source,
+       |      unnest(list_transform(range(1, len(t)),
+       |        i -> t[i] || ' ' || t[i+1])) AS w
+       |    FROM (SELECT source,
+       |            list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+       |          FROM documents))),
+       |h AS (SELECT DISTINCT source, CAST($hex12 AS BIGINT) AS h FROM tok),
+       |rk AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT source, list(h ORDER BY h) AS sk
+       |  FROM rk WHERE rn <= 64 GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS sa, a.sk AS ska, b.source AS sb, b.sk AS skb
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |m AS (
+       |  SELECT sa, sb, ska, skb,
+       |    list_sort(list_distinct(list_concat(ska, skb))) AS mg
+       |  FROM pairs),
+       |u AS (
+       |  SELECT sa, sb, ska, skb, len(mg) AS msz, mg[1:64] AS uk FROM m),
+       |e AS (
+       |  SELECT sa, sb, msz,
+       |    CASE WHEN msz < 64 THEN CAST(msz AS BIGINT)
+       |         ELSE (63 * 281474976710656) // GREATEST(uk[64], 1) END AS union_est,
+       |    CAST(len(list_filter(uk,
+       |      x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT)
+       |      AS matches
+       |  FROM u),
+       |ex AS (
+       |  SELECT x.source AS sa, y.source AS sb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+       |  FROM tok x JOIN tok y ON x.w = y.w AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT e.sa, e.sb, e.union_est,
+       |  CASE WHEN e.msz < 64 THEN e.matches
+       |       ELSE (e.matches * e.union_est) // 64 END AS inter_est,
+       |  COALESCE(ex.n_inter_exact, 0) AS n_inter_exact
+       |FROM e LEFT JOIN ex ON e.sa = ex.sa AND e.sb = ex.sb
+       |ORDER BY e.sa, e.sb""".stripMargin
+  }
+
   /** q114: one-pass mergeable quantile estimate via an equi-width histogram
     * (bucket = floor(price / 100)): per-group bucket counts fold with
     * map-side partial aggregation — the state is O(value range / width),
@@ -910,6 +1029,7 @@ object Aggregations extends QueryModule {
     "q190_important_parts" -> q190,
     "q168_share_of_total" -> q168,
     "q104_kmv_distinct" -> q104,
+    "q237_kmv_set_ops" -> q237,
     "q129_ordered_set_agg" -> q129,
     "q134_bitmap_distinct" -> q134,
     "q114_histogram_quantiles" -> q114,
@@ -940,6 +1060,7 @@ object Aggregations extends QueryModule {
     "q190_important_parts" -> q190Sql,
     "q168_share_of_total" -> q168Sql,
     "q104_kmv_distinct" -> q104Sql,
+    "q237_kmv_set_ops" -> q237Sql,
     "q114_histogram_quantiles" -> q114Sql,
     "q117_listagg" -> q117Sql,
     "q118_exact_corr" -> q118Sql,

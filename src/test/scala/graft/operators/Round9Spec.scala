@@ -85,6 +85,25 @@ class Round9Spec extends SparkSpec {
       s"oov column disagrees with the charset split (unseen chars: ${allChars -- trainChars})")
   }
 
+  test("q237 KMV set ops: sketches saturate and estimates track exact overlap") {
+    val rows = SparkEntry.queries("q237_kmv_set_ops")(spark, sf001).collect()
+    assert(rows.length === 190, s"expected C(20,2) source pairs, got ${rows.length}")
+    // the whole point of the bigram domain: k=64 sketches must SATURATE
+    // (union_est via the estimator, not the exact-collapse path)
+    assert(rows.forall(_.getLong(2) > 64),
+      "a union estimate fell below k - the estimator path is untested")
+    // estimate quality: mean relative intersection error well under the
+    // 1/sqrt(k) ~ 12.5% theory bound's ballpark (allow 3x for small sets)
+    val errs = rows.map { r =>
+      val est = r.getLong(3).toDouble
+      val exact = math.max(r.getLong(4), 1L).toDouble
+      math.abs(est - exact) / exact
+    }
+    val mean = errs.sum / errs.length
+    info(f"mean KMV intersection error = $mean%.3f")
+    assert(mean < 0.375, f"mean intersection error $mean%.3f out of bounds")
+  }
+
   test("q235 Avro landing is file-per-partition and decode covers every row") {
     SparkEntry.queries("q235_avro_roundtrip")(spark, sf0001).collect()
     val dir = new java.io.File(
