@@ -526,6 +526,77 @@ object CorpusOps extends QueryModule {
        |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp
        |GROUP BY comp ORDER BY comp""".stripMargin
 
+  // --------------------------------------------------------------- q238
+
+  /** q238: LEAKAGE-SAFE train/val/test split — the assignment step every
+    * LLM data pipeline must get right: splitting DOCUMENTS independently
+    * leaks near-duplicates across the train/eval boundary (a test doc's
+    * near-copy in train inflates eval), so the unit of assignment is the
+    * NEAR-DUP GROUP: q85's connected components over [[nearDupEdges]],
+    * with untouched docs as singleton groups. Each group lands in one
+    * split by the q48 seed-free hash bucket of its group id (80/10/10),
+    * so membership is deterministic, partitioning-independent, and
+    * reproducible across engines. The output carries the proof: the
+    * per-split rollup rides with `cross_split_edges` — the count of
+    * near-dup pairs whose endpoints landed in different splits, ZERO by
+    * construction and verified by both engines (an oracle-checked
+    * invariant, not an assertion).
+    *
+    * Scale: the component fixpoint is O(near-dup pairs) (q85's loop);
+    * the assignment is a map-side hash on the group id; the leakage
+    * audit joins the edge sliver (not the corpus) to the assignment
+    * twice. Splitting by group instead of doc costs one extra
+    * left join against the component labels — the whole price of
+    * leak-freedom.
+    */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val edges = nearDupEdges(s, d)
+    val comp = components(s, edges)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val asg = docs.join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("grp"))
+      .withColumn("b", expr(
+        "CAST(conv(substring(md5(concat('split-', CAST(grp AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test"))
+    val cross = edges
+      .join(asg.select(col("doc_id").as("da"), col("split").as("spa")), "da")
+      .join(asg.select(col("doc_id").as("db"), col("split").as("spb")), "db")
+      .filter(col("spa") =!= col("spb"))
+      .agg(count(lit(1)).as("cross_split_edges"))
+    asg.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("n_chars")).as("n_chars"))
+      .crossJoin(broadcast(cross))
+      .orderBy(col("split"))
+  }
+
+  private lazy val q238Sql = {
+    val hex7 = graft.Exact.sqlHexToLong("md5('split-' || grp)", 1, 7)
+    s"""WITH RECURSIVE $componentsCteSql,
+       |asg AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |spl AS (
+       |  SELECT doc_id, n_chars, grp,
+       |    CASE WHEN ($hex7) % 100 < 80 THEN 'train'
+       |         WHEN ($hex7) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM asg),
+       |x AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS cross_split_edges
+       |  FROM bi JOIN spl sa ON bi.a = sa.doc_id
+       |          JOIN spl sb ON bi.b = sb.doc_id
+       |  WHERE bi.a < bi.b AND sa.split <> sb.split)
+       |SELECT spl.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  (SELECT cross_split_edges FROM x) AS cross_split_edges
+       |FROM spl GROUP BY spl.split ORDER BY spl.split""".stripMargin
+  }
+
   // --------------------------------------------------------------- q125
 
   /** q125: BFS reachability over the near-dup graph via Spark 4's
@@ -1847,7 +1918,8 @@ object CorpusOps extends QueryModule {
     "q224_bm25_retrieval" -> q224,
     "q228_corpus_mixing" -> q228,
     "q229_bpe_train" -> q229,
-    "q234_bpe_encode" -> q234
+    "q234_bpe_encode" -> q234,
+    "q238_leakage_safe_split" -> q238
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1879,6 +1951,7 @@ object CorpusOps extends QueryModule {
     "q224_bm25_retrieval" -> q224Sql,
     "q228_corpus_mixing" -> q228Sql,
     "q229_bpe_train" -> q229Sql,
-    "q234_bpe_encode" -> q234Sql
+    "q234_bpe_encode" -> q234Sql,
+    "q238_leakage_safe_split" -> q238Sql
   )
 }

@@ -638,6 +638,54 @@ object ScalePatterns extends QueryModule {
        |ORDER BY exact_cnt DESC, w""".stripMargin
   }
 
+  // --------------------------------------------------------------- q239
+
+  /** q239: SCHEMA EVOLUTION across landed batches — the reality of any
+    * multi-year 100 TB estate: early batches were written before a
+    * column existed. Two parquet batches land with different (compatible)
+    * schemas — v1 carries (o_orderkey, o_totalprice) for the even keys,
+    * v2 adds `o_orderpriority` for the odd keys — and ONE
+    * `mergeSchema=true` read unions the footers: v1 rows surface the
+    * added column as NULL, which the rollup folds to a
+    * '(pre-evolution)' bucket. The oracle replays the evolution from the
+    * unsplit original, so the hash match proves no value, type, or row
+    * was harmed by reading across schema versions.
+    *
+    * Scale: mergeSchema reconciles FOOTERS (per-file metadata, not
+    * data); column pruning and filter pushdown still apply per batch.
+    * The landing is once per (session, dataset), the q203/q233
+    * discipline.
+    */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_schevo_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/v2")
+      java.nio.file.Files.createFile(done)
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+        .as("prio"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("prio"))
+  }
+
+  private val q239Sql =
+    s"""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+       |                '(pre-evolution)') AS prio,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q235
 
   /** q235: Avro round trip — the remaining mainstream row format after
@@ -809,6 +857,7 @@ object ScalePatterns extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
+    "q239_schema_evolution" -> q239,
     "q203_orc_roundtrip" -> q203,
     "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
@@ -828,6 +877,7 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
+    "q239_schema_evolution" -> q239Sql,
     "q203_orc_roundtrip" -> q203Sql,
     "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,
