@@ -638,6 +638,66 @@ object ScalePatterns extends QueryModule {
        |ORDER BY exact_cnt DESC, w""".stripMargin
   }
 
+  // --------------------------------------------------------------- q240
+
+  /** q240: FUZZY JOIN via deletion neighborhoods (FastSS, Bocek et al.) —
+    * the scalable spelling of record linkage at edit distance ≤ 1: two
+    * strings are within Levenshtein 1 iff their 1-deletion neighborhoods
+    * (the string itself plus every single-character deletion) intersect,
+    * so candidate generation is an EQUI-join on the variant key —
+    * O(n·len) candidate rows — instead of the n² all-pairs comparison
+    * the naive spelling needs. Candidates are then verified with the
+    * exact `levenshtein` (computed only on the candidate sliver), and
+    * the readout is the neighbor-count histogram over supplier names
+    * (dense distance-1 structure in their numeric suffixes). The oracle
+    * replays neighborhood, join, and verification — including DuckDB's
+    * own `levenshtein` — so the equivalence of the two engines' edit
+    * distances is part of the check.
+    *
+    * Scale: variants explode ×(len+1) but shuffle ONCE on the variant
+    * key; the verification joins nothing back to the corpus. This is the
+    * q144-binning idea applied to string space: quantize so the join has
+    * an equi key, verify the residual exactly.
+    */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val variants = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("k"), col("s_name").as("n"),
+        explode(expr(
+          "array_union(array(s_name), transform(sequence(1, length(s_name))," +
+            " i -> concat(substring(s_name, 1, i - 1)," +
+            " substring(s_name, i + 1, length(s_name)))))")).as("v"))
+    val cand = variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.k") < col("b.k"))
+      .select(col("a.k").as("ka"), col("a.n").as("na"),
+        col("b.k").as("kb"), col("b.n").as("nb"))
+      .distinct()
+    val pairs = cand.filter(levenshtein(col("na"), col("nb")) <= 1)
+    pairs.select(col("ka").as("k"))
+      .unionAll(pairs.select(col("kb").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_neighbors"))
+      .groupBy(col("n_neighbors")).agg(count(lit(1)).as("n_names"))
+      .orderBy(col("n_neighbors"))
+  }
+
+  private val q240Sql =
+    """WITH v AS (
+      |  SELECT s_suppkey AS k, s_name AS n,
+      |    unnest(list_distinct(list_concat([s_name],
+      |      list_transform(range(1, length(s_name) + 1),
+      |        i -> substring(s_name, 1, i - 1)
+      |             || substring(s_name, i + 1, length(s_name)))))) AS v
+      |  FROM supplier),
+      |cand AS (
+      |  SELECT DISTINCT a.k AS ka, a.n AS na, b.k AS kb, b.n AS nb
+      |  FROM v a JOIN v b ON a.v = b.v AND a.k < b.k),
+      |pairs AS (SELECT * FROM cand WHERE levenshtein(na, nb) <= 1),
+      |pern AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      |  FROM (SELECT ka AS k FROM pairs UNION ALL SELECT kb FROM pairs)
+      |  GROUP BY 1)
+      |SELECT n_neighbors, CAST(COUNT(*) AS BIGINT) AS n_names
+      |FROM pern GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q239
 
   /** q239: SCHEMA EVOLUTION across landed batches — the reality of any
@@ -858,6 +918,7 @@ object ScalePatterns extends QueryModule {
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
+    "q240_fuzzy_join" -> q240,
     "q203_orc_roundtrip" -> q203,
     "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
@@ -878,6 +939,7 @@ object ScalePatterns extends QueryModule {
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,
+    "q240_fuzzy_join" -> q240Sql,
     "q203_orc_roundtrip" -> q203Sql,
     "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,

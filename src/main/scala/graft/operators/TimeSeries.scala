@@ -584,7 +584,63 @@ object TimeSeries extends QueryModule {
       |FROM tri WHERE m3 IS NOT NULL
       |GROUP BY 1 ORDER BY n_windows DESC, motif LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q241
+
+  /** q241: INTERVAL CONCURRENCY via the sweep line — how many 5-minute
+    * event intervals overlap at once, per event type (the "peak
+    * concurrent sessions/jobs/streams" question every capacity audit
+    * asks). The naive spelling self-joins intervals on overlap — Θ(n²)
+    * per hot window; the sweep line converts each interval to a +1/−1
+    * delta, sorts once per type, and reads the peak off a running sum —
+    * one exchange, O(n log n), the classic event-calculus rewrite. At
+    * equal timestamps ends process BEFORE starts (delta ascending), the
+    * closed-open [ts, ts+5m) convention, so back-to-back intervals never
+    * count as concurrent — pinned by both engines computing identical
+    * peaks.
+    *
+    * Scale: one (type)-keyed exchange carrying 2 rows per event; the
+    * running sum rides a single sort. With a skewed type, the sweep
+    * still beats the join — salting splits the TIME RANGE, not the key,
+    * and per-range peaks merge with boundary offsets (the standard
+    * parallel-sweep refinement, not needed at these volumes).
+    */
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"),
+        (col("ts") + expr("interval 5 minutes")).as("te"))
+    val deltas = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_type"), col("te").as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("event_type"))
+      .agg((count(lit(1)) / 2).cast(LongType).as("n_events"),
+        max(col("conc")).as("max_concurrency"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q241Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS te
+      |  FROM events),
+      |deltas AS (
+      |  SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS delta FROM ev
+      |  UNION ALL
+      |  SELECT event_type, te, -1 FROM ev),
+      |sw AS (
+      |  SELECT event_type,
+      |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM deltas)
+      |SELECT event_type, CAST(COUNT(*) / 2 AS BIGINT) AS n_events,
+      |  CAST(MAX(conc) AS BIGINT) AS max_concurrency
+      |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_max_concurrency" -> q241,
     "q181_sax_motifs" -> q181,
     "q177_distribution_drift" -> q177,
     "q163_volume_anomaly" -> q163,
@@ -599,6 +655,7 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q241_max_concurrency" -> q241Sql,
     "q181_sax_motifs" -> q181Sql,
     "q177_distribution_drift" -> q177Sql,
     "q163_volume_anomaly" -> q163Sql,
