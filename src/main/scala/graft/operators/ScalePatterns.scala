@@ -638,6 +638,64 @@ object ScalePatterns extends QueryModule {
        |ORDER BY exact_cnt DESC, w""".stripMargin
   }
 
+  // --------------------------------------------------------------- q242
+
+  /** q242: SMALL-FILE COMPACTION — the maintenance pass every long-lived
+    * estate runs: streaming/incremental landings leave thousands of tiny
+    * part files, and at 100 TB the file COUNT (listing, footer reads,
+    * task-launch overhead, NameNode/manifest pressure) costs more than
+    * the bytes. The operator lands documents deliberately fragmented
+    * (32 files), then compacts by TARGET FILE SIZE: total bytes are
+    * measured from the fragmented layout's own file metadata (a
+    * listing-only pass — no data read), the file count is derived as
+    * ⌈bytes / target⌉, and one `repartition(n)` rewrite produces the
+    * compacted layout. The re-read's rollup hash-matches the oracle on
+    * the ORIGINAL table — compaction moved bytes, not values — and
+    * `Round9Spec` pins the physical contract (file count collapses,
+    * rows survive byte-identically).
+    *
+    * Scale: the rewrite is one round-robin shuffle of the fragment set;
+    * nothing is driver-side except the ⌈bytes/target⌉ scalar. Real
+    * estates add partition-boundary respect (compact WITHIN partitions:
+    * q233's layout + one repartition per partition-value) — same plan,
+    * keyed shuffle instead of round-robin.
+    */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      // the fragmented landing a micro-batched ingest leaves behind
+      Tables.documents(s, d).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/fragmented")
+      // size the compaction from the layout's own metadata: listing-only
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/fragmented"))
+      val bytes =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Files.size(p)).sum
+        finally ls.close()
+      val target = 1L << 20 // 1 MiB target files at test scale
+      val nFiles = math.max(1L, (bytes + target - 1) / target).toInt
+      s.read.parquet(s"$dir/fragmented").repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$dir/compacted")
+      java.nio.file.Files.createFile(done)
+    }
+    s.read.parquet(s"$dir/compacted")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val q242Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q240
 
   /** q240: FUZZY JOIN via deletion neighborhoods (FastSS, Bocek et al.) —
@@ -919,6 +977,7 @@ object ScalePatterns extends QueryModule {
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
     "q240_fuzzy_join" -> q240,
+    "q242_compaction" -> q242,
     "q203_orc_roundtrip" -> q203,
     "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
@@ -940,6 +999,7 @@ object ScalePatterns extends QueryModule {
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,
     "q240_fuzzy_join" -> q240Sql,
+    "q242_compaction" -> q242Sql,
     "q203_orc_roundtrip" -> q203Sql,
     "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,

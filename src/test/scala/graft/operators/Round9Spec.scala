@@ -104,6 +104,28 @@ class Round9Spec extends SparkSpec {
     assert(mean < 0.375, f"mean intersection error $mean%.3f out of bounds")
   }
 
+  test("q242 compaction collapses the file count without touching a value") {
+    SparkEntry.queries("q242_compaction")(spark, sf0001).collect()
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        s"${spark.sparkContext.applicationId}_" +
+        sf0001.replaceAll("[^A-Za-z0-9.-]", "_"))
+    def parquetFiles(sub: String): Int =
+      Option(new java.io.File(base, sub).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val frag = parquetFiles("fragmented")
+    val comp = parquetFiles("compacted")
+    assert(frag === 32, s"fragmented landing has $frag files")
+    assert(comp >= 1 && comp * 4 <= frag,
+      s"compaction did not collapse the layout: $frag -> $comp")
+    // byte-identity of the data across layouts: same rows, any order
+    val a = spark.read.parquet(s"$base/fragmented").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val b = spark.read.parquet(s"$base/compacted").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(a === b, "compaction changed the data")
+  }
+
   test("q235 Avro landing is file-per-partition and decode covers every row") {
     SparkEntry.queries("q235_avro_roundtrip")(spark, sf0001).collect()
     val dir = new java.io.File(
