@@ -730,8 +730,9 @@ object ScalePatterns extends QueryModule {
         col("b.k").as("kb"), col("b.n").as("nb"))
       .distinct()
     val pairs = cand.filter(levenshtein(col("na"), col("nb")) <= 1)
-    pairs.select(col("ka").as("k"))
-      .unionAll(pairs.select(col("kb").as("k")))
+    // both endpoints via ONE explode, not a unionAll of two selects — a
+    // union would duplicate the whole candidate-join subtree in the plan
+    pairs.select(explode(array(col("ka"), col("kb"))).as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n_neighbors"))
       .groupBy(col("n_neighbors")).agg(count(lit(1)).as("n_names"))
       .orderBy(col("n_neighbors"))

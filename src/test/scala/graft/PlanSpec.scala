@@ -414,6 +414,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("doc_id"), s"unprojected column read from ORC scan:\n$p")
   }
 
+  test("q240 fuzzy join is ONE equi join on the variant key, never all-pairs") {
+    val p = plan("q240_fuzzy_join")
+    // FastSS's whole point: candidates come from an equi join on the
+    // deletion-variant key with levenshtein only as a residual
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+    assert(p.contains("levenshtein"), s"no exact verification residual:\n$p")
+    val joins = "BroadcastHashJoin|SortMergeJoin".r.findAllIn(p).size
+    assert(joins == 1,
+      s"expected exactly one candidate join, got $joins (duplicated subtree?):\n$p")
+  }
+
+  test("q241 sweep line rides ONE type-keyed exchange into the running sum") {
+    val p = plan("q241_max_concurrency")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"sweep line re-shuffles:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, s"no running-sum window:\n$p")
+    assert(!p.contains("Join"), s"interval overlap planned as a join:\n$p")
+  }
+
   test("q233 star join prunes fact partitions DYNAMICALLY from the dim filter") {
     // the registered query has NO static predicate on the partition
     // column — if Catalyst's PartitionPruning rule doesn't inject the
