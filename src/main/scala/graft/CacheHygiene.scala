@@ -34,10 +34,12 @@ object CacheHygiene {
     * removal (deterministic for specs); benches use fire-and-forget.
     *
     * CAUTION for embedders: this unpersists EVERY persisted RDD in the
-    * session, including DataFrames a host application cached for its own
-    * reuse — correct for the harness (which owns the whole session), but
-    * a deployment embedding the engine alongside user caches should pass
-    * `keep` with the RDD ids it wants preserved.
+    * session and clears ALL plan-level caches (`catalog.clearCache` has
+    * no per-entry selector) — correct for the harness, which owns the
+    * whole session. A deployment embedding the engine alongside its own
+    * RDD-level caches passes `keep` with the RDD ids to preserve;
+    * DataFrame (`.cache()`) plan caches cannot be selectively kept and
+    * should be re-established after release.
     */
   def release(spark: SparkSession, blocking: Boolean = false,
               keep: Set[Int] = Set.empty): Unit = {
