@@ -412,7 +412,8 @@ private[sources] class ArticlesAggReader(part: ArticlesPartition,
 private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
                                     required: StructType, pushed: Array[Filter],
                                     limit: Int = -1)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -422,8 +423,41 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       (if (limit >= 0) s"PushedLimit: $limit, " else "") +
       s"ReadSchema: ${required.catalogString}"
+
+  // ---- runtime filtering (the DSv2 analog of q233's dynamic partition
+  // pruning): each corpus partition carries a CONSTANT `indexation`
+  // (`main.py:96` / `mainn.py:69`), so join-key values computed at
+  // RUNTIME from the dim side can drop whole corpora before a byte of
+  // them is parsed — Catalyst's PartitionPruning rule injects the
+  // dynamicpruning subquery exactly as for hive layouts, and `filter`
+  // receives the surviving key set when the broadcast materializes.
+  // ArticleSourceV2Spec pins both the plan and the partitions-opened
+  // count.
+  @volatile private var allowed: Option[Set[String]] = None
+  private val corpusIndexation: Map[String, String] = Map(
+    "ai_articles" -> "IEEE", "blockchain_articles" -> "IEEE",
+    "acm_machine_learning_articles" -> "ACM",
+    "acm_blockchain_articles" -> "ACM")
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("indexation"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case org.apache.spark.sql.sources.In(a, vs)
+          if a.equalsIgnoreCase("indexation") =>
+        vs.collect { case s: String => s }.toSet
+      case EqualTo(a, v: String) if a.equalsIgnoreCase("indexation") =>
+        Set(v)
+    }
+    if (sets.nonEmpty) allowed = Some(sets.reduce(_ intersect _))
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    corpora.map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
+    corpora
+      .filter(c => allowed.forall(_.contains(corpusIndexation.getOrElse(c, ""))))
+      .map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArticlesReaderFactory(required, pushed, limit)
 }
@@ -479,13 +513,24 @@ private[sources] class ArticlesMicroBatchStream(
 private[sources] case class ArticlesPartition(corpus: String, path: String)
     extends InputPartition
 
+private[sources] object ArticlesReaderFactory {
+  /** Observability hook: partitions actually OPENED. Runtime filtering's
+    * whole effect is "corpora never read"; result identity cannot show
+    * it, so the spec resets this, runs the join, and asserts only the
+    * surviving corpora were opened.
+    */
+  val readersOpened = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 private[sources] class ArticlesReaderFactory(required: StructType,
                                              pushed: Array[Filter],
                                              limit: Int = -1)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    ArticlesReaderFactory.readersOpened.incrementAndGet()
     new ArticlesReader(partition.asInstanceOf[ArticlesPartition], required,
       pushed, limit)
+  }
 }
 
 private[sources] object ArticlesReader {

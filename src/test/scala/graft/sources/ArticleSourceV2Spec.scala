@@ -188,6 +188,28 @@ class ArticleSourceV2Spec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("runtime filtering drops whole corpora from a dim-side join filter") {
+    // the dim's key values are only known at RUNTIME (behind a filter on
+    // a parquet dim — a LocalRelation would be constant-folded and the
+    // pruning rule would see no selective predicate), so only the DSv2
+    // runtime-filtering path — not static pushdown — can stop the IEEE
+    // corpora from being parsed
+    val dim = graft.Tables.region(spark, sf0001)
+      .filter(col("r_name") === "ASIA")
+      .select(when(col("r_regionkey") >= 0, "ACM").as("idx"))
+    val fact = v2
+    val joined = fact.join(dim, fact("indexation") === dim("idx"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime filter injected into the v2 scan:\n$plan")
+    ArticlesReaderFactory.readersOpened.set(0)
+    val n = joined.count()
+    assert(n === 40, s"ACM corpora hold 40 articles, got $n")
+    val opened = ArticlesReaderFactory.readersOpened.get()
+    assert(opened === 2,
+      s"runtime filtering should open ONLY the 2 ACM corpora, opened $opened")
+  }
+
   test("limit pushes into the reader and the scan stops early") {
     val df = v2.limit(30)
     val plan = df.queryExecution.executedPlan.toString
