@@ -413,8 +413,27 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
                                     required: StructType, pushed: Array[Filter],
                                     limit: Int = -1)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Size/row statistics from the landed artifacts' own metadata (a
+    * listing-only pass, the q242 discipline). Without this a DSv2
+    * relation defaults to `spark.sql.defaultSizeInBytes` (effectively
+    * infinite), so the planner would never AUTO-broadcast the corpus
+    * side of a join — the stats are what lets Catalyst treat the
+    * connector like any well-described table. Rows are estimated from a
+    * ~1.2 KB/article record size; bytes are exact file lengths.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = corpora
+        .map(c => new java.io.File(s"$dataDir/$c.json").length()).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes / 1200, 1L))
+    }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ArticlesMicroBatchStream(corpora, dataDir, required, pushed)

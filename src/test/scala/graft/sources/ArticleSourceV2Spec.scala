@@ -210,6 +210,22 @@ class ArticleSourceV2Spec extends SparkSpec {
       s"runtime filtering should open ONLY the 2 ACM corpora, opened $opened")
   }
 
+  test("reported statistics let the planner auto-broadcast the corpus side") {
+    // without SupportsReportStatistics a v2 relation is sized at
+    // spark.sql.defaultSizeInBytes (effectively infinite) and the join
+    // below would plan as a sort-merge join; the ~150 KB reported size
+    // must put the connector side under the broadcast threshold
+    val big = graft.Tables.orders(spark, sf0001)
+    val corpus = v2
+    val joined = big.join(corpus, big("o_orderstatus") === corpus("indexation"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus side not auto-broadcast despite reported stats:\n$plan")
+    val bx = plan.indexOf("BroadcastExchange")
+    assert(bx >= 0 && plan.substring(bx).contains("graft-articles"),
+      s"broadcast build side is not the connector scan:\n$plan")
+  }
+
   test("limit pushes into the reader and the scan stops early") {
     val df = v2.limit(30)
     val plan = df.queryExecution.executedPlan.toString
