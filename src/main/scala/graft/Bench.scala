@@ -99,7 +99,8 @@ object Bench {
     "q233_dpp_star", "q234_bpe_encode", "q235_avro_roundtrip",
     "q236_dsv2_agg_pushdown", "q237_kmv_set_ops",
     "q238_leakage_safe_split", "q239_schema_evolution",
-    "q240_fuzzy_join", "q241_max_concurrency", "q242_compaction"
+    "q240_fuzzy_join", "q241_max_concurrency", "q242_compaction",
+    "q243_dq_audit"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

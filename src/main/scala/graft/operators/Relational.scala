@@ -421,7 +421,74 @@ object Relational extends QueryModule {
       |  CAST(SUM(rev) AS DOUBLE) AS total_revenue
       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q243
+
+  /** q243: DATA-QUALITY AUDIT — the constraint pass a pipeline runs
+    * before publishing a snapshot (dbt tests / Deequ checks without the
+    * framework): range, referential-integrity, uniqueness and
+    * null-presence assertions, each evaluated as ONE aggregate (or one
+    * anti join for the foreign key) and unioned into the audit report a
+    * write-audit-publish gate consumes. Every check reports
+    * (checked, failed) rather than a boolean, so the artifact is
+    * monitorable — a failure RATE, not a red light.
+    *
+    * Scale: each check is a map-side partial aggregate over its table;
+    * the referential check is the q12 anti-join shape (orphans only
+    * shuffle); the report is 4 rows however large the estate. Checks are
+    * data-independent of each other — on a real cluster they run as one
+    * job with shared scans per table.
+    */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val docs = Tables.documents(s, d)
+    val qty = li.agg(count(lit(1)).as("n_checked"),
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("n_failed"))
+      .select(lit("lineitem.quantity_in_range").as("check_name"),
+        col("n_checked"), col("n_failed"))
+    val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("nf"))
+    val refs = o.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(broadcast(orphans))
+      .select(lit("orders.custkey_refs_customer").as("check_name"),
+        col("n_checked"), col("nf").as("n_failed"))
+    val uniq = docs.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("n_failed"))
+      .select(lit("documents.doc_id_unique").as("check_name"),
+        col("n_checked"), col("n_failed"))
+    val nn = o.agg(count(lit(1)).as("n_checked"),
+        count(when(col("o_orderdate").isNull, 1)).as("n_failed"))
+      .select(lit("orders.orderdate_not_null").as("check_name"),
+        col("n_checked"), col("n_failed"))
+    qty.unionByName(refs).unionByName(uniq).unionByName(nn)
+      .orderBy(col("check_name"))
+  }
+
+  private val q243Sql =
+    """SELECT 'documents.doc_id_unique' AS check_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+      |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_failed
+      |FROM documents
+      |UNION ALL
+      |SELECT 'lineitem.quantity_in_range', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders.custkey_refs_customer',
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey))
+      |UNION ALL
+      |SELECT 'orders.orderdate_not_null', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT)
+      |FROM orders
+      |ORDER BY check_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_dq_audit" -> q243,
     "q188_market_share" -> q188,
     "q165_sql_frontdoor" -> q165,
     "q155_table_profile" -> q155,
@@ -436,6 +503,7 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q243_dq_audit" -> q243Sql,
     "q188_market_share" -> q188Sql,
     "q165_sql_frontdoor" -> q165Sql,
     "q155_table_profile" -> q155Sql,
