@@ -174,6 +174,62 @@ object Streams extends QueryModule {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** q244: session windows with a DYNAMIC gap — `session_window`'s
+    * expression-gap form (the Spark feature q91's fixed "30 minutes"
+    * doesn't touch): the inactivity timeout is computed PER EVENT
+    * (purchases keep a session alive 2 hours, everything else 30
+    * minutes — the "high-intent actions extend the session" rule every
+    * product-analytics pipeline encodes). Keyed by (user, type) the gap
+    * is constant within each state partition, so the oracle's
+    * gaps-and-islands replay (q91's spelling with a per-type gap column)
+    * is exact, including merged-window ends (MAX(ts) + gap).
+    *
+    * Scale: identical state story to q91 — one (user, type)-keyed
+    * stateful aggregation whose state is open sessions, merged/evicted
+    * by the session-window operator; the dynamic gap costs one
+    * per-event expression, no extra state.
+    */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    // the gap expression must be CalendarIntervalType (an ANSI INTERVAL
+    // literal is DayTimeIntervalType and session_window rejects it) —
+    // make_interval produces the calendar type
+    val gap = when(col("event_type") === "purchase",
+      expr("make_interval(0, 0, 0, 0, 0, 120, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"),
+        col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(s, agg, "q244_sink", "complete")
+      .select(col("user_id"), col("event_type"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("event_type"), col("session_start"))
+  }
+
+  private val q244Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type = 'purchase' THEN INTERVAL 120 MINUTE
+      |         ELSE INTERVAL 30 MINUTE END AS gap
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_type, ts, gap,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w >= gap THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, event_type, ts, gap,
+      |    SUM(new_s) OVER (PARTITION BY user_id, event_type ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, event_type, MIN(ts) AS session_start,
+      |  MAX(ts) + MAX(gap) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, event_type, sid
+      |ORDER BY user_id, event_type, session_start""".stripMargin
+
   /** q92: streaming dedup via `dropDuplicatesWithinWatermark` (the real
     * stateful dedup operator — state keyed by (user_id, event_type),
     * evicted as the watermark passes), landed through a foreachBatch
@@ -1001,6 +1057,7 @@ object Streams extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_stream_dedup_gate" -> q227,
+    "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
     "q194_stream_full_outer" -> q194,
     "q202_stream_right_outer" -> q202,
@@ -1020,6 +1077,7 @@ object Streams extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q227_stream_dedup_gate" -> q227Sql,
+    "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,
     "q194_stream_full_outer" -> q194Sql,
     "q202_stream_right_outer" -> q202Sql,
