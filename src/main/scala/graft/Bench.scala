@@ -100,7 +100,8 @@ object Bench {
     "q236_dsv2_agg_pushdown", "q237_kmv_set_ops",
     "q238_leakage_safe_split", "q239_schema_evolution",
     "q240_fuzzy_join", "q241_max_concurrency", "q242_compaction",
-    "q243_dq_audit", "q244_stream_dynamic_session"
+    "q243_dq_audit", "q244_stream_dynamic_session",
+    "q245_partitioned_compaction"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -696,6 +696,52 @@ object ScalePatterns extends QueryModule {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q245
+
+  /** q245: WITHIN-PARTITION compaction — q242's estate-maintenance pass
+    * done the way a partitioned table needs it: the hive layout must
+    * survive (downstream pruning depends on it), so fragments compact
+    * INSIDE each partition value, never across. One repartition ON THE
+    * PARTITION COLUMN does it: hash distribution sends every row of a
+    * partition value to exactly one task, so the partitionBy write emits
+    * exactly one file per partition directory (pinned by Round9Spec:
+    * ~8 files per dir before, 1 after). The rollup over the compacted
+    * layout hash-matches the unfragmented original.
+    *
+    * Scale: one keyed shuffle — with many more partition values than
+    * tasks, each task carries several values and still writes one file
+    * per value; a skewed partition value gets its task to itself. This
+    * plus q233 is the maintenance loop a date-partitioned 100 TB fact
+    * actually runs (compact yesterday's landing inside its date dir).
+    */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_pcompact_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      // the fragmented partitioned landing an incremental ingest leaves
+      Tables.orders(s, d).repartition(8)
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$dir/fragmented")
+      s.read.parquet(s"$dir/fragmented")
+        .repartition(col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(s"$dir/compacted")
+      java.nio.file.Files.createFile(done)
+    }
+    s.read.parquet(s"$dir/compacted")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumMoney(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q245Sql =
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q240
 
   /** q240: FUZZY JOIN via deletion neighborhoods (FastSS, Bocek et al.) —
@@ -979,6 +1025,7 @@ object ScalePatterns extends QueryModule {
     "q239_schema_evolution" -> q239,
     "q240_fuzzy_join" -> q240,
     "q242_compaction" -> q242,
+    "q245_partitioned_compaction" -> q245,
     "q203_orc_roundtrip" -> q203,
     "q220_countmin_sketch" -> q220,
     "q105_salted_join" -> q105,
@@ -1001,6 +1048,7 @@ object ScalePatterns extends QueryModule {
     "q239_schema_evolution" -> q239Sql,
     "q240_fuzzy_join" -> q240Sql,
     "q242_compaction" -> q242Sql,
+    "q245_partitioned_compaction" -> q245Sql,
     "q203_orc_roundtrip" -> q203Sql,
     "q220_countmin_sketch" -> q220Sql,
     "q105_salted_join" -> q105Sql,

@@ -126,6 +126,27 @@ class Round9Spec extends SparkSpec {
     assert(a === b, "compaction changed the data")
   }
 
+  test("q245 compaction respects the hive layout: one file per partition dir") {
+    SparkEntry.queries("q245_partitioned_compaction")(spark, sf0001).collect()
+    val base = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_pcompact_" +
+        s"${spark.sparkContext.applicationId}_" +
+        sf0001.replaceAll("[^A-Za-z0-9.-]", "_"))
+    def perDir(sub: String): Map[String, Int] =
+      Option(new java.io.File(base, sub).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("o_orderpriority="))
+        .map(d => d.getName ->
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")))
+        .toMap
+    val frag = perDir("fragmented")
+    val comp = perDir("compacted")
+    assert(frag.keySet === comp.keySet, "compaction changed the partition set")
+    assert(frag.values.forall(_ > 1), s"fragmented landing not fragmented: $frag")
+    assert(comp.values.forall(_ === 1),
+      s"within-partition compaction must leave ONE file per dir: $comp")
+  }
+
   test("q235 Avro landing is file-per-partition and decode covers every row") {
     SparkEntry.queries("q235_avro_roundtrip")(spark, sf0001).collect()
     val dir = new java.io.File(
