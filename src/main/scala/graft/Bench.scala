@@ -260,15 +260,18 @@ object Bench {
     while (targets.nonEmpty && round < 4) {
       round += 1
       targets.foreach { name =>
-        val (best, tc, sf, _, err) = measure(name)
+        val (best, tc, sf, aNew, err) = measure(name)
         if (err.isEmpty && best < Double.MaxValue) {
           requoteLast(name) = best
           val (v0, tc0, sf0, a0) = state(name)
-          if (best < v0) state(name) = (best, tc, sf, a0)
+          // attempts is TOTAL spent on the row across all rounds (r9
+          // ADVICE: keeping a0 alone under-reported requoted rows)
+          if (best < v0) state(name) = (best, tc, sf, a0 + aNew)
           else if (sf <= 0.02 && sf0 > 0.02)
             // clean confirmation of a contaminated minimum: keep the min,
             // clear the dirty flag
-            state(name) = (v0, tc0, sf, a0)
+            state(name) = (v0, tc0, sf, a0 + aNew)
+          else state(name) = (v0, tc0, sf0, a0 + aNew)
         }
       }
       targets = dirtyRows()

@@ -295,6 +295,98 @@ object Aggregations extends QueryModule {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q248: deterministic MERGEABLE HLL — the oracled twin that graduates
+    * q24's family (r9 verdict #8): the dense 2^p integer-register
+    * HyperLogLog spelling (Flajolet et al. 2007) built from SQL-visible
+    * primitives so DuckDB replays the whole sketch bit-for-bit. Each
+    * customer key hashes to 48 bits (the q104 md5-prefix convention);
+    * the low 6 bits pick one of m=64 registers, the remaining 42 bits
+    * contribute rank = leading-zero-count + 1; a register is
+    * max(rank) — max IS the merge, so per-priority sketches combine
+    * into the 'ALL' row by a 64-row max-regroup without touching the
+    * data again (the property q237 demonstrated for KMV). The raw HLL
+    * estimator αm²/Σ2^(-reg) is evaluated in EXACT integer arithmetic:
+    * each 2^(-reg) term is scaled to 2^(50-reg) (reg ≤ 43, sum ≤ 2^56 —
+    * no overflow, no float), α·m²·2^50 is one precomputed Long literal
+    * shared by both engines, and the estimate is a single integer
+    * division. Exact counts ride along so the sketch error is measured.
+    * (No small-range correction: every group here is ≫ 2.5m; the raw
+    * estimator is the documented contract, like q104's unsaturated
+    * collapse.)
+    *
+    * Scale: one pass to m·|groups| register rows (the shuffle key is
+    * (group, bucket) — 64 rows per group regardless of input size),
+    * then O(m) per estimate. This is the sketch a 100 TB estate stores
+    * per shard and merges at query time; 64 registers here keeps the
+    * spec readable, production uses 2^12–2^14 with the same plan.
+    */
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val m = 64
+    // α_64·m²·2^50 as one exact Long, interpolated into BOTH engines
+    val alphaNum = math.round(0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 50))
+    val hashed = Tables.orders(s, d).select(
+      col("o_orderpriority").as("grp"),
+      expr("CAST(conv(substring(md5(concat('hll-', CAST(o_custkey AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+        .as("h"))
+    val regs = hashed
+      .select(col("grp"), (col("h") % m).as("bucket"), expr(s"h div $m").as("rem"))
+      // 42-bit remainder: rank = 43 - bitlength(rem); rem = 0 → all 42
+      // zero bits → rank 43 (bin(0) = "0" would undercount by one)
+      .withColumn("rank",
+        when(col("rem") === 0, lit(43)).otherwise(lit(43) - length(bin(col("rem")))))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+    val merged = regs.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("ALL").as("grp"), col("bucket"), col("reg"))
+    val est = regs.unionByName(merged)
+      .groupBy(col("grp"))
+      .agg((sum(expr("shiftleft(1L, 50 - reg)")) +
+        (lit(m) - count(lit(1))) * lit(1L << 50)).as("s"))
+      .select(col("grp"), expr(s"${alphaNum}L div s").as("hll_est"))
+    val exact = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      .unionByName(Tables.orders(s, d)
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .select(lit("ALL").as("grp"), col("n_exact")))
+    exact.join(est, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("hll_est"))
+      .orderBy(col("grp"))
+  }
+
+  private val q248Sql = {
+    val m = 64
+    val alphaNum = math.round(0.7213 / (1 + 1.079 / m) * m * m * math.pow(2, 50))
+    val hex12 = Exact.sqlHexToLong("md5('hll-' || o_custkey)", 1, 12)
+    s"""WITH h AS (
+       |  SELECT o_orderpriority AS grp, CAST($hex12 AS BIGINT) AS h FROM orders),
+       |b AS (SELECT grp, h % 64 AS bucket, h // 64 AS rem FROM h),
+       |r AS (
+       |  SELECT grp, bucket,
+       |    MAX(CASE WHEN rem = 0 THEN 43 ELSE 43 - length(bin(rem)) END) AS reg
+       |  FROM b GROUP BY 1, 2),
+       |allr AS (
+       |  SELECT * FROM r
+       |  UNION ALL
+       |  SELECT 'ALL' AS grp, bucket, MAX(reg) AS reg FROM r GROUP BY 2),
+       |est AS (
+       |  SELECT grp,
+       |    CAST(SUM(1::BIGINT << (50 - reg)) AS BIGINT)
+       |      + (64 - COUNT(*)) * (1::BIGINT << 50) AS s
+       |  FROM allr GROUP BY 1),
+       |ex AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       |  FROM orders GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+       |SELECT ex.grp, ex.n_exact,
+       |  CAST($alphaNum // est.s AS BIGINT) AS hll_est
+       |FROM ex JOIN est USING (grp)
+       |ORDER BY grp""".stripMargin
+  }
+
   /** q237: KMV sketch SET OPERATIONS — the algebra that makes a distinct
     * sketch useful beyond one count (Beyer et al., "On Synopses for
     * Distinct-Value Estimation Under Multiset Operations"): per-source
@@ -1030,6 +1122,7 @@ object Aggregations extends QueryModule {
     "q168_share_of_total" -> q168,
     "q104_kmv_distinct" -> q104,
     "q237_kmv_set_ops" -> q237,
+    "q248_hll_registers" -> q248,
     "q129_ordered_set_agg" -> q129,
     "q134_bitmap_distinct" -> q134,
     "q114_histogram_quantiles" -> q114,
@@ -1061,6 +1154,7 @@ object Aggregations extends QueryModule {
     "q168_share_of_total" -> q168Sql,
     "q104_kmv_distinct" -> q104Sql,
     "q237_kmv_set_ops" -> q237Sql,
+    "q248_hll_registers" -> q248Sql,
     "q114_histogram_quantiles" -> q114Sql,
     "q117_listagg" -> q117Sql,
     "q118_exact_corr" -> q118Sql,

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object ScalePatterns extends QueryModule {
 
+  /** Compaction target file size (q242/q245's one tunable, lifted out of
+    * the plan per the r9 verdict). 1 MiB keeps the before/after file-count
+    * contrast visible at test SFs; a production estate sets this to its
+    * scan-efficient size (128 MiB–1 GiB) — the ⌈bytes/target⌉ sizing and
+    * the rewrite plan are unchanged by the value.
+    */
+  val CompactionTargetBytes: Long = 1L << 20
+
   /** q46: salted two-stage aggregation — pre-aggregate on (key, salt) to
     * spread a hot key over 16 reducers, then merge partials per key.
     * Decimal sums are associative, so the result is bit-identical to the
@@ -677,8 +685,8 @@ object ScalePatterns extends QueryModule {
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(p => java.nio.file.Files.size(p)).sum
         finally ls.close()
-      val target = 1L << 20 // 1 MiB target files at test scale
-      val nFiles = math.max(1L, (bytes + target - 1) / target).toInt
+      val nFiles = math.max(1L,
+        (bytes + CompactionTargetBytes - 1) / CompactionTargetBytes).toInt
       s.read.parquet(s"$dir/fragmented").repartition(nFiles)
         .write.mode("overwrite").parquet(s"$dir/compacted")
       java.nio.file.Files.createFile(done)
@@ -874,6 +882,13 @@ object ScalePatterns extends QueryModule {
     * thousands of container files, one task each); the rollup is a
     * partial agg to |langs| rows. The 8-row count collect on the landing
     * pass is bounded by the partition count, same as q195's fixtures.
+    * NOTE the deployment assumption (same as ArticlesWriter): tasks
+    * write the container files via `java.io` into a driver-visible
+    * tmpdir, so driver and executors must share one filesystem (local
+    * mode, or a shared mount). A multi-node deployment would open the
+    * same per-task files through the Hadoop `FileSystem` API instead —
+    * the file-per-task layout and binaryFile re-read carry over
+    * unchanged; only the output-stream primitive is single-node here.
     */
   private def q235(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1019,7 +1034,143 @@ object ScalePatterns extends QueryModule {
       |JOIN dim ON year(l_shipdate) * 100 + month(l_shipdate) = d_ym
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q246
+
+  /** q246: CATALOG statistics driving the optimizer — the session-catalog
+    * entry point a real estate uses (r9 verdict #2; SURVEY §3.3's implied
+    * analytical reader consumes a registered corpus, not ad-hoc paths).
+    * The testdata lands once per (session, dataset) as managed tables via
+    * `saveAsTable`, then `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`
+    * puts rowCount + per-column ndv/min/max into the catalog. With CBO
+    * on, the optimizer's FilterEstimation turns the one-week predicate
+    * into a ~40-row estimate (range width / [min,max] span), which drops
+    * the filtered orders side under the broadcast threshold — the join
+    * plans as BroadcastHashJoin AT PLAN TIME, no AQE rescue needed.
+    * Without ANALYZE the very same query under the very same confs
+    * estimates the filter at the full 280 KB relation size and plans a
+    * sort-merge join: the broadcast happens ONLY because ANALYZE ran.
+    * PlanSpec pins both static plans; the threshold/CBO confs are scoped
+    * to this query and the plan is frozen inside the scope by an eager
+    * localCheckpoint of the (≤3-row) aggregate, so no conf leaks to
+    * neighbouring queries.
+    *
+    * Scale: this is the mechanism that picks broadcast vs shuffle for
+    * 100 TB facts — at that size "measure then re-plan" (AQE) only helps
+    * after the first shuffle is already laid out; catalog stats move the
+    * decision to plan time. ANALYZE cost is one scan, amortized across
+    * every subsequent query of the table.
+    */
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val db = s"graft_cat_$tag"
+    val wh = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
+        s"${s.sparkContext.applicationId}_$tag")
+    if (!s.catalog.databaseExists(db))
+      s.sql(s"CREATE DATABASE $db LOCATION '$wh'")
+    if (!s.catalog.tableExists(s"$db.orders")) {
+      // the catalog landing normalizes o_orderdate to DATE (the values
+      // are day-granular): Spark's CBO FilterEstimation supports
+      // DateType ranges but has NO case for the parquet file's
+      // TIMESTAMP_NTZ (FilterEstimation.evaluateBinary MatchError on
+      // TimestampNTZType, hit in the wild here) — normalizing at
+      // registration time is what an estate's ingest does anyway
+      Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+        .write.saveAsTable(s"$db.orders")
+      Tables.lineitem(s, d).write.saveAsTable(s"$db.lineitem")
+      s.sql(s"ANALYZE TABLE $db.orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderdate, o_orderkey")
+      s.sql(s"ANALYZE TABLE $db.lineitem COMPUTE STATISTICS")
+    }
+    val cbo0 = s.conf.get("spark.sql.cbo.enabled")
+    val thr0 = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+      val o = s.table(s"$db.orders")
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast("date") &&
+          col("o_orderdate") <= lit("1996-03-07").cast("date"))
+      val out = s.table(s"$db.lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_linestatus"))
+      // freeze the CBO-planned physical plan inside the conf scope (the
+      // checkpointed result is the ≤|linestatus|-row aggregate)
+      out.localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", cbo0)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+    }
+  }
+
+  private val q246Sql =
+    s"""SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS gross
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01'
+       |  AND TIMESTAMP '1996-03-07'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q247
+
+  /** q247: SNAPSHOT-ISOLATED read over a versioned-manifest table
+    * ([[graft.sources.VersionedManifest]], r9 verdict #3) — the estate's
+    * answer to "what do readers see while q242/q245's rewrite is
+    * running?". Three generations are staged once per session: v=1 (the
+    * initial half-corpus load, committed), v=2 (the full-corpus rewrite,
+    * committed), and v=3 (an IN-FLIGHT rewrite with doubled rows whose
+    * data is fully landed but whose manifest never published). The read
+    * path resolves the newest COMMITTED manifest at plan time, so it
+    * must aggregate exactly v=2 — the oracle is the plain full-corpus
+    * rollup with `snapshot_version = 2` riding along, which fails both
+    * if the reader sees the stale v=1 (half the docs) or the uncommitted
+    * v=3 (doubled counts). SnapshotSpec pins the isolation sequence
+    * step-by-step, including that a reader planned BEFORE a commit keeps
+    * its version after the commit lands.
+    *
+    * Scale: readers list O(#versions) one-byte manifests, never data
+    * dirs; the commit is one atomic rename regardless of table size —
+    * the Delta/Iceberg discipline with the log reduced to its essence.
+    */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      docs.write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "full rewrite")
+      // an in-flight rewrite: data landed, manifest NOT committed —
+      // invisible to every reader until its atomic rename publishes
+      docs.unionByName(docs).write.mode("overwrite").parquet(s"$dir/v=3")
+      java.nio.file.Files.createFile(done)
+    }
+    val v = graft.sources.VersionedManifest.latestCommitted(s, dir).get
+    graft.sources.VersionedManifest.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .withColumn("snapshot_version", lit(v))
+      .orderBy(col("source"))
+  }
+
+  private val q247Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  CAST(2 AS BIGINT) AS snapshot_version
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_catalog_stats" -> q246,
+    "q247_snapshot_read" -> q247,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1043,6 +1194,8 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q246_catalog_stats" -> q246Sql,
+    "q247_snapshot_read" -> q247Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

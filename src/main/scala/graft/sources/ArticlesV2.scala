@@ -115,13 +115,12 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
   * commit time — readers see the old artifact until the commit point.
   *
   * Scale: one writer per input partition, no coordination except the
-  * O(#tasks) commit-message pass on the driver. NOTE the deployment
-  * assumption: staging and publish use `java.nio` local-file moves, so
-  * driver and executors must share one filesystem (local mode, or a
-  * shared mount). A multi-node cluster deployment would stage through a
-  * Hadoop `FileSystem` path instead — the commit PROTOCOL (stage, then
-  * publish by rename at driver commit) carries over unchanged; only the
-  * move primitive is single-node here.
+  * O(#tasks) commit-message pass on the driver. Staging and publish run
+  * through the Hadoop `FileSystem` API resolved from the target path's
+  * URI ([[ArticlesFs]], r9 verdict #5) — on a cluster, tasks stage onto
+  * the shared filesystem (hdfs://…) and the driver's commit publishes by
+  * rename on the same FS; a schemeless local path binds the identical
+  * code path to LocalFileSystem.
   */
 private[sources] class ArticlesWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite {
@@ -143,52 +142,70 @@ private[sources] class ArticlesWriteBuilder(dir: String, info: LogicalWriteInfo)
 private[sources] case class ArticlesCommit(stagedPath: String)
     extends WriterCommitMessage
 
+/** Cluster-true filesystem access for the connector's stage-then-publish
+  * protocol (r9 verdict #5): every stage, publish-by-rename, and cleanup
+  * goes through the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved
+  * from the path's URI — the code path a multi-node deployment runs
+  * (hdfs://, abfs://, …); a schemeless local path merely binds it to
+  * LocalFileSystem. Client-side checksum shadow files are disabled: the
+  * artifact is schema-validated JSON and checksum policy belongs to the
+  * storage layer, not the connector.
+  */
+private[sources] object ArticlesFs {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  def get(p: Path): FileSystem = {
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
+    fs
+  }
+}
+
 private[sources] class ArticlesWrite(dir: String, queryId: String,
                                      schema: StructType, truncateFirst: Boolean)
     extends Write with BatchWrite {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import org.apache.hadoop.fs.Path
 
-  private def stageDir = Paths.get(dir, s".staging-$queryId")
+  private def stagePath = new Path(dir, s".staging-$queryId")
 
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite =
     new ArticlesStreamingWrite(dir, queryId, schema)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(stageDir)
+    ArticlesFs.get(stagePath).mkdirs(stagePath)
     new ArticlesWriterFactory(dir, queryId, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val target = Paths.get(dir)
-    Files.createDirectories(target)
-    if (truncateFirst) {
-      val s = Files.list(target)
-      try s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .toSeq.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    val target = new Path(dir)
+    val fs = ArticlesFs.get(target)
+    fs.mkdirs(target)
+    if (truncateFirst)
+      fs.listStatus(target)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .foreach(st => fs.delete(st.getPath, false))
     messages.foreach { case ArticlesCommit(staged) =>
-      val src = Paths.get(staged)
-      Files.move(src, target.resolve(src.getFileName),
-        StandardCopyOption.REPLACE_EXISTING)
+      val src = new Path(staged)
+      val dst = new Path(target, src.getName)
+      fs.delete(dst, false) // REPLACE_EXISTING semantics for re-publishes
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(
+          s"publish rename $src -> $dst failed at commit")
     }
     dropStage()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
-      case ArticlesCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case ArticlesCommit(staged) =>
+        val p = new Path(staged)
+        ArticlesFs.get(p).delete(p, false)
       case _ => ()
     }
     dropStage()
   }
   // best-effort: a speculative task's orphan must not fail the commit
   private def dropStage(): Unit =
-    try {
-      val s = Files.list(stageDir)
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-      Files.deleteIfExists(stageDir)
-    } catch { case _: Exception => () }
+    try ArticlesFs.get(stagePath).delete(stagePath, true)
+    catch { case _: Exception => () }
 }
 
 private[sources] class ArticlesWriterFactory(dir: String, queryId: String,
@@ -212,33 +229,38 @@ private[sources] class ArticlesWriterFactory(dir: String, queryId: String,
 private[sources] class ArticlesStreamingWrite(dir: String, queryId: String,
                                               schema: StructType)
     extends StreamingWrite {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import org.apache.hadoop.fs.Path
 
-  private def stageDir = Paths.get(dir, s".staging-$queryId")
+  private def stagePath = new Path(dir, s".staging-$queryId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    Files.createDirectories(stageDir)
+    ArticlesFs.get(stagePath).mkdirs(stagePath)
     new ArticlesStreamingWriterFactory(dir, queryId, schema)
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val target = Paths.get(dir)
-    Files.createDirectories(target)
+    val target = new Path(dir)
+    val fs = ArticlesFs.get(target)
+    fs.mkdirs(target)
     // idempotent epoch replay: drop anything this epoch published before
-    val s = Files.list(target)
-    try s.iterator().asScala
-      .filter(_.getFileName.toString.startsWith(s"part-e$epochId-"))
-      .toSeq.foreach(Files.deleteIfExists(_))
-    finally s.close()
+    fs.listStatus(target)
+      .filter(_.getPath.getName.startsWith(s"part-e$epochId-"))
+      .foreach(st => fs.delete(st.getPath, false))
     messages.foreach { case ArticlesCommit(staged) =>
-      val src = Paths.get(staged)
-      if (Files.exists(src))
-        Files.move(src, target.resolve(src.getFileName),
-          StandardCopyOption.REPLACE_EXISTING)
+      val src = new Path(staged)
+      if (fs.exists(src)) {
+        val dst = new Path(target, src.getName)
+        fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(
+            s"publish rename $src -> $dst failed at epoch $epochId commit")
+      }
     }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case ArticlesCommit(staged) => Files.deleteIfExists(Paths.get(staged))
+      case ArticlesCommit(staged) =>
+        val p = new Path(staged)
+        ArticlesFs.get(p).delete(p, false)
       case _ => ()
     }
 }
@@ -260,12 +282,16 @@ private[sources] class ArticlesStreamingWriterFactory(dir: String,
 private[sources] class ArticlesWriter(dir: String, queryId: String,
                                       schema: StructType, fileName: String)
     extends DataWriter[InternalRow] {
-  import java.nio.file.{Files, Paths}
+  import org.apache.hadoop.fs.Path
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-  private val staged = Paths.get(dir, s".staging-$queryId", fileName)
-  private val out = Files.newBufferedWriter(staged,
-    java.nio.charset.StandardCharsets.UTF_8)
+  // task-side staging through the Hadoop FileSystem API: on a cluster the
+  // staged part file lands on the SHARED filesystem the driver's commit
+  // renames from — the single-node java.nio assumption is gone (r9 #5)
+  private val staged = new Path(new Path(dir, s".staging-$queryId"), fileName)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    ArticlesFs.get(staged).create(staged, true),
+    java.nio.charset.StandardCharsets.UTF_8))
 
   override def write(row: InternalRow): Unit = {
     val node = mapper.createObjectNode()
@@ -282,7 +308,7 @@ private[sources] class ArticlesWriter(dir: String, queryId: String,
   }
   override def abort(): Unit = {
     out.close()
-    Files.deleteIfExists(staged)
+    ArticlesFs.get(staged).delete(staged, false)
   }
   override def close(): Unit = ()
 }
@@ -475,7 +501,11 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     corpora
-      .filter(c => allowed.forall(_.contains(corpusIndexation.getOrElse(c, ""))))
+      // Runtime-filter pruning must be CONSERVATIVE: a corpus whose
+      // indexation constant is unknown to the map is always read (missing
+      // the optimization, never the rows). Only a corpus that POSITIVELY
+      // maps to a disallowed indexation may be dropped (r9 ADVICE).
+      .filter(c => allowed.forall(a => corpusIndexation.get(c).forall(a.contains)))
       .map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArticlesReaderFactory(required, pushed, limit)

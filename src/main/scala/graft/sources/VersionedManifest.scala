@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-manifest table layout — the snapshot-isolation concept
+  * of a transactional table format (Delta/Iceberg's log, reference analog:
+  * the landed `data/` corpus re-read between scrape sessions) without a
+  * format jar on the classpath (r9 verdict #3).
+  *
+  * Layout:
+  * {{{
+  *   <dir>/v=1/part-*.parquet      # data for version 1
+  *   <dir>/v=2/part-*.parquet      # data for version 2
+  *   <dir>/_commits/1              # manifest: version 1 is committed
+  *   <dir>/_commits/2              # manifest: version 2 is committed
+  * }}}
+  *
+  * Commit protocol: a writer lands ALL data under `v=N/` first, then
+  * publishes the one-file manifest `_commits/N` by write-temp +
+  * atomic-rename. Readers NEVER list `v=*` directories — they list only
+  * `_commits/` and plan against the highest committed N, so a rewrite in
+  * flight (data present, manifest absent) is invisible until its single
+  * atomic rename lands: read isolation during rewrite, the property
+  * q242/q245's in-place compaction could not offer. A failed writer leaves
+  * an orphan `v=N` dir that a vacuum pass can collect; it can never
+  * corrupt a reader.
+  *
+  * All filesystem traffic goes through the Hadoop [[FileSystem]] API
+  * (resolved from the path's URI + the session's hadoopConfiguration), so
+  * this code path is the one a multi-node deployment runs — local mode
+  * merely binds it to RawLocalFileSystem. Rename atomicity is the
+  * format's standard assumption (HDFS/ABFS rename; S3 estates swap in a
+  * conditional-PUT catalog — the reader protocol is unchanged).
+  */
+object VersionedManifest {
+
+  private def fs(dir: String, s: SparkSession): FileSystem =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Publish version `n`: data under `<dir>/v=<n>` must already be fully
+    * landed. The manifest body records the writer's description — readers
+    * only test existence, so the body is audit metadata.
+    */
+  def commit(s: SparkSession, dir: String, n: Long, meta: String): Unit = {
+    val f = fs(dir, s)
+    val commits = new Path(dir, "_commits")
+    f.mkdirs(commits)
+    val tmp = new Path(commits, s".$n.tmp")
+    val out = f.create(tmp, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    // the commit POINT: one atomic rename makes the version visible
+    if (!f.rename(tmp, new Path(commits, n.toString)))
+      throw new IllegalStateException(
+        s"commit of version $n at $dir lost a rename race")
+  }
+
+  /** Highest committed version, or None for an empty table. Listing cost
+    * is O(#versions) tiny manifest names — never the data directories.
+    */
+  def latestCommitted(s: SparkSession, dir: String): Option[Long] = {
+    val f = fs(dir, s)
+    val commits = new Path(dir, "_commits")
+    if (!f.exists(commits)) None
+    else {
+      val ns = f.listStatus(commits).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("[0-9]+"))
+        .map(_.toLong)
+      if (ns.isEmpty) None else Some(ns.max)
+    }
+  }
+
+  /** Plan-time snapshot resolution: read the newest committed version.
+    * The version is pinned when THIS DataFrame is constructed — a commit
+    * landing afterwards does not retarget an already-planned read (the
+    * snapshot-isolation contract).
+    */
+  def readLatest(s: SparkSession, dir: String): DataFrame = {
+    val n = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    s.read.parquet(s"$dir/v=$n")
+  }
+}

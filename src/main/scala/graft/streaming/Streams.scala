@@ -192,7 +192,15 @@ object Streams extends QueryModule {
   private def q244(s: SparkSession, d: String): DataFrame = {
     // the gap expression must be CalendarIntervalType (an ANSI INTERVAL
     // literal is DayTimeIntervalType and session_window rejects it) —
-    // make_interval produces the calendar type
+    // make_interval produces the calendar type.
+    // ORACLE INVARIANT (r9 ADVICE): this expression must reference
+    // GROUPING-KEY columns only (event_type is in the groupBy). Spark
+    // merges on the PREVIOUS event's window end (prev.ts + prev.gap),
+    // while the DuckDB replay tests ts - LAG(ts) >= the CURRENT row's
+    // gap; the two agree exactly when the gap is constant per group.
+    // A gap depending on a non-key column (e.g. `value`) would silently
+    // diverge the engines — the within-key-varying case is pinned by
+    // StreamsSpec("dynamic gap varies within one key") instead.
     val gap = when(col("event_type") === "purchase",
       expr("make_interval(0, 0, 0, 0, 0, 120, 0)"))
       .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))

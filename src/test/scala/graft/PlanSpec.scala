@@ -13,6 +13,44 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("q246 join broadcasts ONLY because ANALYZE ran (catalog stats + CBO)") {
+    import org.apache.spark.sql.functions._
+    // land + ANALYZE the catalog tables (idempotent per session+dataset)
+    SparkEntry.queries("q246_catalog_stats")(spark, sf001).collect()
+    val db = "graft_cat_" + sf001.replaceAll("[^A-Za-z0-9]", "_")
+    // a twin of orders with identical data but NO catalog statistics
+    if (!spark.catalog.tableExists(s"$db.orders_nostats"))
+      spark.table(s"$db.orders").write.saveAsTable(s"$db.orders_nostats")
+    // the STATIC physical plan (pre-AQE): the decision catalog stats move
+    // to plan time — AQE could rescue the no-stats case only after the
+    // first shuffle is already laid out
+    def shape(ordersTable: String): String = {
+      val o = spark.table(s"$db.$ordersTable")
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast("date") &&
+          col("o_orderdate") <= lit("1996-03-07").cast("date"))
+      spark.table(s"$db.lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+        .queryExecution.sparkPlan.toString
+    }
+    val cbo0 = spark.conf.get("spark.sql.cbo.enabled")
+    val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+      val withStats = shape("orders")
+      val noStats = shape("orders_nostats")
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"ANALYZE'd plan did not broadcast the week-filtered orders:\n$withStats")
+      assert(!noStats.contains("BroadcastHashJoin") &&
+        noStats.contains("SortMergeJoin"),
+        s"un-analyzed twin broadcast without stats (contrast lost):\n$noStats")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cbo0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+    }
+  }
+
   test("q02 pushes predicates and prunes columns at the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(p_size,15"),

@@ -38,6 +38,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dynamic session gap varies WITHIN one key (purchase extends the session)") {
+    // q244 keys by (user, type), so its gap is constant per group and a
+    // batch gaps-and-islands oracle can replay it. THIS case is the merge
+    // semantics no batch SQL expresses (r9 verdict #6): keyed by user
+    // alone, the gap comes from the event type, so a purchase's 2-hour
+    // window keeps a session open that the next view's own 30-minute gap
+    // would have closed. Spark merges on overlapping [ts, ts+gap) windows:
+    //   view@0      -> [0, 30)
+    //   purchase@10 -> [10, 130)   merges with the view
+    //   view@100    -> [100, 130)  90 min after the last event — INSIDE the
+    //                              purchase's window, so it merges too; a
+    //                              current-row-gap replay (90 >= 30) would
+    //                              have split here
+    //   view@300    -> a genuinely new session
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val gap = when(col("event_type") === "purchase",
+      expr("make_interval(0, 0, 0, 0, 0, 120, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    val agg = input.toDS().toDF("user_id", "event_type", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("dyn_gap_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (1L, "view", 0L), (1L, "purchase", 10 * MinUs),
+        (1L, "view", 100 * MinUs), (1L, "view", 300 * MinUs))
+      q.processAllAvailable()
+      val sessions = spark.table("dyn_gap_sink")
+        .select(col("w.start").cast("long").as("s"),
+          col("w.end").cast("long").as("e"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(sessions.toSeq == Seq(
+        (0L, 130L * 60, 3L),          // one merged session ending at
+                                      // purchase.ts + 2 h, carrying BOTH
+                                      // later views
+        (300L * 60, 330L * 60, 1L)),  // the next view opens fresh
+        s"got ${sessions.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
