@@ -30,8 +30,10 @@ object ScaleCheck {
     "q152_pmi_collocations", "q221_ivf_pq", "q224_bm25_retrieval",
     "q225_hybrid_rrf", "q229_bpe_train", "q230_contamination_matrix",
     "q232_winnowing_fingerprints",
-    // round 9: DPP star + BPE encode join the batch sweep
-    "q233_dpp_star", "q234_bpe_encode",
+    // round 9: DPP star + BPE encode join the batch sweep; round 10 adds
+    // the compaction half of the maintenance loop (MaintCheck reports the
+    // months-read and files-per-dir evidence the timings alone can't)
+    "q233_dpp_star", "q234_bpe_encode", "q245_partitioned_compaction",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant

@@ -1012,7 +1012,16 @@ object ScalePatterns extends QueryModule {
       .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .cast("long").as("d_ym"))
       .distinct()
-    fact.join(dim, col("l_ship_ym") === col("d_ym"))
+    // the broadcast hint is load-bearing at scale, not a micro-opt: DPP
+    // only injects the dynamicpruning# subquery when the dim side
+    // broadcasts (reuseBroadcastOnly), and the PLANNER can't see that
+    // DISTINCT collapses the dim to ≤ #months rows — its size estimate
+    // scales with orders, crosses the auto-broadcast threshold at ~sf10,
+    // and the fact scan silently degrades to reading ALL partitions
+    // (measured: monthsRead 83/83 at sf10 without the hint, 12/83 with
+    // it — graft.MaintCheck). Declaring what the optimizer can't infer
+    // is exactly the 100 TB posture.
+    fact.join(broadcast(dim), col("l_ship_ym") === col("d_ym"))
       .groupBy(col("l_ship_ym").cast("long").as("ship_ym"))
       .agg(count(lit(1)).as("n_items"),
         sum(Exact.money(col("l_extendedprice")) *
@@ -1168,9 +1177,169 @@ object ScalePatterns extends QueryModule {
       |  CAST(2 AS BIGINT) AS snapshot_version
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q249
+
+  /** q249: VACUUM — the reclaim half of the versioned-manifest loop:
+    * q247 proved an uncommitted `v=K` landing is invisible to readers;
+    * this pass deletes those orphans (a failed or abandoned rewrite's
+    * disk) while provably never touching committed history — the
+    * post-vacuum read still serves the newest committed version and the
+    * rollup hash-matches the oracle, with the reclaimed orphan count
+    * riding along as a column. The orphan is re-staged on every
+    * invocation (a tiny doc_id<100 slice), so the pass is measurable and
+    * its report deterministic across bench attempts.
+    *
+    * Scale: vacuum lists O(#versions) manifest names + one top-level dir
+    * listing — never data files; each orphan dies in one recursive
+    * delete. Real estates add a retention-age gate before the delete
+    * (the hook is in [[graft.sources.VersionedManifest.vacuum]]'s
+    * scaladoc); the reclaim logic is size-independent.
+    */
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vac_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val docs = Tables.documents(s, d)
+    if (!java.nio.file.Files.exists(done)) {
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      docs.write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "full rewrite")
+      java.nio.file.Files.createFile(done)
+    }
+    // the abandoned rewrite this pass reclaims — re-created per run so
+    // every attempt vacuums the same layout state
+    docs.filter(col("doc_id") < 100)
+      .write.mode("overwrite").parquet(s"$dir/v=3")
+    val removed = graft.sources.VersionedManifest.vacuum(s, dir)
+    val kept = graft.sources.VersionedManifest.committedVersions(s, dir)
+    graft.sources.VersionedManifest.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("orphans_removed", lit(removed.size.toLong))
+      .withColumn("versions_kept", lit(kept.size.toLong))
+      .orderBy(col("source"))
+  }
+
+  private val q249Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(1 AS BIGINT) AS orphans_removed,
+      |  CAST(2 AS BIGINT) AS versions_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q250
+
+  /** q250: TIME TRAVEL — reading committed history by version number
+    * (`readAt`), the audit/debug face of the versioned manifest: "what
+    * did the table hold before the rewrite?" answered without restoring
+    * anything. Version 1 (the even-doc_id half-load) and version 2 (the
+    * full rewrite) are each rolled up under their version label in one
+    * result; q249 guarantees vacuum never deletes either. Reading an
+    * UNCOMMITTED version is refused at plan time (SnapshotSpec).
+    *
+    * Scale: resolving a version is one manifest existence check; the
+    * cost profile of reading v=N is identical to reading the live table
+    * at that size — history costs storage, not query shape.
+    */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      docs.write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "full rewrite")
+      java.nio.file.Files.createFile(done)
+    }
+    graft.sources.VersionedManifest.committedVersions(s, dir).map { v =>
+      graft.sources.VersionedManifest.readAt(s, dir, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          max(col("doc_id")).as("max_doc"))
+        .select(lit(v).as("version"), col("n_docs"), col("total_chars"),
+          col("max_doc"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  private val q250Sql =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT), MAX(doc_id)
+      |FROM documents
+      |ORDER BY version""".stripMargin
+
+  // --------------------------------------------------------------- q251
+
+  /** q251: manifest MIN/MAX FILE SKIPPING — the data-skipping layer of a
+    * table format (Iceberg's per-file column stats, Delta's
+    * stats-in-log): the landing is range-laid-out on doc_id (16 files,
+    * each a contiguous slice), a one-pass stats manifest records each
+    * file's (min, max) doc_id, and a point-range read consults the
+    * MANIFEST first — only files whose [min, max] intersects the
+    * predicate are handed to Spark at all, everything else is skipped
+    * before listing a single row group. The rollup over the pruned read
+    * hash-matches the oracle's plain filter (skipping is an
+    * optimization, never a semantics change); FileSkippingSpec pins that
+    * the pruned file set is a strict subset.
+    *
+    * Scale: this is the difference between "open 100 TB of footers" and
+    * "read one 16-row manifest" for a selective query — footer-level
+    * min/max still costs one open per file; the manifest costs O(files)
+    * rows ONCE at write time. The stats build is one partial agg keyed
+    * by file; the 16-row collect of matching paths is bounded by the
+    * manifest size, the same bound as q195's fixture listing.
+    */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_skip_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/data")
+      s.read.parquet(s"$dir/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        .coalesce(1)
+        .write.mode("overwrite").json(s"$dir/_filestats")
+      java.nio.file.Files.createFile(done)
+    }
+    val (lo, hi) = (100L, 299L)
+    // manifest consult: O(#files) rows, bounded collect of matching paths
+    val files = s.read.json(s"$dir/_filestats")
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    s.read.parquet(files: _*)
+      .filter(col("doc_id").between(lo, hi))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val q251Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
+    "q249_vacuum" -> q249,
+    "q250_time_travel" -> q250,
+    "q251_file_skipping" -> q251,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1196,6 +1365,9 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
+    "q249_vacuum" -> q249Sql,
+    "q250_time_travel" -> q250Sql,
+    "q251_file_skipping" -> q251Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

@@ -81,4 +81,55 @@ object VersionedManifest {
       throw new IllegalStateException(s"no committed version at $dir"))
     s.read.parquet(s"$dir/v=$n")
   }
+
+  /** Time travel: read a SPECIFIC committed version. Reading an
+    * uncommitted version is refused — an in-flight or vacuumed writer's
+    * data is never addressable, at any version number.
+    */
+  def readAt(s: SparkSession, dir: String, n: Long): DataFrame = {
+    val f = fs(dir, s)
+    if (!f.exists(new Path(new Path(dir, "_commits"), n.toString)))
+      throw new IllegalStateException(s"version $n at $dir is not committed")
+    s.read.parquet(s"$dir/v=$n")
+  }
+
+  /** All committed versions, ascending. */
+  def committedVersions(s: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(dir, s)
+    val commits = new Path(dir, "_commits")
+    if (!f.exists(commits)) Seq.empty
+    else f.listStatus(commits).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("[0-9]+"))
+      .map(_.toLong).sorted
+  }
+
+  /** Garbage-collect ORPHAN data directories — `v=K` dirs whose manifest
+    * never committed (a failed or abandoned rewrite). Committed versions
+    * are never touched: time travel to any committed N keeps working
+    * after a vacuum. Returns the orphan versions removed.
+    *
+    * Safety at scale: the only coordination is the manifest listing; a
+    * writer mid-flight is only vulnerable between landing its last data
+    * file and its commit rename, which is why real estates gate vacuum
+    * on a retention age — the hook is the place an age check goes; the
+    * reclaim logic is unchanged by it.
+    */
+  def vacuum(s: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(dir, s)
+    val committed = committedVersions(s, dir).toSet
+    val root = new Path(dir)
+    if (!f.exists(root)) return Seq.empty
+    val orphans = f.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("v="))
+      .flatMap { p =>
+        val n = p.getName.stripPrefix("v=")
+        if (n.matches("[0-9]+") && !committed.contains(n.toLong))
+          Some(n.toLong -> p)
+        else None
+      }
+    orphans.foreach { case (_, p) => f.delete(p, true) }
+    orphans.map(_._1).sorted
+  }
 }

@@ -1063,7 +1063,71 @@ object Streams extends QueryModule {
       |       THEN 'first' ELSE 'dup' END AS status
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q252
+
+  private val q252Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q252: EXACTLY-ONCE versioned streaming ingest — the streaming writer
+    * for the [[graft.sources.VersionedManifest]] table family
+    * (q247/q249/q250): each micro-batch lands inside `foreachBatch` as
+    * its own version (epoch + 1) using the data-first/manifest-rename
+    * commit protocol, and a REPLAYED epoch (a restart inside streaming's
+    * at-least-once window, between sink work and offset commit) finds
+    * its manifest already committed and lands nothing — idempotence from
+    * the manifest alone, no sink-side transaction log needed. Readers
+    * union the committed versions (the append-log read); the rollup over
+    * that log hash-matches the plain batch oracle over events, which
+    * fails on any lost OR doubled epoch. Checkpoint and output are keyed
+    * per execution like q231, so every bench attempt measures a real
+    * ingest, not a committed checkpoint's no-op resume.
+    *
+    * Scale: the version commit is one rename per micro-batch regardless
+    * of batch size; readers list O(#versions) manifests. A production
+    * table periodically folds old versions through q245's compaction +
+    * q249's vacuum — this query is the arrival half of that loop.
+    */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    val run = q252Runs.incrementAndGet()
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vingest_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val ckpt = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vingest_ckpt_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val landEpoch: (DataFrame, Long) => Unit = (batch, epoch) => {
+      val v = epoch + 1
+      // idempotent replay: an already-committed version lands nothing
+      if (!graft.sources.VersionedManifest.committedVersions(s, dir)
+        .contains(v)) {
+        batch.write.mode("overwrite").parquet(s"$dir/v=$v")
+        graft.sources.VersionedManifest.commit(s, dir, v, s"epoch $epoch")
+      }
+    }
+    val q = streamEvents(s, d).writeStream
+      .foreachBatch(landEpoch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val versions = graft.sources.VersionedManifest.committedVersions(s, dir)
+    versions
+      .map(v => graft.sources.VersionedManifest.readAt(s, dir, v))
+      .reduce(_.unionByName(_))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q252Sql =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_stream_versioned_ingest" -> q252,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1084,6 +1148,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q252_stream_versioned_ingest" -> q252Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,

@@ -84,6 +84,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versioned ingest: a replayed epoch lands nothing (manifest idempotence)") {
+    // q252's exactly-once claim, exercised at the point the oracle can't
+    // see: re-running an epoch whose manifest already committed — the
+    // at-least-once window after a crash between sink work and offset
+    // commit — must not change the table, even with different input
+    import graft.sources.VersionedManifest
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vingest_spec").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vingest_ckpt").toString
+    val land: (DataFrame, Long) => Unit = (batch, epoch) => {
+      val v = epoch + 1
+      if (!VersionedManifest.committedVersions(spark, dir).contains(v)) {
+        batch.write.mode("overwrite").parquet(s"$dir/v=$v")
+        VersionedManifest.commit(spark, dir, v, s"epoch $epoch")
+      }
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("id", "x").writeStream.foreachBatch(land)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedManifest.committedVersions(spark, dir) == Seq(1L, 2L))
+    // the replay: epoch 0 fires again, this time carrying a rogue row
+    land(Seq((9L, "z")).toDF("id", "x"), 0L)
+    val log = Seq(1L, 2L)
+      .map(VersionedManifest.readAt(spark, dir, _))
+      .reduce(_.unionByName(_))
+    assert(log.count() == 3, "replayed epoch changed the committed table")
+    assert(log.filter(col("id") === 9L).isEmpty,
+      "replayed epoch's data became visible")
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
