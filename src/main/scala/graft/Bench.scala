@@ -101,7 +101,13 @@ object Bench {
     "q238_leakage_safe_split", "q239_schema_evolution",
     "q240_fuzzy_join", "q241_max_concurrency", "q242_compaction",
     "q243_dq_audit", "q244_stream_dynamic_session",
-    "q245_partitioned_compaction"
+    "q245_partitioned_compaction",
+    // round 10 additions: catalog stats, the versioned-manifest table
+    // family, file skipping, bucketed join, metadata-only agg, oracled HLL
+    "q246_catalog_stats", "q247_snapshot_read", "q248_hll_registers",
+    "q249_vacuum", "q250_time_travel", "q251_file_skipping",
+    "q252_stream_versioned_ingest", "q253_bucketed_join",
+    "q254_metadata_agg"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

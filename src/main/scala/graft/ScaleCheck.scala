@@ -34,6 +34,10 @@ object ScaleCheck {
     // the compaction half of the maintenance loop (MaintCheck reports the
     // months-read and files-per-dir evidence the timings alone can't)
     "q233_dpp_star", "q234_bpe_encode", "q245_partitioned_compaction",
+    // round 10: the catalog + table-format family (staging lands at the
+    // untimed warm pass; the timed runs measure the steady-state op)
+    "q246_catalog_stats", "q251_file_skipping",
+    "q252_stream_versioned_ingest", "q253_bucketed_join",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant

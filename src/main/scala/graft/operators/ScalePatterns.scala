@@ -1069,7 +1069,12 @@ object ScalePatterns extends QueryModule {
     * decision to plan time. ANALYZE cost is one scan, amortized across
     * every subsequent query of the table.
     */
-  private def q246(s: SparkSession, d: String): DataFrame = {
+  /** Land the session-catalog database for `d` once per (session,
+    * dataset): managed `orders`/`lineitem` tables + ANALYZE statistics
+    * (q246), plus orderkey-bucketed twins for the co-located join
+    * (q253). Returns the database name.
+    */
+  private[operators] def catalogDb(s: SparkSession, d: String): String = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val db = s"graft_cat_$tag"
     val wh = graft.StagingDirs.register(
@@ -1092,6 +1097,22 @@ object ScalePatterns extends QueryModule {
         "FOR COLUMNS o_orderdate, o_orderkey")
       s.sql(s"ANALYZE TABLE $db.lineitem COMPUTE STATISTICS")
     }
+    if (!s.catalog.tableExists(s"$db.b_lineitem")) {
+      // the bucketed twins: BOTH sides hash-distributed into the same 8
+      // orderkey buckets at WRITE time, so every future orderkey join is
+      // exchange-free on the join sides (q253)
+      s.table(s"$db.orders").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.b_orders")
+      s.table(s"$db.lineitem").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.b_lineitem")
+    }
+    db
+  }
+
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val db = catalogDb(s, d)
     val cbo0 = s.conf.get("spark.sql.cbo.enabled")
     val thr0 = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
@@ -1122,6 +1143,94 @@ object ScalePatterns extends QueryModule {
        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01'
        |  AND TIMESTAMP '1996-03-07'
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q253
+
+  /** q253: CO-LOCATED join via bucketing — the pre-partitioning strategy
+    * for REPEATED fact⋈fact joins: both catalog tables are bucketed into
+    * the same 8 orderkey buckets at write time ([[catalogDb]]), so the
+    * join consumes each side's layout as its distribution and plans ZERO
+    * exchanges on the join inputs — the only shuffle left is the final
+    * groupBy. Broadcast is disabled in-scope so the plan must reason
+    * about distribution, and the plan is frozen by an eager
+    * localCheckpoint of the ≤5-row aggregate (the q246 discipline);
+    * PlanSpec pins the exchange count. Promotes BucketingSpec's
+    * spec-only evidence to an oracled operator.
+    *
+    * Scale: bucketing converts every future orderkey join of these
+    * tables from two O(data) shuffles into zero — THE amortization for
+    * a 100 TB fact that joins on the same key daily; the bucket count
+    * scales with the estate (8 here; thousands on a cluster), the plan
+    * is identical.
+    */
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    val db = catalogDb(s, d)
+    val thr0 = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = s.table(s"$db.b_lineitem")
+        .join(s.table(s"$db.b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("o_orderpriority"))
+      out.localCheckpoint()
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+  }
+
+  private val q253Sql =
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS gross
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q254
+
+  /** q254: METADATA-ONLY aggregation — MIN/MAX/COUNT answered from
+    * parquet FOOTER statistics (`spark.sql.parquet.aggregatePushdown`):
+    * the scan's PushedAggregation reads one stats struct per row group
+    * and never materializes a data page — for a 100 TB estate, the
+    * difference between "what's the key range of this table" costing a
+    * full scan and costing a footer sweep. The same conf-scope +
+    * localCheckpoint discipline as q246; PlanSpec pins PushedAggregation
+    * in the scan and the row-group-stats ReadSchema.
+    *
+    * Scale: cost is O(#row groups), independent of row count — the
+    * footer sweep parallelizes over files exactly like the data scan
+    * would, just 10⁶× smaller. Pairs with q251: file skipping prunes by
+    * stats, this ANSWERS by stats.
+    */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val agg0 = s.conf.get("spark.sql.parquet.aggregatePushdown")
+    val v10 = s.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      // footer-stats pushdown lives in the DSv2 ParquetScan only — route
+      // parquet off the v1 list for this plan. Timestamp columns are
+      // excluded by the pushdown rules (INT96/NTZ stats ambiguity), so
+      // the query sticks to integer key stats: one unsupported column
+      // would silently veto the whole pushdown.
+      s.conf.set("spark.sql.sources.useV1SourceList",
+        v10.split(",").filterNot(_.trim == "parquet").mkString(","))
+      val out = s.read.parquet(s"$d/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_partkey")).as("min_part"),
+          max(col("l_partkey")).as("max_part"))
+      out.localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.parquet.aggregatePushdown", agg0)
+      s.conf.set("spark.sql.sources.useV1SourceList", v10)
+    }
+  }
+
+  private val q254Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+      |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part
+      |FROM lineitem""".stripMargin
 
   // --------------------------------------------------------------- q247
 
@@ -1311,12 +1420,12 @@ object ScalePatterns extends QueryModule {
         .groupBy(input_file_name().as("file"))
         .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
         .coalesce(1)
-        .write.mode("overwrite").json(s"$dir/_filestats")
+        .write.mode("overwrite").json(s"$dir/filestats")
       java.nio.file.Files.createFile(done)
     }
     val (lo, hi) = (100L, 299L)
     // manifest consult: O(#files) rows, bounded collect of matching paths
-    val files = s.read.json(s"$dir/_filestats")
+    val files = s.read.json(s"$dir/filestats")
       .filter(col("hi") >= lo && col("lo") <= hi)
       .select(col("file")).collect().map(_.getString(0)).toSeq
     s.read.parquet(files: _*)
@@ -1340,6 +1449,8 @@ object ScalePatterns extends QueryModule {
     "q249_vacuum" -> q249,
     "q250_time_travel" -> q250,
     "q251_file_skipping" -> q251,
+    "q253_bucketed_join" -> q253,
+    "q254_metadata_agg" -> q254,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1368,6 +1479,8 @@ object ScalePatterns extends QueryModule {
     "q249_vacuum" -> q249Sql,
     "q250_time_travel" -> q250Sql,
     "q251_file_skipping" -> q251Sql,
+    "q253_bucketed_join" -> q253Sql,
+    "q254_metadata_agg" -> q254Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

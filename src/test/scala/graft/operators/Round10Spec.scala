@@ -16,7 +16,7 @@ class Round10Spec extends SparkSpec {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_skip_" +
       s"${spark.sparkContext.applicationId}_" +
       sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
-    val stats = spark.read.json(s"$dir/_filestats")
+    val stats = spark.read.json(s"$dir/filestats")
     val total = stats.count()
     val matching = stats.filter(col("hi") >= 100L && col("lo") <= 299L).count()
     // the 100..299 slice of a 0..499 range layout must hit SOME files but
@@ -28,6 +28,49 @@ class Round10Spec extends SparkSpec {
     val full = graft.Tables.documents(spark, sf0001)
       .filter(col("doc_id").between(100L, 299L)).count()
     assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
+  }
+
+  test("q253 bucketed join plans ZERO exchanges on the join inputs") {
+    val db = ScalePatterns.catalogDb(spark, sf0001)
+    val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = spark.table(s"$db.b_lineitem")
+        .join(spark.table(s"$db.b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      // the only hash exchange allowed is the groupBy's — both bucketed
+      // join inputs must consume their write-time layout (executedPlan,
+      // not sparkPlan: exchanges only exist after EnsureRequirements)
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(nExchanges == 1,
+        s"bucketed join sides shuffled ($nExchanges exchanges):\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"unexpected join strategy:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan not reading bucketed layout:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+  }
+
+  test("q254 min/max/count push to the parquet footer (no data pages read)") {
+    val agg0 = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    val v10 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList",
+        v10.split(",").filterNot(_.trim == "parquet").mkString(","))
+      val p = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation") && p.contains("COUNT(*)") &&
+        p.contains("MIN(l_orderkey)") && p.contains("MAX(l_orderkey)"),
+        s"aggregates not pushed to the footer scan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", agg0)
+      spark.conf.set("spark.sql.sources.useV1SourceList", v10)
+    }
   }
 
   test("q249 vacuum removes the orphan dir and keeps all committed history") {
