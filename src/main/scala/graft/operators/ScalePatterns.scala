@@ -1386,6 +1386,111 @@ object ScalePatterns extends QueryModule {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q255
+
+  /** q255: VERSION DIFF — CDC out of the versioned table (Delta's "table
+    * changes" read): what changed between committed v=1 (the even-doc_id
+    * load) and v=2 (the full rewrite that also dropped every doc_id
+    * ending in 4)? Rows are immutable under a key here, so the diff is
+    * two key-level anti joins (added = in v2 not v1, removed = in v1 not
+    * v2) — never a full-row compare — aggregated into a 2-row change
+    * summary. Downstream consumers (an index refresh, a feature-store
+    * sync) read this instead of re-scanning either snapshot.
+    *
+    * Scale: two doc_id-keyed anti joins, each one shuffle of the two
+    * key columns; row payloads join back only for the aggregate's
+    * n_chars. At 100 TB the diff cost is O(keys), not O(bytes).
+    */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vdiff_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      docs.filter(col("doc_id") % 10 =!= 4)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "rewrite + purge")
+      java.nio.file.Files.createFile(done)
+    }
+    val v1 = graft.sources.VersionedManifest.readAt(s, dir, 1)
+    val v2 = graft.sources.VersionedManifest.readAt(s, dir, 2)
+    val added = v2.join(v1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(lit("added").as("change"), col("doc_id"), col("n_chars"))
+    val removed = v1.join(v2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(lit("removed").as("change"), col("doc_id"), col("n_chars"))
+    added.unionByName(removed)
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("change"))
+  }
+
+  private val q255Sql =
+    """SELECT 'added' AS change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 != 4
+      |UNION ALL
+      |SELECT 'removed', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(n_chars) AS BIGINT), MIN(doc_id), MAX(doc_id)
+      |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 4
+      |ORDER BY change""".stripMargin
+
+  // --------------------------------------------------------------- q256
+
+  /** q256: COPY-ON-WRITE row delete — the GDPR-erasure shape on the
+    * versioned table: "remove everything from src3" lands as a NEW
+    * committed version holding the complement (v=1 stays intact for the
+    * retention window; q249's vacuum is where it eventually dies). The
+    * post-delete read proves the rows are gone and the deleted count
+    * rides along, reconciled by the oracle against the source table.
+    * Readers mid-delete keep serving v=1 — erasure is atomic at the
+    * manifest rename like every other commit.
+    *
+    * Scale: COW rewrites only what it keeps (one filtered scan→write);
+    * the delete never touches readers. A production estate narrows the
+    * rewrite to the FILES containing hits — exactly q251's stats
+    * manifest consulted with the delete predicate; composing the two is
+    * file-level COW, same commit protocol.
+    */
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_cow_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      // the erasure: keep the complement, commit as the next version
+      graft.sources.VersionedManifest.readAt(s, dir, 1)
+        .filter(col("source") =!= "src3")
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "erase source=src3")
+      java.nio.file.Files.createFile(done)
+    }
+    val before = graft.sources.VersionedManifest.readAt(s, dir, 1)
+      .agg(count(lit(1))).head().getLong(0)
+    val after = graft.sources.VersionedManifest.readLatest(s, dir)
+    val kept = after.agg(count(lit(1))).head().getLong(0)
+    after.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("deleted_rows", lit(before - kept))
+      .orderBy(col("source"))
+  }
+
+  private val q256Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE source = 'src3')
+      |    AS BIGINT) AS deleted_rows
+      |FROM documents WHERE source != 'src3'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q251
 
   /** q251: manifest MIN/MAX FILE SKIPPING — the data-skipping layer of a
@@ -1451,6 +1556,8 @@ object ScalePatterns extends QueryModule {
     "q251_file_skipping" -> q251,
     "q253_bucketed_join" -> q253,
     "q254_metadata_agg" -> q254,
+    "q255_version_diff" -> q255,
+    "q256_cow_delete" -> q256,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1481,6 +1588,8 @@ object ScalePatterns extends QueryModule {
     "q251_file_skipping" -> q251Sql,
     "q253_bucketed_join" -> q253Sql,
     "q254_metadata_agg" -> q254Sql,
+    "q255_version_diff" -> q255Sql,
+    "q256_cow_delete" -> q256Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,
