@@ -107,7 +107,8 @@ object Bench {
     "q246_catalog_stats", "q247_snapshot_read", "q248_hll_registers",
     "q249_vacuum", "q250_time_travel", "q251_file_skipping",
     "q252_stream_versioned_ingest", "q253_bucketed_join",
-    "q254_metadata_agg", "q255_version_diff", "q256_cow_delete"
+    "q254_metadata_agg", "q255_version_diff", "q256_cow_delete",
+    "q257_zorder_skipping"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

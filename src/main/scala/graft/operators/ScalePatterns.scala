@@ -1386,6 +1386,114 @@ object ScalePatterns extends QueryModule {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q257
+
+  /** Stage q257's two competing physical layouts once per (session,
+    * dataset): `zorder/` (range-laid-out on the 16-bit Morton value over
+    * (l_partkey, l_suppkey), q178's curve written for real) and `keysort/`
+    * (the 1-D control: same file count, range-laid-out on l_partkey
+    * alone), each with a per-file (min,max)-of-BOTH-keys stats manifest
+    * (q251's mechanism). Returns the staging root. Round10Spec uses the
+    * control to measure the z-order claim comparatively.
+    */
+  private[operators] def zorderLayouts(s: SparkSession, d: String): String = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_zskip_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val bounds = li.agg(
+        min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+        min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+      val z = li.crossJoin(broadcast(bounds))
+        .withColumn("pb", expr("((l_partkey - plo) * 256) div (phi - plo + 1)"))
+        .withColumn("sb", expr("((l_suppkey - slo) * 256) div (shi - slo + 1)"))
+        .withColumn("zval", expr(zExprTerms("pb", "sb")))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+          col("zval"))
+      z.repartitionByRange(32, col("zval")).sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite").parquet(s"$dir/zorder")
+      li.repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/keysort")
+      Seq("zorder", "keysort").foreach { layout =>
+        s.read.parquet(s"$dir/$layout")
+          .groupBy(input_file_name().as("file"))
+          .agg(min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+            min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+          .coalesce(1)
+          .write.mode("overwrite").json(s"$dir/${layout}_stats")
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  /** q257: Z-ORDER + file skipping END TO END — the write-side twin q178
+    * only audited: lineitem physically laid out along the Morton curve
+    * over (l_partkey, l_suppkey) into 32 files, per-file min/max of BOTH
+    * keys recorded in a q251-style stats manifest, and a 2-D box query
+    * (the middle 1/16 of each key's domain, bounds derived from the data
+    * by identical integer arithmetic in both engines) answered by reading
+    * only the files whose stats intersect the box. Because the curve
+    * bounds BOTH dimensions per file, the box prunes on both predicates —
+    * a 1-D sort prunes on its sort key only (Round10Spec stages the
+    * keysort control and pins the comparative file counts: the suppkey
+    * box prunes the z layout but reads ALL of the 1-D layout). The rollup
+    * hash-matches the oracle's plain filter.
+    *
+    * Scale: this is how a 100 TB fact serves selective 2-D queries
+    * without an index — O(files) manifest rows, O(matching files) data
+    * reads; the curve resolution (8 bits/dim) and file count scale
+    * independently of row count.
+    */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderLayouts(s, d)
+    // the box: middle sixteenth of each key domain, same integer
+    // arithmetic as the oracle's scalar subqueries
+    val b = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+      min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+      .head() // bounded: one row of four longs
+    val (plo, phi, slo, shi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (pLo, pHi) = (plo + (phi - plo + 1) * 7 / 16, plo + (phi - plo + 1) * 8 / 16 - 1)
+    val (sLo, sHi) = (slo + (shi - slo + 1) * 7 / 16, slo + (shi - slo + 1) * 8 / 16 - 1)
+    val files = s.read.json(s"$dir/zorder_stats")
+      .filter(col("phi") >= pLo && col("plo") <= pHi &&
+        col("shi") >= sLo && col("slo") <= sHi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    s.read.parquet(files: _*)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi))
+      .agg(count(lit(1)).as("n_rows"),
+        Exact.sumMoney(col("l_extendedprice")).as("gross"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+  }
+
+  private val q257Sql =
+    """WITH b AS (
+      |  SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+      |         MIN(l_suppkey) AS slo, MAX(l_suppkey) AS shi
+      |  FROM lineitem),
+      |box AS (
+      |  SELECT plo + (phi - plo + 1) * 7 // 16 AS p_lo,
+      |         plo + (phi - plo + 1) * 8 // 16 - 1 AS p_hi,
+      |         slo + (shi - slo + 1) * 7 // 16 AS s_lo,
+      |         slo + (shi - slo + 1) * 8 // 16 - 1 AS s_hi
+      |  FROM b)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+      |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+      |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+      |FROM lineitem, box
+      |WHERE l_partkey BETWEEN p_lo AND p_hi
+      |  AND l_suppkey BETWEEN s_lo AND s_hi""".stripMargin
+
   // --------------------------------------------------------------- q255
 
   /** q255: VERSION DIFF — CDC out of the versioned table (Delta's "table
@@ -1558,6 +1666,7 @@ object ScalePatterns extends QueryModule {
     "q254_metadata_agg" -> q254,
     "q255_version_diff" -> q255,
     "q256_cow_delete" -> q256,
+    "q257_zorder_skipping" -> q257,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1590,6 +1699,7 @@ object ScalePatterns extends QueryModule {
     "q254_metadata_agg" -> q254Sql,
     "q255_version_diff" -> q255Sql,
     "q256_cow_delete" -> q256Sql,
+    "q257_zorder_skipping" -> q257Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

@@ -73,6 +73,43 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q257 z-order prunes on BOTH dimensions; a 1-D sort prunes on one") {
+    val dir = ScalePatterns.zorderLayouts(spark, sf0001)
+    def matched(layout: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.json(s"$dir/${layout}_stats").filter(pred).count()
+    val total = spark.read.json(s"$dir/zorder_stats").count()
+    assert(total >= 16, s"expected a multi-file layout, got $total")
+    // a suppkey-only box over the middle sixteenth of the domain
+    val b = graft.Tables.lineitem(spark, sf0001)
+      .agg(min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (slo, shi) = (b.getLong(0), b.getLong(1))
+    val (sLo, sHi) =
+      (slo + (shi - slo + 1) * 7 / 16, slo + (shi - slo + 1) * 8 / 16 - 1)
+    val box = col("shi") >= sLo && col("slo") <= sHi
+    val zMatch = matched("zorder", box)
+    val kMatch = matched("keysort", box)
+    // the 1-D partkey sort leaves every file spanning the full suppkey
+    // domain — the suppkey predicate prunes (almost) nothing there, while
+    // the z layout bounds suppkey per file and drops most of them
+    assert(kMatch >= total - 1, s"1-D layout unexpectedly pruned: $kMatch of $total")
+    assert(zMatch <= total / 2,
+      s"z layout did not bound the second dimension: $zMatch of $total")
+    // and the registered query's both-dim box reads a strict file subset
+    // while returning exactly the unpruned filter's rows
+    val out = graft.SparkEntry.queries("q257_zorder_skipping")(spark, sf0001)
+      .head()
+    val pb = graft.Tables.lineitem(spark, sf0001)
+      .agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (plo, phi) = (pb.getLong(0), pb.getLong(1))
+    val (pLo, pHi) =
+      (plo + (phi - plo + 1) * 7 / 16, plo + (phi - plo + 1) * 8 / 16 - 1)
+    val expect = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_partkey").between(pLo, pHi) &&
+        col("l_suppkey").between(sLo, sHi)).count()
+    assert(out.getLong(0) == expect,
+      s"z-skipped read lost rows: ${out.getLong(0)} vs $expect")
+  }
+
   test("q249 vacuum removes the orphan dir and keeps all committed history") {
     SparkEntry.queries("q249_vacuum")(spark, sf0001).collect()
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vac_" +
