@@ -1100,11 +1100,18 @@ object ScalePatterns extends QueryModule {
     if (!s.catalog.tableExists(s"$db.b_lineitem")) {
       // the bucketed twins: BOTH sides hash-distributed into the same 8
       // orderkey buckets at WRITE time, so every future orderkey join is
-      // exchange-free on the join sides (q253)
-      s.table(s"$db.orders").write
+      // exchange-free on the join sides (q253). The repartition BEFORE
+      // the write is load-bearing: it makes each bucket exactly ONE
+      // file, which is the condition under which Spark trusts the
+      // write-time sortBy — multi-file buckets lose outputOrdering and
+      // the join re-SORTS both sides every query (measured 8.95× at the
+      // sf1→sf10 decade before this; sort-free after)
+      s.table(s"$db.orders")
+        .repartition(8, col("o_orderkey")).write
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(s"$db.b_orders")
-      s.table(s"$db.lineitem").write
+      s.table(s"$db.lineitem")
+        .repartition(8, col("l_orderkey")).write
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(s"$db.b_lineitem")
     }
@@ -1166,8 +1173,15 @@ object ScalePatterns extends QueryModule {
   private def q253(s: SparkSession, d: String): DataFrame = {
     val db = catalogDb(s, d)
     val thr0 = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val ord0 = s.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // with one file per bucket (catalogDb's pre-write repartition) the
+      // write-time sortBy is real ordering — this flag lets the scan
+      // REPORT it (off by default since SPARK-28632 because multi-file
+      // buckets would need a planning-time listing check), which deletes
+      // both SMJ Sorts: the join runs straight off the layout
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val out = s.table(s"$db.b_lineitem")
         .join(s.table(s"$db.b_orders"),
           col("l_orderkey") === col("o_orderkey"))
@@ -1176,7 +1190,10 @@ object ScalePatterns extends QueryModule {
           Exact.sumMoney(col("l_extendedprice")).as("gross"))
         .orderBy(col("o_orderpriority"))
       out.localCheckpoint()
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", ord0)
+    }
   }
 
   private val q253Sql =

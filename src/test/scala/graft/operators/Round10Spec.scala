@@ -33,8 +33,10 @@ class Round10Spec extends SparkSpec {
   test("q253 bucketed join plans ZERO exchanges on the join inputs") {
     val db = ScalePatterns.catalogDb(spark, sf0001)
     val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val ord0 = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val p = spark.table(s"$db.b_lineitem")
         .join(spark.table(s"$db.b_orders"),
           col("l_orderkey") === col("o_orderkey"))
@@ -50,7 +52,14 @@ class Round10Spec extends SparkSpec {
         s"unexpected join strategy:\n$p")
       assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
         s"scan not reading bucketed layout:\n$p")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      // one file per bucket → write-time sortBy satisfies the SMJ's
+      // ordering requirement: the plan must contain NO Sort at all
+      assert(!p.contains("Sort "),
+        s"bucketed sides re-sorted (multi-file buckets?):\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", ord0)
+    }
   }
 
   test("q254 min/max/count push to the parquet footer (no data pages read)") {
