@@ -1093,9 +1093,15 @@ object ScalePatterns extends QueryModule {
         .withColumn("o_orderdate", col("o_orderdate").cast("date"))
         .write.saveAsTable(s"$db.orders")
       Tables.lineitem(s, d).write.saveAsTable(s"$db.lineitem")
+      Tables.part(s, d).write.saveAsTable(s"$db.part")
       s.sql(s"ANALYZE TABLE $db.orders COMPUTE STATISTICS " +
         "FOR COLUMNS o_orderdate, o_orderkey")
-      s.sql(s"ANALYZE TABLE $db.lineitem COMPUTE STATISTICS")
+      // join-key + predicate column stats: q258's cost-based join
+      // reorder estimates join cardinalities from key ndv
+      s.sql(s"ANALYZE TABLE $db.lineitem COMPUTE STATISTICS " +
+        "FOR COLUMNS l_orderkey, l_partkey")
+      s.sql(s"ANALYZE TABLE $db.part COMPUTE STATISTICS " +
+        "FOR COLUMNS p_partkey, p_size")
     }
     if (!s.catalog.tableExists(s"$db.b_lineitem")) {
       // the bucketed twins: BOTH sides hash-distributed into the same 8
@@ -1403,6 +1409,57 @@ object ScalePatterns extends QueryModule {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q258
+
+  /** q258: COST-BASED JOIN REORDER — the other half of the CBO surface
+    * q246 opened: a three-table star written in the WORST order (the two
+    * facts joined first, the selective dimension last). With catalog
+    * column stats on every join key and `cbo.joinReorder` on, the
+    * optimizer's DP pass estimates |lineitem ⋈ part{p_size=1}| at ~2% of
+    * |lineitem ⋈ orders| and REWRITES the tree to run the selective join
+    * first — the written order stops mattering, which is the entire
+    * promise of cost-based optimization. Round10Spec pins the optimized
+    * join tree (innermost join = {lineitem, part} with CBO; the written
+    * {lineitem, orders} without) by traversing the logical plan, not
+    * string-matching. Conf scope + eager localCheckpoint as in q246.
+    *
+    * Scale: at 100 TB the difference is an intermediate of terabytes vs
+    * gigabytes feeding the second join — the one decision a human can't
+    * keep making per query across thousands of queries; stats + reorder
+    * make it the planner's job.
+    */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val db = catalogDb(s, d)
+    val cbo0 = s.conf.get("spark.sql.cbo.enabled")
+    val jr0 = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val out = s.table(s"$db.lineitem")
+        .join(s.table(s"$db.orders"),
+          col("l_orderkey") === col("o_orderkey")) // facts first: worst order
+        .join(s.table(s"$db.part").filter(col("p_size") === 1),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("p_brand"))
+      out.localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", cbo0)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", jr0)
+    }
+  }
+
+  private val q258Sql =
+    s"""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS gross
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_size = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q257
 
   /** Stage q257's two competing physical layouts once per (session,
@@ -1684,6 +1741,7 @@ object ScalePatterns extends QueryModule {
     "q255_version_diff" -> q255,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
+    "q258_cbo_join_reorder" -> q258,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1717,6 +1775,7 @@ object ScalePatterns extends QueryModule {
     "q255_version_diff" -> q255Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
+    "q258_cbo_join_reorder" -> q258Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

@@ -82,6 +82,43 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q258 CBO reorders the join tree to run the selective join first") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val db = ScalePatterns.catalogDb(spark, sf0001)
+    // the written order: facts first, selective dim last
+    def query() = spark.table(s"$db.lineitem")
+      .join(spark.table(s"$db.orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(s"$db.part").filter(col("p_size") === 1),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    // tables under the INNERMOST join of the optimized logical plan
+    def innermost(plan: LogicalPlan): Set[String] = {
+      val joins = plan.collect { case j: Join => j } // pre-order: last = deepest
+      joins.last.collectLeaves().flatMap {
+        case r: LogicalRelation => r.catalogTable.map(_.identifier.table)
+        case _ => None
+      }.toSet
+    }
+    val cbo0 = spark.conf.get("spark.sql.cbo.enabled")
+    val jr0 = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val asWritten = innermost(query().queryExecution.optimizedPlan)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = innermost(query().queryExecution.optimizedPlan)
+      assert(asWritten == Set("lineitem", "orders"),
+        s"without CBO the written order must stand: $asWritten")
+      assert(reordered == Set("lineitem", "part"),
+        s"CBO did not move the selective join innermost: $reordered")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cbo0)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", jr0)
+    }
+  }
+
   test("q257 z-order prunes on BOTH dimensions; a 1-D sort prunes on one") {
     val dir = ScalePatterns.zorderLayouts(spark, sf0001)
     def matched(layout: String, pred: org.apache.spark.sql.Column): Long =
