@@ -1409,6 +1409,59 @@ object ScalePatterns extends QueryModule {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q259
+
+  /** q259: RUNTIME BLOOM-FILTER join pruning — the row-level sibling of
+    * q233's partition-level DPP: a shuffle join whose build side is
+    * selective (March-1996 orders) gets a bloom filter INJECTED by the
+    * optimizer (`InjectRuntimeFilter`); the probe side evaluates
+    * `might_contain(bloom_filter_agg(...))` against a scalar subquery
+    * and drops ~99.7% of lineitem rows BEFORE the shuffle — the rows
+    * never serialize, never hit the wire. Broadcast is disabled in-scope
+    * (a broadcastable build side wouldn't need the bloom) and the
+    * application-side size threshold is dropped to test scale (default
+    * 10 GB — the feature is BUILT for the 100 TB case); Round10Spec pins
+    * `bloom_filter_might_contain` reaching the probe-side scan filters.
+    * The rollup hash-matches the plain oracle — the bloom only drops
+    * rows the join would drop anyway (false positives just ride through
+    * to the exact join).
+    *
+    * Scale: this is THE shuffle-volume lever for selective fact⋈fact
+    * joins at 100 TB — the filter costs one O(build)-side aggregate and
+    * a broadcast of ~1 MB of bits; the payoff is the probe side's
+    * shuffle shrinking by the join selectivity.
+    */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    val thr0 = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bf0 = s.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val app0 = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-03-07").cast("timestamp"))
+      val out = Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_linestatus"))
+      out.localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bf0)
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", app0)
+    }
+  }
+
+  // same result contract as q246 (the bloom is transparent to semantics)
+  private val q259Sql = q246Sql
+
   // --------------------------------------------------------------- q258
 
   /** q258: COST-BASED JOIN REORDER — the other half of the CBO surface
@@ -1742,6 +1795,7 @@ object ScalePatterns extends QueryModule {
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
+    "q259_runtime_bloom_join" -> q259,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1776,6 +1830,7 @@ object ScalePatterns extends QueryModule {
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,
+    "q259_runtime_bloom_join" -> q259Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

@@ -119,6 +119,42 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q259 injects a runtime bloom filter on the probe side") {
+    val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bf0 = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val app0 = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-03-07").cast("timestamp"))
+      val p = graft.Tables.lineitem(spark, sf0001)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      // the optimizer must have planted might_contain on the lineitem
+      // (probe) side — rows drop BEFORE the shuffle
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$p")
+      // and it must sit UNDER the probe side's exchange: the filter line
+      // appears between the join and the probe shuffle in the tree
+      val probeFilter = p.indexOf("might_contain")
+      val probeExchange = p.lastIndexOf("Exchange hashpartitioning(l_orderkey",
+        probeFilter)
+      assert(probeExchange >= 0 && probeExchange < probeFilter,
+        s"bloom filter not below the probe-side shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bf0)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", app0)
+    }
+  }
+
   test("q257 z-order prunes on BOTH dimensions; a 1-D sort prunes on one") {
     val dir = ScalePatterns.zorderLayouts(spark, sf0001)
     def matched(layout: String, pred: org.apache.spark.sql.Column): Long =
