@@ -1409,6 +1409,66 @@ object ScalePatterns extends QueryModule {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q260
+
+  /** q260: AQE SKEW-JOIN splitting as a first-class operator — the
+    * runtime backstop behind manual salting (q46/q105), promoted from
+    * AqeSkewSpec's synthetic pin to an oracled query on the real tables:
+    * lineitem joins a derived 3-row dimension on `l_returnflag`, the
+    * hottest possible key distribution (every key is a third of the
+    * fact), with broadcast disabled so the join genuinely shuffles and
+    * the skew thresholds scoped to data scale (the defaults are sized
+    * for production partitions — 256 MB advisory — exactly as the 100 TB
+    * deployment would leave them). AQE observes the fat partitions at
+    * runtime and SPLITS them across tasks (`skew=true` on the join,
+    * pinned in Round10Spec); the rollup hash-matches the oracle, which
+    * reduces the identity join away. Where q105 pre-salts because it
+    * KNOWS the skew, this is the posture for skew you didn't predict.
+    *
+    * Scale: split granularity follows advisoryPartitionSizeInBytes, so
+    * one hot key stops capping join parallelism at 1 task; no plan or
+    * data change, just runtime re-planning from shuffle statistics.
+    */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a real 100 TB fact arrives in thousands of input splits; at test
+      // scale the single parquet file is ONE map task, and AQE can only
+      // split a skewed reducer partition along MAPPER boundaries — the
+      // repartition restores the many-mapper shape the feature needs
+      val li = Tables.lineitem(s, d).repartition(8)
+      // the dim materializes (3 rows) so its join child is a BARE shuffle
+      // stage: OptimizeSkewedJoin can only split a skewed partition when
+      // the matching other-side partition is re-readable shuffle output —
+      // an Aggregate between Sort and stage blocks the rule
+      val dim = li.select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("rf")))
+        .localCheckpoint()
+      val out = li.join(dim, col("l_returnflag") === col("rf"))
+        .groupBy(col("flag_label"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("flag_label"))
+      out.localCheckpoint()
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  private val q260Sql =
+    s"""SELECT 'flag_' || l_returnflag AS flag_label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS gross
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q259
 
   /** q259: RUNTIME BLOOM-FILTER join pruning — the row-level sibling of
@@ -1796,6 +1856,7 @@ object ScalePatterns extends QueryModule {
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
     "q259_runtime_bloom_join" -> q259,
+    "q260_aqe_skew_join" -> q260,
     "q233_dpp_star" -> q233,
     "q235_avro_roundtrip" -> q235,
     "q239_schema_evolution" -> q239,
@@ -1831,6 +1892,7 @@ object ScalePatterns extends QueryModule {
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,
     "q259_runtime_bloom_join" -> q259Sql,
+    "q260_aqe_skew_join" -> q260Sql,
     "q233_dpp_star" -> q233Sql,
     "q235_avro_roundtrip" -> q235Sql,
     "q239_schema_evolution" -> q239Sql,

@@ -155,6 +155,41 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q260 AQE marks and splits the skewed join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sf0.01: the per-key shuffle partitions must clear the 8KB skew
+      // threshold (sf0.001's compressed partitions sit under it)
+      val li = graft.Tables.lineitem(spark, sf001).repartition(8)
+      // the dim materializes (3 rows) so its join child is a BARE shuffle
+      // stage: OptimizeSkewedJoin can only split a skewed partition when
+      // the matching other-side partition is re-readable shuffle output —
+      // an Aggregate between Sort and stage blocks the rule
+      val dim = li.select(col("l_returnflag").as("rf")).distinct()
+        .withColumn("flag_label", concat(lit("flag_"), col("rf")))
+        .localCheckpoint()
+      val joined = li.join(dim, col("l_returnflag") === col("rf"))
+        .groupBy(col("flag_label")).agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice")).as("g")) // keeps the shuffle above
+                                               // the skew threshold
+      // run through the SAME execution whose adaptive plan we inspect
+      assert(joined.collect().length == 3)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join on the real tables:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q257 z-order prunes on BOTH dimensions; a 1-D sort prunes on one") {
     val dir = ScalePatterns.zorderLayouts(spark, sf0001)
     def matched(layout: String, pred: org.apache.spark.sql.Column): Long =
