@@ -86,7 +86,13 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArticlesScanBuilder(corpora, dataDir)
+    new ArticlesScanBuilder(corpora, dataDir,
+      // storage-partitioned reads are OPT-IN (the bucketed-table
+      // discipline): reporting KeyGroupedPartitioning makes Spark 4
+      // group the 4 corpus partitions into 2 key groups on EVERY read,
+      // halving plain-scan parallelism — only a reader that wants the
+      // shuffle-free join should pay that
+      options.getBoolean("clusterByIndexation", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // mirror the read-side getTable check: ArticlesWriter serializes every
     // field via getUTF8String, so a non-matching incoming schema must be
@@ -313,7 +319,8 @@ private[sources] class ArticlesWriter(dir: String, queryId: String,
   override def close(): Unit = ()
 }
 
-private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String)
+private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String,
+                                            clusterByIndexation: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -364,7 +371,9 @@ private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String
 
   override def build(): Scan = aggGroups match {
     case Some(groups) => new ArticlesAggScan(corpora, dataDir, groups, pushed)
-    case None => new ArticlesScan(corpora, dataDir, required, pushed, limit)
+    case None =>
+      new ArticlesScan(corpora, dataDir, required, pushed, limit,
+        clusterByIndexation)
   }
 }
 
@@ -437,11 +446,41 @@ private[sources] class ArticlesAggReader(part: ArticlesPartition,
 
 private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
                                     required: StructType, pushed: Array[Filter],
-                                    limit: Int = -1)
+                                    limit: Int = -1,
+                                    clusterByIndexation: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
+
+  /** Storage-partitioned-join surface: the scan REPORTS that its
+    * partitions are clustered by `indexation` (each corpus is one
+    * constant-indexation partition, keyed via [[ArticlesPartition]]'s
+    * HasPartitionKey), so with `spark.sql.sources.v2.bucketing.enabled`
+    * two reads of this source join or aggregate on indexation with NO
+    * exchange on the connector side — the DSv2 analog of q253's
+    * bucketed tables (Iceberg serves SPJ through exactly this API).
+    * Reported ONLY when every planned corpus has a known mapping and
+    * the key column survives pruning: an unmapped corpus would be keyed
+    * wrong, and a mis-keyed partition silently co-locates wrong rows —
+    * conservatism here is a correctness requirement, not an
+    * optimization preference.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val planned = corpora.filter(c =>
+      allowed.forall(a => corpusIndexation.get(c).forall(a.contains)))
+    if (clusterByIndexation && planned.nonEmpty &&
+      planned.forall(corpusIndexation.contains) &&
+      required.fieldNames.contains("indexation"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("indexation")),
+        planned.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
 
   /** Size/row statistics from the landed artifacts' own metadata (a
     * listing-only pass, the q242 discipline). Without this a DSv2
@@ -506,7 +545,8 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
       // the optimization, never the rows). Only a corpus that POSITIVELY
       // maps to a disallowed indexation may be dropped (r9 ADVICE).
       .filter(c => allowed.forall(a => corpusIndexation.get(c).forall(a.contains)))
-      .map(c => ArticlesPartition(c, s"$dataDir/$c.json")).toArray
+      .map(c => ArticlesPartition(c, s"$dataDir/$c.json", corpusIndexation.get(c)))
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ArticlesReaderFactory(required, pushed, limit)
 }
@@ -559,8 +599,27 @@ private[sources] class ArticlesMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] case class ArticlesPartition(corpus: String, path: String)
+/** One corpus = one partition. `indexationKey` (when the corpus→indexation
+  * mapping is known) makes the partition ADDRESSABLE BY KEY
+  * ([[org.apache.spark.sql.connector.read.HasPartitionKey]]): every row of
+  * the corpus carries that constant indexation (`main.py:96` /
+  * `mainn.py:69`), so Spark may group partitions by key and run
+  * storage-partitioned joins/aggregations without shuffling this side —
+  * the key is only TRUSTED when [[ArticlesScan.outputPartitioning]]
+  * reports KeyGroupedPartitioning, which it does only if every planned
+  * corpus has a known mapping (the q259-ADVICE conservatism, applied to
+  * correctness this time: a mis-keyed partition would silently co-locate
+  * wrong rows).
+  */
+private[sources] case class ArticlesPartition(corpus: String, path: String,
+                                              indexationKey: Option[String] = None)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+        indexationKey.getOrElse(""))))
+}
 
 private[sources] object ArticlesReaderFactory {
   /** Observability hook: partitions actually OPENED. Runtime filtering's
@@ -791,13 +850,60 @@ object ArticlesV2 extends QueryModule {
        |FROM (${ArticleSource.unionAllSql})
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q261: STORAGE-PARTITIONED self-join through the connector — the
+    * DSv2 analog of q253's bucketed tables: both sides of the
+    * indexation join are reads of [[ArticleSourceV2]], whose scan
+    * reports KeyGroupedPartitioning over the per-corpus constant
+    * (`ArticlesScan.outputPartitioning`), so with v2 bucketing on and
+    * broadcast off the join consumes the SOURCE's clustering — zero
+    * exchanges on either side (ArticleSourceV2Spec pins the plan). The
+    * pair count per indexation hash-matches the plain SQL self-join.
+    * This is the Iceberg-style join path where co-location is a
+    * property the CONNECTOR declares, not one a shuffle manufactures.
+    *
+    * Scale: for two 100 TB sources sharing a partition key, SPJ removes
+    * both O(data) exchanges entirely — the same argument as bucketing,
+    * but portable across engines because the clustering travels with
+    * the table, not the session.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val bk0 = s.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    val thr0 = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val read = () => s.read.format("graft.sources.ArticleSourceV2")
+        .option("corpus", "all").option("clusterByIndexation", "true").load()
+        .filter(col("indexation").isNotNull)
+        .select(col("indexation"))
+      val out = read().as("a")
+        .join(read().as("b"), col("a.indexation") === col("b.indexation"))
+        .groupBy(col("a.indexation").as("indexation"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("indexation"))
+      out.localCheckpoint()
+    } finally {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", bk0)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+    }
+  }
+
+  private val q261Sql =
+    s"""WITH u AS (${ArticleSource.unionAllSql})
+       |SELECT a.indexation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM u a JOIN u b ON a.indexation = b.indexation
+       |WHERE a.indexation IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q222_dsv2_articles" -> q222, "q223_dsv2_stream" -> q223,
       "q226_dsv2_write" -> q226, "q231_dsv2_stream_write" -> q231,
-      "q236_dsv2_agg_pushdown" -> q236)
+      "q236_dsv2_agg_pushdown" -> q236,
+      "q261_dsv2_partitioned_join" -> q261)
 
   override def oracles: Map[String, String] =
     Map("q222_dsv2_articles" -> q222Sql, "q223_dsv2_stream" -> q222Sql,
       "q226_dsv2_write" -> q222Sql, "q231_dsv2_stream_write" -> q222Sql,
-      "q236_dsv2_agg_pushdown" -> q236Sql)
+      "q236_dsv2_agg_pushdown" -> q236Sql,
+      "q261_dsv2_partitioned_join" -> q261Sql)
 }

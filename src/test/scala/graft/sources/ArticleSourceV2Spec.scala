@@ -240,4 +240,34 @@ class ArticleSourceV2Spec extends SparkSpec {
       .queryExecution.executedPlan.executeCollect().length
     assert(emitted === 30)
   }
+
+  test("q261 storage-partitioned join consumes the connector's clustering") {
+    val bk0 = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    val thr0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions._
+      val read = () => spark.read.format("graft.sources.ArticleSourceV2")
+        .option("corpus", "all").option("clusterByIndexation", "true").load()
+        .filter(col("indexation").isNotNull)
+        .select(col("indexation"))
+      val joined = read().as("a")
+        .join(read().as("b"), col("a.indexation") === col("b.indexation"))
+        .groupBy(col("a.indexation")).agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.length == 2, s"expected IEEE+ACM rows, got ${rows.toSeq}")
+      val p = joined.queryExecution.executedPlan.toString
+      // the join inputs arrive clustered by the SOURCE's partition key:
+      // no exchange may sit between the scans and the join (the groupBy
+      // keys on the same column, so it needs none either)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffled:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"unexpected join strategy:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", bk0)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
+    }
+  }
 }
