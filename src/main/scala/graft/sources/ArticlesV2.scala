@@ -72,7 +72,8 @@ class ArticleSourceV2 extends TableProvider {
 
 private[sources] class ArticlesTable(corpus: String, dataDir: String,
                                      writeDir: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private val corpora: Seq[String] =
     if (corpus == "all")
       Seq("ai_articles", "blockchain_articles",
@@ -85,6 +86,23 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+  /** Row provenance as a METADATA column (`_corpus`): which landing
+    * corpus — the reference's pagination unit — each row arrived in,
+    * surfaced only when selected (the `_metadata` discipline of file
+    * sources, implemented on the connector via SupportsMetadataColumns).
+    * The reader fills it from its partition constant: zero parse cost,
+    * never materialized unless asked for (q262).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_corpus"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "landing corpus (the upstream's pagination unit) this row arrived in"
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(corpora, dataDir,
       // storage-partitioned reads are OPT-IN (the bucketed-table
@@ -703,8 +721,13 @@ private[sources] class ArticlesReader(part: ArticlesPartition,
       val field = fieldOf(node) _
       if (pushed.forall(ArticlesReader.eval(_, field))) {
         current = InternalRow.fromSeq(required.fields.toSeq.map { f =>
-          val s = field(f.name)
-          if (s == null) null else UTF8String.fromString(s)
+          // metadata column: provenance from the partition constant,
+          // not the parsed record
+          if (f.name == "_corpus") UTF8String.fromString(part.corpus)
+          else {
+            val s = field(f.name)
+            if (s == null) null else UTF8String.fromString(s)
+          }
         })
         emitted += 1
         return true
@@ -895,15 +918,53 @@ object ArticlesV2 extends QueryModule {
        |WHERE a.indexation IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q262: per-row PROVENANCE via the connector's `_corpus` metadata
+    * column ([[ArticlesTable.metadataColumns]]) — the landing-zone audit
+    * every ingest pipeline runs ("which page did each record arrive
+    * in?") answered without a join or a parse: the reader fills the
+    * column from its partition constant only when the query selects it.
+    * The oracle replays provenance by reading each landed file under its
+    * own label.
+    *
+    * Scale: provenance costs nothing at rest (it is not stored) and
+    * O(1)/row when asked for; the audit aggregate is O(#corpora) rows.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.ArticleSourceV2")
+      .option("corpus", "all").load()
+      .select(col("_corpus").as("corpus"), col("doi"), col("indexation"))
+      .groupBy(col("corpus"))
+      .agg(count(lit(1)).as("n_articles"),
+        count(col("doi")).as("n_with_doi"),
+        max(col("indexation")).as("indexation"))
+      .orderBy(col("corpus"))
+
+  private val q262Sql = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS corpus, NULLIF(doi,'') AS doi,
+         |  NULLIF(indexation,'') AS indexation
+         |FROM read_json_auto('/root/reference/data/$c.json')""".stripMargin
+    s"""WITH u AS (
+       |${Seq("ai_articles", "blockchain_articles",
+              "acm_machine_learning_articles", "acm_blockchain_articles")
+         .map(one).mkString("\nUNION ALL BY NAME\n")})
+       |SELECT corpus, CAST(COUNT(*) AS BIGINT) AS n_articles,
+       |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi,
+       |  MAX(indexation) AS indexation
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q222_dsv2_articles" -> q222, "q223_dsv2_stream" -> q223,
       "q226_dsv2_write" -> q226, "q231_dsv2_stream_write" -> q231,
       "q236_dsv2_agg_pushdown" -> q236,
-      "q261_dsv2_partitioned_join" -> q261)
+      "q261_dsv2_partitioned_join" -> q261,
+      "q262_dsv2_metadata_column" -> q262)
 
   override def oracles: Map[String, String] =
     Map("q222_dsv2_articles" -> q222Sql, "q223_dsv2_stream" -> q222Sql,
       "q226_dsv2_write" -> q222Sql, "q231_dsv2_stream_write" -> q222Sql,
       "q236_dsv2_agg_pushdown" -> q236Sql,
-      "q261_dsv2_partitioned_join" -> q261Sql)
+      "q261_dsv2_partitioned_join" -> q261Sql,
+      "q262_dsv2_metadata_column" -> q262Sql)
 }

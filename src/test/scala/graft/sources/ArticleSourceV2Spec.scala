@@ -270,4 +270,19 @@ class ArticleSourceV2Spec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr0)
     }
   }
+
+  test("_corpus metadata column appears only when selected") {
+    import org.apache.spark.sql.functions._
+    val withMeta = v2.select(col("_corpus"), col("doi"))
+    val rows = withMeta.collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq == Seq(
+      "acm_blockchain_articles", "acm_machine_learning_articles",
+      "ai_articles", "blockchain_articles"))
+    val metaPlan = withMeta.queryExecution.executedPlan.toString
+    assert(metaPlan.contains("_corpus"), s"metadata column not in scan:\n$metaPlan")
+    // a plain read must NOT carry the metadata column anywhere
+    val plain = v2.select(col("doi")).queryExecution.executedPlan.toString
+    assert(!plain.contains("_corpus"),
+      s"metadata column leaked into an unrelated scan:\n$plain")
+  }
 }
