@@ -110,7 +110,8 @@ object Bench {
     "q254_metadata_agg", "q255_version_diff", "q256_cow_delete",
     "q257_zorder_skipping", "q258_cbo_join_reorder",
     "q259_runtime_bloom_join", "q260_aqe_skew_join",
-    "q261_dsv2_partitioned_join", "q262_dsv2_metadata_column"
+    "q261_dsv2_partitioned_join", "q262_dsv2_metadata_column",
+    "q263_catalog_function", "q264_catalog_delete"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

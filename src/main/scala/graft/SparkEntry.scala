@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Similarity,
     operators.Multimodal,
     sources.ArticlesV2,
+    sources.CatalogOps,
     streaming.Streams
   )
 

@@ -73,7 +73,8 @@ class ArticleSourceV2 extends TableProvider {
 private[sources] class ArticlesTable(corpus: String, dataDir: String,
                                      writeDir: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val corpora: Seq[String] =
     if (corpus == "all")
       Seq("ai_articles", "blockchain_articles",
@@ -102,6 +103,48 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
       override def comment(): String =
         "landing corpus (the upstream's pagination unit) this row arrived in"
     })
+
+  /** METADATA-ONLY delete at FILE granularity (the Iceberg/Hive
+    * partition-delete discipline, q264): a predicate is accepted iff it
+    * decides every landed file WHOLLY — here, a conjunction over
+    * `indexation`, the one column that is constant per corpus file
+    * ([[ArticlesMeta.corpusIndexation]]). Matching corpora are dropped by
+    * deleting their artifact (one FS delete per file, no row rewrite);
+    * anything finer-grained is REJECTED so Spark fails loudly instead of
+    * silently rewriting — sub-file deletes belong to the copy-on-write
+    * path (q256), not the metadata path.
+    *
+    * Scale: O(#files-to-drop) filesystem calls, zero bytes read — the
+    * reason partition-aligned retention/GDPR sweeps are free at 100 TB
+    * while row-level ones cost a table rewrite.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    corpora.forall(ArticlesMeta.corpusIndexation.contains) &&
+      filters.forall {
+        case org.apache.spark.sql.sources.AlwaysTrue() => true
+        case EqualTo(a, _: String) => a.equalsIgnoreCase("indexation")
+        case org.apache.spark.sql.sources.In(a, vs) =>
+          a.equalsIgnoreCase("indexation") && vs.forall(_.isInstanceOf[String])
+        case _ => false
+      }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(canDeleteWhere(filters),
+      s"not file-aligned: ${filters.mkString(", ")}")
+    val matches = (c: String) => {
+      val ix = ArticlesMeta.corpusIndexation(c)
+      filters.forall {
+        case org.apache.spark.sql.sources.AlwaysTrue() => true
+        case EqualTo(_, v: String) => ix == v
+        case org.apache.spark.sql.sources.In(_, vs) => vs.contains(ix)
+        case f => throw new IllegalStateException(s"unreachable: $f")
+      }
+    }
+    corpora.filter(matches).foreach { c =>
+      val p = new Path(s"$dataDir/$c.json")
+      ArticlesFs.get(p).delete(p, false)
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(corpora, dataDir,
@@ -175,6 +218,18 @@ private[sources] case class ArticlesCommit(stagedPath: String)
   * artifact is schema-validated JSON and checksum policy belongs to the
   * storage layer, not the connector.
   */
+/** Landed-estate metadata shared by the scan (runtime-filter pruning), the
+  * catalog ([[GraftCatalog]]) and the metadata delete face: each corpus
+  * file carries ONE constant `indexation` value (`main.py:96` /
+  * `mainn.py:69`) — the connector's partition-level statistic.
+  */
+private[sources] object ArticlesMeta {
+  val corpusIndexation: Map[String, String] = Map(
+    "ai_articles" -> "IEEE", "blockchain_articles" -> "IEEE",
+    "acm_machine_learning_articles" -> "ACM",
+    "acm_blockchain_articles" -> "ACM")
+}
+
 private[sources] object ArticlesFs {
   import org.apache.hadoop.fs.{FileSystem, Path}
   def get(p: Path): FileSystem = {
@@ -536,10 +591,7 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
   // ArticleSourceV2Spec pins both the plan and the partitions-opened
   // count.
   @volatile private var allowed: Option[Set[String]] = None
-  private val corpusIndexation: Map[String, String] = Map(
-    "ai_articles" -> "IEEE", "blockchain_articles" -> "IEEE",
-    "acm_machine_learning_articles" -> "ACM",
-    "acm_blockchain_articles" -> "ACM")
+  private val corpusIndexation: Map[String, String] = ArticlesMeta.corpusIndexation
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =

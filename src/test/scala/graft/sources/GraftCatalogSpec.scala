@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.expressions.objects.Invoke
+import org.apache.spark.sql.functions._
+
+/** Pins for the catalog face (q263/q264) that SQL results can't see:
+  * identifier resolution, the codegen'd Invoke path for the V2 scalar
+  * function, file-granularity delete semantics, and the read-only DDL
+  * surface.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val cat = {
+    spark.conf.set("spark.sql.catalog.graft_spec",
+      classOf[GraftCatalog].getName)
+    "graft_spec"
+  }
+
+  test("tables resolve by identifier; the estate is the file listing") {
+    val names = spark.sql(s"SHOW TABLES IN $cat.articles")
+      .select("tableName").collect().map(_.getString(0)).sorted
+    assert(names.contains("all") && names.contains("ai_articles") &&
+      names.length == 5)
+    assert(spark.table(s"$cat.articles.ai_articles").count() == 50)
+    assert(spark.table(s"$cat.articles.all").count() ==
+      spark.table(s"$cat.articles.all").select("titre").count())
+  }
+
+  test("split_bucket matches the q69 conv-spelling and plans as Invoke") {
+    val df = spark.sql(
+      s"""SELECT k, $cat.fns.split_bucket(k, 100) AS b,
+         |  CAST(conv(substring(md5(k), 1, 7), 16, 10) AS BIGINT) % 100 AS ref
+         |FROM VALUES ('doc-1'), ('doc-2'), (''), ('äöü'), ('a b c') AS t(k)""".stripMargin)
+    df.collect().foreach(r =>
+      assert(r.getInt(1) == r.getLong(2).toInt, s"mismatch for ${r.getString(0)}"))
+    // the magic-method path: a codegen-capable Invoke, not an interpreted
+    // ApplyFunctionExpression
+    val hasInvoke = df.queryExecution.analyzed.expressions.exists(
+      _.exists(_.isInstanceOf[Invoke]))
+    assert(hasInvoke, df.queryExecution.analyzed.toString)
+  }
+
+  test("DELETE is file-aligned: matching artifacts vanish, finer predicates are rejected") {
+    val stage = graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_catspec").toString)
+    Seq("ai_articles", "acm_blockchain_articles").foreach { c =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
+        java.nio.file.Paths.get(stage, s"$c.json"))
+    }
+    spark.conf.set("spark.sql.catalog.gcs_del", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs_del.dataDir", stage)
+
+    // sub-file predicate: must FAIL LOUDLY, not rewrite
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gcs_del.articles.all WHERE doi IS NULL")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "ai_articles.json")))
+
+    // file-aligned predicate: artifact gone, estate re-lists without it
+    spark.sql("DELETE FROM gcs_del.articles.all WHERE indexation = 'ACM'")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "acm_blockchain_articles.json")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "ai_articles.json")))
+    val left = spark.sql("SELECT DISTINCT indexation FROM gcs_del.articles.all")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("IEEE"))
+  }
+
+  test("the DDL surface is read-only") {
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.articles.extra (x STRING)")
+    }
+    assert(e1.getMessage.contains("read-only"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.articles.ai_articles")
+    }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+  }
+}
