@@ -111,7 +111,8 @@ object Bench {
     "q257_zorder_skipping", "q258_cbo_join_reorder",
     "q259_runtime_bloom_join", "q260_aqe_skew_join",
     "q261_dsv2_partitioned_join", "q262_dsv2_metadata_column",
-    "q263_catalog_function", "q264_catalog_delete"
+    "q263_catalog_function", "q264_catalog_delete",
+    "q265_observed_metrics"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

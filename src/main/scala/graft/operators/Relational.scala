@@ -487,8 +487,57 @@ object Relational extends QueryModule {
       |FROM orders
       |ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------------------------- q265
+
+  /** q265: OBSERVED METRICS — q243's audit numbers collected ON the
+    * publish pass itself (`Dataset.observe`, Spark's CollectMetrics
+    * operator) instead of as their own jobs: the documents-cleaning pass
+    * writes its output ONCE, and the in/out row and character counts ride
+    * along as accumulator-merged aggregates — zero additional scans, the
+    * only affordable audit discipline at 100 TB (a second full pass for
+    * counts doubles the bill). Two observation points bracket the filter,
+    * so the report states what arrived AND what was published, from the
+    * same job.
+    *
+    * Scale: each metric is a map-side partial aggregate merged on task
+    * completion — O(partitions) driver cost, no shuffle, no extra stage
+    * (Round10Spec pins ONE scan + two CollectMetrics in the pass's plan).
+    */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obsIn = Observation()
+    val obsOut = Observation()
+    val stage = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_obs_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    Tables.documents(s, d)
+      .observe(obsIn, count(lit(1)).as("n_rows"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .filter(length(col("text")) >= 200)
+      .observe(obsOut, count(lit(1)).as("n_rows"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .write.mode("overwrite").parquet(s"$stage/published")
+    val metric = (st: String, o: Observation) =>
+      (st, o.get("n_rows").asInstanceOf[Long],
+        o.get("total_chars").asInstanceOf[Long])
+    import s.implicits._
+    Seq(metric("input", obsIn), metric("published", obsOut))
+      .toDF("stage", "n_rows", "total_chars").orderBy("stage")
+  }
+
+  private val q265Sql =
+    """SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 'published', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(LENGTH(text)) AS BIGINT)
+      |FROM documents WHERE LENGTH(text) >= 200
+      |ORDER BY stage""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_dq_audit" -> q243,
+    "q265_observed_metrics" -> q265,
     "q188_market_share" -> q188,
     "q165_sql_frontdoor" -> q165,
     "q155_table_profile" -> q155,
@@ -504,6 +553,7 @@ object Relational extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q243_dq_audit" -> q243Sql,
+    "q265_observed_metrics" -> q265Sql,
     "q188_market_share" -> q188Sql,
     "q165_sql_frontdoor" -> q165Sql,
     "q155_table_profile" -> q155Sql,

@@ -25,6 +25,24 @@ class ObserveSpec extends SparkSpec {
     assert(m.getAs[Long]("bad_discounts") == 0L)
   }
 
+  test("q265's bracketed pass: two CollectMetrics nodes, ONE scan") {
+    val pass = Tables.documents(spark, sf0001)
+      .observe("obs_in", count(lit(1)).as("n_rows"))
+      .filter(length(col("text")) >= 200)
+      .observe("obs_out", count(lit(1)).as("n_rows"))
+    val plan = pass.queryExecution.executedPlan
+    val metrics = plan.collect {
+      case c: org.apache.spark.sql.execution.CollectMetricsExec => c
+    }
+    assert(metrics.length == 2, s"expected 2 CollectMetrics:\n$plan")
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.length == 1,
+      s"the audit must not add a scan, found ${scans.length}:\n$plan")
+  }
+
   test("observe() metrics survive into streaming progress") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
