@@ -595,7 +595,12 @@ private[sources] class ArticlesScan(corpora: Seq[String], dataDir: String,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("indexation"))
+    // runtime-filter refs must resolve against the scan OUTPUT: offering
+    // `indexation` on a read that pruned it crashes PartitionPruning's
+    // resolveRefs (surfaced by q266's view join, which prunes to 2 cols)
+    if (required.fieldNames.contains("indexation"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("indexation"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     val sets = filters.collect {

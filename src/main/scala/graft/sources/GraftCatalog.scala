@@ -6,9 +6,11 @@ import java.util.{Map => JMap}
 import graft.QueryModule
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, Table, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange, TableInfo, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,7 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Scale: catalog calls are driver-side and O(#files) metadata-only; the
   * data path is the same pushdown-complete [[ArticlesTable]] scan.
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog {
+class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
+    with ViewCatalog with ProcedureCatalog {
   import GraftCatalog._
 
   private var catName: String = _
@@ -102,11 +105,118 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog 
     if (ident.namespace.sameElements(Array(FnNs)) &&
       ident.name == SplitBucket.name()) SplitBucket
     else throw new NoSuchFunctionException(ident)
+
+  /** The GOVERNANCE face: the catalog publishes a masked VIEW of the
+    * estate (`<cat>.views.articles_public`, q266) — researcher names and
+    * affiliations (the §1 PII columns) never appear; a stable
+    * `author_token` pseudonym (md5 prefix of the author list) preserves
+    * joinability/distinct-counting without re-identification. The masking
+    * lives IN the catalog, not in every consumer's query — the only
+    * arrangement that survives an estate with many readers: revoke the
+    * table, grant the view.
+    */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace != Seq(ViewNs))
+      throw new NoSuchNamespaceException(namespace.toArray)
+    Array(Identifier.of(Array(ViewNs), PublicView))
+  }
+  override def loadView(ident: Identifier): View = {
+    if (!(ident.namespace.sameElements(Array(ViewNs)) &&
+      ident.name == PublicView)) throw new NoSuchViewException(ident)
+    val cat = catName
+    new View {
+      override def name(): String = s"$cat.$ViewNs.$PublicView"
+      override def query(): String =
+        """SELECT journal, indexation, publication, doi, titre,
+          |  CASE WHEN chercheurs IS NULL THEN NULL
+          |       ELSE substring(md5(chercheurs), 1, 12) END AS author_token,
+          |  abstract, keywords, pays, quartile
+          |FROM `all`""".stripMargin
+      override def currentCatalog(): String = cat
+      override def currentNamespace(): Array[String] = Array(TableNs)
+      override def schema(): StructType = org.apache.spark.sql.types.StructType(
+        Seq("journal", "indexation", "publication", "doi", "titre",
+          "author_token", "abstract", "keywords", "pays", "quartile")
+          .map(org.apache.spark.sql.types.StructField(_, StringType,
+            nullable = true)))
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): JMap[String, String] =
+        java.util.Collections.singletonMap(ViewCatalog.PROP_COMMENT,
+          "PII-masked public face of the article estate")
+    }
+  }
+  override def createView(info: ViewInfo): View = readOnly
+  override def alterView(ident: Identifier, changes: ViewChange*): View = readOnly
+  override def dropView(ident: Identifier): Boolean = readOnly
+  override def renameView(old: Identifier, next: Identifier): Unit = readOnly
+
+  /** The CONTROL-PLANE face: estate mutations as stored procedures
+    * (`CALL <cat>.sys.land(corpus => …, src => …)`, q267) — the pattern
+    * Iceberg established (`CALL catalog.system.rewrite_data_files`) and
+    * Spark 4.1 made official (ProcedureCatalog + the analyzer's
+    * ResolveProcedures/BindProcedures). Landing an artifact is ONE
+    * filesystem copy through the same Hadoop FS the write face uses, and
+    * the procedure returns its receipt (corpus, bytes landed) as a
+    * driver-side LocalScan — metadata work stays metadata-priced.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!namespace.sameElements(Array(ProcNs)))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array(ProcNs), "land"))
+  }
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace.sameElements(Array(ProcNs)) && ident.name == "land"))
+      throw new NoSuchFunctionException(ident)
+    new LandProcedure(dataDir)
+  }
 }
 
 private[sources] object GraftCatalog {
   val TableNs = "articles"
   val FnNs = "fns"
+  val ViewNs = "views"
+  val PublicView = "articles_public"
+  val ProcNs = "sys"
+}
+
+/** `CALL <cat>.sys.land(corpus, src)` — land one corpus artifact
+  * (`$src/$corpus.json` → the estate) and return the receipt
+  * (corpus, n_bytes). Side-effecting, so `isDeterministic = false`;
+  * binding accepts named or positional arguments (GraftCatalogSpec).
+  */
+private[sources] class LandProcedure(dataDir: String)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = "land"
+  override def description(): String =
+    "land(corpus STRING, src STRING): copy $src/$corpus.json into the estate"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("corpus", StringType).build(),
+    ProcedureParameter.in("src", StringType).build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.hadoop.fs.Path
+    val corpus = input.getUTF8String(0).toString
+    val src = new Path(input.getUTF8String(1).toString, s"$corpus.json")
+    val dst = new Path(dataDir, s"$corpus.json")
+    val fs = ArticlesFs.get(dst)
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(
+      ArticlesFs.get(src), src, fs, dst, false, true,
+      new org.apache.hadoop.conf.Configuration())
+    val landedBytes = fs.getFileStatus(dst).getLen
+    val receipt = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        org.apache.spark.sql.types.StructField("corpus", StringType, false),
+        org.apache.spark.sql.types.StructField("n_bytes",
+          org.apache.spark.sql.types.LongType, false)))
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(UTF8String.fromString(corpus), landedBytes))
+    }
+    java.util.Collections.singletonList[Scan](receipt).iterator()
+  }
 }
 
 /** `split_bucket(key STRING, n INT) → INT`: the engine's ONE seed-free
@@ -263,8 +373,113 @@ object CatalogOps extends QueryModule {
        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q266: the GOVERNED VIEW — consumers query
+    * `graft.views.articles_public` ([[GraftCatalog.loadView]]), where the
+    * PII columns (researcher names, affiliations) do not exist and a
+    * stable md5-prefix pseudonym keeps author-list distinct-counting
+    * alive: per-quartile article counts, distinct author lists, DOI
+    * coverage. Selecting `chercheurs` from the view is an ANALYSIS error
+    * (GraftCatalogSpec) — masking enforced at resolution, not by
+    * consumer discipline. The oracle replays the view text over the raw
+    * artifacts.
+    *
+    * Scale: a V2 view is pure plan substitution — the masked projection
+    * fuses into the same pushdown-complete scan as the table read; zero
+    * materialization, zero copies of the estate.
+    */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.sql(
+      """SELECT indexation, coalesce(quartile, 'none') AS quartile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_articles,
+        |  CAST(COUNT(DISTINCT author_token) AS BIGINT) AS n_author_lists,
+        |  MIN(author_token) AS first_author_token,
+        |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi
+        |FROM graft.views.articles_public
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  private val q266Sql = {
+    val ieee = (c: String) =>
+      s"""SELECT NULLIF(doi,'') AS doi, NULLIF(chercheurs,'') AS chercheurs,
+         |  NULLIF(indexation,'') AS indexation, NULLIF(quartile,'') AS quartile
+         |FROM read_json_auto('${ArticleSource.dataDir}/$c.json')""".stripMargin
+    val acm = (c: String) =>
+      s"""SELECT NULLIF(doi,'') AS doi, NULLIF(chercheurs,'') AS chercheurs,
+         |  NULLIF(indexation,'') AS indexation, CAST(NULL AS VARCHAR) AS quartile
+         |FROM read_json_auto('${ArticleSource.dataDir}/$c.json')""".stripMargin
+    s"""WITH u AS (
+       |${Seq(ieee("ai_articles"), ieee("blockchain_articles"),
+              acm("acm_machine_learning_articles"),
+              acm("acm_blockchain_articles")).mkString("\nUNION ALL BY NAME\n")}),
+       |v AS (SELECT indexation, quartile, doi,
+       |  CASE WHEN chercheurs IS NULL THEN NULL
+       |       ELSE substring(md5(chercheurs), 1, 12) END AS author_token
+       |FROM u)
+       |SELECT indexation, coalesce(quartile, 'none') AS quartile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_articles,
+       |  CAST(COUNT(DISTINCT author_token) AS BIGINT) AS n_author_lists,
+       |  MIN(author_token) AS first_author_token,
+       |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi
+       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q267: STORED-PROCEDURE ingestion — the estate is (re)built from an
+    * empty directory by `CALL <cat>.sys.land(corpus => …, src => …)` per
+    * corpus ([[LandProcedure]]), the reference's scrape→save orchestration
+    * (`main.py:208-227`) as catalog control-plane; the audit then reads
+    * the landed estate through the same catalog and must reproduce the
+    * upstream exactly (the oracle reads the ORIGINAL artifacts — landing
+    * is provably lossless). Re-runs are `_DONE`-gated: they re-audit the
+    * already-landed estate.
+    *
+    * Scale: each landing is one Hadoop-FS copy + an O(1) receipt row
+    * (LocalScan); nothing row-level happens until a consumer reads.
+    */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_land_${appId}_$safe")
+    val cat = s"graft_land_$safe"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.dataDir", stage)
+    val done = java.nio.file.Paths.get(stage, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      Seq("ai_articles", "blockchain_articles",
+        "acm_machine_learning_articles", "acm_blockchain_articles").foreach { c =>
+        s.sql(s"CALL $cat.sys.land(corpus => '$c', " +
+          s"src => '${ArticleSource.dataDir}')").collect()
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    s.sql(
+      s"""SELECT _corpus AS corpus, indexation,
+         |  CAST(COUNT(*) AS BIGINT) AS n_articles,
+         |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi
+         |FROM $cat.articles.all
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  private val q267Sql = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS corpus, NULLIF(doi,'') AS doi,
+         |  NULLIF(indexation,'') AS indexation
+         |FROM read_json_auto('${ArticleSource.dataDir}/$c.json')""".stripMargin
+    s"""WITH u AS (
+       |${Seq("ai_articles", "blockchain_articles",
+              "acm_machine_learning_articles", "acm_blockchain_articles")
+         .map(one).mkString("\nUNION ALL BY NAME\n")})
+       |SELECT corpus, indexation, CAST(COUNT(*) AS BIGINT) AS n_articles,
+       |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q263_catalog_function" -> q263, "q264_catalog_delete" -> q264)
+    Map("q263_catalog_function" -> q263, "q264_catalog_delete" -> q264,
+      "q266_governed_view" -> q266, "q267_procedure_land" -> q267)
   override def oracles: Map[String, String] =
-    Map("q263_catalog_function" -> q263Sql, "q264_catalog_delete" -> q264Sql)
+    Map("q263_catalog_function" -> q263Sql, "q264_catalog_delete" -> q264Sql,
+      "q266_governed_view" -> q266Sql, "q267_procedure_land" -> q267Sql)
 }

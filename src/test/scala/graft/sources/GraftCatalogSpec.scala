@@ -71,6 +71,70 @@ class GraftCatalogSpec extends SparkSpec {
     assert(left == Seq("IEEE"))
   }
 
+  test("the governed view masks PII at resolution and fuses into the scan") {
+    // PII columns do not exist on the view: selecting them is an
+    // ANALYSIS error, not a runtime redaction
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT chercheurs FROM $cat.views.articles_public").collect()
+    }
+    assert(e.getMessage.contains("chercheurs"), e.getMessage)
+
+    // the pseudonym is stable and the underlying read is the SAME
+    // pushdown-complete connector scan — pure plan substitution, no
+    // materialization: one BatchScan, pruned to what the query needs
+    val df = spark.sql(
+      s"SELECT author_token FROM $cat.views.articles_public WHERE author_token IS NOT NULL")
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.length == 1, s"expected one connector scan:\n$plan")
+    val read = scans.head.scan.readSchema().fieldNames.toSet
+    assert(read == Set("chercheurs"),
+      s"view read should prune to the mask's one input column, got $read")
+
+    // stability: the token equals the md5 prefix of the raw column
+    val joined = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT v.author_token, substring(md5(t.chercheurs), 1, 12) AS expect
+         |  FROM $cat.views.articles_public v
+         |  JOIN $cat.articles.all t ON v.titre = t.titre
+         |  WHERE t.chercheurs IS NOT NULL)
+         |WHERE author_token <> expect""".stripMargin)
+    assert(joined.collect().head.getLong(0) == 0L)
+  }
+
+  test("CALL sys.land lands an artifact and returns its receipt; args bind by name or position") {
+    val stage = graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_landspec").toString)
+    spark.conf.set("spark.sql.catalog.gcs_land", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs_land.dataDir", stage)
+
+    // named arguments, in swapped order
+    val r1 = spark.sql(
+      s"CALL gcs_land.sys.land(src => '${ArticleSource.dataDir}', corpus => 'ai_articles')")
+      .collect()
+    assert(r1.length == 1 && r1.head.getString(0) == "ai_articles")
+    assert(r1.head.getLong(1) == java.nio.file.Files.size(
+      java.nio.file.Paths.get(stage, "ai_articles.json")),
+      "receipt bytes must equal the landed artifact's size")
+
+    // positional arguments
+    spark.sql(
+      s"CALL gcs_land.sys.land('acm_blockchain_articles', '${ArticleSource.dataDir}')")
+      .collect()
+    // the estate now lists exactly the two landed corpora
+    val tables = spark.sql("SHOW TABLES IN gcs_land.articles")
+      .select("tableName").collect().map(_.getString(0)).sorted
+    assert(tables.toSeq == Seq("acm_blockchain_articles", "ai_articles", "all"))
+    assert(spark.table("gcs_land.articles.all").count() == 70)
+
+    // unknown procedure fails to resolve
+    intercept[Exception] {
+      spark.sql("CALL gcs_land.sys.nope()").collect()
+    }
+  }
+
   test("the DDL surface is read-only") {
     val e1 = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.articles.extra (x STRING)")
