@@ -535,9 +535,46 @@ object Relational extends QueryModule {
       |FROM documents WHERE LENGTH(text) >= 200
       |ORDER BY stage""".stripMargin
 
+  // --------------------------------------------------------------- q268
+
+  /** q268: the Spark-4 SQL front door, part two — the same pricing-rollup
+    * shape authored in PIPE SYNTAX (`|>` — filter, derived column,
+    * aggregate, order as a linear dataflow instead of inside-out SQL) with
+    * the cutoff date bound as a NAMED PARAMETER (`spark.sql(text, args)`),
+    * the injection-safe way a service parameterizes a hot query. Both are
+    * pure front-end: the plan, the exact decimal arithmetic (q01's
+    * spelling) and the oracle are identical to the classic form.
+    *
+    * Scale: same single-shuffle partial-agg plan as q01 — syntax choices
+    * must not change plans, which is the point of pinning it.
+    */
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v268")
+    s.sql(
+      """FROM lineitem_v268
+        ||> WHERE l_shipdate >= CAST(:cutoff AS DATE)
+        ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(9,4))) AS rev
+        ||> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+        |     CAST(SUM(rev) AS DOUBLE) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      Map("cutoff" -> "1996-01-01"))
+  }
+
+  private val q268Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_dq_audit" -> q243,
     "q265_observed_metrics" -> q265,
+    "q268_sql_pipe" -> q268,
     "q188_market_share" -> q188,
     "q165_sql_frontdoor" -> q165,
     "q155_table_profile" -> q155,
@@ -554,6 +591,7 @@ object Relational extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q243_dq_audit" -> q243Sql,
     "q265_observed_metrics" -> q265Sql,
+    "q268_sql_pipe" -> q268Sql,
     "q188_market_share" -> q188Sql,
     "q165_sql_frontdoor" -> q165Sql,
     "q155_table_profile" -> q155Sql,

@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 class Round10Spec extends SparkSpec {
 
+  test("q268 pipe syntax is pure front-end: same plan shape as the classic form") {
+    val pipe = SparkEntry.queries("q268_sql_pipe")(spark, sf0001)
+    val classic = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem_v268
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    // same optimized operator SHAPE (EXTEND projects `rev` before the
+    // aggregate where classic folds it in — same tree, same one
+    // Sort/Aggregate/Project/Filter/Scan spine) and identical rows
+    val shape = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.optimizedPlan.collect {
+        case n => n.getClass.getSimpleName
+      }
+    assert(shape(pipe) == shape(classic),
+      s"${shape(pipe)} vs ${shape(classic)}")
+    assert(pipe.collect().toSeq == classic.collect().toSeq)
+    val shuffles = pipe.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 2, // one for the agg, one for the final sort
+      s"unexpected exchanges:\n${pipe.queryExecution.executedPlan}")
+  }
+
   test("q251 file skipping prunes a strict subset of the landed files") {
     // run the query once so the layout + stats manifest are staged
     val out = SparkEntry.queries("q251_file_skipping")(spark, sf0001)
