@@ -135,6 +135,21 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming reads resolve through the catalog identifier too") {
+    // the same ArticlesTable serves MICRO_BATCH_READ when addressed by
+    // identifier: readStream.table pages one corpus per micro-batch
+    val q = spark.readStream.table(s"$cat.articles.all")
+      .groupBy("indexation").count()
+      .writeStream.format("memory").queryName("cat_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cat_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("IEEE" -> 100L, "ACM" -> 40L), rows.toString)
+    } finally q.stop()
+  }
+
   test("the DDL surface is read-only") {
     val e1 = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.articles.extra (x STRING)")
