@@ -135,6 +135,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE drops every artifact (SupportsDelete's truncate face)") {
+    val stage = graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_truncspec").toString)
+    Seq("ai_articles", "blockchain_articles").foreach { c =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
+        java.nio.file.Paths.get(stage, s"$c.json"))
+    }
+    spark.conf.set("spark.sql.catalog.gcs_trunc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs_trunc.dataDir", stage)
+    spark.sql("TRUNCATE TABLE gcs_trunc.articles.all")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(stage)).count() == 0,
+      "truncate must remove every landed artifact")
+    assert(spark.sql("SHOW TABLES IN gcs_trunc.articles")
+      .select("tableName").collect().map(_.getString(0)).toSeq == Seq("all"))
+  }
+
   test("streaming reads resolve through the catalog identifier too") {
     // the same ArticlesTable serves MICRO_BATCH_READ when addressed by
     // identifier: readStream.table pages one corpus per micro-batch
