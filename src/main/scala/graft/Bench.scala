@@ -113,7 +113,7 @@ object Bench {
     "q261_dsv2_partitioned_join", "q262_dsv2_metadata_column",
     "q263_catalog_function", "q264_catalog_delete",
     "q265_observed_metrics", "q266_governed_view", "q267_procedure_land",
-    "q268_sql_pipe"
+    "q268_sql_pipe", "q269_merge_into"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

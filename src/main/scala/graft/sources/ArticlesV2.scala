@@ -74,7 +74,8 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
                                      writeDir: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private val corpora: Seq[String] =
     if (corpus == "all")
       Seq("ai_articles", "blockchain_articles",
@@ -96,13 +97,21 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
     */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_corpus"
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "landing corpus (the upstream's pagination unit) this row arrived in"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_corpus"
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "landing corpus (the upstream's pagination unit) this row arrived in"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "ordinal within the landing artifact; (_corpus, _pos) is the row id"
+      })
 
   /** METADATA-ONLY delete at FILE granularity (the Iceberg/Hive
     * partition-delete discipline, q264): a predicate is accepted iff it
@@ -145,6 +154,23 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
       ArticlesFs.get(p).delete(p, false)
     }
   }
+
+  /** ROW-LEVEL operations (SQL `MERGE INTO` / `UPDATE` / row `DELETE`,
+    * q269) — the last DSv2 face, in DELTA mode ([[SupportsDelta]], the
+    * Iceberg position-delta pattern): Spark's RewriteMergeIntoTable /
+    * RewriteUpdateTable rewrite the statement into a join over this
+    * operation's scan and stream only the CHANGED rows to the writer,
+    * each tagged update/delete/insert and addressed by the row id
+    * `(_corpus, _pos)` — the two metadata columns the reader mints from
+    * the artifact layout. Writers apply their corpus's deltas by
+    * rewriting that ONE artifact ([[ArticlesDeltaWriter]]); commit swaps
+    * only affected artifacts, so an untouched corpus costs nothing and
+    * readers mid-merge keep the old snapshot until the rename.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new ArticlesRowLevelOperation(info.command, corpora, dataDir)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticlesScanBuilder(corpora, dataDir,
@@ -391,6 +417,184 @@ private[sources] class ArticlesWriter(dir: String, queryId: String,
   }
   override def close(): Unit = ()
 }
+
+private[sources] class ArticlesRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    corpora: Seq[String], dataDir: String)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ArticlesScanBuilder(corpora, dataDir)
+  /** `(_corpus, _pos)` — artifact + ordinal, the connector's positional
+    * row address (the reader mints both from the artifact layout).
+    */
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("_corpus"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new ArticlesDeltaWrite(dataDir, info.queryId, info.schema)
+    }
+}
+
+/** The delta write behind MERGE/UPDATE: changed rows arrive CLUSTERED on
+  * `_corpus` ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]])
+  * so each affected artifact is owned by exactly ONE task, which applies
+  * its deltas by rewriting that artifact copy-on-write
+  * ([[ArticlesDeltaWriter]]); `WHEN NOT MATCHED INSERT` rows carry no
+  * provenance and land in a dedicated `merged_inserts` artifact. Commit
+  * renames ONLY the staged (affected) artifacts over the estate —
+  * untouched corpora cost nothing, readers mid-merge keep the old
+  * snapshot until the per-artifact rename.
+  *
+  * Scale: the shuffle moves ONLY the changed rows (the delta-vs-group
+  * trade: group-based COW re-shuffles whole groups); the rewrite cost is
+  * O(affected artifacts). At estate scale an artifact is one upstream
+  * page set; a 100 TB layout would make the artifact a parquet file
+  * group and this exact protocol is Iceberg's position-delta COW.
+  */
+private[sources] class ArticlesDeltaWrite(dir: String, queryId: String,
+                                          schema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.hadoop.fs.Path
+
+  private def stagePath = new Path(dir, s".staging-delta-$queryId")
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("_corpus")))
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    ArticlesFs.get(stagePath).mkdirs(stagePath)
+    val d = dir; val q = queryId; val s = schema
+    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+        new ArticlesDeltaWriter(d, q, s)
+    }
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(dir)
+    val fs = ArticlesFs.get(target)
+    messages.foreach {
+      case ArticlesDeltaCommit(staged) => staged.foreach { sp =>
+        val p = new Path(sp)
+        val dst = new Path(target, p.getName)
+        fs.delete(dst, false) // rename-over: the artifact-level swap
+        fs.rename(p, dst)
+      }
+      case _ => ()
+    }
+    fs.delete(stagePath, true)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ArticlesFs.get(stagePath).delete(stagePath, true)
+}
+
+/** One delta task: buffers its corpus's position-addressed deltas, then
+  * applies them in one pass over the artifact (ordinal i → deleted,
+  * replaced, or kept verbatim) and stages the rewritten JSON array; the
+  * buffered state is O(changed rows), the apply is O(artifact).
+  */
+private[sources] class ArticlesDeltaWriter(dir: String, queryId: String,
+                                           schema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+  import com.fasterxml.jackson.databind.ObjectMapper
+
+  private val mapper = new ObjectMapper
+  // per corpus: pos -> Some(replacement fields) | None (delete)
+  private val deltas = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.LongMap[Option[Seq[String]]]]
+  private val inserts = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+
+  private def fields(row: InternalRow): Seq[String] =
+    schema.fields.indices.map(i =>
+      if (row.isNullAt(i)) null else row.getString(i))
+
+  private def corpusOf(id: InternalRow): String = id.getUTF8String(0).toString
+  private def deltasFor(c: String) = deltas.getOrElseUpdate(c,
+    scala.collection.mutable.LongMap.empty[Option[Seq[String]]])
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deltasFor(corpusOf(id)).update(id.getLong(1), None)
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    deltasFor(corpusOf(id)).update(id.getLong(1), Some(fields(row)))
+  override def insert(row: InternalRow): Unit =
+    inserts += fields(row)
+
+  private def toNode(vals: Seq[String]) = {
+    val node = mapper.createObjectNode()
+    schema.fields.zip(vals).foreach { case (f, v) =>
+      if (v == null) node.putNull(f.name) else node.put(f.name, v)
+    }
+    node
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    deltas.foreach { case (corpus, ops) =>
+      val src = new Path(dir, s"$corpus.json")
+      val fs = ArticlesFs.get(src)
+      val root = mapper.readTree(fs.open(src))
+      require(root.isArray, s"$src is not a JSON array")
+      val out = mapper.createArrayNode()
+      var i = 0L
+      root.elements().asScala.foreach { node =>
+        ops.get(i) match {
+          case None => out.add(node) // untouched
+          case Some(Some(vals)) => out.add(toNode(vals))
+          case Some(None) => () // deleted
+        }
+        i += 1
+      }
+      staged += stage(corpus, out, fs)
+    }
+    if (inserts.nonEmpty) {
+      val src = new Path(dir, "merged_inserts.json")
+      val fs = ArticlesFs.get(src)
+      val out =
+        if (fs.exists(src)) {
+          val r = mapper.readTree(fs.open(src))
+          r.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        } else mapper.createArrayNode()
+      inserts.foreach(v => out.add(toNode(v)))
+      staged += stage("merged_inserts", out, fs)
+    }
+    ArticlesDeltaCommit(staged.toSeq)
+  }
+
+  private def stage(corpus: String,
+                    arr: com.fasterxml.jackson.databind.node.ArrayNode,
+                    fs: org.apache.hadoop.fs.FileSystem): String = {
+    val p = new Path(new Path(dir, s".staging-delta-$queryId"), s"$corpus.json")
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    w.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr))
+    w.close()
+    p.toString
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
+private[sources] case class ArticlesDeltaCommit(stagedPaths: Seq[String])
+    extends WriterCommitMessage
 
 private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String,
                                             clusterByIndexation: Boolean = false)
@@ -768,6 +972,7 @@ private[sources] class ArticlesReader(part: ArticlesPartition,
   }
 
   private var emitted = 0
+  private var pos = -1L
 
   override def next(): Boolean = {
     // pushed limit: stop PARSING once this partition has supplied its
@@ -775,12 +980,14 @@ private[sources] class ArticlesReader(part: ArticlesPartition,
     if (limit >= 0 && emitted >= limit) return false
     while (it.hasNext) {
       val node = it.next()
+      pos += 1
       val field = fieldOf(node) _
       if (pushed.forall(ArticlesReader.eval(_, field))) {
         current = InternalRow.fromSeq(required.fields.toSeq.map { f =>
-          // metadata column: provenance from the partition constant,
-          // not the parsed record
+          // metadata columns: provenance/ordinal from the partition
+          // constant and the parse cursor, not the parsed record
           if (f.name == "_corpus") UTF8String.fromString(part.corpus)
+          else if (f.name == "_pos") java.lang.Long.valueOf(pos)
           else {
             val s = field(f.name)
             if (s == null) null else UTF8String.fromString(s)

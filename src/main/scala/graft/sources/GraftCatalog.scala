@@ -476,10 +476,97 @@ object CatalogOps extends QueryModule {
        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q269: SQL `MERGE INTO` on the connector — the last DSv2 face
+    * ([[ArticlesRowLevelOperation]], delta mode): a DOI-registry backfill
+    * updates every titled row missing its DOI to a deterministic
+    * generated identifier AND inserts one synthetic registry record
+    * (`WHEN NOT MATCHED`), copy-on-write at artifact granularity. The
+    * audit reads the merged estate back through the catalog; the oracle
+    * REPLAYS the merge relationally over the original artifacts
+    * (matched-title set → conditional rewrite + the inserted row), so
+    * update semantics — including the multi-match case where a titled
+    * row WITH a DOI shares its title with a DOI-less row and is
+    * overwritten too — are hash-verified.
+    *
+    * Scale: only CHANGED rows shuffle (delta, clustered per artifact);
+    * the rewrite touches affected artifacts only. `_DONE`-gated like
+    * q264: re-runs re-audit the merged estate.
+    */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_merge_${appId}_$safe")
+    val cat = s"graft_mrg_$safe"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.dataDir", stage)
+    val done = java.nio.file.Paths.get(stage, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      Seq("ai_articles", "blockchain_articles",
+        "acm_machine_learning_articles", "acm_blockchain_articles").foreach { c =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
+          java.nio.file.Paths.get(stage, s"$c.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      s.sql(
+        s"""MERGE INTO $cat.articles.all t
+           |USING (
+           |  SELECT DISTINCT titre AS s_titre,
+           |    concat('generated:', substring(md5(titre), 1, 10)) AS s_doi
+           |  FROM $cat.articles.all WHERE doi IS NULL AND titre IS NOT NULL
+           |  UNION ALL
+           |  SELECT 'A Synthetic Backfill Record', 'generated:synthetic1'
+           |) s
+           |ON t.titre = s.s_titre
+           |WHEN MATCHED THEN UPDATE SET doi = s.s_doi
+           |WHEN NOT MATCHED THEN INSERT (titre, doi, indexation)
+           |  VALUES (s.s_titre, s.s_doi, 'SYNTH')""".stripMargin)
+      java.nio.file.Files.createFile(done)
+    }
+    s.sql(
+      s"""SELECT _corpus AS corpus, CAST(COUNT(*) AS BIGINT) AS n_articles,
+         |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi,
+         |  CAST(COUNT(CASE WHEN doi LIKE 'generated:%' THEN 1 END) AS BIGINT)
+         |    AS n_generated,
+         |  MIN(doi) AS first_doi
+         |FROM $cat.articles.all
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val q269Sql = {
+    val one = (c: String) =>
+      s"""SELECT '$c' AS corpus, NULLIF(doi,'') AS doi, NULLIF(titre,'') AS titre
+         |FROM read_json_auto('${ArticleSource.dataDir}/$c.json')""".stripMargin
+    s"""WITH u AS (
+       |${Seq("ai_articles", "blockchain_articles",
+              "acm_machine_learning_articles", "acm_blockchain_articles")
+         .map(one).mkString("\nUNION ALL BY NAME\n")}),
+       |backfill AS (SELECT DISTINCT titre FROM u
+       |             WHERE doi IS NULL AND titre IS NOT NULL),
+       |m AS (
+       |  SELECT corpus,
+       |    CASE WHEN titre IS NOT NULL AND titre IN (SELECT titre FROM backfill)
+       |         THEN 'generated:' || substring(md5(titre), 1, 10)
+       |         ELSE doi END AS doi
+       |  FROM u
+       |  UNION ALL
+       |  SELECT 'merged_inserts', 'generated:synthetic1')
+       |SELECT corpus, CAST(COUNT(*) AS BIGINT) AS n_articles,
+       |  CAST(COUNT(doi) AS BIGINT) AS n_with_doi,
+       |  CAST(COUNT(CASE WHEN doi LIKE 'generated:%' THEN 1 END) AS BIGINT)
+       |    AS n_generated,
+       |  MIN(doi) AS first_doi
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q263_catalog_function" -> q263, "q264_catalog_delete" -> q264,
-      "q266_governed_view" -> q266, "q267_procedure_land" -> q267)
+      "q266_governed_view" -> q266, "q267_procedure_land" -> q267,
+      "q269_merge_into" -> q269)
   override def oracles: Map[String, String] =
     Map("q263_catalog_function" -> q263Sql, "q264_catalog_delete" -> q264Sql,
-      "q266_governed_view" -> q266Sql, "q267_procedure_land" -> q267Sql)
+      "q266_governed_view" -> q266Sql, "q267_procedure_land" -> q267Sql,
+      "q269_merge_into" -> q269Sql)
 }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.catalyst.expressions.objects.Invoke
 import org.apache.spark.sql.functions._
@@ -41,7 +43,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(hasInvoke, df.queryExecution.analyzed.toString)
   }
 
-  test("DELETE is file-aligned: matching artifacts vanish, finer predicates are rejected") {
+  test("DELETE is two-tier: file-aligned predicates drop artifacts, finer ones fall back to row-level COW") {
     val stage = graft.StagingDirs.register(
       java.nio.file.Files.createTempDirectory("graft_catspec").toString)
     Seq("ai_articles", "acm_blockchain_articles").foreach { c =>
@@ -52,13 +54,19 @@ class GraftCatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.gcs_del", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gcs_del.dataDir", stage)
 
-    // sub-file predicate: must FAIL LOUDLY, not rewrite
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gcs_del.articles.all WHERE doi IS NULL")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // sub-file predicate: the metadata path refuses (canDeleteWhere) and
+    // Spark falls back to the ROW-LEVEL delete (SupportsDelta) — rows go,
+    // the artifact stays, rewritten copy-on-write
+    val before = spark.table("gcs_del.articles.all").count()
+    val nullDois = spark.table("gcs_del.articles.all")
+      .filter("doi IS NULL").count()
+    assert(nullDois > 0)
+    spark.sql("DELETE FROM gcs_del.articles.all WHERE doi IS NULL")
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(stage, "ai_articles.json")))
+      java.nio.file.Paths.get(stage, "ai_articles.json")),
+      "row-level delete must keep the artifact")
+    assert(spark.table("gcs_del.articles.all").count() == before - nullDois)
+    assert(spark.table("gcs_del.articles.all").filter("doi IS NULL").count() == 0)
 
     // file-aligned predicate: artifact gone, estate re-lists without it
     spark.sql("DELETE FROM gcs_del.articles.all WHERE indexation = 'ACM'")
@@ -165,6 +173,52 @@ class GraftCatalogSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(rows == Map("IEEE" -> 100L, "ACM" -> 40L), rows.toString)
     } finally q.stop()
+  }
+
+  test("MERGE INTO rewrites the estate copy-on-write: updates, inserts, atomic swap") {
+    val stage = graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_mergespec").toString)
+    Seq("ai_articles", "acm_blockchain_articles").foreach { c =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
+        java.nio.file.Paths.get(stage, s"$c.json"))
+    }
+    spark.conf.set("spark.sql.catalog.gcs_merge", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs_merge.dataDir", stage)
+    val before = spark.table("gcs_merge.articles.all")
+      .selectExpr("count(*)", "count(doi)").collect().head
+    val (nBefore, doiBefore) = (before.getLong(0), before.getLong(1))
+    assert(nBefore == 70 && doiBefore < nBefore)
+
+    spark.sql(
+      """MERGE INTO gcs_merge.articles.all t
+        |USING (
+        |  SELECT DISTINCT titre AS s_titre,
+        |    concat('generated:', substring(md5(titre), 1, 10)) AS s_doi
+        |  FROM gcs_merge.articles.all WHERE doi IS NULL AND titre IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'A Synthetic Backfill Record', 'generated:synthetic1'
+        |) s
+        |ON t.titre = s.s_titre
+        |WHEN MATCHED THEN UPDATE SET doi = s.s_doi
+        |WHEN NOT MATCHED THEN INSERT (titre, doi, indexation)
+        |  VALUES (s.s_titre, s.s_doi, 'SYNTH')""".stripMargin)
+
+    val after = spark.table("gcs_merge.articles.all")
+    assert(after.count() == nBefore + 1, "one inserted row")
+    assert(after.filter("doi IS NULL AND titre IS NOT NULL").count() == 0,
+      "every titled row has a doi after the backfill")
+    // provenance preserved through the rewrite; inserts in their own artifact
+    val corpora = after.selectExpr("_corpus").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(corpora == Seq("acm_blockchain_articles", "ai_articles", "merged_inserts"),
+      corpora.toString)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "merged_inserts.json")))
+    // no staging residue
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith(".staging")),
+      "staging must be cleaned up at commit")
   }
 
   test("the DDL surface is read-only") {
