@@ -68,6 +68,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("gcs_del.articles.all").count() == before - nullDois)
     assert(spark.table("gcs_del.articles.all").filter("doi IS NULL").count() == 0)
 
+    // SQL UPDATE rides the same delta machinery
+    spark.sql("UPDATE gcs_del.articles.all SET pays = 'normalized' " +
+      "WHERE pays IS NOT NULL")
+    assert(spark.table("gcs_del.articles.all")
+      .filter("pays IS NOT NULL AND pays <> 'normalized'").count() == 0)
+
     // file-aligned predicate: artifact gone, estate re-lists without it
     spark.sql("DELETE FROM gcs_del.articles.all WHERE indexation = 'ACM'")
     assert(!java.nio.file.Files.exists(
