@@ -28,16 +28,22 @@ class ResolveV2Views(spark: SparkSession) extends Rule[LogicalPlan] {
         substitute(parts).getOrElse(u)
     }
 
-  private def substitute(parts: Seq[String]): Option[LogicalPlan] =
-    try {
-      val cat = GraftSqlBridge.catalog(spark, parts.head) match {
-        case v: ViewCatalog => v
-        case _ => return None
-      }
-      val ident = Identifier.of(parts.slice(1, parts.length - 1).toArray,
-        parts.last)
-      if (!cat.viewExists(ident)) return None
-      val view = cat.loadView(ident)
+  private def substitute(parts: Seq[String]): Option[LogicalPlan] = {
+    // only the LOOKUP is allowed to fail soft (an unknown catalog /
+    // non-view identifier is simply not ours to resolve); once a view IS
+    // found, a broken stored body must surface as its own error, not
+    // degrade to TABLE_OR_VIEW_NOT_FOUND
+    val viewOpt =
+      try {
+        GraftSqlBridge.catalog(spark, parts.head) match {
+          case v: ViewCatalog =>
+            val ident = Identifier.of(
+              parts.slice(1, parts.length - 1).toArray, parts.last)
+            if (v.viewExists(ident)) Some(v.loadView(ident)) else None
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    viewOpt.map { view =>
       val body = GraftSqlBridge.parsePlan(spark, view.query)
       // the view body resolves relative names in ITS OWN context, not the
       // consumer's: qualify 1-/2-part relations with the view's
@@ -49,8 +55,7 @@ class ResolveV2Views(spark: SparkSession) extends Rule[LogicalPlan] {
             else view.currentCatalog +: p
           UnresolvedRelation(full, opts, streaming)
       }
-      Some(SubqueryAlias(parts.last, qualified))
-    } catch {
-      case scala.util.control.NonFatal(_) => None
+      SubqueryAlias(parts.last, qualified)
     }
+  }
 }

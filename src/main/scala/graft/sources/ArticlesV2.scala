@@ -457,6 +457,13 @@ private[sources] class ArticlesRowLevelOperation(
   * O(affected artifacts). At estate scale an artifact is one upstream
   * page set; a 100 TB layout would make the artifact a parquet file
   * group and this exact protocol is Iceberg's position-delta COW.
+  *
+  * Known bound: a single MERGE that both UPDATES rows already living in
+  * `merged_inserts` AND INSERTS new rows clusters those deltas into two
+  * different tasks (updates key on `_corpus='merged_inserts'`, inserts
+  * on NULL), and both would stage `merged_inserts.json` — last rename
+  * wins. A production artifact scheme gives inserts a fresh
+  * per-operation artifact name instead of one shared landing file.
   */
 private[sources] class ArticlesDeltaWrite(dir: String, queryId: String,
                                           schema: StructType)

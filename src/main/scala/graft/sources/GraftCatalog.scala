@@ -199,6 +199,10 @@ private[sources] class LandProcedure(dataDir: String)
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     import org.apache.hadoop.fs.Path
     val corpus = input.getUTF8String(0).toString
+    // the corpus name is spliced into an estate path: reject anything
+    // that could escape it (CALL arguments are user input)
+    require(corpus.matches("[A-Za-z0-9_-]+"),
+      s"corpus must be a bare artifact name, got '$corpus'")
     val src = new Path(input.getUTF8String(1).toString, s"$corpus.json")
     val dst = new Path(dataDir, s"$corpus.json")
     val fs = ArticlesFs.get(dst)

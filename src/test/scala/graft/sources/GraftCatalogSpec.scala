@@ -147,6 +147,13 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("CALL gcs_land.sys.nope()").collect()
     }
+    // a corpus name that could escape the estate path is rejected
+    val bad = intercept[Exception] {
+      spark.sql(
+        s"CALL gcs_land.sys.land('../escape', '${ArticleSource.dataDir}')")
+        .collect()
+    }
+    assert(bad.getMessage.contains("bare artifact name"), bad.getMessage)
   }
 
   test("TRUNCATE TABLE drops every artifact (SupportsDelete's truncate face)") {
