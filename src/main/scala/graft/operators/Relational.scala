@@ -517,9 +517,11 @@ object Relational extends QueryModule {
       .observe(obsOut, count(lit(1)).as("n_rows"),
         sum(length(col("text")).cast("long")).as("total_chars"))
       .write.mode("overwrite").parquet(s"$stage/published")
+    // total_chars is a SUM: NULL (not 0) when a stage saw no rows — keep
+    // the Option so the emitted column matches the oracle's NULL
     val metric = (st: String, o: Observation) =>
       (st, o.get("n_rows").asInstanceOf[Long],
-        o.get("total_chars").asInstanceOf[Long])
+        Option(o.get("total_chars")).map(_.asInstanceOf[Long]))
     import s.implicits._
     Seq(metric("input", obsIn), metric("published", obsOut))
       .toDF("stage", "n_rows", "total_chars").orderBy("stage")

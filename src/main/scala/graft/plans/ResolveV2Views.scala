@@ -45,10 +45,17 @@ class ResolveV2Views(spark: SparkSession) extends Rule[LogicalPlan] {
       } catch { case scala.util.control.NonFatal(_) => None }
     viewOpt.map { view =>
       val body = GraftSqlBridge.parsePlan(spark, view.query)
-      // the view body resolves relative names in ITS OWN context, not the
-      // consumer's: qualify 1-/2-part relations with the view's
+      // the body is spliced in AFTER the analyzer's Substitution batch
+      // has run, so its own WITH clauses must be substituted here or
+      // they would never resolve (and their names would be mistaken for
+      // estate tables by the qualification below)
+      val substituted =
+        org.apache.spark.sql.catalyst.analysis.CTESubstitution(body)
+      // the view body resolves relative names in ITS OWN context, not
+      // the consumer's: qualify 1-/2-part relations — including those
+      // inside expression subqueries — with the view's
       // currentCatalog/currentNamespace
-      val qualified = body.transformUp {
+      val qualified = substituted.transformUpWithSubqueries {
         case r @ UnresolvedRelation(p, opts, streaming) if p.length < 3 =>
           val full =
             if (p.length == 1) view.currentCatalog +: (view.currentNamespace.toSeq ++ p)

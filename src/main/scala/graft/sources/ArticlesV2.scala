@@ -127,27 +127,33 @@ private[sources] class ArticlesTable(corpus: String, dataDir: String,
     * reason partition-aligned retention/GDPR sweeps are free at 100 TB
     * while row-level ones cost a table rewrite.
     */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    corpora.forall(ArticlesMeta.corpusIndexation.contains) &&
-      filters.forall {
-        case org.apache.spark.sql.sources.AlwaysTrue() => true
+  private def realDeleteFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val real = realDeleteFilters(filters)
+    // unconditional (TRUNCATE / AlwaysTrue) drops every artifact and
+    // needs no indexation constants — it must work on estates holding
+    // corpora outside the map (landed via CALL or MERGE inserts); only a
+    // CONDITIONAL delete needs every corpus positively mapped to decide
+    // each file wholly
+    real.isEmpty || (corpora.forall(ArticlesMeta.corpusIndexation.contains) &&
+      real.forall {
         case EqualTo(a, _: String) => a.equalsIgnoreCase("indexation")
         case org.apache.spark.sql.sources.In(a, vs) =>
           a.equalsIgnoreCase("indexation") && vs.forall(_.isInstanceOf[String])
         case _ => false
-      }
+      })
+  }
   override def deleteWhere(filters: Array[Filter]): Unit = {
     import org.apache.hadoop.fs.Path
     require(canDeleteWhere(filters),
       s"not file-aligned: ${filters.mkString(", ")}")
-    val matches = (c: String) => {
-      val ix = ArticlesMeta.corpusIndexation(c)
-      filters.forall {
-        case org.apache.spark.sql.sources.AlwaysTrue() => true
-        case EqualTo(_, v: String) => ix == v
-        case org.apache.spark.sql.sources.In(_, vs) => vs.contains(ix)
-        case f => throw new IllegalStateException(s"unreachable: $f")
-      }
+    val real = realDeleteFilters(filters)
+    val matches = (c: String) => real.forall {
+      case EqualTo(_, v: String) => ArticlesMeta.corpusIndexation(c) == v
+      case org.apache.spark.sql.sources.In(_, vs) =>
+        vs.contains(ArticlesMeta.corpusIndexation(c))
+      case f => throw new IllegalStateException(s"unreachable: $f")
     }
     corpora.filter(matches).foreach { c =>
       val p = new Path(s"$dataDir/$c.json")
@@ -458,12 +464,13 @@ private[sources] class ArticlesRowLevelOperation(
   * page set; a 100 TB layout would make the artifact a parquet file
   * group and this exact protocol is Iceberg's position-delta COW.
   *
-  * Known bound: a single MERGE that both UPDATES rows already living in
-  * `merged_inserts` AND INSERTS new rows clusters those deltas into two
-  * different tasks (updates key on `_corpus='merged_inserts'`, inserts
-  * on NULL), and both would stage `merged_inserts.json` — last rename
-  * wins. A production artifact scheme gives inserts a fresh
-  * per-operation artifact name instead of one shared landing file.
+  * Known bound: inserts cluster on a NULL key while updates to rows
+  * already living in `merged_inserts` cluster on its name, so a MERGE
+  * doing BOTH can stage `merged_inserts.json` from two different tasks —
+  * the commit publishes them in sequence and the later rename wins
+  * (within ONE task the two fold into a single staged rewrite). A
+  * production artifact scheme gives inserts a fresh per-operation
+  * artifact name instead of one shared landing file.
   */
 private[sources] class ArticlesDeltaWrite(dir: String, queryId: String,
                                           schema: StructType)
@@ -491,20 +498,27 @@ private[sources] class ArticlesDeltaWrite(dir: String, queryId: String,
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-        new ArticlesDeltaWriter(d, q, s)
+        // attempt-scoped staging subdir: a speculative/zombie attempt
+        // writes its own files, and only the attempt whose commit
+        // message the coordinator accepts gets published
+        new ArticlesDeltaWriter(d, s"$q/p$partitionId-t$taskId", q, s)
     }
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(dir)
     val fs = ArticlesFs.get(target)
-    messages.foreach {
-      case ArticlesDeltaCommit(staged) => staged.foreach { sp =>
-        val p = new Path(sp)
-        val dst = new Path(target, p.getName)
-        fs.delete(dst, false) // rename-over: the artifact-level swap
-        fs.rename(p, dst)
-      }
-      case _ => ()
+    // per-artifact swap: delete + rename (a generic FileSystem has no
+    // atomic overwrite — a manifest-pointer estate (q247) is the scale
+    // answer; here a FAILED rename must abort the job loudly, never
+    // silently lose the artifact)
+    messages.flatMap {
+      case ArticlesDeltaCommit(staged) => staged
+      case _ => Seq.empty
+    }.distinct.foreach { sp =>
+      val p = new Path(sp)
+      val dst = new Path(target, p.getName)
+      fs.delete(dst, false)
+      require(fs.rename(p, dst), s"publish failed: $p -> $dst")
     }
     fs.delete(stagePath, true)
   }
@@ -517,7 +531,8 @@ private[sources] class ArticlesDeltaWrite(dir: String, queryId: String,
   * replaced, or kept verbatim) and stages the rewritten JSON array; the
   * buffered state is O(changed rows), the apply is O(artifact).
   */
-private[sources] class ArticlesDeltaWriter(dir: String, queryId: String,
+private[sources] class ArticlesDeltaWriter(dir: String, attemptDir: String,
+                                           queryId: String,
                                            schema: StructType)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
@@ -553,42 +568,42 @@ private[sources] class ArticlesDeltaWriter(dir: String, queryId: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
-    deltas.foreach { case (corpus, ops) =>
+    val insertTarget = "merged_inserts"
+    // one pass per AFFECTED artifact; inserts fold into the SAME staged
+    // merged_inserts rewrite when that artifact is also updated by this
+    // task, so a single MERGE can never stage one artifact twice
+    val affected = (deltas.keys ++
+      (if (inserts.nonEmpty) Seq(insertTarget) else Seq.empty)).toSeq.distinct
+    val staged = affected.map { corpus =>
+      val ops = deltas.getOrElse(corpus,
+        scala.collection.mutable.LongMap.empty[Option[Seq[String]]])
       val src = new Path(dir, s"$corpus.json")
       val fs = ArticlesFs.get(src)
-      val root = mapper.readTree(fs.open(src))
-      require(root.isArray, s"$src is not a JSON array")
       val out = mapper.createArrayNode()
-      var i = 0L
-      root.elements().asScala.foreach { node =>
-        ops.get(i) match {
-          case None => out.add(node) // untouched
-          case Some(Some(vals)) => out.add(toNode(vals))
-          case Some(None) => () // deleted
+      if (fs.exists(src)) {
+        val root = mapper.readTree(fs.open(src))
+        require(root.isArray, s"$src is not a JSON array")
+        var i = 0L
+        root.elements().asScala.foreach { node =>
+          ops.get(i) match {
+            case None => out.add(node) // untouched
+            case Some(Some(vals)) => out.add(toNode(vals))
+            case Some(None) => () // deleted
+          }
+          i += 1
         }
-        i += 1
       }
-      staged += stage(corpus, out, fs)
+      if (corpus == insertTarget) inserts.foreach(v => out.add(toNode(v)))
+      stage(corpus, out, fs)
     }
-    if (inserts.nonEmpty) {
-      val src = new Path(dir, "merged_inserts.json")
-      val fs = ArticlesFs.get(src)
-      val out =
-        if (fs.exists(src)) {
-          val r = mapper.readTree(fs.open(src))
-          r.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-        } else mapper.createArrayNode()
-      inserts.foreach(v => out.add(toNode(v)))
-      staged += stage("merged_inserts", out, fs)
-    }
-    ArticlesDeltaCommit(staged.toSeq)
+    ArticlesDeltaCommit(staged)
   }
 
   private def stage(corpus: String,
                     arr: com.fasterxml.jackson.databind.node.ArrayNode,
                     fs: org.apache.hadoop.fs.FileSystem): String = {
-    val p = new Path(new Path(dir, s".staging-delta-$queryId"), s"$corpus.json")
+    val p = new Path(new Path(dir, s".staging-delta-$attemptDir"),
+      s"$corpus.json")
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
     w.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr))
@@ -641,7 +656,13 @@ private[sources] class ArticlesScanBuilder(corpora: Seq[String], dataDir: String
     */
   override def pushAggregation(agg: Aggregation): Boolean = {
     val groups = agg.groupByExpressions.toSeq.map {
-      case f: NamedReference if f.fieldNames.length == 1 => f.fieldNames()(0)
+      // only RECORD fields group correctly in the agg reader — the
+      // metadata columns (`_corpus`/`_pos`) are minted by the row
+      // reader, not present in the parsed JSON, and would silently key
+      // every group as NULL
+      case f: NamedReference if f.fieldNames.length == 1 &&
+        ArticleSource.schema.fieldNames.contains(f.fieldNames()(0)) =>
+        f.fieldNames()(0)
       case _ => return false
     }
     val onlyCountStar = agg.aggregateExpressions.toSeq match {
@@ -928,12 +949,20 @@ private[sources] class ArticlesReaderFactory(required: StructType,
 }
 
 private[sources] object ArticlesReader {
-  /** Filters the reader evaluates itself (on string columns). */
-  def supported(f: Filter): Boolean = f match {
-    case EqualTo(_, _: String) => true
-    case IsNotNull(_) | IsNull(_) => true
-    case StringContains(_, _) | StringStartsWith(_, _) => true
-    case _ => false
+  /** Filters the reader evaluates itself (on string RECORD columns).
+    * Predicates over the minted metadata columns (`_corpus`/`_pos`) must
+    * stay ABOVE the scan as residual Filters — `eval` reads the parsed
+    * JSON, where those fields do not exist, and claiming them would
+    * silently drop every row.
+    */
+  def supported(f: Filter): Boolean = {
+    val onRecord = f.references.forall(ArticleSource.schema.fieldNames.contains)
+    onRecord && (f match {
+      case EqualTo(_, _: String) => true
+      case IsNotNull(_) | IsNull(_) => true
+      case StringContains(_, _) | StringStartsWith(_, _) => true
+      case _ => false
+    })
   }
 
   def eval(f: Filter, field: String => String): Boolean = f match {
@@ -1214,7 +1243,7 @@ object ArticlesV2 extends QueryModule {
     val one = (c: String) =>
       s"""SELECT '$c' AS corpus, NULLIF(doi,'') AS doi,
          |  NULLIF(indexation,'') AS indexation
-         |FROM read_json_auto('/root/reference/data/$c.json')""".stripMargin
+         |FROM read_json_auto('${ArticleSource.dataDir}/$c.json')""".stripMargin
     s"""WITH u AS (
        |${Seq("ai_articles", "blockchain_articles",
               "acm_machine_learning_articles", "acm_blockchain_articles")

@@ -118,11 +118,14 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
   override def listViews(namespace: String*): Array[Identifier] = {
     if (namespace != Seq(ViewNs))
       throw new NoSuchNamespaceException(namespace.toArray)
-    Array(Identifier.of(Array(ViewNs), PublicView))
+    Array(Identifier.of(Array(ViewNs), PublicView),
+      Identifier.of(Array(ViewNs), JournalsView))
   }
   override def loadView(ident: Identifier): View = {
-    if (!(ident.namespace.sameElements(Array(ViewNs)) &&
-      ident.name == PublicView)) throw new NoSuchViewException(ident)
+    if (!ident.namespace.sameElements(Array(ViewNs)))
+      throw new NoSuchViewException(ident)
+    if (ident.name == JournalsView) return journalsView
+    if (ident.name != PublicView) throw new NoSuchViewException(ident)
     val cat = catName
     new View {
       override def name(): String = s"$cat.$ViewNs.$PublicView"
@@ -147,6 +150,34 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with FunctionCatalog
           "PII-masked public face of the article estate")
     }
   }
+  /** A second stored view whose body uses a WITH clause — views are
+    * spliced in after the analyzer's Substitution batch, so
+    * [[graft.plans.ResolveV2Views]] must run CTESubstitution itself;
+    * this view (and its GraftCatalogSpec pin) keeps that path honest.
+    */
+  private def journalsView: View = {
+    val cat = catName
+    new View {
+      override def name(): String = s"$cat.$ViewNs.$JournalsView"
+      override def query(): String =
+        """WITH counted AS (
+          |  SELECT journal, CAST(COUNT(*) AS BIGINT) AS n_articles
+          |  FROM `all` WHERE journal IS NOT NULL GROUP BY journal)
+          |SELECT journal, n_articles FROM counted WHERE n_articles >= 2""".stripMargin
+      override def currentCatalog(): String = cat
+      override def currentNamespace(): Array[String] = Array(TableNs)
+      override def schema(): StructType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("journal", StringType, true),
+        org.apache.spark.sql.types.StructField("n_articles",
+          org.apache.spark.sql.types.LongType, true)))
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): JMap[String, String] =
+        java.util.Collections.emptyMap()
+    }
+  }
+
   override def createView(info: ViewInfo): View = readOnly
   override def alterView(ident: Identifier, changes: ViewChange*): View = readOnly
   override def dropView(ident: Identifier): Boolean = readOnly
@@ -178,6 +209,7 @@ private[sources] object GraftCatalog {
   val FnNs = "fns"
   val ViewNs = "views"
   val PublicView = "articles_public"
+  val JournalsView = "recurring_journals"
   val ProcNs = "sys"
 }
 
@@ -278,6 +310,41 @@ object BoundSplitBucket extends ScalarFunction[Int] {
 /** q263/q264 — the catalog face as driver-verifiable queries. */
 object CatalogOps extends QueryModule {
 
+  private val referenceCorpora = Seq("ai_articles", "blockchain_articles",
+    "acm_machine_learning_articles", "acm_blockchain_articles")
+
+  /** Shared scaffolding for the estate-MUTATING queries (q264/q267/q269):
+    * one staging dir + catalog registration per (session, sfDir), with a
+    * `_DONE` gate so re-runs skip the mutation and re-audit the mutated
+    * estate. Returns the catalog name to query.
+    */
+  private def stagedCatalog(s: SparkSession, dir: String, prefix: String)
+      (mutate: (String, String) => Unit): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${appId}_$safe")
+    val cat = s"graft_${prefix}_$safe"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.dataDir", stage)
+    val done = java.nio.file.Paths.get(stage, "_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      mutate(cat, stage)
+      java.nio.file.Files.createFile(done)
+    }
+    cat
+  }
+
+  /** Copy the reference estate into a writable staging dir. */
+  private def copyEstate(stage: String): Unit =
+    referenceCorpora.foreach { c =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
+        java.nio.file.Paths.get(stage, s"$c.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
   /** q263: SQL-only split audit through the catalog — table AND function
     * both resolved by identifier (`graft.articles.all`,
     * `graft.fns.split_bucket`), zero temp views, zero Scala in the query:
@@ -335,25 +402,9 @@ object CatalogOps extends QueryModule {
     * REJECTED (`canDeleteWhere`), pinned by GraftCatalogSpec.
     */
   private def q264(s: SparkSession, dir: String): DataFrame = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val stage = graft.StagingDirs.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_catdel_${appId}_$safe")
-    val cat = s"graft_del_$safe"
-    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.dataDir", stage)
-    val done = java.nio.file.Paths.get(stage, "_DONE")
-    if (!java.nio.file.Files.exists(done)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
-      Seq("ai_articles", "blockchain_articles",
-        "acm_machine_learning_articles", "acm_blockchain_articles").foreach { c =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
-          java.nio.file.Paths.get(stage, s"$c.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    val cat = stagedCatalog(s, dir, "del") { (cat, stage) =>
+      copyEstate(stage)
       s.sql(s"DELETE FROM $cat.articles.all WHERE indexation = 'ACM'")
-      java.nio.file.Files.createFile(done)
     }
     s.sql(
       s"""SELECT indexation, CAST(COUNT(*) AS BIGINT) AS n_articles,
@@ -441,22 +492,11 @@ object CatalogOps extends QueryModule {
     * (LocalScan); nothing row-level happens until a consumer reads.
     */
   private def q267(s: SparkSession, dir: String): DataFrame = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val stage = graft.StagingDirs.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_land_${appId}_$safe")
-    val cat = s"graft_land_$safe"
-    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.dataDir", stage)
-    val done = java.nio.file.Paths.get(stage, "_DONE")
-    if (!java.nio.file.Files.exists(done)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
-      Seq("ai_articles", "blockchain_articles",
-        "acm_machine_learning_articles", "acm_blockchain_articles").foreach { c =>
+    val cat = stagedCatalog(s, dir, "land") { (cat, _) =>
+      referenceCorpora.foreach { c =>
         s.sql(s"CALL $cat.sys.land(corpus => '$c', " +
           s"src => '${ArticleSource.dataDir}')").collect()
       }
-      java.nio.file.Files.createFile(done)
     }
     s.sql(
       s"""SELECT _corpus AS corpus, indexation,
@@ -497,23 +537,8 @@ object CatalogOps extends QueryModule {
     * q264: re-runs re-audit the merged estate.
     */
   private def q269(s: SparkSession, dir: String): DataFrame = {
-    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val appId = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    val stage = graft.StagingDirs.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_merge_${appId}_$safe")
-    val cat = s"graft_mrg_$safe"
-    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.dataDir", stage)
-    val done = java.nio.file.Paths.get(stage, "_DONE")
-    if (!java.nio.file.Files.exists(done)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
-      Seq("ai_articles", "blockchain_articles",
-        "acm_machine_learning_articles", "acm_blockchain_articles").foreach { c =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
-          java.nio.file.Paths.get(stage, s"$c.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    val cat = stagedCatalog(s, dir, "mrg") { (cat, stage) =>
+      copyEstate(stage)
       s.sql(
         s"""MERGE INTO $cat.articles.all t
            |USING (
@@ -527,7 +552,6 @@ object CatalogOps extends QueryModule {
            |WHEN MATCHED THEN UPDATE SET doi = s.s_doi
            |WHEN NOT MATCHED THEN INSERT (titre, doi, indexation)
            |  VALUES (s.s_titre, s.s_doi, 'SYNTH')""".stripMargin)
-      java.nio.file.Files.createFile(done)
     }
     s.sql(
       s"""SELECT _corpus AS corpus, CAST(COUNT(*) AS BIGINT) AS n_articles,

@@ -271,6 +271,21 @@ class ArticleSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("metadata-column predicates and groupings bypass the record-level pushdowns") {
+    import org.apache.spark.sql.functions._
+    // a filter on _corpus must stay ABOVE the scan (the reader evaluates
+    // pushed filters against the parsed record, where _corpus does not
+    // exist — claiming it would silently drop every row)
+    val filtered = v2.select(col("_corpus"), col("titre"))
+      .where(col("_corpus") === "ai_articles")
+    assert(filtered.count() == 50)
+    // a groupBy on _corpus must NOT take the aggregate-pushdown path
+    // (the agg reader keys groups from the record → one NULL group)
+    val grouped = v2.groupBy(col("_corpus")).count().collect()
+    assert(grouped.length == 4 && grouped.forall(_.getString(0) != null),
+      grouped.mkString(", "))
+  }
+
   test("_corpus metadata column appears only when selected") {
     import org.apache.spark.sql.functions._
     val withMeta = v2.select(col("_corpus"), col("doi"))

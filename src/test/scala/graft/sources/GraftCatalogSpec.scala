@@ -118,6 +118,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(joined.collect().head.getLong(0) == 0L)
   }
 
+  test("a stored view with a WITH-clause body resolves (rule-side CTE substitution)") {
+    val viaView = spark.sql(
+      s"SELECT * FROM $cat.views.recurring_journals ORDER BY journal")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val direct = spark.sql(
+      s"""SELECT journal, CAST(COUNT(*) AS BIGINT) AS n FROM $cat.articles.all
+         |WHERE journal IS NOT NULL GROUP BY journal
+         |HAVING COUNT(*) >= 2 ORDER BY journal""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(viaView.nonEmpty && viaView == direct, s"$viaView vs $direct")
+  }
+
   test("CALL sys.land lands an artifact and returns its receipt; args bind by name or position") {
     val stage = graft.StagingDirs.register(
       java.nio.file.Files.createTempDirectory("graft_landspec").toString)
@@ -164,6 +176,12 @@ class GraftCatalogSpec extends SparkSpec {
         java.nio.file.Paths.get(ArticleSource.dataDir, s"$c.json"),
         java.nio.file.Paths.get(stage, s"$c.json"))
     }
+    // an estate holding a corpus OUTSIDE the indexation map (the shape
+    // CALL-landing and MERGE inserts produce) must still truncate:
+    // unconditional delete needs no per-file constants
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(ArticleSource.dataDir, "ai_articles.json"),
+      java.nio.file.Paths.get(stage, "custom_corpus.json"))
     spark.conf.set("spark.sql.catalog.gcs_trunc", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gcs_trunc.dataDir", stage)
     spark.sql("TRUNCATE TABLE gcs_trunc.articles.all")
