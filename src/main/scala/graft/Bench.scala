@@ -113,7 +113,11 @@ object Bench {
     "q261_dsv2_partitioned_join", "q262_dsv2_metadata_column",
     "q263_catalog_function", "q264_catalog_delete",
     "q265_observed_metrics", "q266_governed_view", "q267_procedure_land",
-    "q268_sql_pipe", "q269_merge_into"
+    "q268_sql_pipe", "q269_merge_into",
+    // round 10b additions: state-store introspection, SQL programmability
+    // (SQL-body functions, session variables, scripting), waterfill mixing
+    "q270_state_introspection", "q271_sql_udf", "q272_session_variables",
+    "q273_sql_scripting", "q274_token_waterfill"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -22,6 +22,7 @@ object SparkEntry {
     operators.SortsSets,
     operators.ScalePatterns,
     operators.Scalars,
+    operators.SqlProgrammability,
     operators.Articles,
     operators.TextOps,
     operators.CorpusOps,

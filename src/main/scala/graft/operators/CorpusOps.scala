@@ -1873,6 +1873,110 @@ object CorpusOps extends QueryModule {
        |ORDER BY rates.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q274
+
+  /** q274: token-budget waterfilling — the EXACT allocation rule behind
+    * weighted corpus mixing (q228 approximates per-source shares with
+    * ppm rates; this computes the optimal ones): given per-source token
+    * supplies `n_i`, mixing weights `w_i`, and a 60% token budget `B`,
+    * find the water level λ with Σ min(n_i, λ·w_i) = B — sources whose
+    * full supply costs less than their fair share saturate (contribute
+    * everything), the rest split the remainder proportionally to weight.
+    *
+    * Spelled as one window pass over the per-source aggregate: sort by
+    * supply-per-weight r_i = n_i/w_i ascending, prefix-sum supplies and
+    * weights, λ_i = (B − Σn_prefix)/(W − Σw_prefix) is the candidate level
+    * if the prefix saturates; a source saturates iff r_i ≤ λ_i and every
+    * earlier source did (a running bool-and — the greedy is monotone, the
+    * guard makes that explicit). The final level is the first unsaturated
+    * λ (= the max, since λ only decreases past it). All doubles derive
+    * from exact integers through identical IEEE expressions, so DuckDB
+    * replays bit-for-bit.
+    *
+    * Scale: the window runs over O(#sources) rows (one per corpus — tens,
+    * not billions); the per-source aggregate underneath is the only
+    * data-sized pass. Applying the allocation is q228's map-side rate
+    * filter with `allocated/n_tokens` as the keep-rate.
+    */
+  /** The full waterfill frame (levels, prefix sums, budget) — q274 projects
+    * the allocation; the spec checks the Σ-allocated-=-budget invariant.
+    */
+  private[operators] def q274Levels(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("weight",
+        expr("CAST(substring(source, 4, 8) AS BIGINT) % 4 + 1"))
+    val whole = Window.partitionBy(lit(1))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("r"), col("source"))
+    val prefix = ord.rowsBetween(Window.unboundedPreceding, -1)
+    bySrc
+      .withColumn("r", col("n_tokens").cast(DoubleType) / col("weight").cast(DoubleType))
+      .withColumn("total_tok", sum(col("n_tokens")).over(whole))
+      .withColumn("total_w", sum(col("weight")).over(whole))
+      .withColumn("budget", expr("total_tok * 3 div 5"))
+      .withColumn("cum_n", coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
+      .withColumn("cum_w", coalesce(sum(col("weight")).over(prefix), lit(0L)))
+      .withColumn("lam", (col("budget") - col("cum_n")).cast(DoubleType) /
+        (col("total_w") - col("cum_w")).cast(DoubleType))
+      .withColumn("sat_here", when(col("r") <= col("lam"), 1L).otherwise(0L))
+      .withColumn("saturated",
+        min(col("sat_here")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lam_final",
+        max(when(col("saturated") === 0L, col("lam"))).over(whole))
+  }
+
+  private def q274(s: SparkSession, d: String): DataFrame =
+    q274Levels(s, d)
+      .select(col("source"), col("n_tokens"), col("weight"),
+        when(col("saturated") === 1L, col("n_tokens").cast(DoubleType))
+          .otherwise(col("lam_final") * col("weight").cast(DoubleType))
+          .as("allocated"),
+        col("saturated"))
+      .orderBy(col("source"))
+
+  private val q274Sql =
+    s"""WITH bysrc AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens,
+       |    CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS weight
+       |  FROM documents GROUP BY source),
+       |w1 AS (
+       |  SELECT source, n_tokens, weight,
+       |    CAST(n_tokens AS DOUBLE) / CAST(weight AS DOUBLE) AS r,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tok,
+       |    CAST(SUM(weight) OVER () AS BIGINT) AS total_w,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      ORDER BY CAST(n_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_n,
+       |    CAST(COALESCE(SUM(weight) OVER (
+       |      ORDER BY CAST(n_tokens AS DOUBLE) / CAST(weight AS DOUBLE), source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_w
+       |  FROM bysrc),
+       |w2 AS (
+       |  SELECT *, (total_tok * 3) // 5 AS budget FROM w1),
+       |w3 AS (
+       |  SELECT *,
+       |    CAST(budget - cum_n AS DOUBLE) / CAST(total_w - cum_w AS DOUBLE) AS lam
+       |  FROM w2),
+       |w4 AS (
+       |  SELECT *, CASE WHEN r <= lam THEN 1 ELSE 0 END AS sat_here FROM w3),
+       |w5 AS (
+       |  SELECT *, CAST(MIN(sat_here) OVER (
+       |    ORDER BY r, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS saturated
+       |  FROM w4),
+       |w6 AS (
+       |  SELECT *, MAX(CASE WHEN saturated = 0 THEN lam END) OVER () AS lam_final
+       |  FROM w5)
+       |SELECT source, n_tokens, weight,
+       |  CASE WHEN saturated = 1 THEN CAST(n_tokens AS DOUBLE)
+       |       ELSE lam_final * CAST(weight AS DOUBLE) END AS allocated,
+       |  saturated
+       |FROM w6 ORDER BY source""".stripMargin
+
   /** q224: BM25 ranked retrieval — the lexical top-10 per query doc, the
     * text-search leg every RAG/retrieval pipeline runs next to its vector
     * index (and the "more-like-this" primitive of lexical dedup review).
@@ -1917,6 +2021,7 @@ object CorpusOps extends QueryModule {
     "q219_dup_spans" -> q219,
     "q224_bm25_retrieval" -> q224,
     "q228_corpus_mixing" -> q228,
+    "q274_token_waterfill" -> q274,
     "q229_bpe_train" -> q229,
     "q234_bpe_encode" -> q234,
     "q238_leakage_safe_split" -> q238
@@ -1950,6 +2055,7 @@ object CorpusOps extends QueryModule {
     "q219_dup_spans" -> q219Sql,
     "q224_bm25_retrieval" -> q224Sql,
     "q228_corpus_mixing" -> q228Sql,
+    "q274_token_waterfill" -> q274Sql,
     "q229_bpe_train" -> q229Sql,
     "q234_bpe_encode" -> q234Sql,
     "q238_leakage_safe_split" -> q238Sql

@@ -1000,13 +1000,18 @@ object Streams extends QueryModule {
     * accepted doc_id). Arrival order wins across batches; within a batch
     * the lowest doc_id wins (deterministic under any input split).
     */
+  /** The q102/q214/q227 passage grain: md5 of the 32-token prefix. Shared
+    * by the dedup gate and the q270 state read so the state keys and the
+    * batch oracle can never drift.
+    */
+  private[streaming] def passageFp(text: org.apache.spark.sql.Column) =
+    md5(concat_ws(" ", slice(filter(split(text, " "), t => length(t) > 0), 1, 32)))
+
   private[streaming] def dedupGate(s: SparkSession, docs: DataFrame): Dataset[(Long, String, String)] = {
     import s.implicits._
     docs
       .select(col("doc_id").cast(LongType),
-        md5(concat_ws(" ",
-          slice(filter(split(col("text"), " "), t => length(t) > 0), 1, 32)))
-          .as("fp"))
+        passageFp(col("text")).as("fp"))
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Long, String, String)](
@@ -1126,7 +1131,59 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q270
+
+  private val q270Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q270: streaming-state introspection — the ops face of a stateful
+    * pipeline. Runs the continuous dedup gate as a real streaming query
+    * (`dropDuplicates` on the q227 passage fingerprint, state checkpointed),
+    * then reads the checkpoint's state store back as a DataFrame via the
+    * `statestore` data source and audits it: number of state keys and the
+    * key range. The oracle is the batch truth the state must equal —
+    * `COUNT(DISTINCT fp)` over the same input — so a state store that
+    * dropped, doubled, or corrupted a key hash-mismatches.
+    *
+    * This is how a 100 TB operator answers "how big is my state and what's
+    * in it" WITHOUT touching the running query: the state source reads the
+    * checkpoint files directly (one task per store partition, parallel over
+    * the same HDFS layout the query writes), supports time travel to any
+    * retained `batchId`, and feeds the same audit queries as any table.
+    * StreamsSpec pins the `state-metadata` operator inventory and the
+    * batchId time-travel face; state growth itself is measured in
+    * BASELINE.md's state table (constant per distinct fingerprint).
+    */
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    val run = q270Runs.incrementAndGet()
+    val ckpt = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_statespect_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val fps = streamDocs(s, d).select(passageFp(col("text")).as("fp"))
+    val q = fps.dropDuplicates("fp").writeStream
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.format("statestore").load(ckpt)
+      .agg(
+        count(lit(1)).as("n_state_keys"),
+        min(col("key.fp")).as("first_key"),
+        max(col("key.fp")).as("last_key"))
+  }
+
+  private val q270Sql =
+    """WITH f AS (
+      |  SELECT DISTINCT md5(array_to_string(
+      |    (list_filter(string_split(text, ' '), t -> length(t) > 0))[1:32],
+      |    ' ')) AS fp
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_state_keys,
+      |       MIN(fp) AS first_key, MAX(fp) AS last_key
+      |FROM f""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_state_introspection" -> q270,
     "q252_stream_versioned_ingest" -> q252,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
@@ -1148,6 +1205,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q270_state_introspection" -> q270Sql,
     "q252_stream_versioned_ingest" -> q252Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,

@@ -293,4 +293,60 @@ class Round10Spec extends SparkSpec {
       .filter(col("grp") === "ALL").head()
     assert(all.getLong(2) > 0, s"ALL estimate missing: $all")
   }
+
+  test("q271 SQL functions are inlined by the analyzer (zero call overhead)") {
+    val df = SparkEntry.queries("q271_sql_udf")(spark, sf0001)
+    // ResolveSQLFunctions must rewrite both call sites to their bodies:
+    // no function name survives into the optimized plan, so the executed
+    // expressions are ordinary codegen'd decimal arithmetic + a generated
+    // 10-row dimension — the plan a hand-written q01-style query gets
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("graft_disc_price") && !p.contains("graft_size_bands"), p)
+    val rows = df.collect()
+    assert(rows.length == 10 && rows.map(_.getLong(3)).sum > 0)
+  }
+
+  test("q272 session variable folds to a literal: predicate reaches the scan") {
+    val df = SparkEntry.queries("q272_session_variables")(spark, sf0001)
+    // the cutoff bound via EXECUTE IMMEDIATE ... USING must behave exactly
+    // like a hand-written constant: visible to the parquet reader as a
+    // pushed filter, not evaluated post-scan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(df.collect().length == 5)
+  }
+
+  test("q273 scripting loop converges to the closed-form width") {
+    val rows = SparkEntry.queries("q273_sql_scripting")(spark, sf0001).collect()
+    // quantity spans 1..50 → range 50; smallest power-of-two width with
+    // ceil(50/w) <= 16 is 4, giving buckets 0..12
+    assert(rows.forall(_.getLong(3) == 4L), rows.mkString(", "))
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 12L), rows.mkString(", "))
+    // bucket_lo is the left edge: lo + bucket*width
+    assert(rows.forall(r => r.getLong(1) == 1L + r.getLong(0) * 4L))
+  }
+
+  test("q274 waterfill hits the budget exactly and respects caps") {
+    val levels = CorpusOps.q274Levels(spark, sf001).collect()
+    val budget = levels.head.getAs[Long]("budget")
+    val total = levels.head.getAs[Long]("total_tok")
+    assert(budget == total * 3 / 5)
+    val alloc = levels.map { r =>
+      val sat = r.getAs[Long]("saturated") == 1L
+      val n = r.getAs[Long]("n_tokens")
+      val lamF = r.getAs[Double]("lam_final")
+      val w = r.getAs[Long]("weight")
+      val a = if (sat) n.toDouble else lamF * w
+      // cap respected: nobody is allocated more than they have
+      assert(a <= n + 1e-6, s"over-cap: $r")
+      a
+    }.sum
+    // Σ min(n_i, λ·w_i) = B is the waterfill invariant — float-tight
+    assert(math.abs(alloc - budget) < 1e-6 * budget,
+      s"allocated $alloc vs budget $budget")
+    // at a 60% budget with uneven weights both classes must be present
+    assert(levels.exists(_.getAs[Long]("saturated") == 1L) &&
+      levels.exists(_.getAs[Long]("saturated") == 0L))
+  }
 }
