@@ -1053,7 +1053,89 @@ object Joins extends QueryModule {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q275
+
+  /** q275: FIFO allocation matching via typed `cogroup` — the §2.10
+    * ladder's typed-Dataset rung on a problem it genuinely fits: per part,
+    * returned quantities consume shipped quantities first-in-first-out
+    * (shipments and returns each ordered by ship date), emitting one row
+    * per (shipment, return) pair with the matched quantity — the
+    * inventory-costing / lot-matching primitive (FIFO cost basis, returns
+    * reconciliation, batch lineage).
+    *
+    * The imperative spelling is a two-pointer merge over the two sorted
+    * per-key lists — O(group) memory, O(group log group) time, one
+    * co-partitioned shuffle on partkey, no join blowup. The ORACLE is the
+    * purely relational twin: FIFO matching = interval intersection of the
+    * two cumulative-quantity axes (shipment i covers [cumSᵢ₋₁, cumSᵢ),
+    * return j covers [cumRⱼ₋₁, cumRⱼ), matched = overlap length), so the
+    * hash compare proves the imperative and relational algorithms agree
+    * pair-for-pair. Quantities are integral → all arithmetic exact.
+    *
+    * Scale: groups are bounded by per-part line counts (≤49 at sf0.01);
+    * a 100 TB run keys the cogroup on (partkey) exactly like this and the
+    * relational spelling (one window + one self-join) is the fallback if
+    * a pathological key ever outgrew executor memory.
+    */
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // (partkey, isReturn, shipdate-iso, orderkey, linenumber, qty, cents)
+    // the 5-part tail is a TOTAL order within (partkey, side) — verified
+    // unique on the testdata; cents = price*100 exact for 2-decimal money
+    val ds = Tables.lineitem(s, d).select(
+      col("l_partkey"), (col("l_returnflag") === "R").as("isret"),
+      col("l_shipdate").cast(StringType).as("sd"),
+      col("l_orderkey"), col("l_linenumber").cast(LongType),
+      col("l_quantity").cast(LongType).as("qty"),
+      (col("l_extendedprice") * 100).cast(LongType).as("cents"))
+      .as[(Long, Boolean, String, Long, Long, Long, Long)]
+    val ships = ds.filter(!_._2).groupByKey(_._1)
+    val rets = ds.filter(_._2).groupByKey(_._1)
+    val pairs = ships.cogroup(rets) { (k, sIt, rIt) =>
+      val key = (t: (Long, Boolean, String, Long, Long, Long, Long)) =>
+        (t._3, t._4, t._5, t._6, t._7)
+      val sArr = sIt.toArray.sortBy(key)
+      val rArr = rIt.toArray.sortBy(key)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+      var i = 0; var j = 0
+      var sStart = 0L; var rStart = 0L
+      while (i < sArr.length && j < rArr.length) {
+        val sEnd = sStart + sArr(i)._6
+        val rEnd = rStart + rArr(j)._6
+        val hi = math.min(sEnd, rEnd)
+        val lo = math.max(sStart, rStart)
+        if (hi > lo) out += ((k, i + 1L, j + 1L, hi - lo))
+        if (sEnd <= rEnd) { i += 1; sStart = sEnd }
+        if (rEnd <= sEnd) { j += 1; rStart = rEnd }
+      }
+      out.iterator
+    }
+    pairs.toDF("partkey", "ship_rank", "ret_rank", "qty_matched")
+      .orderBy(col("partkey"), col("ship_rank"), col("ret_rank"))
+  }
+
+  private val q275Sql =
+    """WITH base AS (
+      |  SELECT l_partkey, l_returnflag = 'R' AS isret,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS cum
+      |  FROM lineitem
+      |  WINDOW w AS (
+      |    PARTITION BY l_partkey, l_returnflag = 'R'
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
+      |             l_extendedprice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT s.l_partkey AS partkey, s.rnk AS ship_rank, r.rnk AS ret_rank,
+      |  CAST(LEAST(s.cum, r.cum)
+      |       - GREATEST(s.cum - s.qty, r.cum - r.qty) AS BIGINT) AS qty_matched
+      |FROM base s JOIN base r
+      |  ON s.l_partkey = r.l_partkey AND NOT s.isret AND r.isret
+      |  AND s.cum - s.qty < r.cum AND r.cum - r.qty < s.cum
+      |ORDER BY partkey, ship_rank, ret_rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_fifo_matching" -> q275,
     "q207_shipping_priority" -> q207,
     "q208_priority_check" -> q208,
     "q209_bilateral_volume" -> q209,
@@ -1085,6 +1167,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q275_fifo_matching" -> q275Sql,
     "q207_shipping_priority" -> q207Sql,
     "q208_priority_check" -> q208Sql,
     "q209_bilateral_volume" -> q209Sql,

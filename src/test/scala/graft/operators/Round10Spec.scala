@@ -349,4 +349,22 @@ class Round10Spec extends SparkSpec {
     assert(levels.exists(_.getAs[Long]("saturated") == 1L) &&
       levels.exists(_.getAs[Long]("saturated") == 0L))
   }
+
+  test("q275 FIFO conservation: per part, matched total = min(shipped, returned)") {
+    // the pair-level oracle proves pair-for-pair agreement with the
+    // relational spelling; this pins the ALLOCATION invariant neither
+    // spelling states explicitly — FIFO matching exhausts the smaller side
+    val pairs = SparkEntry.queries("q275_fifo_matching")(spark, sf0001)
+      .groupBy("partkey").agg(sum("qty_matched").as("m"))
+    val totals = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(
+        sum(when(col("l_returnflag") =!= "R", col("l_quantity")).otherwise(0))
+          .cast("long").as("shipped"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0))
+          .cast("long").as("returned"))
+    val bad = totals.join(pairs, Seq("partkey"), "left")
+      .filter(coalesce(col("m"), lit(0L)) =!= least(col("shipped"), col("returned")))
+    assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
+  }
 }
