@@ -1901,14 +1901,20 @@ object CorpusOps extends QueryModule {
   /** The full waterfill frame (levels, prefix sums, budget) — q274 projects
     * the allocation; the spec checks the Σ-allocated-=-budget invariant.
     */
-  private[operators] def q274Levels(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bySrc = Tables.documents(s, d)
+  private[operators] def q274Levels(s: SparkSession, d: String): DataFrame =
+    waterfill(Tables.documents(s, d)
       .select(col("source"), size(toks(col("text"))).cast(LongType).as("n_tok"))
       .groupBy(col("source"))
       .agg(sum(col("n_tok")).as("n_tokens"))
       .withColumn("weight",
-        expr("CAST(substring(source, 4, 8) AS BIGINT) % 4 + 1"))
+        expr("CAST(substring(source, 4, 8) AS BIGINT) % 4 + 1")))
+
+  /** The waterfill plan over any (source, n_tokens, weight) frame —
+    * factored out so the property spec can drive it with generated
+    * supplies/weights. Budget is 60% of total supply.
+    */
+  private[operators] def waterfill(bySrc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val whole = Window.partitionBy(lit(1))
     val ord = Window.partitionBy(lit(1)).orderBy(col("r"), col("source"))
     val prefix = ord.rowsBetween(Window.unboundedPreceding, -1)

@@ -1094,24 +1094,33 @@ object Joins extends QueryModule {
     val pairs = ships.cogroup(rets) { (k, sIt, rIt) =>
       val key = (t: (Long, Boolean, String, Long, Long, Long, Long)) =>
         (t._3, t._4, t._5, t._6, t._7)
-      val sArr = sIt.toArray.sortBy(key)
-      val rArr = rIt.toArray.sortBy(key)
-      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
-      var i = 0; var j = 0
-      var sStart = 0L; var rStart = 0L
-      while (i < sArr.length && j < rArr.length) {
-        val sEnd = sStart + sArr(i)._6
-        val rEnd = rStart + rArr(j)._6
-        val hi = math.min(sEnd, rEnd)
-        val lo = math.max(sStart, rStart)
-        if (hi > lo) out += ((k, i + 1L, j + 1L, hi - lo))
-        if (sEnd <= rEnd) { i += 1; sStart = sEnd }
-        if (rEnd <= sEnd) { j += 1; rStart = rEnd }
-      }
-      out.iterator
+      fifoMatch(k, sIt.toArray.sortBy(key).map(_._6),
+        rIt.toArray.sortBy(key).map(_._6))
     }
     pairs.toDF("partkey", "ship_rank", "ret_rank", "qty_matched")
       .orderBy(col("partkey"), col("ship_rank"), col("ret_rank"))
+  }
+
+  /** The q275 core: two-pointer FIFO match of return quantities against
+    * shipment quantities (both already in FIFO order), emitting
+    * (key, shipRank, retRank, matched) per overlapping pair. Factored out
+    * so the property spec can drive it against a unit-by-unit simulation.
+    */
+  private[operators] def fifoMatch(k: Long, qS: Array[Long],
+                                   qR: Array[Long]): Iterator[(Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    var i = 0; var j = 0
+    var sStart = 0L; var rStart = 0L
+    while (i < qS.length && j < qR.length) {
+      val sEnd = sStart + qS(i)
+      val rEnd = rStart + qR(j)
+      val hi = math.min(sEnd, rEnd)
+      val lo = math.max(sStart, rStart)
+      if (hi > lo) out += ((k, i + 1L, j + 1L, hi - lo))
+      if (sEnd <= rEnd) { i += 1; sStart = sEnd }
+      if (rEnd <= sEnd) { j += 1; rStart = rEnd }
+    }
+    out.iterator
   }
 
   private val q275Sql =

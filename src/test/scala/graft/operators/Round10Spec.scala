@@ -367,4 +367,56 @@ class Round10Spec extends SparkSpec {
       .filter(coalesce(col("m"), lit(0L)) =!= least(col("shipped"), col("returned")))
     assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
   }
+
+  test("q275 two-pointer FIFO equals the unit-by-unit simulation (property)") {
+    // independent model: expand each side into its unit stream, zip them
+    // (k-th shipped unit meets k-th returned unit — the definition of
+    // FIFO), and regroup; the production two-pointer must produce exactly
+    // those pairs in staircase order
+    val rnd = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val qS = Array.fill(1 + rnd.nextInt(10))(1L + rnd.nextInt(8))
+      val qR = Array.fill(1 + rnd.nextInt(10))(1L + rnd.nextInt(8))
+      val got = Joins.fifoMatch(1L, qS, qR).toSeq
+      val unitsS = qS.indices.flatMap(i => Seq.fill(qS(i).toInt)(i + 1L))
+      val unitsR = qR.indices.flatMap(j => Seq.fill(qR(j).toInt)(j + 1L))
+      val expected = unitsS.zip(unitsR).groupBy(identity).toSeq
+        .map { case ((i, j), u) => (1L, i, j, u.size.toLong) }
+        .sortBy(t => (t._2, t._3))
+      assert(got == expected, s"qS=${qS.toSeq} qR=${qR.toSeq}")
+    }
+  }
+
+  test("q274 waterfill KKT conditions hold on generated supplies/weights (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val n = 4 + rnd.nextInt(5)
+      val rows = (1 to n).map(i =>
+        (s"s$i", 1L + rnd.nextInt(1000).toLong, 1L + rnd.nextInt(5).toLong))
+      val levels = CorpusOps.waterfill(rows.toDF("source", "n_tokens", "weight"))
+        .collect()
+      val budget = levels.head.getAs[Long]("budget")
+      val lamF = levels.collectFirst {
+        case r if r.getAs[Long]("saturated") == 0L => r.getAs[Double]("lam_final")
+      }.getOrElse(Double.PositiveInfinity)
+      var total = 0.0
+      levels.foreach { r =>
+        val nTok = r.getAs[Long]("n_tokens")
+        val w = r.getAs[Long]("weight")
+        val sat = r.getAs[Long]("saturated") == 1L
+        val a = if (sat) nTok.toDouble else lamF * w
+        total += a
+        assert(a <= nTok + 1e-9, s"over-cap in $rows: $r")
+        // KKT: saturated sources sit at/below the water level, unsaturated
+        // at/above it — the certificate that the split is optimal
+        if (sat) assert(nTok <= lamF * w + 1e-9, s"sat above level: $r")
+        else assert(nTok >= lamF * w - 1e-9, s"unsat below level: $r")
+      }
+      // the level exhausts the budget exactly (B < total supply always,
+      // since B = 60% of it)
+      assert(math.abs(total - budget) < 1e-6 * math.max(1.0, budget.toDouble),
+        s"allocated $total vs budget $budget in $rows")
+    }
+  }
 }
