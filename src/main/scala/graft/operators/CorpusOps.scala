@@ -1001,6 +1001,65 @@ object CorpusOps extends QueryModule {
        |GROUP BY term HAVING COUNT(*) >= 50
        |ORDER BY term""".stripMargin
 
+  // --------------------------------------------------------------- q276
+
+  /** q276: INCREMENTAL index maintenance — the q107 document-frequency
+    * index kept current across a q255-style version transition without
+    * rebuilding: the base index is built once over committed v=1, the
+    * v1→v2 CDC (added/removed doc keys, two anti joins) expands into
+    * per-term +1/−1 deltas for ONLY the changed documents, and the final
+    * index is base ⟗ deltas with `df + Δ` (terms falling to zero drop
+    * out). The oracle builds the v2 index DIRECTLY, so any drift between
+    * the incremental path and a full rebuild — a missed removal, a
+    * double-counted add, a term that should have vanished — is a hash
+    * mismatch; Round10Spec additionally pins incremental == in-engine
+    * rebuild term-for-term.
+    *
+    * Scale: this is how a 100 TB search/retrieval estate stays fresh —
+    * maintenance cost is O(changed docs × terms/doc) + one index-keyed
+    * merge join, NOT a corpus rescan. The CDC input is exactly q255's
+    * key-level diff; the same deltas drive feature-store and BM25 (df is
+    * the idf denominator) refreshes.
+    */
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_incidx_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      docs.filter(col("doc_id") % 10 =!= 4)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "rewrite + purge")
+      java.nio.file.Files.createFile(done)
+    }
+    val v1 = graft.sources.VersionedManifest.readAt(s, dir, 1)
+    val v2 = graft.sources.VersionedManifest.readAt(s, dir, 2)
+    val termsOf = (df: DataFrame) =>
+      df.select(col("doc_id"), explode(toks(col("text"))).as("term")).distinct()
+    val base = termsOf(v1).groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val added = v2.join(v1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val removed = v1.join(v2.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val deltas = termsOf(added).withColumn("dd", lit(1L))
+      .unionByName(termsOf(removed).withColumn("dd", lit(-1L)))
+      .groupBy(col("term")).agg(sum(col("dd")).as("delta"))
+    base.join(deltas, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("df"))
+      .filter(col("df") >= 50)
+      .orderBy(col("term"))
+  }
+
+  private val q276Sql =
+    s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |FROM (SELECT DISTINCT doc_id, unnest($toksSql) AS term
+       |      FROM documents WHERE doc_id % 10 != 4)
+       |GROUP BY term HAVING COUNT(*) >= 50
+       |ORDER BY term""".stripMargin
+
   // ---------------------------------------------------------------- q101
 
   /** q101: repetition quality filter — the Gopher-style signals that gate
@@ -2005,6 +2064,7 @@ object CorpusOps extends QueryModule {
     "q200_lm_fluency" -> q200,
     "q201_importance_weights" -> q201,
     "q107_inverted_index" -> q107,
+    "q276_incremental_index" -> q276,
     "q101_repetition_filter" -> q101,
     "q102_passage_dedup" -> q102,
     "q87_bigram_lm" -> q87,
@@ -2039,6 +2099,7 @@ object CorpusOps extends QueryModule {
     "q200_lm_fluency" -> q200Sql,
     "q201_importance_weights" -> q201Sql,
     "q107_inverted_index" -> q107Sql,
+    "q276_incremental_index" -> q276Sql,
     "q101_repetition_filter" -> q101Sql,
     "q102_passage_dedup" -> q102Sql,
     "q87_bigram_lm" -> q87Sql,

@@ -368,6 +368,24 @@ class Round10Spec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
   }
 
+  test("q276 incremental index equals the full rebuild term-for-term") {
+    // the oracle checks against DuckDB's direct v2 index; this pins the
+    // same claim in-engine, with the rebuild computed from the version
+    // predicate (v2 = doc_id % 10 != 4) rather than the CDC path
+    val inc = SparkEntry.queries("q276_incremental_index")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val reb = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 =!= 4)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 50).orderBy(col("term"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(inc.nonEmpty && inc == reb,
+      s"${inc.take(3)}... vs ${reb.take(3)}... (${inc.length}/${reb.length})")
+  }
+
   test("q275 two-pointer FIFO equals the unit-by-unit simulation (property)") {
     // independent model: expand each side into its unit stream, zip them
     // (k-th shipped unit meets k-th returned unit — the definition of
