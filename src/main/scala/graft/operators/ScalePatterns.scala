@@ -1735,6 +1735,94 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 4
       |ORDER BY change""".stripMargin
 
+  // --------------------------------------------------------------- q277
+
+  /** q277: MULTI-TABLE snapshot consistency — the transaction concept
+    * single-table formats lack, via [[graft.sources.SnapshotCatalog]]: a
+    * catalog version atomically pins one committed version per table, so
+    * a coordinated update (documents v2 + its derived docstats v2) becomes
+    * visible in ONE catalog rename and a reader can never join new
+    * documents against old stats. The staged estate ends with an IN-FLIGHT
+    * third update — documents v3 committed at table level, its stats and
+    * catalog pin never landed — which catalog-governed readers must not
+    * see (Round10Spec pins catalog=2 while the table log is at 3).
+    *
+    * The query audits every catalog version: per-source doc/char counts
+    * recomputed from the pinned documents version, full-outer joined
+    * against the pinned docstats table — `n_mismatch = 0` on every row IS
+    * the consistency proof, hash-checked (a reader mixing versions would
+    * mismatch on src3's row). Scale: the catalog pin is one file rename
+    * regardless of table count or size; readers pay one tiny `_catalog`
+    * listing before normal per-table manifest resolution.
+    */
+  private def q277(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, VersionedManifest => VM}
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mtcat_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val statsOf = (v: Long) => VM.readAt(s, s"$root/documents", v)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      Tables.documents(s, d)
+        .write.mode("overwrite").parquet(s"$root/documents/v=1")
+      VM.commit(s, s"$root/documents", 1, "initial load")
+      statsOf(1).write.mode("overwrite").parquet(s"$root/docstats/v=1")
+      VM.commit(s, s"$root/docstats", 1, "stats of documents v1")
+      SnapshotCatalog.commit(s, root, 1,
+        Map("documents" -> 1L, "docstats" -> 1L))
+      // the coordinated update: both tables land and commit, ONE pin
+      VM.readAt(s, s"$root/documents", 1).filter(col("source") =!= "src3")
+        .write.mode("overwrite").parquet(s"$root/documents/v=2")
+      VM.commit(s, s"$root/documents", 2, "erase src3")
+      statsOf(2).write.mode("overwrite").parquet(s"$root/docstats/v=2")
+      VM.commit(s, s"$root/docstats", 2, "stats of documents v2")
+      SnapshotCatalog.commit(s, root, 2,
+        Map("documents" -> 2L, "docstats" -> 2L))
+      // in-flight: table-level commit with no catalog pin — invisible
+      VM.readAt(s, s"$root/documents", 2).filter(col("source") =!= "src5")
+        .write.mode("overwrite").parquet(s"$root/documents/v=3")
+      VM.commit(s, s"$root/documents", 3, "in-flight: erase src5")
+      java.nio.file.Files.createFile(done)
+    }
+    val latest = SnapshotCatalog.latest(s, root).getOrElse(
+      throw new IllegalStateException(s"no catalog at $root"))
+    (1L to latest).map { m =>
+      val pins = SnapshotCatalog.pins(s, root, m)
+      val live = SnapshotCatalog.readAt(s, root, m, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("live_docs"), sum(col("n_chars")).as("live_chars"))
+      SnapshotCatalog.readAt(s, root, m, "docstats")
+        .join(live, Seq("source"), "full_outer")
+        .agg(
+          count(lit(1)).as("n_sources"),
+          sum(when(col("live_docs").isNull or col("n_docs").isNull or
+            col("live_docs") =!= col("n_docs") or
+            col("live_chars") =!= col("total_chars"), 1L).otherwise(0L))
+            .as("n_mismatch"),
+          sum(col("live_docs")).as("n_docs_total"))
+        .select(lit(m).as("catalog_version"),
+          lit(pins("documents")).as("docs_version"),
+          lit(pins("docstats")).as("stats_version"),
+          col("n_sources"), col("n_mismatch"), col("n_docs_total"))
+    }.reduce(_.unionByName(_)).orderBy(col("catalog_version"))
+  }
+
+  private val q277Sql =
+    """SELECT CAST(1 AS BIGINT) AS catalog_version,
+      |  CAST(1 AS BIGINT) AS docs_version, CAST(1 AS BIGINT) AS stats_version,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(0 AS BIGINT) AS n_mismatch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs_total
+      |FROM documents
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |  CAST(COUNT(DISTINCT source) AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(COUNT(*) AS BIGINT)
+      |FROM documents WHERE source <> 'src3'
+      |ORDER BY catalog_version""".stripMargin
+
   // --------------------------------------------------------------- q256
 
   /** q256: COPY-ON-WRITE row delete — the GDPR-erasure shape on the
@@ -1852,6 +1940,7 @@ object ScalePatterns extends QueryModule {
     "q253_bucketed_join" -> q253,
     "q254_metadata_agg" -> q254,
     "q255_version_diff" -> q255,
+    "q277_multitable_snapshot" -> q277,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -1888,6 +1977,7 @@ object ScalePatterns extends QueryModule {
     "q253_bucketed_join" -> q253Sql,
     "q254_metadata_agg" -> q254Sql,
     "q255_version_diff" -> q255Sql,
+    "q277_multitable_snapshot" -> q277Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -115,6 +115,9 @@ object VersionedManifest {
     * on a retention age — the hook is the place an age check goes; the
     * reclaim logic is unchanged by it.
     */
+  private[sources] def hadoopFs(dir: String, s: SparkSession): FileSystem =
+    fs(dir, s)
+
   def vacuum(s: SparkSession, dir: String): Seq[Long] = {
     val f = fs(dir, s)
     val committed = committedVersions(s, dir).toSet
@@ -131,5 +134,77 @@ object VersionedManifest {
       }
     orphans.foreach { case (_, p) => f.delete(p, true) }
     orphans.map(_._1).sorted
+  }
+}
+
+/** Catalog-level snapshot pinning across MULTIPLE versioned tables — the
+  * multi-table-transaction concept single-table formats lack: each table
+  * under `<root>/<table>/` is its own [[VersionedManifest]], and a catalog
+  * version `_catalog/M` (one file, atomic-renamed) pins one committed
+  * version PER table. Readers resolve the newest catalog pin and then time
+  * travel each table to ITS pinned version, so a multi-table update — land
+  * table A's new version, land table B's new version, then publish one
+  * catalog pin — is invisible until the single catalog rename: a reader can
+  * never observe A's new version joined against B's old one, even though
+  * both table-level commits already landed.
+  *
+  * Pin-file body is `table=version` lines, sorted — audit-greppable and
+  * oracle-replayable. Commit validates every pinned version is committed in
+  * its table (a catalog can never point at an orphan).
+  */
+object SnapshotCatalog {
+
+  private def catDir(root: String) = new Path(root, "_catalog")
+
+  /** Publish catalog version `m` pinning `pins` (table → version). */
+  def commit(s: SparkSession, root: String, m: Long,
+             pins: Map[String, Long]): Unit = {
+    pins.foreach { case (t, v) =>
+      if (!VersionedManifest.committedVersions(s, s"$root/$t").contains(v))
+        throw new IllegalStateException(
+          s"catalog $m pins $t=$v, which is not a committed version")
+    }
+    val f = VersionedManifest.hadoopFs(root, s)
+    f.mkdirs(catDir(root))
+    val body = pins.toSeq.sorted.map { case (t, v) => s"$t=$v" }.mkString("\n")
+    val tmp = new Path(catDir(root), s".$m.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new Path(catDir(root), m.toString)))
+      throw new IllegalStateException(
+        s"catalog commit $m at $root lost a rename race")
+  }
+
+  /** Highest committed catalog version, or None. */
+  def latest(s: SparkSession, root: String): Option[Long] = {
+    val f = VersionedManifest.hadoopFs(root, s)
+    if (!f.exists(catDir(root))) None
+    else {
+      val ns = f.listStatus(catDir(root)).toSeq.map(_.getPath.getName)
+        .filter(_.matches("[0-9]+")).map(_.toLong)
+      if (ns.isEmpty) None else Some(ns.max)
+    }
+  }
+
+  /** The table→version pins of catalog version `m`. */
+  def pins(s: SparkSession, root: String, m: Long): Map[String, Long] = {
+    val f = VersionedManifest.hadoopFs(root, s)
+    val p = new Path(catDir(root), m.toString)
+    if (!f.exists(p))
+      throw new IllegalStateException(s"catalog version $m at $root is not committed")
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.split("\n").filter(_.contains("=")).map { line =>
+      val Array(t, v) = line.split("=", 2)
+      t -> v.toLong
+    }.toMap
+  }
+
+  /** Read `table` as pinned by catalog version `m`. */
+  def readAt(s: SparkSession, root: String, m: Long, table: String): DataFrame = {
+    val v = pins(s, root, m).getOrElse(table,
+      throw new IllegalStateException(s"catalog $m does not pin $table"))
+    VersionedManifest.readAt(s, s"$root/$table", v)
   }
 }

@@ -368,6 +368,36 @@ class Round10Spec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().take(5).mkString(", "))
   }
 
+  test("q277 catalog pin hides table-level commits until the catalog rename") {
+    import graft.sources.{SnapshotCatalog, VersionedManifest => VM}
+    import spark.implicits._
+    val root = graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_mtcat_spec").toString)
+    Seq((1L, "a")).toDF("k", "t").write.parquet(s"$root/tab/v=1")
+    VM.commit(spark, s"$root/tab", 1, "v1")
+    SnapshotCatalog.commit(spark, root, 1, Map("tab" -> 1L))
+    // the update lands and commits AT TABLE LEVEL...
+    Seq((1L, "a"), (2L, "b")).toDF("k", "t").write.parquet(s"$root/tab/v=2")
+    VM.commit(spark, s"$root/tab", 2, "v2")
+    // ...but catalog-governed readers stay on the old pin
+    assert(SnapshotCatalog.latest(spark, root).contains(1L))
+    assert(SnapshotCatalog.readAt(spark, root, 1, "tab").count() == 1)
+    SnapshotCatalog.commit(spark, root, 2, Map("tab" -> 2L))
+    assert(SnapshotCatalog.latest(spark, root).contains(2L))
+    assert(SnapshotCatalog.readAt(spark, root, 2, "tab").count() == 2)
+    // a catalog can never pin an uncommitted version
+    intercept[IllegalStateException] {
+      SnapshotCatalog.commit(spark, root, 3, Map("tab" -> 9L))
+    }
+    // and the q277 estate itself ends mid-update: catalog at 2 while the
+    // documents table log is at 3
+    SparkEntry.queries("q277_multitable_snapshot")(spark, sf0001).collect()
+    val qroot = s"${System.getProperty("java.io.tmpdir")}/graft_mtcat_" +
+      s"${spark.sparkContext.applicationId}_${sf0001.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    assert(SnapshotCatalog.latest(spark, qroot).contains(2L))
+    assert(VM.latestCommitted(spark, s"$qroot/documents").contains(3L))
+  }
+
   test("q276 incremental index equals the full rebuild term-for-term") {
     // the oracle checks against DuckDB's direct v2 index; this pins the
     // same claim in-engine, with the rebuild computed from the version
