@@ -1874,6 +1874,94 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE source != 'src3'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q278
+
+  /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
+    * fingerprint (5 hex chars each → `% 2^17`), shared by the manifest
+    * builder and the probe side so they can never drift.
+    */
+  private[operators] def bloomBits(fpCol: String) =
+    array((0 until 4).map { i =>
+      expr(s"CAST(conv(substring($fpCol, ${1 + i * 5}, 5), 16, 10) AS BIGINT) % 131072")
+    }: _*)
+
+  /** Stage q278's layout once per (session, dataset): documents landed
+    * into 16 files range-partitioned by doc_id, plus a per-file BLOOM
+    * manifest over the doc fingerprint `md5('doc-'||doc_id)` — the
+    * sorted set of 4-positions-per-row bits (m = 2^17, k = 4; ≤ 9.5%
+    * fill at sf1 → per-probe false-positive rate ~1e-4). Returns the
+    * staging root.
+    */
+  private[operators] def bloomLayout(s: SparkSession, d: String): String = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/data")
+      s.read.parquet(s"$dir/data")
+        .withColumn("md5col",
+          md5(concat(lit("doc-"), col("doc_id").cast("string"))))
+        .select(input_file_name().as("file"),
+          explode(bloomBits("md5col")).as("bit"))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_set(col("bit"))).as("bits"))
+        .coalesce(1)
+        .write.mode("overwrite").json(s"$dir/bloom")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  /** q278: per-file BLOOM file skipping — the point-lookup face q251's
+    * min/max manifest cannot serve: the layout is range-partitioned by
+    * doc_id, but the lookup arrives by FINGERPRINT (`md5('doc-'||id)`),
+    * which is uniform across files — every file's min/max fingerprint
+    * spans the whole hex range, so range stats prune nothing. The per-file
+    * bloom does: each probe's 4 bit positions are tested against each
+    * file's bit set and only files where EVERY bit is present are read
+    * (no false negatives by construction — the rollup hash-matches the
+    * plain predicate; false positives only cost an extra file read).
+    * Round10Spec pins that the bloom path reads a strict subset of the 16
+    * files while the fingerprint min/max overlap ALL of them.
+    *
+    * Scale: this is Delta/Iceberg's bloom-filter index — O(files) manifest
+    * rows consulted per lookup batch, O(hit files) data reads, index size
+    * ~m bits per file regardless of row width. Driver materializes only
+    * the probe keys (O(probes), here ≤ ~500 at sf1) and the 16-row
+    * manifest.
+    */
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    val dir = bloomLayout(s, d)
+    val probes = Tables.documents(s, d)
+      .filter(col("doc_id") % 101 === 7)
+      .withColumn("md5col",
+        md5(concat(lit("doc-"), col("doc_id").cast("string"))))
+      .select(col("md5col").as("fp"), bloomBits("md5col").as("bits"))
+      .collect() // bounded: O(probes) 4-long rows
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    val fps = probes.map(_._1).toSet
+    val manifest = s.read.json(s"$dir/bloom")
+      .select(col("file"), col("bits"))
+      .collect() // bounded: one row per landed file (16)
+      .map(r => (r.getString(0), r.getSeq[Long](1).toSet))
+    val hitFiles = manifest.collect {
+      case (f, bits) if probes.exists(_._2.forall(bits.contains)) => f
+    }.toSeq
+    s.read.parquet(hitFiles: _*)
+      .withColumn("md5col",
+        md5(concat(lit("doc-"), col("doc_id").cast("string"))))
+      .filter(col("md5col").isInCollection(fps))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q278Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 101 = 7 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q251
 
   /** q251: manifest MIN/MAX FILE SKIPPING — the data-skipping layer of a
@@ -1941,6 +2029,7 @@ object ScalePatterns extends QueryModule {
     "q254_metadata_agg" -> q254,
     "q255_version_diff" -> q255,
     "q277_multitable_snapshot" -> q277,
+    "q278_bloom_skipping" -> q278,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -1978,6 +2067,7 @@ object ScalePatterns extends QueryModule {
     "q254_metadata_agg" -> q254Sql,
     "q255_version_diff" -> q255Sql,
     "q277_multitable_snapshot" -> q277Sql,
+    "q278_bloom_skipping" -> q278Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -398,6 +398,38 @@ class Round10Spec extends SparkSpec {
     assert(VM.latestCommitted(spark, s"$qroot/documents").contains(3L))
   }
 
+  test("q278 bloom manifest prunes the files fingerprint min/max cannot") {
+    SparkEntry.queries("q278_bloom_skipping")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
+      s"${spark.sparkContext.applicationId}_${sf0001.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    val probes = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 101 === 7)
+      .withColumn("md5col",
+        md5(concat(lit("doc-"), col("doc_id").cast("string"))))
+      .select(col("md5col").as("fp"), ScalePatterns.bloomBits("md5col").as("bits"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    val manifest = spark.read.json(s"$dir/bloom")
+      .collect().map(r =>
+        (r.getAs[String]("file"), r.getSeq[Long](r.fieldIndex("bits")).toSet))
+    val bloomHits = manifest.count { case (_, bits) =>
+      probes.exists(_._2.forall(bits.contains)) }
+    // the bloom path reads a strict, non-empty subset of the layout
+    assert(bloomHits > 0 && bloomHits < manifest.length,
+      s"bloom hit $bloomHits of ${manifest.length}")
+    // the control: per-file fingerprint MIN/MAX ranges — uniform hex keys
+    // span every file, so a range manifest would read the whole layout
+    val ranges = spark.read.parquet(s"$dir/data")
+      .withColumn("md5col",
+        md5(concat(lit("doc-"), col("doc_id").cast("string"))))
+      .groupBy(input_file_name())
+      .agg(min(col("md5col")).as("lo"), max(col("md5col")).as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val rangeHits = ranges.count { case (lo, hi) =>
+      probes.exists(p => p._1 >= lo && p._1 <= hi) }
+    assert(rangeHits == ranges.length,
+      s"min/max unexpectedly pruned: $rangeHits of ${ranges.length}")
+  }
+
   test("q276 incremental index equals the full rebuild term-for-term") {
     // the oracle checks against DuckDB's direct v2 index; this pins the
     // same claim in-engine, with the rebuild computed from the version
