@@ -1131,6 +1131,75 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q279
+
+  /** Stage every COMMITTED version's part files of a versioned-manifest
+    * estate into a file-stream landing dir (idempotent: existing links are
+    * kept, Spark part-file names are job-UUID-unique). This is the
+    * subscription gate of [[graft.sources.VersionedManifest]]'s read side:
+    * only data the manifest committed ever reaches the stream source, so
+    * an orphan `v=K` (failed or in-flight writer) is invisible to
+    * subscribers exactly as it is to batch readers.
+    */
+  private[streaming] def stageCommittedVersions(s: SparkSession,
+                                                estate: String,
+                                                stage: java.io.File): Unit =
+    graft.sources.VersionedManifest.committedVersions(s, estate)
+      .foreach(v => stageLinks(stage, s"$estate/v=$v"))
+
+  private val q279Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q279: streaming FEED of the versioned table — the READ half of
+    * q252's exactly-once versioned ingest: a subscriber follows the
+    * commit log, each committed version's files flow into a file-stream
+    * source through [[stageCommittedVersions]] (the manifest is the
+    * gate), and the running rollup reflects exactly the committed data.
+    * The staged estate ends with a POISONED orphan — `v=4` holds a full
+    * duplicate of v=1's rows with no manifest commit — so a feed that
+    * listed data directories instead of the manifest would double-count
+    * slice 0 and hash-mismatch the oracle. StreamsSpec drives the
+    * multi-batch arrival (per-commit staging between micro-batches) and
+    * re-staging idempotence.
+    *
+    * Scale: the subscriber lists O(#versions) manifests per poll and
+    * streams only new files; state is the rollup's — the feed itself is
+    * stateless. This is Delta's change-feed consumption pattern with the
+    * manifest as the source of truth.
+    */
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    val run = q279Runs.incrementAndGet()
+    val tmpdir = System.getProperty("java.io.tmpdir")
+    val estate = graft.StagingDirs.register(
+      s"$tmpdir/graft_vfeed_${s.sparkContext.applicationId}_r$run")
+    val stage = new java.io.File(graft.StagingDirs.register(
+      s"$tmpdir/graft_vfeed_stage_${s.sparkContext.applicationId}_r$run"))
+    stage.mkdirs()
+    val ev = Tables.events(s, d)
+    (0 to 2).foreach { slice =>
+      ev.filter(col("event_id") % 3 === slice)
+        .write.mode("overwrite").parquet(s"$estate/v=${slice + 1}")
+      graft.sources.VersionedManifest.commit(s, estate, slice + 1, s"slice $slice")
+    }
+    // the poison: a full duplicate of slice 0, landed but NEVER committed
+    ev.filter(col("event_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$estate/v=4")
+    stageCommittedVersions(s, estate, stage)
+    val feed = s.readStream.schema(ev.schema).parquet(stage.getAbsolutePath)
+    runToMemory(s,
+      feed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_event"),
+          Exact.sumMoney(col("value")).as("total_value")),
+      "q279_sink", "complete")
+      .orderBy(col("event_type"))
+  }
+
+  private val q279Sql =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(event_id) AS min_event,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q270
 
   private val q270Runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1184,6 +1253,7 @@ object Streams extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_state_introspection" -> q270,
+    "q279_version_feed" -> q279,
     "q252_stream_versioned_ingest" -> q252,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
@@ -1206,6 +1276,7 @@ object Streams extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q270_state_introspection" -> q270Sql,
+    "q279_version_feed" -> q279Sql,
     "q252_stream_versioned_ingest" -> q252Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,

@@ -513,6 +513,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("version feed: commits arrive per micro-batch, orphans never surface") {
+    import graft.sources.{VersionedManifest => VM}
+    import spark.implicits._
+    val estate = graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_vfeed_spec").toString)
+    val stage = new java.io.File(graft.StagingDirs.register(
+      java.nio.file.Files.createTempDirectory("graft_vfeed_specstage").toString))
+    Seq((1L, "a"), (2L, "a")).toDF("k", "t").write.parquet(s"$estate/v=1")
+    VM.commit(spark, estate, 1, "v1")
+    Streams.stageCommittedVersions(spark, estate, stage)
+    val feed = spark.readStream
+      .schema(spark.read.parquet(s"$estate/v=1").schema)
+      .parquet(stage.getAbsolutePath)
+    val q = feed.groupBy("t").count()
+      .writeStream.format("memory").queryName("vfeed_spec")
+      .outputMode("complete").start()
+    def counts() = spark.table("vfeed_spec").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      q.processAllAvailable()
+      assert(counts() == Map("a" -> 2L), counts().toString)
+      // v2 commits; v3 lands a DUPLICATE of v1 but never commits
+      Seq((3L, "b")).toDF("k", "t").write.parquet(s"$estate/v=2")
+      VM.commit(spark, estate, 2, "v2")
+      Seq((1L, "a"), (2L, "a")).toDF("k", "t").write.parquet(s"$estate/v=3")
+      Streams.stageCommittedVersions(spark, estate, stage)
+      q.processAllAvailable()
+      assert(counts() == Map("a" -> 2L, "b" -> 1L), counts().toString)
+      // re-staging is idempotent: nothing new arrives
+      Streams.stageCommittedVersions(spark, estate, stage)
+      q.processAllAvailable()
+      assert(counts() == Map("a" -> 2L, "b" -> 1L), counts().toString)
+    } finally q.stop()
+  }
+
   test("statestore source reads dedup state; batchId option time-travels") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
