@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.dotDescription)
     ext.injectFunction(graft.functions.GraftFunctions.chunksDescription)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectResolutionRule(s => new graft.plans.ResolveV2Views(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -1874,6 +1874,88 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE source != 'src3'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q280
+
+  /** Stage q280's materialized view once per (session, dataset): the
+    * (l_returnflag, l_linestatus) summary of lineitem with exact-decimal
+    * sums, a count, and min/max measures, landed as parquet and registered
+    * with [[graft.plans.MaterializedViews]]. Returns the MV path.
+    */
+  private[operators] def mvLayout(s: SparkSession, d: String): String = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mv_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val path = s"$dir/mv"
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("cnt"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_discount")).as("max_disc"))
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.createFile(done)
+    }
+    graft.plans.MaterializedViews.register(graft.plans.MaterializedViews.MvDef(
+      dims = Set("l_returnflag", "l_linestatus"),
+      measures = Map(
+        "sum:l_quantity:decimal(18,2)" -> "sum_qty",
+        "sum:l_extendedprice:decimal(18,2)" -> "sum_price",
+        "count" -> "cnt",
+        "min:l_quantity:_" -> "min_qty",
+        "max:l_discount:_" -> "max_disc"),
+      baseCols = Set("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus"),
+      path = path))
+    path
+  }
+
+  /** q280: MATERIALIZED-VIEW aggregate navigation — the classic OLAP
+    * rewrite, as a [[graft.plans.MvRewrite]] optimizer rule: the user
+    * writes the plain lineitem rollup (grouped COARSER than the MV —
+    * returnflag only), and with the rewrite conf scoped on, the optimizer
+    * re-targets the Aggregate from the 100 TB fact to the few-row summary:
+    * `count(*)` → `sum(cnt)`, exact-decimal `sum(x)` → `sum(sum_x)`
+    * (associative — bit-identical re-aggregation), `min/max` → over the
+    * partial min/max. User SQL unchanged; executed plan reads the MV
+    * (Round10Spec pins the scan swap and the with/without-rewrite row
+    * equality). The DuckDB oracle computes the rollup DIRECTLY from
+    * lineitem, so the rewrite's transparency is hash-checked, not assumed.
+    *
+    * Scale: this is the summary-table pattern every BI estate runs — the
+    * rewrite makes it free at the QUERY layer (no app changes when the MV
+    * lands), and the MV itself is maintainable incrementally (q276's CDC
+    * delta pattern applies verbatim to the summary).
+    */
+  private def q280(s: SparkSession, d: String): DataFrame = {
+    mvLayout(s, d)
+    val prev = s.conf.getOption("spark.graft.mv.rewrite").getOrElse("false")
+    s.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val out = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_discount")).as("max_disc"))
+        .orderBy(col("l_returnflag"))
+      // freeze the rewritten plan while the conf is in scope
+      out.localCheckpoint()
+    } finally s.conf.set("spark.graft.mv.rewrite", prev)
+  }
+
+  private val q280Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(l_quantity) AS min_qty, MAX(l_discount) AS max_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------- q278
 
   /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
@@ -2030,6 +2112,7 @@ object ScalePatterns extends QueryModule {
     "q255_version_diff" -> q255,
     "q277_multitable_snapshot" -> q277,
     "q278_bloom_skipping" -> q278,
+    "q280_mv_rewrite" -> q280,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2068,6 +2151,7 @@ object ScalePatterns extends QueryModule {
     "q255_version_diff" -> q255Sql,
     "q277_multitable_snapshot" -> q277Sql,
     "q278_bloom_skipping" -> q278Sql,
+    "q280_mv_rewrite" -> q280Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -398,6 +398,33 @@ class Round10Spec extends SparkSpec {
     assert(VM.latestCommitted(spark, s"$qroot/documents").contains(3L))
   }
 
+  test("q280 MV rewrite swaps the scan; rows identical with and without") {
+    ScalePatterns.mvLayout(spark, sf0001)
+    def rollup() = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_discount")).as("max_disc"))
+      .orderBy(col("l_returnflag"))
+    val without = rollup()
+    val planOff = without.queryExecution.executedPlan.toString
+    assert(planOff.contains("lineitem.parquet"), planOff)
+    val offRows = without.collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    val (planOn, onRows) = try {
+      val q = rollup()
+      (q.queryExecution.executedPlan.toString, q.collect().toSeq)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    // the executed plan reads the SUMMARY, not the fact
+    assert(planOn.contains("graft_mv") && !planOn.contains("lineitem.parquet"),
+      planOn)
+    // and the rewrite is invisible in the rows — including the exact
+    // decimal sums (re-aggregation of partial decimal sums is associative)
+    assert(onRows == offRows, s"$onRows vs $offRows")
+  }
+
   test("q278 bloom manifest prunes the files fingerprint min/max cannot") {
     SparkEntry.queries("q278_bloom_skipping")(spark, sf0001).collect()
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
