@@ -119,7 +119,8 @@ object Bench {
     "q270_state_introspection", "q271_sql_udf", "q272_session_variables",
     "q273_sql_scripting", "q274_token_waterfill", "q275_fifo_matching",
     "q276_incremental_index", "q277_multitable_snapshot",
-    "q278_bloom_skipping", "q279_version_feed", "q280_mv_rewrite"
+    "q278_bloom_skipping", "q279_version_feed", "q280_mv_rewrite",
+    "q281_join_elimination"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

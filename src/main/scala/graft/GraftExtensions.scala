@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(graft.functions.GraftFunctions.chunksDescription)
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
     ext.injectResolutionRule(s => new graft.plans.ResolveV2Views(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

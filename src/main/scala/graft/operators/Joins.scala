@@ -1143,7 +1143,82 @@ object Joins extends QueryModule {
       |  AND s.cum - s.qty < r.cum AND r.cum - r.qty < s.cum
       |ORDER BY partkey, ship_rank, ret_rank""".stripMargin
 
+  // --------------------------------------------------------------- q281
+
+  private val riAudited =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Audit the PK–FK pairs q281 declares, then register them with
+    * [[graft.plans.DeclaredConstraints]] — declared constraints are
+    * VERIFIED, not trusted: non-null FK, no dangling FK (anti join), and
+    * dim-key uniqueness, each a cheap key-column pass, once per
+    * (session, dataset).
+    */
+  private def auditAndDeclare(s: SparkSession, d: String): Unit =
+    if (!riAudited.contains(d)) {
+      val li = Tables.lineitem(s, d)
+      def audit(fk: String, dim: DataFrame, pk: String): Unit = {
+        require(li.filter(col(fk).isNull).limit(1).count() == 0, s"null $fk")
+        require(li.select(col(fk)).distinct()
+          .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .limit(1).count() == 0, s"dangling $fk")
+        require(dim.groupBy(col(pk)).count().filter(col("count") > 1)
+          .limit(1).count() == 0, s"non-unique $pk")
+      }
+      audit("l_orderkey", Tables.orders(s, d), "o_orderkey")
+      audit("l_partkey", Tables.part(s, d), "p_partkey")
+      graft.plans.DeclaredConstraints.register(
+        graft.plans.DeclaredConstraints.FkPk("l_orderkey",
+          Set("o_orderkey", "o_custkey", "o_orderpriority"), "o_orderkey"))
+      graft.plans.DeclaredConstraints.register(
+        graft.plans.DeclaredConstraints.FkPk("l_partkey",
+          Set("p_partkey", "p_name", "p_brand"), "p_partkey"))
+      riAudited.add(d)
+    }
+
+  /** q281: PK–FK JOIN ELIMINATION through a BI wide view — the
+    * [[graft.plans.JoinElimination]] rule at work: the query is written
+    * against the convenience view `lineitem ⋈ orders ⋈ part` (the shape a
+    * semantic layer publishes), but reads only lineitem columns, so with
+    * the audited RI constraints declared BOTH dimension joins — and both
+    * dimension scans — vanish from the executed plan (Round10Spec pins
+    * lineitem-only file scans and row equality with the rule off). The
+    * oracle computes the rollup from lineitem ALONE: the hash match IS
+    * the proof that dropping the joins was semantics-preserving.
+    *
+    * Scale: at 100 TB this is the difference between one fact scan and
+    * fact + two dimension shuffles a user's SELECT list never needed;
+    * the RI audit is three key-column passes, amortized across every
+    * query the view serves.
+    */
+  private def q281(s: SparkSession, d: String): DataFrame = {
+    auditAndDeclare(s, d)
+    val prev = s.conf.getOption("spark.graft.ri.eliminate").getOrElse("false")
+    s.conf.set("spark.graft.ri.eliminate", "true")
+    try {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val p = Tables.part(s, d)
+      val wide = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+      val out = wide.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_returnflag"))
+      // freeze the eliminated plan while the conf is in scope
+      out.localCheckpoint()
+    } finally s.conf.set("spark.graft.ri.eliminate", prev)
+  }
+
+  private val q281Sql =
+    s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  ${Exact.sqlSumMoney("l_extendedprice")} AS gross
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_join_elimination" -> q281,
     "q275_fifo_matching" -> q275,
     "q207_shipping_priority" -> q207,
     "q208_priority_check" -> q208,
@@ -1176,6 +1251,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q281_join_elimination" -> q281Sql,
     "q275_fifo_matching" -> q275Sql,
     "q207_shipping_priority" -> q207Sql,
     "q208_priority_check" -> q208Sql,

@@ -425,6 +425,37 @@ class Round10Spec extends SparkSpec {
     assert(onRows == offRows, s"$onRows vs $offRows")
   }
 
+  test("q281 RI constraints eliminate both dimension joins from the wide view") {
+    // running the registered query audits + declares the constraints
+    SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
+    def wide() = {
+      val li = graft.Tables.lineitem(spark, sf0001)
+      val o = graft.Tables.orders(spark, sf0001)
+      val p = graft.Tables.part(spark, sf0001)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.Exact.sumMoney(col("l_extendedprice")).as("gross"))
+        .orderBy(col("l_returnflag"))
+    }
+    val off = wide()
+    val planOff = off.queryExecution.executedPlan.toString
+    assert(planOff.contains("orders.parquet") && planOff.contains("part.parquet"),
+      planOff)
+    val offRows = off.collect().toSeq
+    spark.conf.set("spark.graft.ri.eliminate", "true")
+    val (planOn, onRows) = try {
+      val q = wide()
+      (q.queryExecution.executedPlan.toString, q.collect().toSeq)
+    } finally spark.conf.set("spark.graft.ri.eliminate", "false")
+    // both dimension scans are gone; only the fact remains
+    assert(planOn.contains("lineitem.parquet") &&
+      !planOn.contains("orders.parquet") && !planOn.contains("part.parquet"),
+      planOn)
+    assert(onRows == offRows, s"$onRows vs $offRows")
+  }
+
   test("q278 bloom manifest prunes the files fingerprint min/max cannot") {
     SparkEntry.queries("q278_bloom_skipping")(spark, sf0001).collect()
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
