@@ -120,7 +120,7 @@ object Bench {
     "q273_sql_scripting", "q274_token_waterfill", "q275_fifo_matching",
     "q276_incremental_index", "q277_multitable_snapshot",
     "q278_bloom_skipping", "q279_version_feed", "q280_mv_rewrite",
-    "q281_join_elimination"
+    "q281_join_elimination", "q282_mv_refresh", "q283_epoch_schedule"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -38,6 +38,11 @@ object ScaleCheck {
     // untimed warm pass; the timed runs measure the steady-state op)
     "q246_catalog_stats", "q251_file_skipping",
     "q252_stream_versioned_ingest", "q253_bucketed_join",
+    // round 10b: data-sized members of the programmability/estate family
+    // (q275 output grows 10×; q276 cost tracks changed docs; q278 reads
+    // O(hit files); q281 is the fact-scan-only eliminated plan)
+    "q275_fifo_matching", "q276_incremental_index",
+    "q278_bloom_skipping", "q281_join_elimination",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant

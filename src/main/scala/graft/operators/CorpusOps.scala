@@ -2042,6 +2042,90 @@ object CorpusOps extends QueryModule {
        |  saturated
        |FROM w6 ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q283
+
+  /** q283: EPOCH / REPETITION SCHEDULE — the step after q274's waterfill
+    * decides how many tokens each source contributes: turn the allocation
+    * into an executable sampling plan. Each source runs `epochs_full =
+    * ⌊allocated⌋ div n_tokens` complete passes, plus a PARTIAL pass of
+    * the documents whose hash-ranked cumulative token count covers the
+    * remainder — the deterministic, seed-free spelling of "repeat 2.3
+    * epochs of source A" (the Muennighoff-style data-constrained recipe).
+    * Selection is by md5 rank so the partial-epoch subset is reproducible
+    * row-for-row across runs and engines; all outputs are integers, so
+    * the oracle (which replays the full waterfill as a CTE chain and the
+    * prefix selection as a window) hash-matches exactly.
+    *
+    * Scale: one window pass over the per-source aggregate plus one
+    * hash-ranked prefix sum WITHIN each source partition — both
+    * source-partitioned shuffles; the schedule ships as O(#sources) rows
+    * and the per-doc repeat factor derives map-side from (rank, cum) at
+    * read time.
+    */
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = q274Levels(s, d)
+      .select(col("source"), col("n_tokens"), col("weight"),
+        when(col("saturated") === 1L, col("n_tokens").cast(DoubleType))
+          .otherwise(col("lam_final") * col("weight").cast(DoubleType))
+          .as("allocated"))
+      .withColumn("alloc_tok", floor(col("allocated")).cast(LongType))
+      .withColumn("epochs_full", expr("alloc_tok div n_tokens"))
+      .withColumn("rem_target", col("alloc_tok") % col("n_tokens"))
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tok"),
+        md5(concat(lit("doc-"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h")).rowsBetween(Window.unboundedPreceding, -1)
+    val picked = perDoc
+      .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .join(broadcast(alloc.select(col("source"), col("rem_target"))),
+        Seq("source"))
+      .filter(col("cum_prev") < col("rem_target"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_extra_docs"), sum(col("n_tok")).as("extra_tokens"))
+    alloc.join(picked, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("epochs_full"),
+        col("rem_target"),
+        coalesce(col("n_extra_docs"), lit(0L)).as("n_extra_docs"),
+        coalesce(col("extra_tokens"), lit(0L)).as("extra_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val q283Sql = {
+    val hex = "md5('doc-' || doc_id)"
+    s"""WITH alloc0 AS (
+       |${q274Sql.linesIterator.map("  " + _).mkString("\n")}),
+       |alloc AS (
+       |  SELECT source, n_tokens,
+       |    CAST(FLOOR(allocated) AS BIGINT) AS alloc_tok,
+       |    CAST(FLOOR(allocated) AS BIGINT) // n_tokens AS epochs_full,
+       |    CAST(FLOOR(allocated) AS BIGINT) % n_tokens AS rem_target
+       |  FROM alloc0),
+       |perdoc AS (
+       |  SELECT source, doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    $hex AS h
+       |  FROM documents),
+       |cums AS (
+       |  SELECT source, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_prev
+       |  FROM perdoc),
+       |picked AS (
+       |  SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_extra_docs,
+       |    CAST(SUM(c.n_tok) AS BIGINT) AS extra_tokens
+       |  FROM cums c JOIN alloc a ON c.source = a.source
+       |  WHERE c.cum_prev < a.rem_target GROUP BY c.source)
+       |SELECT a.source, a.n_tokens, a.epochs_full, a.rem_target,
+       |  COALESCE(p.n_extra_docs, CAST(0 AS BIGINT)) AS n_extra_docs,
+       |  COALESCE(p.extra_tokens, CAST(0 AS BIGINT)) AS extra_tokens
+       |FROM alloc a LEFT JOIN picked p ON a.source = p.source
+       |ORDER BY a.source""".stripMargin
+  }
+
   /** q224: BM25 ranked retrieval — the lexical top-10 per query doc, the
     * text-search leg every RAG/retrieval pipeline runs next to its vector
     * index (and the "more-like-this" primitive of lexical dedup review).
@@ -2088,6 +2172,7 @@ object CorpusOps extends QueryModule {
     "q224_bm25_retrieval" -> q224,
     "q228_corpus_mixing" -> q228,
     "q274_token_waterfill" -> q274,
+    "q283_epoch_schedule" -> q283,
     "q229_bpe_train" -> q229,
     "q234_bpe_encode" -> q234,
     "q238_leakage_safe_split" -> q238
@@ -2123,6 +2208,7 @@ object CorpusOps extends QueryModule {
     "q224_bm25_retrieval" -> q224Sql,
     "q228_corpus_mixing" -> q228Sql,
     "q274_token_waterfill" -> q274Sql,
+    "q283_epoch_schedule" -> q283Sql,
     "q229_bpe_train" -> q229Sql,
     "q234_bpe_encode" -> q234Sql,
     "q238_leakage_safe_split" -> q238Sql

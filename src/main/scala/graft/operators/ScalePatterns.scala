@@ -1956,6 +1956,82 @@ object ScalePatterns extends QueryModule {
       |  MIN(l_quantity) AS min_qty, MAX(l_discount) AS max_disc
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q282
+
+  /** q282: INCREMENTAL MV REFRESH — the freshness half of q280's
+    * aggregate navigation: the fact is an append-log versioned estate
+    * (v=1 base load, v=2 increment, each committed), the summary is
+    * refreshed by aggregating ONLY the increment and merging it into the
+    * stale MV (`sum+sum` exact-decimal, `cnt+cnt`, `least/greatest` of
+    * partial min/max, full-outer on the dimensions so brand-new groups
+    * appear). The oracle computes the summary DIRECTLY from the full
+    * fact, so a refresh that missed the increment, double-merged it, or
+    * dropped a new group is a hash mismatch.
+    *
+    * Scale: refresh cost is O(increment) + one |MV|-sized merge join —
+    * never a fact rescan; this is the maintenance loop a 100 TB summary
+    * runs per landed batch, and composed with q280 the rewrite keeps
+    * serving rollups from a summary that is never stale by more than one
+    * commit.
+    */
+  private def q282(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mvref_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_orderkey") % 4 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "base load")
+      li.filter(col("l_orderkey") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      VM.commit(s, dir, 2, "increment")
+      java.nio.file.Files.createFile(done)
+    }
+    val summarize = (df: DataFrame) => df
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_discount")).as("max_disc"))
+    val stale = summarize(VM.readAt(s, dir, 1))
+    val delta = summarize(VM.readAt(s, dir, 2))
+    mergeMvIncrement(stale, delta)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** The q282 merge step, isolated so the full-outer semantics (new groups
+    * surface from the increment side, stale-only groups pass through, and
+    * `least`/`greatest` treat the absent side as identity) are testable on
+    * synthetic frames independent of the staged estate.
+    */
+  private[operators] def mergeMvIncrement(stale: DataFrame, delta: DataFrame): DataFrame = {
+    val dims = Seq("l_returnflag", "l_linestatus")
+    stale.join(delta, dims, "full_outer")
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        (coalesce(stale("sum_qty"), lit(0)) + coalesce(delta("sum_qty"), lit(0)))
+          .cast("double").as("sum_qty"),
+        (coalesce(stale("sum_price"), lit(0)) + coalesce(delta("sum_price"), lit(0)))
+          .cast("double").as("sum_price"),
+        (coalesce(stale("cnt"), lit(0L)) + coalesce(delta("cnt"), lit(0L)))
+          .as("cnt"),
+        least(stale("min_qty"), delta("min_qty")).as("min_qty"),
+        greatest(stale("max_disc"), delta("max_disc")).as("max_disc"))
+  }
+
+  private val q282Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  MIN(l_quantity) AS min_qty, MAX(l_discount) AS max_disc
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------- q278
 
   /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
@@ -2113,6 +2189,7 @@ object ScalePatterns extends QueryModule {
     "q277_multitable_snapshot" -> q277,
     "q278_bloom_skipping" -> q278,
     "q280_mv_rewrite" -> q280,
+    "q282_mv_refresh" -> q282,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2152,6 +2229,7 @@ object ScalePatterns extends QueryModule {
     "q277_multitable_snapshot" -> q277Sql,
     "q278_bloom_skipping" -> q278Sql,
     "q280_mv_rewrite" -> q280Sql,
+    "q282_mv_refresh" -> q282Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

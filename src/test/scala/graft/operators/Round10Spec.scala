@@ -557,4 +557,80 @@ class Round10Spec extends SparkSpec {
         s"allocated $total vs budget $budget in $rows")
     }
   }
+
+  test("q282 merge surfaces increment-only groups and folds min/max as identity") {
+    // the oracle only checks the staged estate's end state; this pins the
+    // full-outer merge semantics directly: a group present ONLY in the
+    // increment appears with the stale side treated as identity (0 for
+    // sum/cnt, absent for min/max), a stale-only group passes through
+    // untouched, and an overlapping group adds sums and folds extrema
+    import spark.implicits._
+    val stale = Seq(
+      ("A", "F", BigDecimal("10.00"), BigDecimal("100.00"), 2L, 3.0, 0.05),
+      ("N", "O", BigDecimal("7.00"), BigDecimal("70.00"), 1L, 7.0, 0.02))
+      .toDF("l_returnflag", "l_linestatus", "sum_qty", "sum_price", "cnt",
+        "min_qty", "max_disc")
+    val delta = Seq(
+      ("A", "F", BigDecimal("5.00"), BigDecimal("50.00"), 1L, 1.0, 0.10),
+      ("R", "X", BigDecimal("4.00"), BigDecimal("40.00"), 3L, 2.0, 0.08))
+      .toDF("l_returnflag", "l_linestatus", "sum_qty", "sum_price", "cnt",
+        "min_qty", "max_disc")
+    val got = ScalePatterns.mergeMvIncrement(stale, delta)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toSeq
+    assert(got == Seq(
+      ("A", "F", 15.0, 150.0, 3L, 1.0, 0.10),  // overlap: add + fold
+      ("N", "O", 7.0, 70.0, 1L, 7.0, 0.02),    // stale-only passthrough
+      ("R", "X", 4.0, 40.0, 3L, 2.0, 0.08)),   // brand-new group
+      got.mkString("\n"))
+  }
+
+  test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
+    val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(sched.nonEmpty)
+    // exactness: epochs_full / rem_target decompose floor(allocated) of the
+    // waterfill output
+    CorpusOps.q274Levels(spark, sf0001).collect().foreach { r =>
+      val src = r.getAs[String]("source")
+      val nTok = r.getAs[Long]("n_tokens")
+      val alloc =
+        if (r.getAs[Long]("saturated") == 1L) nTok.toDouble
+        else r.getAs[Double]("lam_final") * r.getAs[Long]("weight")
+      val allocTok = math.floor(alloc).toLong
+      val (n, ef, rem, _, _) = sched(src)
+      assert(n == nTok)
+      assert(ef == allocTok / nTok && rem == allocTok % nTok,
+        s"$src: ($ef, $rem) vs alloc_tok=$allocTok of $nTok")
+    }
+    // coverage + tightness: the hash-ranked prefix covers rem_target but
+    // overshoots by less than one document (drop the last picked doc and
+    // the remainder is no longer covered)
+    val maxDoc = graft.Tables.documents(spark, sf0001)
+      .groupBy(col("source"))
+      .agg(max(size(filter(split(col("text"), " "),
+        t => length(t) > 0))).cast("long").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sched.foreach { case (src, (_, _, rem, nExtra, extra)) =>
+      if (rem == 0L) assert(nExtra == 0L && extra == 0L, src)
+      else {
+        assert(extra >= rem, s"$src: prefix $extra under-covers $rem")
+        assert(extra - rem < maxDoc(src),
+          s"$src: overshoot ${extra - rem} >= max doc ${maxDoc(src)}")
+      }
+    }
+    // determinism: md5 ranking is seed-free, so a re-run is row-identical
+    val again = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(again == sched)
+  }
 }
