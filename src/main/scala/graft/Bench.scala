@@ -120,7 +120,8 @@ object Bench {
     "q273_sql_scripting", "q274_token_waterfill", "q275_fifo_matching",
     "q276_incremental_index", "q277_multitable_snapshot",
     "q278_bloom_skipping", "q279_version_feed", "q280_mv_rewrite",
-    "q281_join_elimination", "q282_mv_refresh", "q283_epoch_schedule"
+    "q281_join_elimination", "q282_mv_refresh", "q283_epoch_schedule",
+    "q284_optimistic_commit"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -2032,6 +2032,89 @@ object ScalePatterns extends QueryModule {
       |  MIN(l_quantity) AS min_qty, MAX(l_discount) AS max_disc
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q284
+
+  /** q284: OPTIMISTIC CONCURRENCY on the versioned table — two appenders
+    * race for the same version slot with NO lock service; conflict
+    * detection is [[graft.sources.VersionedManifest.tryCommit]]'s
+    * exclusive manifest create, and the loser REBASES (blind appends
+    * commute, so the retry re-tags its already-staged rows with the new
+    * target version and claims the next slot — no recompute). Each
+    * attempt stages under its own `d-<writer>-<attempt>` directory and
+    * the manifest's `data=` line does the addressing, so a lost attempt's
+    * files can never mix with the winner's; the abandoned staging dir is
+    * then reclaimed by vacuum's unreferenced-dir sweep while both
+    * committed dirs survive.
+    *
+    * The staged estate encodes the interleaving's OUTCOME in the data:
+    * every row carries the commit_version its writer finally published
+    * under, so writer B's rows tagged 3 — not the 2 it first attempted —
+    * prove the conflict was detected and the rebase ran. The oracle maps
+    * `o_orderkey % 3` straight to that final version assignment and
+    * aggregates; a lost row, a double-commit, or a retry that kept the
+    * stale tag all hash-mismatch. Round10Spec drives the interleaving
+    * step-by-step (loser sees false, winner dirs survive vacuum).
+    *
+    * Scale: the protocol is Delta/Iceberg's optimistic loop reduced to
+    * its essence — conflict cost is one failed create + restaging the
+    * INCREMENT (never the table), and the commit path is O(1) filesystem
+    * operations regardless of table size.
+    */
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_occ_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // base load via the plain positional-commit path (v=1): both
+      // manifest spellings coexist in one log
+      ord.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("commit_version", lit(1L))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "base load")
+      // two concurrent appenders, both reading latest = 1 and both
+      // targeting slot 2; each stages under its own unique dir
+      val base = VM.latestCommitted(s, dir).get
+      ord.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("commit_version", lit(base + 1))
+        .write.mode("overwrite").parquet(s"$dir/d-writer-a-1")
+      ord.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("commit_version", lit(base + 1))
+        .write.mode("overwrite").parquet(s"$dir/d-writer-b-1")
+      val aWon = VM.tryCommit(s, dir, base + 1, "data=d-writer-a-1\nwriter-a append")
+      val bLost = !VM.tryCommit(s, dir, base + 1, "data=d-writer-b-1\nwriter-b append")
+      require(aWon && bLost, s"interleaving broke: aWon=$aWon bLost=$bLost")
+      // B's rebase: blind appends commute — re-tag the staged rows with
+      // the new target version and claim the next slot
+      val retry = VM.latestCommitted(s, dir).get + 1
+      s.read.parquet(s"$dir/d-writer-b-1")
+        .withColumn("commit_version", lit(retry))
+        .write.mode("overwrite").parquet(s"$dir/d-writer-b-2")
+      require(VM.tryCommit(s, dir, retry, "data=d-writer-b-2\nwriter-b append (rebased)"),
+        s"rebased commit at $retry lost again")
+      VM.vacuum(s, dir) // reclaims d-writer-b-1, keeps both committed dirs
+      java.nio.file.Files.createFile(done)
+    }
+    VM.committedVersions(s, dir)
+      .map(n => VM.readAt(s, dir, n))
+      .reduce(_ unionByName _)
+      .groupBy(col("commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("commit_version"))
+  }
+
+  private val q284Sql =
+    """SELECT CAST(CASE o_orderkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+      |    AS BIGINT) AS commit_version,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q278
 
   /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
@@ -2190,6 +2273,7 @@ object ScalePatterns extends QueryModule {
     "q278_bloom_skipping" -> q278,
     "q280_mv_rewrite" -> q280,
     "q282_mv_refresh" -> q282,
+    "q284_optimistic_commit" -> q284,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2230,6 +2314,7 @@ object ScalePatterns extends QueryModule {
     "q278_bloom_skipping" -> q278Sql,
     "q280_mv_rewrite" -> q280Sql,
     "q282_mv_refresh" -> q282Sql,
+    "q284_optimistic_commit" -> q284Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

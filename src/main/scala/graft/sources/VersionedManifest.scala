@@ -55,6 +55,54 @@ object VersionedManifest {
         s"commit of version $n at $dir lost a rename race")
   }
 
+  /** OPTIMISTIC commit attempt for version `n`: returns true iff THIS
+    * writer published `n`, false iff a concurrent commit already owns the
+    * slot. Conflict detection is the manifest create itself —
+    * `FileSystem.create(overwrite = false)` is exclusive (O_EXCL on the
+    * local FS, namenode-atomic on HDFS; object-store estates swap in a
+    * conditional PUT) — so writers racing for the same version serialize
+    * with no lock service: exactly one create succeeds, every loser sees
+    * `false` and rebases. Content atomicity is not needed here: the
+    * version's data is fully landed BEFORE tryCommit and readers treat
+    * manifest existence as the commit point; the body is addressing plus
+    * audit metadata.
+    *
+    * The body's first line may be `data=<subdir>`: the version's rows
+    * then live under `<dir>/<subdir>` instead of the positional `v=<n>`
+    * ([[resolveDataDir]]). Decoupling data location from version number
+    * is what makes optimistic retries SAFE — each attempt stages under
+    * its own unique directory, so a loser's files can never mix with the
+    * winner's committed ones.
+    */
+  def tryCommit(s: SparkSession, dir: String, n: Long, meta: String): Boolean = {
+    val f = fs(dir, s)
+    val commits = new Path(dir, "_commits")
+    f.mkdirs(commits)
+    val dst = new Path(commits, n.toString)
+    val out =
+      try f.create(dst, false)
+      catch { case e: java.io.IOException =>
+        if (f.exists(dst)) return false else throw e
+      }
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
+  private def manifestBody(f: FileSystem, dir: String, n: Long): String = {
+    val in = f.open(new Path(new Path(dir, "_commits"), n.toString))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Data directory of committed version `n`: the `data=<subdir>` manifest
+    * line when present (log-format addressing, [[tryCommit]]), else the
+    * positional `v=<n>` layout the plain [[commit]] path uses.
+    */
+  def resolveDataDir(s: SparkSession, dir: String, n: Long): String = {
+    val sub = manifestBody(fs(dir, s), dir, n).linesIterator.toSeq.headOption
+      .filter(_.startsWith("data=")).map(_.stripPrefix("data="))
+    s"$dir/${sub.getOrElse(s"v=$n")}"
+  }
+
   /** Highest committed version, or None for an empty table. Listing cost
     * is O(#versions) tiny manifest names — never the data directories.
     */
@@ -79,7 +127,7 @@ object VersionedManifest {
   def readLatest(s: SparkSession, dir: String): DataFrame = {
     val n = latestCommitted(s, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
-    s.read.parquet(s"$dir/v=$n")
+    s.read.parquet(resolveDataDir(s, dir, n))
   }
 
   /** Time travel: read a SPECIFIC committed version. Reading an
@@ -90,7 +138,7 @@ object VersionedManifest {
     val f = fs(dir, s)
     if (!f.exists(new Path(new Path(dir, "_commits"), n.toString)))
       throw new IllegalStateException(s"version $n at $dir is not committed")
-    s.read.parquet(s"$dir/v=$n")
+    s.read.parquet(resolveDataDir(s, dir, n))
   }
 
   /** All committed versions, ascending. */
@@ -123,8 +171,8 @@ object VersionedManifest {
     val committed = committedVersions(s, dir).toSet
     val root = new Path(dir)
     if (!f.exists(root)) return Seq.empty
-    val orphans = f.listStatus(root).toSeq
-      .map(_.getPath)
+    val entries = f.listStatus(root).toSeq.map(_.getPath)
+    val orphans = entries
       .filter(p => p.getName.startsWith("v="))
       .flatMap { p =>
         val n = p.getName.stripPrefix("v=")
@@ -133,6 +181,14 @@ object VersionedManifest {
         else None
       }
     orphans.foreach { case (_, p) => f.delete(p, true) }
+    // log-format staging dirs (`d-*`, [[tryCommit]]): reclaim the ones no
+    // committed manifest references — a lost optimistic attempt's files.
+    // Referenced-set cost is O(#versions) tiny manifest reads.
+    val referenced = committed.map(n =>
+      resolveDataDir(s, dir, n).stripSuffix("/").split('/').last)
+    entries
+      .filter(p => p.getName.startsWith("d-") && !referenced(p.getName))
+      .foreach(p => f.delete(p, true))
     orphans.map(_._1).sorted
   }
 }

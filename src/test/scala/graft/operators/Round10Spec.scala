@@ -588,6 +588,40 @@ class Round10Spec extends SparkSpec {
       got.mkString("\n"))
   }
 
+  test("q284 optimistic commit: loser detects the conflict, rebases, and vacuum reclaims its attempt") {
+    import graft.sources.{VersionedManifest => VM}
+    import spark.implicits._
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_occ_spec_" +
+        spark.sparkContext.applicationId)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$p"))
+    // base version via the POSITIONAL commit path
+    Seq((1L, "base")).toDF("id", "who").write.mode("overwrite").parquet(s"$dir/v=1")
+    VM.commit(spark, dir, 1, "base")
+    // two writers race for slot 2, each staging its own unique dir
+    Seq((2L, "a")).toDF("id", "who").write.mode("overwrite").parquet(s"$dir/d-a-1")
+    Seq((3L, "b")).toDF("id", "who").write.mode("overwrite").parquet(s"$dir/d-b-1")
+    assert(VM.tryCommit(spark, dir, 2, "data=d-a-1\na"), "first committer must win")
+    assert(!VM.tryCommit(spark, dir, 2, "data=d-b-1\nb"),
+      "second committer must see the conflict, not overwrite")
+    // the lost attempt never became readable: version 2 resolves to A's dir
+    assert(VM.readAt(spark, dir, 2).select("who").as[String].collect().toSeq == Seq("a"))
+    // rebase: B re-tags under a fresh dir and claims slot 3
+    Seq((3L, "b")).toDF("id", "who").write.mode("overwrite").parquet(s"$dir/d-b-2")
+    assert(VM.tryCommit(spark, dir, 3, "data=d-b-2\nb rebased"))
+    // vacuum reclaims ONLY the unreferenced attempt; committed dirs and
+    // the positional v=1 survive, and every committed version still reads
+    VM.vacuum(spark, dir)
+    assert(!exists("d-b-1"), "lost attempt's staging dir must be reclaimed")
+    assert(exists("d-a-1") && exists("d-b-2") && exists("v=1"))
+    assert(VM.committedVersions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(VM.readLatest(spark, dir).select("who").as[String].collect().toSeq == Seq("b"))
+    assert(VM.readAt(spark, dir, 1).select("who").as[String].collect().toSeq == Seq("base"))
+  }
+
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
     val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
       .collect()
