@@ -121,7 +121,7 @@ object Bench {
     "q276_incremental_index", "q277_multitable_snapshot",
     "q278_bloom_skipping", "q279_version_feed", "q280_mv_rewrite",
     "q281_join_elimination", "q282_mv_refresh", "q283_epoch_schedule",
-    "q284_optimistic_commit"
+    "q284_optimistic_commit", "q285_partition_evolution"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -4,6 +4,7 @@ import graft.{Exact, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
 
 /** Scale patterns as first-class, oracle-verified operators: the rewrites
   * an engine applies when a key is too hot or a partition too big. Each
@@ -2115,6 +2116,88 @@ object ScalePatterns extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q285
+
+  /** q285: PARTITION-SPEC EVOLUTION — the estate changed its partition
+    * granularity mid-life (hive layout by ship MONTH for history, by ship
+    * DAY once operations needed day-level retention/pruning), and the old
+    * data is NEVER rewritten: one logical reader plans BOTH layouts,
+    * derives each leg's partition predicate by COARSENING the same
+    * row-level date range to that leg's spec (month prefix vs day), and
+    * unions the legs. The row-level filter stays on both legs as the
+    * semantic truth — partition pruning is only the optimization — so a
+    * range that splits a month dir is still exact. Round10Spec pins the
+    * pruning per leg: the month leg reads 2 of ~80 dirs, the day leg 14
+    * of ~60, out of the scans' own `numPartitions` metrics.
+    *
+    * Scale: this is Iceberg's spec-evolution contract (spec-id per file,
+    * predicates transformed per spec) in its hive-layout essence; the
+    * alternative — rewriting 100 TB of history to the new granularity —
+    * costs a full-table rewrite and a frozen write path while it runs.
+    */
+  private[operators] def q285Estate(s: SparkSession, d: String): String = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_specevo_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+      val cut = lit("2001-10-01").cast(DateType)
+      li.filter(col("l_shipdate") < cut)
+        .withColumn("l_ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("l_ship_month"))
+        .write.partitionBy("l_ship_month").mode("overwrite")
+        .parquet(s"$dir/bymonth")
+      li.filter(col("l_shipdate") >= cut)
+        .withColumn("l_ship_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .repartition(col("l_ship_day"))
+        .write.partitionBy("l_ship_day").mode("overwrite")
+        .parquet(s"$dir/byday")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  /** The evolved reader: one date range, per-spec coarsened partition
+    * predicates, row-level refinement on both legs. `to` is exclusive.
+    */
+  private[operators] def q285Read(s: SparkSession, dir: String,
+                                  from: String, to: String): DataFrame = {
+    val rowPred = col("l_shipdate") >= lit(from).cast(DateType) &&
+      col("l_shipdate") < lit(to).cast(DateType)
+    // month spec: the range coarsens to [month(from), month(to)] — the
+    // upper month may partially overlap, so it stays IN and the row
+    // predicate trims it; pruning still drops every other history month
+    val monthLeg = s.read.parquet(s"$dir/bymonth")
+      .filter(col("l_ship_month") >= from.substring(0, 7) &&
+        col("l_ship_month") <= to.substring(0, 7) && rowPred)
+      .drop("l_ship_month")
+    // day spec: the coarsening is exact ([from, to) on the dir name)
+    val dayLeg = s.read.parquet(s"$dir/byday")
+      .filter(col("l_ship_day") >= from && col("l_ship_day") < to && rowPred)
+      .drop("l_ship_day")
+    monthLeg.unionByName(dayLeg)
+  }
+
+  private def q285(s: SparkSession, d: String): DataFrame =
+    q285Read(s, q285Estate(s, d), "2001-08-01", "2001-10-15")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(9,4)")))
+          .cast("double").as("revenue"))
+      .orderBy(col("ship_month"))
+
+  private val q285Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '2001-08-01' AND l_shipdate < DATE '2001-10-15'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q278
 
   /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
@@ -2274,6 +2357,7 @@ object ScalePatterns extends QueryModule {
     "q280_mv_rewrite" -> q280,
     "q282_mv_refresh" -> q282,
     "q284_optimistic_commit" -> q284,
+    "q285_partition_evolution" -> q285,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2315,6 +2399,7 @@ object ScalePatterns extends QueryModule {
     "q280_mv_rewrite" -> q280Sql,
     "q282_mv_refresh" -> q282Sql,
     "q284_optimistic_commit" -> q284Sql,
+    "q285_partition_evolution" -> q285Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

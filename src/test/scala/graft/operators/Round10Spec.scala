@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Round-10 contracts the DuckDB oracles can't see: file skipping actually
   * SKIPS files, vacuum actually reclaims the orphan directory, and the HLL
@@ -620,6 +621,50 @@ class Round10Spec extends SparkSpec {
     assert(VM.committedVersions(spark, dir) == Seq(1L, 2L, 3L))
     assert(VM.readLatest(spark, dir).select("who").as[String].collect().toSeq == Seq("b"))
     assert(VM.readAt(spark, dir, 1).select("who").as[String].collect().toSeq == Seq("base"))
+  }
+
+  test("q285 partition evolution prunes each layout leg by its own spec") {
+    val dir = ScalePatterns.q285Estate(spark, sf0001)
+    val df = ScalePatterns.q285Read(spark, dir, "2001-08-01", "2001-10-15")
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def dirs(sub: String): Int = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, sub))
+      try st.iterator().asScala.count(_.getFileName.toString.contains("="))
+      finally st.close()
+    }
+    val all = scans(df.queryExecution.executedPlan)
+    def readOf(leg: String): Long = {
+      val sc = all.find(_.metadata.getOrElse("Location", "").contains(leg))
+      assert(sc.isDefined, s"$leg scan missing")
+      sc.get.metrics("numPartitions").value
+    }
+    // month leg: the range touches 2001-08..2001-10, but the month layout
+    // ends at 2001-09 — 2 dirs read of the ~80 the history holds
+    val (mRead, mAll) = (readOf("bymonth"), dirs("bymonth"))
+    assert(mRead == 2 && mAll > 60, s"month leg read $mRead of $mAll")
+    // day leg: exactly the days of [2001-10-01, 2001-10-15) that EXIST in
+    // the layout (sparse at sf0.001 — not every day shipped), never more
+    val st2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "byday"))
+    val inRange =
+      try st2.iterator().asScala.map(_.getFileName.toString)
+        .count(n => n >= "l_ship_day=2001-10-01" && n < "l_ship_day=2001-10-15")
+      finally st2.close()
+    val (dRead, dAll) = (readOf("byday"), dirs("byday"))
+    assert(dRead == inRange && inRange > 0 && dAll > 2 * dRead,
+      s"day leg read $dRead, expected $inRange of $dAll")
+    // and the union is exact despite the coarsened month predicate
+    val expected = graft.Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= lit("2001-08-01").cast("date") &&
+        col("l_shipdate") < lit("2001-10-15").cast("date")).count()
+    assert(df.count() == expected)
   }
 
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
