@@ -43,6 +43,11 @@ object ScaleCheck {
     // O(hit files); q281 is the fact-scan-only eliminated plan)
     "q275_fifo_matching", "q276_incremental_index",
     "q278_bloom_skipping", "q281_join_elimination",
+    // round 10b continued: MV refresh cost is O(increment)+|MV| merge;
+    // q284's commit path is O(1) FS ops over a data-sized staging write;
+    // q285 reads a FIXED 2.5-month window of a growing layout (the
+    // spec-evolution twin of q233's sublinearity)
+    "q282_mv_refresh", "q284_optimistic_commit", "q285_partition_evolution",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant

@@ -2126,6 +2126,68 @@ object CorpusOps extends QueryModule {
        |ORDER BY a.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q287
+
+  /** q287: SHARD PUBLISH — the last step of the training-data pipeline:
+    * a deterministic, seed-free global shuffle (order = md5 of the doc
+    * id) assigns every document to one of 16 shards map-side (top bits of
+    * the hash — NO global sort, no single-partition window), the shards
+    * land as a hive layout `shard=K/`, and the manifest the trainer
+    * consumes is computed FROM THE PUBLISHED FILES: per-shard doc count,
+    * token count, an order-independent content checksum (`bit_xor` of
+    * each doc's 48-bit hash), and the shard's read head (`min_by` doc on
+    * hash order). The oracle replays the assignment from the source
+    * table, so a doc dropped, duplicated, or mis-sharded BY THE WRITE
+    * shows up as a count/checksum hash mismatch — the publish is
+    * verified, not trusted.
+    *
+    * Scale: assignment is map-side arithmetic; the only shuffle is the
+    * repartition-by-shard that makes each dir one writer's output (a
+    * real estate keeps multiple files per shard via maxRecordsPerFile —
+    * the layout contract is the dir, not the file). Hash-prefix sharding
+    * balances by the law of large numbers, which is exactly the regime a
+    * 100 TB corpus is in; within-shard read order is the hash itself, so
+    * every epoch's shuffle is reproducible across engines and cluster
+    * sizes.
+    */
+  private def q287(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast(LongType).as("n_tok"),
+          md5(concat(lit("doc-"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("h48",
+          expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)"))
+        .withColumn("shard", pmod(col("h48"), lit(16)).cast(LongType))
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$dir/data")
+      java.nio.file.Files.createFile(done)
+    }
+    s.read.parquet(s"$dir/data")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        expr("bit_xor(h48)").as("checksum"),
+        min_by(col("doc_id"), col("h")).as("first_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val q287Sql = {
+    val h48 = graft.Exact.sqlHexToLong("md5('doc-' || doc_id)", 1, 12)
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |    md5('doc-' || doc_id) AS hx,
+       |    CAST($h48 AS BIGINT) AS h48
+       |  FROM documents)
+       |SELECT h48 % 16 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  bit_xor(h48) AS checksum, min_by(doc_id, hx) AS first_doc
+       |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   /** q224: BM25 ranked retrieval — the lexical top-10 per query doc, the
     * text-search leg every RAG/retrieval pipeline runs next to its vector
     * index (and the "more-like-this" primitive of lexical dedup review).
@@ -2173,6 +2235,7 @@ object CorpusOps extends QueryModule {
     "q228_corpus_mixing" -> q228,
     "q274_token_waterfill" -> q274,
     "q283_epoch_schedule" -> q283,
+    "q287_shard_publish" -> q287,
     "q229_bpe_train" -> q229,
     "q234_bpe_encode" -> q234,
     "q238_leakage_safe_split" -> q238
@@ -2209,6 +2272,7 @@ object CorpusOps extends QueryModule {
     "q228_corpus_mixing" -> q228Sql,
     "q274_token_waterfill" -> q274Sql,
     "q283_epoch_schedule" -> q283Sql,
+    "q287_shard_publish" -> q287Sql,
     "q229_bpe_train" -> q229Sql,
     "q234_bpe_encode" -> q234Sql,
     "q238_leakage_safe_split" -> q238Sql

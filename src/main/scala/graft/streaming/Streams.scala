@@ -439,6 +439,60 @@ object Streams extends QueryModule {
        |FROM events JOIN customer ON user_id + 1 = c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q286: temporal (SCD2) enrichment of a STREAM — each event joins the
+    * dimension version valid AT ITS EVENT TIME, not the current one: the
+    * static side carries `[valid_from, valid_to)` interval rows (four
+    * deterministic 8-day tier versions per customer, generated in-plan so
+    * both engines replay them bit-identically), and the stream-static
+    * inner join's predicate is key equality PLUS interval containment.
+    * Spark broadcasts the dim and evaluates the range residual per row;
+    * intervals partition the timeline, so the match is exactly 1:1.
+    *
+    * Scale: unlike the stream-stream join (q98) this join is STATELESS —
+    * no watermark bookkeeping, no buffered rows; the dim broadcast is
+    * O(|dim|) per micro-batch and the only state is the final tier
+    * rollup's (pinned ≤ #tiers in StreamsSpec). This is the as-of lookup
+    * every event-enrichment pipeline runs (fx rates, price books,
+    * segments): dim changes land as NEW interval rows, and late events
+    * still enrich against the version that was true when they happened.
+    */
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val base = lit("2024-01-01").cast(DateType)
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .select(col("c_custkey"),
+        date_add(base, (col("k") * 8).cast(IntegerType)).as("valid_from"),
+        when(col("k") === 3, lit("9999-12-31").cast(DateType))
+          .otherwise(date_add(base, (col("k") * 8 + 8).cast(IntegerType)))
+          .as("valid_to"),
+        pmod(col("c_custkey") + col("k"), lit(4)).cast(LongType).as("tier"))
+    val enriched = streamEvents(s, d)
+      .join(broadcast(dim),
+        col("user_id") + 1 === col("c_custkey") &&
+          col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+    runToMemory(s, enriched, "q286_sink", "complete")
+      .orderBy(col("tier"))
+  }
+
+  private val q286Sql =
+    s"""WITH dim AS (
+       |  SELECT c_custkey, k,
+       |    DATE '2024-01-01' + CAST(k * 8 AS INTEGER) AS valid_from,
+       |    CASE WHEN k = 3 THEN DATE '9999-12-31'
+       |         ELSE DATE '2024-01-01' + CAST(k * 8 + 8 AS INTEGER) END AS valid_to,
+       |    (c_custkey + k) % 4 AS tier
+       |  FROM customer CROSS JOIN range(4) AS t(k))
+       |SELECT tier, COUNT(*) AS n_events,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events JOIN dim ON user_id + 1 = c_custkey
+       |  AND CAST(ts AS TIMESTAMP) >= valid_from
+       |  AND CAST(ts AS TIMESTAMP) < valid_to
+       |GROUP BY 1 ORDER BY tier""".stripMargin
+
   /** q106: update-mode aggregation into an upsert sink — the third output
     * mode (q90/q91 run complete, q92/q94/q98 append). Per-(type, hour)
     * counts stream in update mode, so each micro-batch emits ONLY the keys
@@ -1266,6 +1320,7 @@ object Streams extends QueryModule {
     "q132_stream_mapstate" -> q132,
     "q122_stream_tws_tally" -> q122,
     "q99_stream_static_join" -> q99,
+    "q286_stream_scd2_enrich" -> q286,
     "q98_stream_stream_join" -> q98,
     "q94_stream_sliding" -> q94,
     "q90_stream_tumbling" -> q90,
@@ -1289,6 +1344,7 @@ object Streams extends QueryModule {
     "q132_stream_mapstate" -> q132Sql,
     "q122_stream_tws_tally" -> q122Sql,
     "q99_stream_static_join" -> q99Sql,
+    "q286_stream_scd2_enrich" -> q286Sql,
     "q98_stream_stream_join" -> q98Sql,
     "q94_stream_sliding" -> q94Sql,
     "q90_stream_tumbling" -> q90Sql,

@@ -667,6 +667,31 @@ class Round10Spec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("q287 publishes one file per shard dir and the manifest covers the whole corpus") {
+    val res = SparkEntry.queries("q287_shard_publish")(spark, sf0001).collect()
+    assert(res.nonEmpty && res.length <= 16)
+    val dataDir = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+        s"${spark.sparkContext.applicationId}_" +
+        sf0001.replaceAll("[^A-Za-z0-9.-]", "_"), "data")
+    val st = java.nio.file.Files.list(dataDir)
+    val shardDirs =
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("shard=")).toSeq
+      finally st.close()
+    assert(shardDirs.size == res.length, s"${shardDirs.size} dirs vs ${res.length} manifest rows")
+    shardDirs.foreach { sd =>
+      val st2 = java.nio.file.Files.list(dataDir.resolve(sd))
+      val parts =
+        try st2.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        finally st2.close()
+      assert(parts == 1, s"$sd has $parts part files, expected 1")
+    }
+    // nothing dropped or duplicated by the publish
+    assert(res.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, sf0001).count())
+  }
+
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
     val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
       .collect()

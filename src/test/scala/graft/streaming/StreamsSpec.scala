@@ -579,4 +579,14 @@ class StreamsSpec extends SparkSpec {
     assert(meta.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((0L, "dedupe")), meta.mkString(", "))
   }
+
+  test("q286 temporal enrichment join is STATELESS — only the tier rollup holds state") {
+    // a stream-stream spelling of the same join would buffer events in a
+    // state store; the stream-static broadcast join must leave only the
+    // final aggregate's ≤4 tier rows behind
+    val rows = graft.SparkEntry.queries("q286_stream_scd2_enrich")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val st = Streams.lastStateRows("q286_sink")
+    assert(st <= 4, s"expected only the rollup's tier rows in state, got $st")
+  }
 }
