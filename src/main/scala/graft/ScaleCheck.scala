@@ -48,6 +48,9 @@ object ScaleCheck {
     // q285 reads a FIXED 2.5-month window of a growing layout (the
     // spec-evolution twin of q233's sublinearity)
     "q282_mv_refresh", "q284_optimistic_commit", "q285_partition_evolution",
+    // q283's prefix-rank window and q287's shard shuffle are data-sized;
+    // q287's manifest stays 16 rows
+    "q283_epoch_schedule", "q287_shard_publish",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant
@@ -55,7 +58,10 @@ object ScaleCheck {
     // dedup-by-id state ∝ distinct ids (q183). The JSON carries each
     // row's stateA/stateB so the ratio is measured, not asserted.
     "q90_stream_tumbling", "q148_stream_chained_windows",
-    "q183_stream_dedup_agg", "q227_stream_dedup_gate")
+    "q183_stream_dedup_agg", "q227_stream_dedup_gate",
+    // round 10b: the stream-static SCD2 join must stay STATELESS at 10×
+    // input (state = the rollup's ≤4 tier rows, not buffered events)
+    "q286_stream_scd2_enrich")
 
   /** Memory-sink name a streaming query records its state footprint under. */
   private def sinkName(q: String): String = q.takeWhile(_ != '_') + "_sink"

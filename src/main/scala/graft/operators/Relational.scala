@@ -421,6 +421,59 @@ object Relational extends QueryModule {
       |  CAST(SUM(rev) AS DOUBLE) AS total_revenue
       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q289
+
+  /** q289: K-ANONYMITY AUDIT — the re-identification-risk report a
+    * governance pass runs before releasing a table (Sweeney's k, k = 5):
+    * rows whose quasi-identifier tuple (nation, segment, account-balance
+    * bucket) is shared by fewer than k customers are at risk, and the
+    * audit walks a 3-level GENERALIZATION lattice (balance bucketed by
+    * 100 → by 1000 → suppressed) reporting groups / rows-at-risk /
+    * min/max group size per level — the evidence for choosing the
+    * coarsest release that meets the k bar. Bucketing is IEEE double
+    * `floor(x / step)`, bit-identical across engines, so the whole
+    * lattice is hash-checked.
+    *
+    * Scale: each level is one partial-agg shuffle keyed by its QI tuple
+    * (group count, never rows, crosses the wire) and the report is 3
+    * rows however large the table; levels share the projected scan. The
+    * same shape extends to l-diversity by swapping the count for a
+    * distinct-count of the sensitive column.
+    */
+  private def q289(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+    def level(lvl: Long, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+      base.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(lit(0L))).as("rows_at_risk"),
+          min(col("n")).as("min_group"), max(col("n")).as("max_group"))
+        .select(lit(lvl).as("level"), col("n_groups"), col("rows_at_risk"),
+          col("min_group"), col("max_group"))
+    val qi = Seq(col("c_nationkey"), col("c_mktsegment"))
+    level(0, qi :+ floor(col("c_acctbal") / 100).as("b"))
+      .unionByName(level(1, qi :+ floor(col("c_acctbal") / 1000).as("b")))
+      .unionByName(level(2, qi))
+      .orderBy(col("level"))
+  }
+
+  private val q289Sql = {
+    def lvl(n: Int, grp: String) =
+      s"""a$n AS (
+         |  SELECT CAST($n AS BIGINT) AS level,
+         |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |    CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         |    CAST(MIN(n) AS BIGINT) AS min_group,
+         |    CAST(MAX(n) AS BIGINT) AS max_group
+         |  FROM (SELECT COUNT(*) AS n FROM customer GROUP BY $grp) t$n)"""
+        .stripMargin
+    s"""WITH ${lvl(0, "c_nationkey, c_mktsegment, FLOOR(c_acctbal / 100)")},
+       |${lvl(1, "c_nationkey, c_mktsegment, FLOOR(c_acctbal / 1000)")},
+       |${lvl(2, "c_nationkey, c_mktsegment")}
+       |SELECT * FROM a0 UNION ALL SELECT * FROM a1 UNION ALL SELECT * FROM a2
+       |ORDER BY level""".stripMargin
+  }
+
   // --------------------------------------------------------------- q243
 
   /** q243: DATA-QUALITY AUDIT — the constraint pass a pipeline runs
@@ -575,6 +628,7 @@ object Relational extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_dq_audit" -> q243,
+    "q289_k_anonymity" -> q289,
     "q265_observed_metrics" -> q265,
     "q268_sql_pipe" -> q268,
     "q188_market_share" -> q188,
@@ -592,6 +646,7 @@ object Relational extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q243_dq_audit" -> q243Sql,
+    "q289_k_anonymity" -> q289Sql,
     "q265_observed_metrics" -> q265Sql,
     "q268_sql_pipe" -> q268Sql,
     "q188_market_share" -> q188Sql,

@@ -2198,6 +2198,70 @@ object ScalePatterns extends QueryModule {
       |WHERE l_shipdate >= DATE '2001-08-01' AND l_shipdate < DATE '2001-10-15'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q288
+
+  /** q288: DELETION VECTORS — merge-on-read row-level delete, the
+    * counterpart of q256's copy-on-write: base files are NEVER rewritten.
+    * The delete scans with the file-source `_metadata` columns and lands
+    * a sidecar of (file, row_index) positions — cost O(matched rows) —
+    * and readers subtract it with a broadcast LEFT ANTI join on that
+    * file-generated row identity. The deleted set is a deterministic md5
+    * bucket (~5 %) so the oracle replays the predicate and the
+    * merge-on-read view hash-matches the filtered table exactly.
+    * Round10Spec pins the MoR contract: base part files are
+    * byte-identical after the delete (length + mtime), the DV holds
+    * exactly the matched positions, and the subtract is a broadcast anti
+    * join.
+    *
+    * Scale: CoW rewrites every file a predicate touches — a 0.1 % GDPR
+    * sweep on a 100 TB estate becomes a full rewrite; MoR writes
+    * O(deleted) and defers the rewrite to the next compaction (q242) —
+    * the Delta deletion-vector / Iceberg positional-delete design. The
+    * DV broadcasts because deletes are sparse by construction; a DV
+    * outgrowing broadcast is the compaction trigger.
+    */
+  private def q288(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dv_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val delPred = // seed-free ~5% bucket, engine-replayable
+      expr("CAST(conv(substring(md5(concat('del-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 20 = 0")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d).repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      s.read.parquet(s"$dir/base")
+        .select(col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("r"), col("doc_id"))
+        .filter(delPred)
+        .select(col("f"), col("r"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/dv")
+      java.nio.file.Files.createFile(done)
+    }
+    val dv = s.read.parquet(s"$dir/dv")
+    val deleted = dv.count()
+    s.read.parquet(s"$dir/base")
+      .withColumn("f", col("_metadata.file_path"))
+      .withColumn("r", col("_metadata.row_index"))
+      .join(broadcast(dv), Seq("f", "r"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("deleted_rows", lit(deleted))
+      .orderBy(col("source"))
+  }
+
+  private val q288Sql = {
+    val h7 = graft.Exact.sqlHexToLong("md5('del-' || doc_id)", 1, 7)
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST((SELECT COUNT(*) FROM documents
+       |        WHERE CAST($h7 AS BIGINT) % 20 = 0) AS BIGINT) AS deleted_rows
+       |FROM documents
+       |WHERE CAST($h7 AS BIGINT) % 20 <> 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // --------------------------------------------------------------- q278
 
   /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
@@ -2358,6 +2422,7 @@ object ScalePatterns extends QueryModule {
     "q282_mv_refresh" -> q282,
     "q284_optimistic_commit" -> q284,
     "q285_partition_evolution" -> q285,
+    "q288_deletion_vectors" -> q288,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2400,6 +2465,7 @@ object ScalePatterns extends QueryModule {
     "q282_mv_refresh" -> q282Sql,
     "q284_optimistic_commit" -> q284Sql,
     "q285_partition_evolution" -> q285Sql,
+    "q288_deletion_vectors" -> q288Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

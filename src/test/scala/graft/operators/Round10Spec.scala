@@ -692,6 +692,45 @@ class Round10Spec extends SparkSpec {
       graft.Tables.documents(spark, sf0001).count())
   }
 
+  test("q288 deletion vectors never rewrite the base, and the subtract is a broadcast anti join") {
+    import java.nio.file.{Files, Paths}
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dv_spec_" +
+      spark.sparkContext.applicationId
+    graft.StagingDirs.register(dir)
+    val docs = graft.Tables.documents(spark, sf0001)
+    docs.repartition(4).write.mode("overwrite").parquet(s"$dir/base")
+    def baseStats(): Map[String, (Long, Long)] = {
+      val st = Files.list(Paths.get(dir, "base"))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally st.close()
+    }
+    val before = baseStats()
+    val pred =
+      expr("CAST(conv(substring(md5(concat('del-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 20 = 0")
+    spark.read.parquet(s"$dir/base")
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("r"), col("doc_id"))
+      .filter(pred).select(col("f"), col("r"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/dv")
+    // the merge-on-read contract: the delete wrote ONLY the sidecar
+    assert(baseStats() == before, "base files changed under a MoR delete")
+    val dv = spark.read.parquet(s"$dir/dv")
+    assert(dv.count() == docs.filter(pred).count(), "DV must hold exactly the matched rows")
+    val live = spark.read.parquet(s"$dir/base")
+      .withColumn("f", col("_metadata.file_path"))
+      .withColumn("r", col("_metadata.row_index"))
+      .join(broadcast(dv), Seq("f", "r"), "left_anti")
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV subtract is not a broadcast anti join:\n$plan")
+    // and the MoR view equals the logical delete
+    assert(live.count() == docs.filter(!pred).count())
+  }
+
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
     val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
       .collect()
