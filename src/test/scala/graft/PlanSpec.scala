@@ -515,4 +515,18 @@ class PlanSpec extends SparkSpec {
       totalPartitions > 4 * readPartitions,
       s"DPP did not prune: read $readPartitions of $totalPartitions partitions")
   }
+
+  test("q30 top-3 per group runs under WindowGroupLimit, partial then final") {
+    // the rank-filter idiom must not materialize whole per-group windows:
+    // Spark's InferWindowGroupLimit turns `row_number ... WHERE rn <= 3`
+    // into a per-partition top-3 BEFORE the shuffle (Partial) and again
+    // after (Final) — each task keeps 3 rows per group, so the window
+    // never sees more than shuffle-partitions × 3 rows per group at any
+    // scale. If a refactor breaks the idiom (e.g. filters on a derived
+    // column the rule can't see), this pin fails.
+    val p = plan("q30_window_topn_group")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"expected partial+final group-limit stages:\n$p")
+  }
 }
