@@ -51,6 +51,9 @@ object ScaleCheck {
     // q283's prefix-rank window and q287's shard shuffle are data-sized;
     // q287's manifest stays 16 rows
     "q283_epoch_schedule", "q287_shard_publish",
+    // q288's read is O(live rows) + a broadcast DV; q289 is one
+    // partial-agg pass per lattice level
+    "q288_deletion_vectors", "q289_k_anonymity",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant

@@ -474,6 +474,58 @@ object Relational extends QueryModule {
        |ORDER BY level""".stripMargin
   }
 
+  // --------------------------------------------------------------- q290
+
+  /** q290: PSEUDONYMIZED RELEASE — the tokenization pass a governed
+    * estate runs before handing data to a downstream team: the natural
+    * key is replaced by a deterministic keyed-hash token (md5 over a
+    * salted spelling — same key → same token, so REFERENTIAL INTEGRITY
+    * SURVIVES the release), the free-text name is masked (digits → `*`),
+    * and the released fact and dim still join on the token alone. The
+    * rollup joins customer→orders entirely through tokens; the oracle
+    * replays the tokenization, so a token collision, a non-deterministic
+    * salt, or a masking miss all hash-mismatch. `min(cust_token)` rides
+    * along to pin the actual token bytes, not just their join behavior.
+    *
+    * Scale: tokenization is map-side hashing (no lookup table to
+    * distribute — the token IS the function), the join shuffles exactly
+    * as the raw key did, and the release never materializes a
+    * token↔key mapping anywhere an attacker could read. The k-anonymity
+    * audit (q289) gates WHAT may release; this is HOW it releases.
+    */
+  private def q290(s: SparkSession, d: String): DataFrame = {
+    val tok = (c: org.apache.spark.sql.Column) =>
+      md5(concat(lit("tok-"), c.cast(StringType)))
+    val cust = Tables.customer(s, d)
+      .select(tok(col("c_custkey")).as("cust_token"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("masked_name"),
+        col("c_mktsegment"))
+    val ord = Tables.orders(s, d)
+      .select(tok(col("o_custkey")).as("cust_token"), col("o_totalprice"))
+    cust.join(ord, "cust_token")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("cust_token")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        Exact.sumMoney(col("o_totalprice")).as("total_price"),
+        min(col("cust_token")).as("min_token"),
+        max(col("masked_name")).as("sample_masked"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q290Sql =
+    s"""SELECT c_mktsegment,
+       |  CAST(COUNT(DISTINCT ct) AS BIGINT) AS n_customers,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Exact.sqlSumMoney("o_totalprice")} AS total_price,
+       |  MIN(ct) AS min_token,
+       |  MAX(mn) AS sample_masked
+       |FROM (SELECT md5('tok-' || c_custkey) AS ct,
+       |        regexp_replace(c_name, '[0-9]', '*', 'g') AS mn, c_mktsegment
+       |      FROM customer) c
+       |JOIN (SELECT md5('tok-' || o_custkey) AS ot, o_totalprice
+       |      FROM orders) o ON c.ct = o.ot
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q243
 
   /** q243: DATA-QUALITY AUDIT — the constraint pass a pipeline runs
@@ -629,6 +681,7 @@ object Relational extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_dq_audit" -> q243,
     "q289_k_anonymity" -> q289,
+    "q290_pseudonymize" -> q290,
     "q265_observed_metrics" -> q265,
     "q268_sql_pipe" -> q268,
     "q188_market_share" -> q188,
@@ -647,6 +700,7 @@ object Relational extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q243_dq_audit" -> q243Sql,
     "q289_k_anonymity" -> q289Sql,
+    "q290_pseudonymize" -> q290Sql,
     "q265_observed_metrics" -> q265Sql,
     "q268_sql_pipe" -> q268Sql,
     "q188_market_share" -> q188Sql,
