@@ -123,7 +123,8 @@ object Bench {
     "q281_join_elimination", "q282_mv_refresh", "q283_epoch_schedule",
     "q284_optimistic_commit", "q285_partition_evolution",
     "q286_stream_scd2_enrich", "q287_shard_publish",
-    "q288_deletion_vectors", "q289_k_anonymity", "q290_pseudonymize"
+    "q288_deletion_vectors", "q289_k_anonymity", "q290_pseudonymize",
+    "q291_table_history", "q292_snapshot_rollback"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -2061,7 +2061,11 @@ object ScalePatterns extends QueryModule {
     * INCREMENT (never the table), and the commit path is O(1) filesystem
     * operations regardless of table size.
     */
-  private def q284(s: SparkSession, d: String): DataFrame = {
+  /** q284's staged estate (shared with q291's history listing): three
+    * committed versions — positional v=1 base load, then the two-writer
+    * optimistic race leaving d-dir commits 2 and 3. Returns the dir.
+    */
+  private def occEstate(s: SparkSession, d: String): String = {
     import graft.sources.{VersionedManifest => VM}
     val dir = graft.StagingDirs.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_occ_" +
@@ -2099,6 +2103,12 @@ object ScalePatterns extends QueryModule {
       VM.vacuum(s, dir) // reclaims d-writer-b-1, keeps both committed dirs
       java.nio.file.Files.createFile(done)
     }
+    dir
+  }
+
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = occEstate(s, d)
     VM.committedVersions(s, dir)
       .map(n => VM.readAt(s, dir, n))
       .reduce(_ unionByName _)
@@ -2262,6 +2272,97 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q291
+
+  /** q291: TABLE HISTORY — the estate's `DESCRIBE HISTORY` surface: the
+    * commit log of q284's optimistically-written table read back as a
+    * relation (version, the operation string the writer recorded at
+    * commit time, row count of that version's increment). The history is
+    * the audit trail the conflict left behind — version 3's operation
+    * string says "rebased", and the oracle pins all three rows exactly
+    * (operations as literals, counts from the `o_orderkey % 3` map), so
+    * a lost commit, a mis-addressed data dir, or a corrupted manifest
+    * body all hash-mismatch.
+    *
+    * Scale: the listing is O(#versions) one-line manifest reads plus one
+    * count per version — metadata traffic, never a table scan; the
+    * driver-side loop is bounded by the log length by construction (the
+    * same bound DESCRIBE HISTORY itself has).
+    */
+  private def q291(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    import s.implicits._
+    val dir = occEstate(s, d)
+    VM.committedVersions(s, dir)
+      .map(n => (n, VM.describe(s, dir, n), VM.readAt(s, dir, n).count()))
+      .toDF("version", "operation", "n_rows")
+      .orderBy(col("version"))
+  }
+
+  private val q291Sql =
+    """SELECT v.version, v.operation, CAST(c.n_rows AS BIGINT) AS n_rows
+      |FROM (VALUES (CAST(1 AS BIGINT), 'base load'),
+      |             (CAST(2 AS BIGINT), 'writer-a append'),
+      |             (CAST(3 AS BIGINT), 'writer-b append (rebased)'))
+      |  AS v(version, operation)
+      |JOIN (SELECT CAST(CASE o_orderkey % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+      |               ELSE 3 END AS BIGINT) AS version,
+      |        COUNT(*) AS n_rows
+      |      FROM orders GROUP BY 1) c ON v.version = c.version
+      |ORDER BY v.version""".stripMargin
+
+  // --------------------------------------------------------------- q292
+
+  /** q292: SNAPSHOT ROLLBACK — reverting a bad publish without copying a
+    * byte: the rollback COMMITS A NEW VERSION whose manifest `data=` line
+    * points at the GOOD version's existing directory, so the table's
+    * latest state is the old data again while the full history (including
+    * the bad version, still time-travelable for forensics) is preserved.
+    * This is Delta's RESTORE / Iceberg's rollback semantics: history is
+    * append-only, state is a pointer. The staged sequence is v1 good
+    * half-corpus, v2 bad full rewrite, v3 rollback→v1's dir; the query
+    * reads LATEST and the oracle computes v1's slice directly, so a
+    * rollback that copied, missed, or re-pointed wrong hash-mismatches.
+    *
+    * Scale: rollback cost is ONE manifest write regardless of table size
+    * — the reason pointer-based formats can undo a 100 TB mistake in
+    * milliseconds; vacuum's referenced-set walk keeps shared data dirs
+    * alive as long as ANY committed version addresses them.
+    */
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_rollback_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "good load")
+      docs.unionByName(docs)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      VM.commit(s, dir, 2, "bad rewrite (doubled rows)")
+      // the rollback: one manifest write, zero data movement
+      require(VM.tryCommit(s, dir, 3, "data=v=1\nrollback to version 1"),
+        "rollback commit lost a race in a single-writer test")
+      java.nio.file.Files.createFile(done)
+    }
+    val v = VM.latestCommitted(s, dir).get
+    VM.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("current_version", lit(v))
+      .orderBy(col("source"))
+  }
+
+  private val q292Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS current_version
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q278
 
   /** The q278 bloom membership positions: 4 × 17-bit slices of the md5
@@ -2423,6 +2524,8 @@ object ScalePatterns extends QueryModule {
     "q284_optimistic_commit" -> q284,
     "q285_partition_evolution" -> q285,
     "q288_deletion_vectors" -> q288,
+    "q291_table_history" -> q291,
+    "q292_snapshot_rollback" -> q292,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2466,6 +2569,8 @@ object ScalePatterns extends QueryModule {
     "q284_optimistic_commit" -> q284Sql,
     "q285_partition_evolution" -> q285Sql,
     "q288_deletion_vectors" -> q288Sql,
+    "q291_table_history" -> q291Sql,
+    "q292_snapshot_rollback" -> q292Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -93,6 +93,14 @@ object VersionedManifest {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Audit metadata of committed version `n` — the manifest body minus
+    * any `data=` addressing line (the operation description the writer
+    * recorded at commit time, the DESCRIBE HISTORY payload).
+    */
+  def describe(s: SparkSession, dir: String, n: Long): String =
+    manifestBody(fs(dir, s), dir, n).linesIterator
+      .filterNot(_.startsWith("data=")).mkString("\n").trim
+
   /** Data directory of committed version `n`: the `data=<subdir>` manifest
     * line when present (log-format addressing, [[tryCommit]]), else the
     * positional `v=<n>` layout the plain [[commit]] path uses.

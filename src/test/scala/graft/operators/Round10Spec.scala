@@ -731,6 +731,20 @@ class Round10Spec extends SparkSpec {
     assert(live.count() == docs.filter(!pred).count())
   }
 
+  test("q292 rollback is a pointer move: forensic history intact, zero bytes copied") {
+    import graft.sources.{VersionedManifest => VM}
+    SparkEntry.queries("q292_snapshot_rollback")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_rollback_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    // the bad version is still time-travelable for forensics
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(VM.readAt(spark, dir, 2).count() == 2 * nDocs)
+    // the rollback re-POINTED, it did not copy: v3 resolves to v1's dir
+    assert(VM.resolveDataDir(spark, dir, 3) == VM.resolveDataDir(spark, dir, 1))
+    assert(VM.readLatest(spark, dir).count() == VM.readAt(spark, dir, 1).count())
+  }
+
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
     val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
       .collect()
