@@ -124,7 +124,8 @@ object Bench {
     "q284_optimistic_commit", "q285_partition_evolution",
     "q286_stream_scd2_enrich", "q287_shard_publish",
     "q288_deletion_vectors", "q289_k_anonymity", "q290_pseudonymize",
-    "q291_table_history", "q292_snapshot_rollback"
+    "q291_table_history", "q292_snapshot_rollback",
+    "q293_change_data_feed"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

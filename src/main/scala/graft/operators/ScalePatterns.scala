@@ -2272,6 +2272,103 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q293
+
+  /** q293: CHANGE DATA FEED — q255's version diff upgraded to the full
+    * row-level feed a downstream incremental consumer (q276's index
+    * maintenance, a warehouse merge, a cache invalidator) actually
+    * subscribes to: each key classified as insert / delete / update, and
+    * updates emit BOTH images (`update_preimage`, `update_postimage`) —
+    * the Delta CDF / Debezium envelope — so a consumer can retract the
+    * old aggregate contribution and add the new one without rescanning.
+    * One full-outer join on the key + null-safe image comparison derives
+    * the feed; unchanged rows emit NOTHING (the property that makes CDF
+    * cheaper than snapshot-diff consumers). The rollup per change type
+    * (rows, chars, id range) is hash-checked against the oracle's replay
+    * of the same two staged versions from the source table.
+    *
+    * Scale: the feed costs one co-partitioned join of two versions and
+    * ships O(changed) rows; image comparison is a map-side struct
+    * equality. A 100 TB estate's CDC consumers read this, never the
+    * table.
+    */
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "initial load")
+      // v2: evens with id%6==0 get edited (+1000 chars), id%10==4 purged,
+      // and the odd id%5==1 slice arrives new
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 4)
+        .withColumn("n_chars",
+          when(col("doc_id") % 6 === 0, col("n_chars") + 1000)
+            .otherwise(col("n_chars")))
+        .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1))
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      VM.commit(s, dir, 2, "edit + purge + append")
+      java.nio.file.Files.createFile(done)
+    }
+    val v1 = VM.readAt(s, dir, 1).select(col("doc_id"), col("n_chars").as("pre"))
+    val v2 = VM.readAt(s, dir, 2).select(col("doc_id"), col("n_chars").as("post"))
+    val feed = v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("_change_type",
+        when(col("pre").isNull, "insert")
+          .when(col("post").isNull, "delete")
+          .when(!(col("pre") <=> col("post")), "update")
+          .otherwise("unchanged"))
+      .filter(col("_change_type") =!= "unchanged")
+    // updates fan into the two-image envelope; n_chars is the image value
+    feed.filter(col("_change_type") === "update")
+      .select(lit("update_preimage").as("_change_type"), col("doc_id"),
+        col("pre").as("n_chars"))
+      .unionByName(feed.filter(col("_change_type") === "update")
+        .select(lit("update_postimage").as("_change_type"), col("doc_id"),
+          col("post").as("n_chars")))
+      .unionByName(feed.filter(col("_change_type") === "insert")
+        .select(lit("insert").as("_change_type"), col("doc_id"),
+          col("post").as("n_chars")))
+      .unionByName(feed.filter(col("_change_type") === "delete")
+        .select(lit("delete").as("_change_type"), col("doc_id"),
+          col("pre").as("n_chars")))
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("_change_type"))
+  }
+
+  private val q293Sql =
+    """WITH v1 AS (SELECT doc_id, n_chars AS pre FROM documents
+      |            WHERE doc_id % 2 = 0),
+      |v2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS post
+      |       FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4
+      |       UNION ALL
+      |       SELECT doc_id, n_chars FROM documents
+      |       WHERE doc_id % 2 = 1 AND doc_id % 5 = 1),
+      |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, pre, post
+      |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+      |feed AS (
+      |  SELECT 'update_preimage' AS _change_type, doc_id, pre AS n_chars
+      |  FROM j WHERE pre IS NOT NULL AND post IS NOT NULL AND pre <> post
+      |  UNION ALL
+      |  SELECT 'update_postimage', doc_id, post
+      |  FROM j WHERE pre IS NOT NULL AND post IS NOT NULL AND pre <> post
+      |  UNION ALL
+      |  SELECT 'insert', doc_id, post FROM j WHERE pre IS NULL
+      |  UNION ALL
+      |  SELECT 'delete', doc_id, pre FROM j WHERE post IS NULL)
+      |SELECT _change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q291
 
   /** q291: TABLE HISTORY — the estate's `DESCRIBE HISTORY` surface: the
@@ -2526,6 +2623,7 @@ object ScalePatterns extends QueryModule {
     "q288_deletion_vectors" -> q288,
     "q291_table_history" -> q291,
     "q292_snapshot_rollback" -> q292,
+    "q293_change_data_feed" -> q293,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2571,6 +2669,7 @@ object ScalePatterns extends QueryModule {
     "q288_deletion_vectors" -> q288Sql,
     "q291_table_history" -> q291Sql,
     "q292_snapshot_rollback" -> q292Sql,
+    "q293_change_data_feed" -> q293Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,
