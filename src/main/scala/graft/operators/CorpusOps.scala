@@ -2188,6 +2188,52 @@ object CorpusOps extends QueryModule {
        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  // --------------------------------------------------------------- q295
+
+  /** q295: DATASET CARD — the release manifest a training snapshot ships
+    * with, computed in ONE grouped pass: per (split × source) — split by
+    * the same seed-free md5 hash q69 releases with — document and token
+    * counts, exact-duplicate count (docs minus distinct text
+    * fingerprints), total characters, and language coverage. This is the
+    * table a consumer reads before training: mixture shares, dup burden
+    * and language balance PER SPLIT, so a skewed split or a dedup
+    * regression is visible at publish time rather than mid-run.
+    *
+    * Scale: one shuffle keyed by (split, source); the two distinct
+    * counts ride the same aggregate as partial distinct sets bounded by
+    * the group's fingerprint/language cardinality; the card is
+    * O(splits × sources) rows at any corpus size.
+    */
+  private def q295(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr(
+      "CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100")
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast(LongType)).as("n_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  private val q295Sql = {
+    val hex7 = graft.Exact.sqlHexToLong("md5('doc-' || doc_id)", 1, 7)
+    s"""SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM (
+       |  SELECT *, CASE WHEN CAST($hex7 AS BIGINT) % 100 < 80 THEN 'train'
+       |                 WHEN CAST($hex7 AS BIGINT) % 100 < 90 THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** q224: BM25 ranked retrieval — the lexical top-10 per query doc, the
     * text-search leg every RAG/retrieval pipeline runs next to its vector
     * index (and the "more-like-this" primitive of lexical dedup review).
@@ -2236,6 +2282,7 @@ object CorpusOps extends QueryModule {
     "q274_token_waterfill" -> q274,
     "q283_epoch_schedule" -> q283,
     "q287_shard_publish" -> q287,
+    "q295_dataset_card" -> q295,
     "q229_bpe_train" -> q229,
     "q234_bpe_encode" -> q234,
     "q238_leakage_safe_split" -> q238
@@ -2273,6 +2320,7 @@ object CorpusOps extends QueryModule {
     "q274_token_waterfill" -> q274Sql,
     "q283_epoch_schedule" -> q283Sql,
     "q287_shard_publish" -> q287Sql,
+    "q295_dataset_card" -> q295Sql,
     "q229_bpe_train" -> q229Sql,
     "q234_bpe_encode" -> q234Sql,
     "q238_leakage_safe_split" -> q238Sql

@@ -2292,7 +2292,11 @@ object ScalePatterns extends QueryModule {
     * equality. A 100 TB estate's CDC consumers read this, never the
     * table.
     */
-  private def q293(s: SparkSession, d: String): DataFrame = {
+  /** q293/q294's staged two-version estate: v1 = even doc ids, v2 = edits
+    * (+1000 chars on id%6==0), purges (id%10==4), and new odd id%5==1
+    * rows. Returns the table dir.
+    */
+  private def cdfEstate(s: SparkSession, d: String): String = {
     import graft.sources.{VersionedManifest => VM}
     val dir = graft.StagingDirs.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
@@ -2314,6 +2318,16 @@ object ScalePatterns extends QueryModule {
       VM.commit(s, dir, 2, "edit + purge + append")
       java.nio.file.Files.createFile(done)
     }
+    dir
+  }
+
+  /** The classified full-outer diff of the [[cdfEstate]] versions — the
+    * (doc_id, pre, post, _change_type ∈ insert/delete/update) frame both
+    * q293 (envelope) and q294 (incremental apply) consume.
+    */
+  private def cdfFeed(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = cdfEstate(s, d)
     val v1 = VM.readAt(s, dir, 1).select(col("doc_id"), col("n_chars").as("pre"))
     val v2 = VM.readAt(s, dir, 2).select(col("doc_id"), col("n_chars").as("post"))
     val feed = v1.join(v2, Seq("doc_id"), "full_outer")
@@ -2323,6 +2337,11 @@ object ScalePatterns extends QueryModule {
           .when(!(col("pre") <=> col("post")), "update")
           .otherwise("unchanged"))
       .filter(col("_change_type") =!= "unchanged")
+    feed
+  }
+
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    val feed = cdfFeed(s, d)
     // updates fan into the two-image envelope; n_chars is the image value
     feed.filter(col("_change_type") === "update")
       .select(lit("update_preimage").as("_change_type"), col("doc_id"),
@@ -2368,6 +2387,70 @@ object ScalePatterns extends QueryModule {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q294
+
+  /** q294: CDF APPLY — the consuming half of q293: a downstream
+    * per-bucket aggregate is maintained INCREMENTALLY by retraction
+    * arithmetic (insert → +1/+post, delete → −1/−pre, update → 0/(post −
+    * pre)) folded into the stale v1 aggregate — and the result must equal
+    * the direct aggregate over v2, which is exactly what the oracle
+    * computes. This is the contract that makes a CDC feed USABLE: the
+    * deltas alone reconstruct any downstream rollup without rescanning
+    * the table, including buckets the feed never touched (they pass
+    * through from the stale side).
+    *
+    * Scale: apply cost is one O(changed)-row aggregate + an
+    * O(buckets)-sized merge join — the same maintenance loop as q282's
+    * MV refresh, but driven by the row-level feed rather than an
+    * append-only increment, so it also handles updates and deletes.
+    */
+  private def q294(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = cdfEstate(s, d)
+    val stale = VM.readAt(s, dir, 1)
+      .groupBy((col("doc_id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n0"), sum(col("n_chars")).as("c0"))
+    val deltas = cdfFeed(s, d)
+      .select((col("doc_id") % 8).as("bucket"),
+        when(col("_change_type") === "insert", lit(1L))
+          .when(col("_change_type") === "delete", lit(-1L))
+          .otherwise(lit(0L)).as("dn"),
+        (coalesce(col("post"), lit(0L)) - coalesce(col("pre"), lit(0L)))
+          .as("dc"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"),
+        count(lit(1)).as("n_changes"))
+    stale.join(deltas, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("total_chars"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q294Sql =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4
+      |  UNION ALL
+      |  SELECT doc_id, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 = 1),
+      |v1 AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+      |chg AS (
+      |  SELECT COALESCE(v1.doc_id, v2.doc_id) % 8 AS bucket
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |  WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+      |     OR v1.n_chars <> v2.n_chars)
+      |SELECT b.bucket, CAST(b.n_docs AS BIGINT) AS n_docs,
+      |  CAST(b.total_chars AS BIGINT) AS total_chars,
+      |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_changes
+      |FROM (SELECT doc_id % 8 AS bucket, COUNT(*) AS n_docs,
+      |        SUM(n_chars) AS total_chars FROM v2 GROUP BY 1) b
+      |LEFT JOIN (SELECT bucket, COUNT(*) AS n FROM chg GROUP BY 1) c
+      |  ON b.bucket = c.bucket
+      |ORDER BY b.bucket""".stripMargin
 
   // --------------------------------------------------------------- q291
 
@@ -2624,6 +2707,7 @@ object ScalePatterns extends QueryModule {
     "q291_table_history" -> q291,
     "q292_snapshot_rollback" -> q292,
     "q293_change_data_feed" -> q293,
+    "q294_cdf_apply" -> q294,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2670,6 +2754,7 @@ object ScalePatterns extends QueryModule {
     "q291_table_history" -> q291Sql,
     "q292_snapshot_rollback" -> q292Sql,
     "q293_change_data_feed" -> q293Sql,
+    "q294_cdf_apply" -> q294Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,
