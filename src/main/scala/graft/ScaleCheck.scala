@@ -54,6 +54,9 @@ object ScaleCheck {
     // q288's read is O(live rows) + a broadcast DV; q289 is one
     // partial-agg pass per lattice level
     "q288_deletion_vectors", "q289_k_anonymity",
+    // q293/q294 cost one two-version key join (feed ships O(changed));
+    // q295's card is one (split × source)-keyed pass over the corpus
+    "q293_change_data_feed", "q294_cdf_apply", "q295_dataset_card",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant
