@@ -191,9 +191,12 @@ object VersionedManifest {
     orphans.foreach { case (_, p) => f.delete(p, true) }
     // log-format staging dirs (`d-*`, [[tryCommit]]): reclaim the ones no
     // committed manifest references — a lost optimistic attempt's files.
-    // Referenced-set cost is O(#versions) tiny manifest reads.
+    // Referenced-set cost is O(#versions) tiny manifest reads. The
+    // protected name is the FIRST path segment under the table dir (a
+    // nested `data=d-x/part` manifest must protect `d-x`, not `part`).
     val referenced = committed.map(n =>
-      resolveDataDir(s, dir, n).stripSuffix("/").split('/').last)
+      resolveDataDir(s, dir, n).stripPrefix(dir).stripPrefix("/")
+        .split('/').head)
     entries
       .filter(p => p.getName.startsWith("d-") && !referenced(p.getName))
       .foreach(p => f.delete(p, true))

@@ -580,6 +580,52 @@ class StreamsSpec extends SparkSpec {
       Seq((0L, "dedupe")), meta.mkString(", "))
   }
 
+  test("multiple-watermark policy: min keeps the slow input's late rows, max drops them") {
+    // two watermarked inputs unioned: the GLOBAL watermark is min(inputs)
+    // by default — a slow input holds windows open so its late rows still
+    // count — while policy=max advances with the fastest input and drops
+    // them. No batch oracle can see this; the policy decides correctness
+    // vs latency for every multi-source streaming union at scale.
+    def run(policy: String): Map[Long, Long] = {
+      val key = "spark.sql.streaming.multipleWatermarkPolicy"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, policy)
+      try {
+        import spark.implicits._
+        implicit val sc = spark.sqlContext
+        val a = MemoryStream[Long]
+        val b = MemoryStream[Long]
+        def evs(m: MemoryStream[Long]) = m.toDS().toDF("secs")
+          .select(timestamp_seconds(col("secs")).as("ts"))
+          .withWatermark("ts", "0 seconds")
+        val u = evs(a).unionByName(evs(b))
+          .groupBy(window(col("ts"), "10 seconds").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").cast("long").as("wstart"), col("n"))
+        val q = u.writeStream.format("memory").queryName(s"wmpol_$policy")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          a.addData(5L); b.addData(5L); q.processAllAvailable()
+          a.addData(60L); q.processAllAvailable()   // a races ahead
+          b.addData(7L); q.processAllAvailable()    // b's late row
+          a.addData(120L); b.addData(120L); q.processAllAvailable()
+          a.addData(200L); b.addData(200L); q.processAllAvailable()
+          spark.table(s"wmpol_$policy").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val mn = run("min")
+    val mx = run("max")
+    assert(mn.get(0L).contains(3L),
+      s"min policy must keep the slow side's late row in [0,10): $mn")
+    assert(mx.get(0L).contains(2L),
+      s"max policy must have closed [0,10) early and dropped it: $mx")
+  }
+
   test("q286 temporal enrichment join is STATELESS — only the tier rollup holds state") {
     // a stream-stream spelling of the same join would buffer events in a
     // state store; the stream-static broadcast join must leave only the
