@@ -125,7 +125,8 @@ object Bench {
     "q286_stream_scd2_enrich", "q287_shard_publish",
     "q288_deletion_vectors", "q289_k_anonymity", "q290_pseudonymize",
     "q291_table_history", "q292_snapshot_rollback",
-    "q293_change_data_feed", "q294_cdf_apply", "q295_dataset_card"
+    "q293_change_data_feed", "q294_cdf_apply", "q295_dataset_card",
+    "q296_dv_compaction"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

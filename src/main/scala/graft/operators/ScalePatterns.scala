@@ -2272,6 +2272,75 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q296
+
+  /** q296: DV-ABSORBING COMPACTION — the lifecycle step q288 defers: the
+    * merge-on-read table (v1 base + positional deletion vector) is
+    * compacted by materializing the live view ONCE into a fresh data dir
+    * and committing it as the next version; after the commit, readers get
+    * a PLAIN scan (Round10Spec pins the anti-join gone from the plan)
+    * while v1 + DV remain time-travelable for forensics. The query reads
+    * the compacted latest; the oracle computes the same logical delete
+    * directly from the source table, so a compaction that dropped,
+    * duplicated, or resurrected rows hash-mismatches.
+    *
+    * Scale: this is the deferred cost MoR trades into — ONE rewrite of
+    * the live rows, scheduled when the DV's read overhead exceeds the
+    * rewrite's amortized cost, instead of q256's rewrite-per-delete; the
+    * versioned commit makes the swap atomic for concurrent readers.
+    */
+  private def q296(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dvcomp_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val delPred = expr(
+      "CAST(conv(substring(md5(concat('del-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 20 = 0")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d).repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "base load")
+      s.read.parquet(s"$dir/v=1")
+        .select(col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("r"), col("doc_id"))
+        .filter(delPred).select(col("f"), col("r"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/dv-v1")
+      // the compaction: materialize the live view once, commit atomically
+      morView(s, dir).write.mode("overwrite").parquet(s"$dir/d-compact-1")
+      require(VM.tryCommit(s, dir, 2, "data=d-compact-1\ncompaction: DV absorbed"),
+        "compaction commit lost a race in a single-writer test")
+      java.nio.file.Files.createFile(done)
+    }
+    val v = VM.latestCommitted(s, dir).get
+    VM.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("compacted_version", lit(v))
+      .orderBy(col("source"))
+  }
+
+  /** The q296 merge-on-read view over v1 + its deletion vector — shared
+    * with the spec so "before compaction: anti join / after: plain scan"
+    * compares the same construction.
+    */
+  private[operators] def morView(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/v=1")
+      .withColumn("f", col("_metadata.file_path"))
+      .withColumn("r", col("_metadata.row_index"))
+      .join(broadcast(s.read.parquet(s"$dir/dv-v1")), Seq("f", "r"), "left_anti")
+      .drop("f", "r")
+
+  private val q296Sql = {
+    val h7 = graft.Exact.sqlHexToLong("md5('del-' || doc_id)", 1, 7)
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(2 AS BIGINT) AS compacted_version
+       |FROM documents
+       |WHERE CAST($h7 AS BIGINT) % 20 <> 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // --------------------------------------------------------------- q293
 
   /** q293: CHANGE DATA FEED — q255's version diff upgraded to the full
@@ -2708,6 +2777,7 @@ object ScalePatterns extends QueryModule {
     "q292_snapshot_rollback" -> q292,
     "q293_change_data_feed" -> q293,
     "q294_cdf_apply" -> q294,
+    "q296_dv_compaction" -> q296,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2755,6 +2825,7 @@ object ScalePatterns extends QueryModule {
     "q292_snapshot_rollback" -> q292Sql,
     "q293_change_data_feed" -> q293Sql,
     "q294_cdf_apply" -> q294Sql,
+    "q296_dv_compaction" -> q296Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -745,6 +745,24 @@ class Round10Spec extends SparkSpec {
     assert(VM.readLatest(spark, dir).count() == VM.readAt(spark, dir, 1).count())
   }
 
+  test("q296 compaction absorbs the DV: plain scan after, anti join only before") {
+    SparkEntry.queries("q296_dv_compaction")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dvcomp_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    // before: the MoR view needs the broadcast anti join
+    val before = ScalePatterns.morView(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(before.contains("LeftAnti"), s"MoR view lost its DV subtract:\n$before")
+    // after: the compacted latest is a PLAIN scan — no join at all
+    val after = graft.sources.VersionedManifest.readLatest(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!after.contains("Join"), s"compacted read still joins:\n$after")
+    // and both spell the same rows
+    assert(ScalePatterns.morView(spark, dir).count() ==
+      graft.sources.VersionedManifest.readLatest(spark, dir).count())
+  }
+
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
     val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
       .collect()
