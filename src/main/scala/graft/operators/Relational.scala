@@ -526,6 +526,65 @@ object Relational extends QueryModule {
        |      FROM orders) o ON c.ct = o.ot
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q297
+
+  /** q297: NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * every SQL engine must implement exactly: when the subquery's column
+    * contains a NULL, `x NOT IN (...)` is never TRUE (x <> NULL is
+    * UNKNOWN, and the conjunction can't be satisfied) so the query
+    * returns ZERO rows, while the `NOT EXISTS` spelling of the "same"
+    * intent ignores the NULLs and returns the real anti-join. Both
+    * spellings run against a subquery that nulls out every 100th
+    * customer key; the two-row summary (spelling → count) hash-matches
+    * DuckDB, pinning that the engine implements the standard, not the
+    * intuition.
+    *
+    * Scale: the planner turns NOT IN into a NULL-aware anti join — a
+    * broadcast of the whole subquery when small, a much heavier plan
+    * than the plain anti join NOT EXISTS gets; the correctness-vs-cost
+    * asymmetry is WHY pipelines should write NOT EXISTS, and this query
+    * is the executable documentation.
+    */
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_q297")
+    Tables.customer(s, d).createOrReplaceTempView("customer_q297")
+    s.sql(
+      """WITH nullable_keys AS (
+        |  SELECT CASE WHEN c_custkey % 100 = 0 THEN CAST(NULL AS BIGINT)
+        |              ELSE c_custkey END AS k
+        |  FROM customer_q297),
+        |via_not_in AS (
+        |  SELECT COUNT(*) AS n FROM orders_q297
+        |  WHERE o_custkey NOT IN (SELECT k FROM nullable_keys)),
+        |via_not_exists AS (
+        |  SELECT COUNT(*) AS n FROM orders_q297 o
+        |  WHERE NOT EXISTS (SELECT 1 FROM nullable_keys
+        |                    WHERE k = o.o_custkey))
+        |SELECT 'not_in' AS spelling, CAST(n AS BIGINT) AS n_rows
+        |FROM via_not_in
+        |UNION ALL
+        |SELECT 'not_exists', CAST(n AS BIGINT) FROM via_not_exists
+        |ORDER BY spelling""".stripMargin)
+  }
+
+  private val q297Sql =
+    """WITH nullable_keys AS (
+      |  SELECT CASE WHEN c_custkey % 100 = 0 THEN CAST(NULL AS BIGINT)
+      |              ELSE c_custkey END AS k
+      |  FROM customer),
+      |via_not_in AS (
+      |  SELECT COUNT(*) AS n FROM orders
+      |  WHERE o_custkey NOT IN (SELECT k FROM nullable_keys)),
+      |via_not_exists AS (
+      |  SELECT COUNT(*) AS n FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM nullable_keys
+      |                    WHERE k = o.o_custkey))
+      |SELECT 'not_in' AS spelling, CAST(n AS BIGINT) AS n_rows
+      |FROM via_not_in
+      |UNION ALL
+      |SELECT 'not_exists', CAST(n AS BIGINT) FROM via_not_exists
+      |ORDER BY spelling""".stripMargin
+
   // --------------------------------------------------------------- q243
 
   /** q243: DATA-QUALITY AUDIT — the constraint pass a pipeline runs
@@ -682,6 +741,7 @@ object Relational extends QueryModule {
     "q243_dq_audit" -> q243,
     "q289_k_anonymity" -> q289,
     "q290_pseudonymize" -> q290,
+    "q297_not_in_nulls" -> q297,
     "q265_observed_metrics" -> q265,
     "q268_sql_pipe" -> q268,
     "q188_market_share" -> q188,
@@ -701,6 +761,7 @@ object Relational extends QueryModule {
     "q243_dq_audit" -> q243Sql,
     "q289_k_anonymity" -> q289Sql,
     "q290_pseudonymize" -> q290Sql,
+    "q297_not_in_nulls" -> q297Sql,
     "q265_observed_metrics" -> q265Sql,
     "q268_sql_pipe" -> q268Sql,
     "q188_market_share" -> q188Sql,
