@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     ext.injectResolutionRule(s => new graft.plans.ResolveV2Views(s))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -2341,6 +2341,67 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q298
+
+  /** q298: AUTOMATIC BINNED RANGE JOIN — events enriched with the
+    * campaign window containing their event time: a pure interval join
+    * (no equi key), which Spark plans as a nested-loop — O(events ×
+    * campaigns) comparisons, the scale killer of point-in-interval
+    * enrichment. With `plans.RangeJoinRewrite` gated on (1-hour bins),
+    * the SAME declarative query plans as a hash equi-join on the bin
+    * with the original predicate as residual: PlanSpec pins the plan
+    * flip (NestedLoop without the rule, HashJoin + zero NestedLoop with
+    * it) and the oracle hash-checks that the rewrite changed the plan,
+    * not the answer. Campaign windows are generated in-plan (50
+    * five-hour windows every ~14 h across the event month) so both
+    * engines replay them bit-identically.
+    *
+    * Scale: candidates drop from |events|·|campaigns| to
+    * O(matches + campaigns · span/W); the join hash-partitions on the
+    * bin like any equi-join, so it shuffles instead of replicating a
+    * side. The conf is the tuning knob a real estate sets per domain
+    * (W ≈ median interval width).
+    */
+  private def q298(s: SparkSession, d: String): DataFrame = {
+    val prev = s.conf.getOption("spark.graft.rangejoin.bin").getOrElse("0")
+    s.conf.set("spark.graft.rangejoin.bin", "3600")
+    try {
+      // freeze the rewritten plan while the conf is in scope (q280's
+      // localCheckpoint discipline)
+      q298Query(s, d).localCheckpoint()
+    } finally s.conf.set("spark.graft.rangejoin.bin", prev)
+  }
+
+  /** The q298 frame WITHOUT conf scoping — shared with PlanSpec so the
+    * rule-off and rule-on plans compare the same construction.
+    */
+  private[graft] def q298Query(s: SparkSession, d: String): DataFrame = {
+    val base = 1704067200L // 2024-01-01T00:00:00Z, the event month's start
+    val camp = s.range(50).select(col("id").as("campaign_id"),
+      expr(s"timestamp_seconds($base + id * 50220)").as("c_start"),
+      expr(s"timestamp_seconds($base + id * 50220 + 18000)").as("c_end"))
+    Tables.events(s, d)
+      .join(camp, col("ts") >= col("c_start") && col("ts") <= col("c_end"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("campaign_id"))
+  }
+
+  private val q298Sql =
+    s"""WITH camp AS (
+       |  SELECT range AS campaign_id,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + INTERVAL (range * 50220) SECOND AS c_start,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + INTERVAL (range * 50220 + 18000) SECOND AS c_end
+       |  FROM range(50))
+       |SELECT campaign_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events JOIN camp
+       |  ON CAST(ts AS TIMESTAMP) >= c_start AND CAST(ts AS TIMESTAMP) <= c_end
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q293
 
   /** q293: CHANGE DATA FEED — q255's version diff upgraded to the full
@@ -2778,6 +2839,7 @@ object ScalePatterns extends QueryModule {
     "q293_change_data_feed" -> q293,
     "q294_cdf_apply" -> q294,
     "q296_dv_compaction" -> q296,
+    "q298_range_join_rewrite" -> q298,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2826,6 +2888,7 @@ object ScalePatterns extends QueryModule {
     "q293_change_data_feed" -> q293Sql,
     "q294_cdf_apply" -> q294Sql,
     "q296_dv_compaction" -> q296Sql,
+    "q298_range_join_rewrite" -> q298Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -516,6 +516,30 @@ class PlanSpec extends SparkSpec {
       s"DPP did not prune: read $readPartitions of $totalPartitions partitions")
   }
 
+  test("q298 range-join rewrite flips nested-loop to a binned hash join, rows identical") {
+    val key = "spark.graft.rangejoin.bin"
+    import graft.operators.ScalePatterns
+    def planOf(w: String): (String, Seq[org.apache.spark.sql.Row]) = {
+      val prev = spark.conf.getOption(key).getOrElse("0")
+      spark.conf.set(key, w)
+      try {
+        val df = ScalePatterns.q298Query(spark, sf0001)
+        (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      } finally spark.conf.set(key, prev)
+    }
+    val (off, rowsOff) = planOf("0")
+    assert(off.contains("NestedLoopJoin"),
+      s"without the rule the pure range join must nested-loop:\n$off")
+    val (on, rowsOn) = planOf("3600")
+    assert(!on.contains("NestedLoopJoin"), s"rule left a nested loop:\n$on")
+    assert(on.contains("HashJoin"), s"expected a binned hash join:\n$on")
+    assert(on.contains("graft_pbin") || on.contains("graft_ibin"),
+      s"bin columns missing from the rewritten plan:\n$on")
+    // the rewrite changed the plan, not the answer
+    assert(rowsOn == rowsOff,
+      s"row mismatch: on=${rowsOn.take(3)} off=${rowsOff.take(3)}")
+  }
+
   test("q30 top-3 per group runs under WindowGroupLimit, partial then final") {
     // the rank-filter idiom must not materialize whole per-group windows:
     // Spark's InferWindowGroupLimit turns `row_number ... WHERE rn <= 3`
