@@ -126,7 +126,8 @@ object Bench {
     "q288_deletion_vectors", "q289_k_anonymity", "q290_pseudonymize",
     "q291_table_history", "q292_snapshot_rollback",
     "q293_change_data_feed", "q294_cdf_apply", "q295_dataset_card",
-    "q296_dv_compaction", "q297_not_in_nulls", "q298_range_join_rewrite"
+    "q296_dv_compaction", "q297_not_in_nulls", "q298_range_join_rewrite",
+    "q299_mor_merge"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -2341,6 +2341,90 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q299
+
+  /** q299: MoR MERGE — the deletion-vector-backed UPSERT that completes
+    * the row-level-operations matrix (COW delete q256, COW merge q269,
+    * MoR delete q288, MoR compaction q296): one merge applies UPDATES,
+    * DELETES and INSERTS against the base WITHOUT rewriting it — old
+    * images of updated and deleted rows go into the positional DV
+    * (O(touched)), postimages of updates plus brand-new rows land in a
+    * small DELTA file (O(touched)), and the read view is
+    * `(base − DV) ∪ delta`. The change-set is q293's exact scenario
+    * (edit id%6==0, purge id%10==4, insert odd id%5==1), so the oracle
+    * replays the merged end state from the source table — a row
+    * double-applied, half-applied, or resurrected hash-mismatches; the
+    * DV and delta sizes ride along as audited columns.
+    *
+    * Scale: merge cost is O(touched rows) in both artifacts vs COW's
+    * rewrite of every touched FILE; the read adds one broadcast
+    * anti-join and one union, both absorbed by the next q296-style
+    * compaction. This is Delta's DV-backed MERGE / Iceberg's
+    * positional-delete + data-file commit in its layout essence.
+    */
+  private def q299(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mormerge_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      docs.filter(col("doc_id") % 2 === 0).repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      // DV: old images of deleted (%10==4) AND updated (%6==0) rows
+      s.read.parquet(s"$dir/base")
+        .select(col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("r"), col("doc_id"))
+        .filter(col("doc_id") % 10 === 4 || col("doc_id") % 6 === 0)
+        .select(col("f"), col("r"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/dv")
+      // delta: postimages of surviving updates + the arriving inserts
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 4 &&
+          col("doc_id") % 6 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(docs.filter(col("doc_id") % 2 === 1 && col("doc_id") % 5 === 1))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/delta")
+      java.nio.file.Files.createFile(done)
+    }
+    val dv = s.read.parquet(s"$dir/dv")
+    val delta = s.read.parquet(s"$dir/delta")
+    val (nDv, nDelta) = (dv.count(), delta.count())
+    s.read.parquet(s"$dir/base")
+      .withColumn("f", col("_metadata.file_path"))
+      .withColumn("r", col("_metadata.row_index"))
+      .join(broadcast(dv), Seq("f", "r"), "left_anti")
+      .drop("f", "r")
+      .unionByName(delta)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("n_dv", lit(nDv))
+      .withColumn("n_delta", lit(nDelta))
+      .orderBy(col("source"))
+  }
+
+  private val q299Sql =
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+      |    source
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4
+      |  UNION ALL
+      |  SELECT doc_id, n_chars, source FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 = 1),
+      |sizes AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0
+      |       AND (doc_id % 10 = 4 OR doc_id % 6 = 0)) AS n_dv,
+      |    (SELECT COUNT(*) FROM documents
+      |       WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 4 AND doc_id % 6 = 0)
+      |          OR (doc_id % 2 = 1 AND doc_id % 5 = 1)) AS n_delta)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST((SELECT n_dv FROM sizes) AS BIGINT) AS n_dv,
+      |  CAST((SELECT n_delta FROM sizes) AS BIGINT) AS n_delta
+      |FROM v2 GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q298
 
   /** q298: AUTOMATIC BINNED RANGE JOIN — events enriched with the
@@ -2840,6 +2924,7 @@ object ScalePatterns extends QueryModule {
     "q294_cdf_apply" -> q294,
     "q296_dv_compaction" -> q296,
     "q298_range_join_rewrite" -> q298,
+    "q299_mor_merge" -> q299,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2889,6 +2974,7 @@ object ScalePatterns extends QueryModule {
     "q294_cdf_apply" -> q294Sql,
     "q296_dv_compaction" -> q296Sql,
     "q298_range_join_rewrite" -> q298Sql,
+    "q299_mor_merge" -> q299Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,
