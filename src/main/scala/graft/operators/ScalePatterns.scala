@@ -2341,6 +2341,70 @@ object ScalePatterns extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q300
+
+  /** q300: COLUMN MAPPING — renaming a column on a 100 TB table without
+    * touching a byte of data: the table's LOGICAL schema maps each
+    * logical name to the PHYSICAL name a file generation carries
+    * (Delta's column-mapping / Iceberg's field-id indirection, reduced
+    * to its essence). Here history (v1) physically stores `n_chars`,
+    * the post-rename generation (v2) stores `char_count`, and the
+    * per-version mapping (recorded in each commit's manifest body as
+    * `map=logical:physical` lines) lets ONE reader resolve both
+    * generations to the logical schema and union them. The oracle
+    * computes from the source table under the logical name, so a
+    * mapping applied to the wrong generation, a dropped rename, or a
+    * physical-name leak all hash-mismatch. Round10Spec pins that the
+    * rename rewrote nothing: v1's files are byte-identical before and
+    * after the rename commit.
+    *
+    * Scale: the rename is ONE manifest write; every alternative is a
+    * full-table rewrite. The read-side cost is a per-generation
+    * projection alias — free under codegen.
+    */
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_colmap_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      // generation 1: physical name n_chars
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "map=char_count:n_chars\ninitial load")
+      // the RENAME + the next increment: new files carry the new
+      // physical name; old files are never rewritten
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("n_chars", "char_count")
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      VM.commit(s, dir, 2, "map=char_count:char_count\nrename n_chars -> char_count; append odds")
+      java.nio.file.Files.createFile(done)
+    }
+    // the mapped reader: resolve each generation's physical schema to
+    // the logical one, then union
+    val gens = VM.committedVersions(s, dir).map { n =>
+      val mapping = VM.describe(s, dir, n).linesIterator
+        .filter(_.startsWith("map=")).map(_.stripPrefix("map="))
+        .map { kv => val Array(lg, ph) = kv.split(":", 2); lg -> ph }
+        .toMap
+      mapping.foldLeft(VM.readAt(s, dir, n)) { case (df, (lg, ph)) =>
+        if (lg == ph) df else df.withColumnRenamed(ph, lg)
+      }
+    }
+    gens.reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("char_count")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q300Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q299
 
   /** q299: MoR MERGE — the deletion-vector-backed UPSERT that completes
@@ -2925,6 +2989,7 @@ object ScalePatterns extends QueryModule {
     "q296_dv_compaction" -> q296,
     "q298_range_join_rewrite" -> q298,
     "q299_mor_merge" -> q299,
+    "q300_column_mapping" -> q300,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -2975,6 +3040,7 @@ object ScalePatterns extends QueryModule {
     "q296_dv_compaction" -> q296Sql,
     "q298_range_join_rewrite" -> q298Sql,
     "q299_mor_merge" -> q299Sql,
+    "q300_column_mapping" -> q300Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

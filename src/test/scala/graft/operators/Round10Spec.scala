@@ -763,6 +763,42 @@ class Round10Spec extends SparkSpec {
       graft.sources.VersionedManifest.readLatest(spark, dir).count())
   }
 
+  test("q300 column rename rewrites nothing: the old generation is byte-identical") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{VersionedManifest => VM}
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_colmap_spec_" +
+      spark.sparkContext.applicationId
+    graft.StagingDirs.register(dir)
+    Seq((1L, 10L, "s1"), (2L, 20L, "s2")).toDF("doc_id", "n_chars", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v=1")
+    VM.commit(spark, dir, 1, "map=char_count:n_chars\ninitial")
+    def stats(): Map[String, (Long, Long)] = {
+      val st = Files.list(Paths.get(dir, "v=1"))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis)).toMap
+      finally st.close()
+    }
+    val before = stats()
+    Seq((3L, 30L, "s1")).toDF("doc_id", "char_count", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/v=2")
+    VM.commit(spark, dir, 2, "map=char_count:char_count\nrename + append")
+    assert(stats() == before, "rename must not touch generation-1 files")
+    // the mapped union resolves both physical names to the logical one
+    val mapped = Seq(1L, 2L).map { n =>
+      val m = VM.describe(spark, dir, n).linesIterator
+        .filter(_.startsWith("map=")).map(_.stripPrefix("map="))
+        .map { kv => val Array(lg, ph) = kv.split(":", 2); lg -> ph }.toMap
+      m.foldLeft(VM.readAt(spark, dir, n)) { case (df, (lg, ph)) =>
+        if (lg == ph) df else df.withColumnRenamed(ph, lg)
+      }
+    }.reduce(_ unionByName _)
+    assert(mapped.columns.contains("char_count") && !mapped.columns.contains("n_chars"))
+    assert(mapped.agg(sum(col("char_count"))).head.getLong(0) == 60L)
+  }
+
   test("q283 schedule is exact, tight to one document, and seed-free deterministic") {
     val sched = SparkEntry.queries("q283_epoch_schedule")(spark, sf0001)
       .collect()
