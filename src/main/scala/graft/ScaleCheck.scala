@@ -57,6 +57,9 @@ object ScaleCheck {
     // q293/q294 cost one two-version key join (feed ships O(changed));
     // q295's card is one (split × source)-keyed pass over the corpus
     "q293_change_data_feed", "q294_cdf_apply", "q295_dataset_card",
+    // q296/q299 stage O(data) once then read O(live)+broadcast artifacts;
+    // q298's binned join candidates track matches, not the cross product
+    "q296_dv_compaction", "q298_range_join_rewrite", "q299_mor_merge",
     // streaming state sweep (r8 verdict #5): ScaleGen shifts event/doc
     // ids but keeps timestamps and text, so at 10× input the CONTRACT is
     // window-agg state ≈ constant (q90/q148), dedup-gate state ≈ constant
