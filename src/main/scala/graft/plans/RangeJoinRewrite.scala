@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode,
-  Expression, GreaterThanOrEqual, IntegralDivide, LessThanOrEqual, Literal,
-  Sequence}
+  Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan,
+  LessThanOrEqual, Literal, Sequence}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Generate, Join, JoinHint, LogicalPlan, Project}
@@ -68,16 +68,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  // lower <= point in either spelling → (point, lower)
+  // lower ≤/< point in either spelling → (point, lower). Strict bounds
+  // are fine: lo < p still implies bin(lo) ≤ bin(p), so the candidate
+  // set stays complete and the residual applies the strictness exactly.
   private def asLower(e: Expression): Option[(Expression, Expression)] = e match {
     case GreaterThanOrEqual(p, lo) => Some((p, lo))
     case LessThanOrEqual(lo, p) => Some((p, lo))
+    case GreaterThan(p, lo) => Some((p, lo))
+    case LessThan(lo, p) => Some((p, lo))
     case _ => None
   }
-  // point <= upper in either spelling → (point, upper)
+  // point ≤/< upper in either spelling → (point, upper)
   private def asUpper(e: Expression): Option[(Expression, Expression)] = e match {
     case LessThanOrEqual(p, hi) => Some((p, hi))
     case GreaterThanOrEqual(hi, p) => Some((p, hi))
+    case LessThan(p, hi) => Some((p, hi))
+    case GreaterThan(hi, p) => Some((p, hi))
     case _ => None
   }
 

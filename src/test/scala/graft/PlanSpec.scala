@@ -1,6 +1,7 @@
 package graft
 
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 
 /** Physical-plan shape assertions — the scale posture is part of the
   * contract, not an accident of the optimizer's mood. Each test pins a
@@ -538,6 +539,33 @@ class PlanSpec extends SparkSpec {
     // the rewrite changed the plan, not the answer
     assert(rowsOn == rowsOff,
       s"row mismatch: on=${rowsOn.take(3)} off=${rowsOff.take(3)}")
+  }
+
+  test("range-join rewrite also covers half-open (strict) interval bounds") {
+    // the idiomatic [start, end) spelling: strict upper bound. Candidate
+    // completeness only needs bin monotonicity, so the rule must fire
+    // and the residual must apply the strictness exactly
+    val key = "spark.graft.rangejoin.bin"
+    def run(w: String) = {
+      val prev = spark.conf.getOption(key).getOrElse("0")
+      spark.conf.set(key, w)
+      try {
+        val camp = spark.range(50).select(col("id").as("campaign_id"),
+          expr("timestamp_seconds(1704067200 + id * 50220)").as("c_start"),
+          expr("timestamp_seconds(1704067200 + id * 50220 + 18000)").as("c_end"))
+        val df = Tables.events(spark, sf0001)
+          .join(camp, col("ts") >= col("c_start") && col("ts") < col("c_end"))
+          .groupBy(col("campaign_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("campaign_id"))
+        (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      } finally spark.conf.set(key, prev)
+    }
+    val (off, rowsOff) = run("0")
+    val (on, rowsOn) = run("3600")
+    assert(off.contains("NestedLoopJoin"), s"expected NLJ without the rule:\n$off")
+    assert(!on.contains("NestedLoopJoin") && on.contains("HashJoin"),
+      s"strict-bound range join did not rewrite:\n$on")
+    assert(rowsOn == rowsOff)
   }
 
   test("q30 top-3 per group runs under WindowGroupLimit, partial then final") {
