@@ -74,7 +74,10 @@ object TextOps extends QueryModule {
     * composite score. Pure double arithmetic from exact integers, same
     * operation order both engines.
     */
-  private def q71(s: SparkSession, d: String): DataFrame =
+  /** Per-doc quality frame — q71's exact arithmetic, shared with q301's
+    * threshold sweep so both engines' doubles stay bit-identical.
+    */
+  private def qualityFrame(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .select(
@@ -88,7 +91,52 @@ object TextOps extends QueryModule {
         col("uniq_ratio") * 0.5
           + (lit(1.0) - col("stop_ratio")) * 0.3
           + least(col("n_tokens").cast(DoubleType) / 256.0, lit(1.0)) * 0.2)
-      .orderBy(col("doc_id"))
+
+  private def q71(s: SparkSession, d: String): DataFrame =
+    qualityFrame(s, d).orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- q301
+
+  /** q301: QUALITY THRESHOLD SWEEP — the curation dial rendered as a
+    * curve: for every cut-off 0.0, 0.1, …, 1.0 over q71's quality score,
+    * how many documents and tokens SURVIVE the bar. Corpus curation is a
+    * budget negotiation (tokens kept vs quality floor) and this is the
+    * table that negotiation reads; computed in one pass as a broadcast
+    * 11-row fan-out + one keyed aggregate, with the score arithmetic
+    * shared verbatim with q71 so the threshold comparison is
+    * bit-identical in both engines.
+    *
+    * Scale: the 11× candidate fan-out is a broadcast nested loop over a
+    * constant side — O(11·docs) map-side rows into a partial agg; the
+    * report is 11 rows at any corpus size. (The single-pass alternative
+    * — bucket then suffix-sum — trades the fan-out for a float-bucketing
+    * step whose rounding can disagree with the comparison; the sweep
+    * keeps the comparison itself as the only float op.)
+    */
+  private def q301(s: SparkSession, d: String): DataFrame =
+    qualityFrame(s, d)
+      .crossJoin(s.range(11).select(col("id").as("decile")))
+      .filter(col("quality") >= col("decile").cast(DoubleType) / 10.0)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("decile"))
+
+  private val q301Sql =
+    """WITH q AS (
+      |  SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
+      |    uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |      + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(t) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |t AS (SELECT range AS decile FROM range(11))
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |FROM q JOIN t ON quality >= CAST(decile AS DOUBLE) / 10.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val q71Sql =
     """SELECT doc_id, n_tokens, stop_ratio, uniq_ratio,
@@ -1054,6 +1102,7 @@ object TextOps extends QueryModule {
     "q78_bottomk_udaf" -> q78,
     "q70_token_count" -> q70,
     "q71_quality_score" -> q71,
+    "q301_quality_sweep" -> q301,
     "q72_langid" -> q72,
     "q73_exact_dedup" -> q73,
     "q74_ngram_jaccard" -> q74,
@@ -1075,6 +1124,7 @@ object TextOps extends QueryModule {
     "q78_bottomk_udaf" -> q78Sql,
     "q70_token_count" -> q70Sql,
     "q71_quality_score" -> q71Sql,
+    "q301_quality_sweep" -> q301Sql,
     "q72_langid" -> q72Sql,
     "q73_exact_dedup" -> q73Sql,
     "q74_ngram_jaccard" -> q74Sql,
