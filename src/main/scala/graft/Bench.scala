@@ -127,7 +127,8 @@ object Bench {
     "q291_table_history", "q292_snapshot_rollback",
     "q293_change_data_feed", "q294_cdf_apply", "q295_dataset_card",
     "q296_dv_compaction", "q297_not_in_nulls", "q298_range_join_rewrite",
-    "q299_mor_merge", "q300_column_mapping", "q301_quality_sweep"
+    "q299_mor_merge", "q300_column_mapping", "q301_quality_sweep",
+    "q302_packing_efficiency"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -860,6 +860,66 @@ object CorpusOps extends QueryModule {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM binned GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q302
+
+  /** q302: PACKING EFFICIENCY — the loader-side audit of q86's greedy
+    * 2048-token packing, per language: bins consumed, capacity, slack
+    * (padding the trainer burns), and the truncation exposure — docs
+    * longer than one context and the tokens beyond it (what a
+    * truncate-don't-split loader would throw away). Every figure is an
+    * exact integer, so the report hash-matches; together with q301's
+    * quality sweep it is the two-axis budget table (quality floor ×
+    * context utilization) a training-data planner reads before a run.
+    *
+    * Scale: the same one windowed pass per language as q86 plus a few
+    * conditional sums riding the same aggregate — no extra shuffle; the
+    * report is O(#langs) rows.
+    */
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(toks(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+      .groupBy(col("lang"))
+      .agg(
+        (max(col("bin")) + 1).as("n_bins"),
+        ((max(col("bin")) + 1) * 2048).as("capacity"),
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > 2048, lit(1L)).otherwise(lit(0L)))
+          .as("n_overlong"),
+        sum(when(col("n_tokens") > 2048, col("n_tokens") - 2048)
+          .otherwise(lit(0L))).as("waste_if_truncated"))
+      .withColumn("slack", col("capacity") - col("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val q302Sql =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |binned AS (
+       |  SELECT lang, n_tokens,
+       |    (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS bin
+       |  FROM d),
+       |agg AS (
+       |  SELECT lang, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       |    CAST((MAX(bin) + 1) * 2048 AS BIGINT) AS capacity,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_overlong,
+       |    CAST(SUM(CASE WHEN n_tokens > 2048 THEN n_tokens - 2048 ELSE 0 END)
+       |      AS BIGINT) AS waste_if_truncated
+       |  FROM binned GROUP BY lang)
+       |SELECT lang, n_bins, capacity, total_tokens, n_docs, n_overlong,
+       |  waste_if_truncated, capacity - total_tokens AS slack
+       |FROM agg ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q87
 
   /** q87: bigram language-model statistics — top-20 bigrams by count with
@@ -2283,6 +2343,7 @@ object CorpusOps extends QueryModule {
     "q283_epoch_schedule" -> q283,
     "q287_shard_publish" -> q287,
     "q295_dataset_card" -> q295,
+    "q302_packing_efficiency" -> q302,
     "q229_bpe_train" -> q229,
     "q234_bpe_encode" -> q234,
     "q238_leakage_safe_split" -> q238
@@ -2321,6 +2382,7 @@ object CorpusOps extends QueryModule {
     "q283_epoch_schedule" -> q283Sql,
     "q287_shard_publish" -> q287Sql,
     "q295_dataset_card" -> q295Sql,
+    "q302_packing_efficiency" -> q302Sql,
     "q229_bpe_train" -> q229Sql,
     "q234_bpe_encode" -> q234Sql,
     "q238_leakage_safe_split" -> q238Sql
