@@ -920,6 +920,51 @@ object CorpusOps extends QueryModule {
        |  waste_if_truncated, capacity - total_tokens AS slack
        |FROM agg ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q303
+
+  /** q303: DUPLICATE PROVENANCE — the direction of copying between
+    * sources: within each duplicate group (md5 of the 100-char text
+    * PREFIX — the boilerplate/template-detection spelling, which also
+    * catches near-verbatim re-hosts whose tails differ) the lowest
+    * doc_id is the ORIGINAL (the deterministic survivorship rule q73's
+    * dedup keeps), every other member is a duplicate ATTRIBUTED to its
+    * own source, and the flow matrix (origin_source → dup_source →
+    * count, duplicated chars riding) says who mirrors whom. Curation
+    * reads this to keep originals and to down-weight sources that are
+    * mostly re-hosts; the oracle replays the same min-doc rule, so the
+    * attribution itself is hash-checked.
+    *
+    * Scale: one fingerprint-keyed shuffle (text never shuffles — the
+    * md5 does), the origin resolved by a window min over the same key,
+    * and the matrix is O(sources²) rows at any corpus size.
+    */
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(substring(col("text"), 1, 100)).as("fp"))
+    val w = Window.partitionBy(col("fp"))
+    f.withColumn("origin", min(struct(col("doc_id"), col("source"))).over(w))
+      .filter(col("doc_id") =!= col("origin.doc_id"))
+      .groupBy(col("origin.source").as("origin_source"),
+        col("source").as("dup_source"))
+      .agg(count(lit(1)).as("n_dups"), sum(col("n_chars")).as("dup_chars"))
+      .orderBy(col("origin_source"), col("dup_source"))
+  }
+
+  private val q303Sql =
+    """WITH f AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(substr(text, 1, 100)) AS fp FROM documents),
+      |o AS (SELECT fp, MIN(doc_id) AS odoc FROM f GROUP BY fp),
+      |oo AS (SELECT o.fp, o.odoc, f.source AS origin_source
+      |       FROM o JOIN f ON f.doc_id = o.odoc AND f.fp = o.fp)
+      |SELECT oo.origin_source, f.source AS dup_source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dups,
+      |  CAST(SUM(f.n_chars) AS BIGINT) AS dup_chars
+      |FROM f JOIN oo ON f.fp = oo.fp
+      |WHERE f.doc_id <> oo.odoc
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q87
 
   /** q87: bigram language-model statistics — top-20 bigrams by count with
@@ -2344,6 +2389,7 @@ object CorpusOps extends QueryModule {
     "q287_shard_publish" -> q287,
     "q295_dataset_card" -> q295,
     "q302_packing_efficiency" -> q302,
+    "q303_dup_provenance" -> q303,
     "q229_bpe_train" -> q229,
     "q234_bpe_encode" -> q234,
     "q238_leakage_safe_split" -> q238
@@ -2383,6 +2429,7 @@ object CorpusOps extends QueryModule {
     "q287_shard_publish" -> q287Sql,
     "q295_dataset_card" -> q295Sql,
     "q302_packing_efficiency" -> q302Sql,
+    "q303_dup_provenance" -> q303Sql,
     "q229_bpe_train" -> q229Sql,
     "q234_bpe_encode" -> q234Sql,
     "q238_leakage_safe_split" -> q238Sql
