@@ -485,6 +485,83 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // --------------------------------------------------------------- q304
+
+  /** q304: ANN RECALL@5 — the quality number an approximate index is
+    * judged by, measured IN-ENGINE: q83's scaled-geometry IVF top-5
+    * joined against q80's exact brute-force top-5 per query, reporting
+    * hits out of 5. Both engines replay BOTH rankings (the oracle
+    * carries the full IVF CTE chain and the exact scan), so the recall
+    * numbers themselves are hash-checked — the measurement is part of
+    * the verified surface, not a side spec. LshRecallSpec keeps the
+    * spec-level lower bound; this query makes recall a first-class,
+    * monitorable output a serving estate alerts on.
+    *
+    * Scale: the exact leg is expensive by design (it is the ground
+    * truth) and runs over the small fixed query slice — exactly how a
+    * 100 TB serving estate samples queries for its recall job.
+    */
+  private def q304(s: SparkSession, d: String): DataFrame = {
+    val exact = q80(s, d).select(col("qid"), col("nid"))
+    val ivf = q83(s, d).select(col("qid"), col("nid"), lit(1L).as("hit"))
+    exact.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_recalled"),
+        count(lit(1)).as("k"))
+      .orderBy(col("qid"))
+  }
+
+  private val q304Sql =
+    s"""WITH q AS ($quantizedSql),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM q a CROSS JOIN cents c WHERE a.vec_id < 10)
+       |  WHERE pr <= (SELECT npr FROM geom)),
+       |ivf_scored AS (
+       |  SELECT p.qid, m.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*vv.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qq.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(vv.v, x -> x*x)))) AS cos
+       |  FROM probes p
+       |  JOIN assigned m ON p.cid = m.cid
+       |  JOIN q qq ON qq.vec_id = p.qid
+       |  JOIN q vv ON vv.vec_id = m.vec_id
+       |  WHERE p.qid <> m.vec_id),
+       |ivf AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+       |    FROM ivf_scored) WHERE r <= 5),
+       |ex_scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+       |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+       |    FROM ex_scored) WHERE r <= 5)
+       |SELECT e.qid,
+       |  CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+       |  CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ex e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q84: per-label vector statistics — element-wise means (first 4 dims)
     * and mean squared norm from exact integer sums. The posexplode/groupBy
     * shape is the distributed spelling of a centroid computation: the
@@ -1367,7 +1444,8 @@ object Similarity extends QueryModule {
     "q80_ann_bruteforce" -> q80,
     "q81_ann_lsh" -> q81,
     "q82_embed_neardup" -> q82,
-    "q83_ann_ivf" -> q83
+    "q83_ann_ivf" -> q83,
+    "q304_ann_recall" -> q304
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1385,6 +1463,7 @@ object Similarity extends QueryModule {
     "q80_ann_bruteforce" -> q80Sql,
     "q81_ann_lsh" -> q81Sql,
     "q82_embed_neardup" -> q82Sql,
-    "q83_ann_ivf" -> q83Sql
+    "q83_ann_ivf" -> q83Sql,
+    "q304_ann_recall" -> q304Sql
   )
 }
