@@ -2126,6 +2126,76 @@ object ScalePatterns extends QueryModule {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q307
+
+  /** q307: SHALLOW CLONE — a zero-copy table clone with divergent
+    * histories, the dev/test-against-prod and experiment-branching
+    * primitive of a transactional estate (Delta's `CREATE TABLE ... SHALLOW
+    * CLONE`): the clone's v1 is ONE manifest file whose `data=` lines
+    * reference the source table's committed data dirs by absolute address
+    * ([[graft.sources.VersionedManifest.resolveDataDirs]] — no data bytes
+    * move), and a later append commits v2 listing {source dirs} ∪
+    * {clone-local delta dir}. The source's history never sees the clone's
+    * writes; the clone time-travels independently. Round10Spec pins the
+    * zero-copy and isolation contracts (no parquet lands outside the
+    * clone's own delta dir; source history is still exactly [1]).
+    *
+    * Scale: cloning a 100 TB table costs one O(#dirs) manifest write —
+    * the point of the operator. The clone's reads plan against the
+    * SAME source files (cache- and skipping-friendly); only its deltas
+    * occupy new storage. Vacuum stays per-table safe: external refs are
+    * never part of a table's own reclaim set.
+    */
+  private def cloneEstate(s: SparkSession, d: String): (String, String) = {
+    import graft.sources.{VersionedManifest => VM}
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_clone_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val src = s"$root/src"
+    val cl = s"$root/clone"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      ord.filter(col("o_orderkey") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$src/v=1")
+      VM.commit(s, src, 1, "base load")
+      // SHALLOW CLONE: one manifest write, zero data bytes copied
+      val srcData = VM.resolveDataDirs(s, src, 1)
+      VM.commit(s, cl, 1,
+        srcData.map(p => s"data=$p").mkString("\n") + "\nshallow clone of src@v1")
+      // divergence: the delta lands in the CLONE's own dir; its v2 lists
+      // the inherited source dirs plus the delta
+      ord.filter(col("o_orderkey") % 4 === 1)
+        .write.mode("overwrite").parquet(s"$cl/d-delta-1")
+      VM.commit(s, cl, 2,
+        (srcData.map(p => s"data=$p") :+ "data=d-delta-1").mkString("\n") +
+          "\nclone-local append")
+      java.nio.file.Files.createFile(done)
+    }
+    (src, cl)
+  }
+
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val (src, cl) = cloneEstate(s, d)
+    VM.readLatest(s, src).withColumn("tbl", lit("source"))
+      .unionByName(VM.readLatest(s, cl).withColumn("tbl", lit("clone")))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("tbl"))
+  }
+
+  private val q307Sql =
+    """SELECT tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT 'source' AS tbl, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT 'clone' AS tbl, o_totalprice FROM orders WHERE o_orderkey % 4 IN (0, 1))
+      |GROUP BY tbl ORDER BY tbl""".stripMargin
+
   // --------------------------------------------------------------- q285
 
   /** q285: PARTITION-SPEC EVOLUTION — the estate changed its partition
@@ -2990,6 +3060,7 @@ object ScalePatterns extends QueryModule {
     "q298_range_join_rewrite" -> q298,
     "q299_mor_merge" -> q299,
     "q300_column_mapping" -> q300,
+    "q307_shallow_clone" -> q307,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -3041,6 +3112,7 @@ object ScalePatterns extends QueryModule {
     "q298_range_join_rewrite" -> q298Sql,
     "q299_mor_merge" -> q299Sql,
     "q300_column_mapping" -> q300Sql,
+    "q307_shallow_clone" -> q307Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

@@ -562,6 +562,164 @@ object Similarity extends QueryModule {
        |FROM ex e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q305
+
+  /** q305: SEMI-HARD TRIPLET MINING (Schroff et al., FaceNet, CVPR 2015) —
+    * the contrastive-training data operator: for each anchor in a fixed
+    * query slice, the top-3 HARDEST negatives (highest cosine among
+    * other-label vectors) joined against the anchor's hardest positive
+    * (max cosine among same-label vectors), each negative flagged
+    * `semi_hard` when it lands strictly inside the margin band below the
+    * positive (cos_pos − m < cos_neg < cos_pos, m = 0.05) — exactly the
+    * triplets a metric-learning run trains on.
+    *
+    * Determinism: cosines come from exact integer dot products (the
+    * module-wide quantized domain), so the doubles compared against the
+    * margin are bit-identical in both engines and the flag is exact.
+    *
+    * Scale: the 20-anchor slice BROADCASTS (mining jobs sample anchors;
+    * the sample is always the small side); the corpus streams through
+    * once, partition-local — no corpus×corpus stage. The per-anchor
+    * positive max is a partial aggregate (O(anchors) state); negatives
+    * rank inside the same one pass. At 100 TB the exact scan leg swaps
+    * for q83's IVF candidates, same downstream plan.
+    */
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"),
+      col("label").cast(LongType).as("label"))
+    val anchors = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("qlabel"))
+    val cand = vecs.select(col("vec_id").as("nid"), col("v").as("nv"), col("label").as("nlabel"))
+    val scored = cand.join(broadcast(anchors), col("qid") =!= col("nid"))
+      .withColumn("cos", dotExpr("qv", "nv").cast(DoubleType) /
+        (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv"))))
+    val pos = scored.filter(col("nlabel") === col("qlabel"))
+      .groupBy(col("qid")).agg(max(col("cos")).as("cos_pos"))
+    val negs = scored.filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))).cast(LongType))
+      .filter(col("rank") <= 3)
+    negs.join(pos, "qid")
+      .select(col("qid"), col("rank"), col("nid"),
+        col("cos").as("cos_neg"), col("cos_pos"),
+        when(col("cos") < col("cos_pos") && col("cos") > col("cos_pos") - lit(0.05), lit(1L))
+          .otherwise(lit(0L)).as("semi_hard"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q305Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid, b.label AS nlabel,
+       |    CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+       |  FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+       |pos AS (
+       |  SELECT qid, MAX(cos) AS cos_pos FROM scored WHERE nlabel = qlabel GROUP BY qid),
+       |negs AS (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |  FROM scored WHERE nlabel <> qlabel)
+       |SELECT n.qid, n.rank, n.nid, n.cos AS cos_neg, p.cos_pos,
+       |  CAST(CASE WHEN n.cos < p.cos_pos AND n.cos > p.cos_pos - 0.05
+       |       THEN 1 ELSE 0 END AS BIGINT) AS semi_hard
+       |FROM negs n JOIN pos p ON n.qid = p.qid
+       |WHERE n.rank <= 3 ORDER BY n.qid, n.rank""".stripMargin
+
+  // --------------------------------------------------------------- q306
+
+  /** q306: MMR DIVERSE TOP-K (Maximal Marginal Relevance, Carbonell &
+    * Goldstein, SIGIR 1998) — the RAG/retrieval re-ranking step that
+    * trades relevance against redundancy: greedily select 5 of the
+    * query's top-20 candidates, each step maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected` (λ = 0.7, spelled as
+    * integer weights 7/3 over exact integer dot products, so every score
+    * and every argmax is exact BIGINT arithmetic — no float ties).
+    *
+    * The greedy recurrence is unrolled IN-PLAN (5 steps, like q229's
+    * merge chain): each step anti-joins the selected ids, cross-joins the
+    * ≤4-row selected set (broadcast), folds `max(sim)` per candidate, and
+    * takes the argmax with a deterministic (score DESC, nid) tiebreak.
+    * The oracle replays the identical recurrence as loop-generated CTEs.
+    *
+    * Scale: the corpus-sized work is ONE top-k scan (TakeOrdered, no full
+    * sort); the greedy then touches only the bounded k=20 candidate set —
+    * O(k²) dot products regardless of corpus size. At 100 TB the
+    * candidate scan swaps for q83's IVF route, same downstream plan.
+    */
+  private def q306(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val qv = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // candidate generation: global top-20 by exact dot — TakeOrdered shape
+    val cand = vecs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("nid"), col("v"), dotExpr("v", "qv").as("rel"))
+      .orderBy(desc("rel"), col("nid")).limit(20)
+      .localCheckpoint() // 20 rows, re-read by all 5 greedy steps
+    var sel = cand.orderBy(desc("rel"), col("nid")).limit(1)
+      .select(col("nid"), col("v"), col("rel"), lit(0L).as("max_sim"),
+        (lit(7L) * col("rel")).as("score"), lit(1L).as("step"))
+    var selSet = sel.select(col("nid"), col("v"))
+    var out = sel
+    for (t <- 2 to 5) {
+      val pick = cand
+        .join(selSet.select(col("nid")), Seq("nid"), "left_anti")
+        .crossJoin(broadcast(selSet.select(col("v").as("sv"))))
+        .groupBy(col("nid"), col("v"), col("rel"))
+        .agg(max(dotExpr("v", "sv")).as("max_sim"))
+        .withColumn("score", lit(7L) * col("rel") - lit(3L) * col("max_sim"))
+        .orderBy(desc("score"), col("nid")).limit(1)
+        .withColumn("step", lit(t.toLong))
+        .select(col("nid"), col("v"), col("rel"), col("max_sim"), col("score"), col("step"))
+      out = out.unionByName(pick)
+      selSet = selSet.unionByName(pick.select(col("nid"), col("v")))
+    }
+    out.select(col("step"), col("nid"), col("rel"), col("max_sim"), col("score"))
+      .orderBy(col("step"))
+  }
+
+  private val q306Sql: String = {
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+    val steps = (2 to 5).map { t =>
+      s"""s$t AS (
+         |  SELECT nid, v, rel, max_sim, 7*rel - 3*max_sim AS score, CAST($t AS BIGINT) AS step FROM (
+         |    SELECT c.nid, c.v, c.rel, MAX(${dot("c.v", "s.v")}) AS max_sim
+         |    FROM cand0 c CROSS JOIN sel${t - 1} s
+         |    WHERE c.nid NOT IN (SELECT nid FROM sel${t - 1})
+         |    GROUP BY c.nid, c.v, c.rel)
+         |  ORDER BY score DESC, nid LIMIT 1),
+         |sel$t AS (SELECT nid, v FROM sel${t - 1} UNION ALL SELECT nid, v FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS ($quantizedSql),
+       |qv AS (SELECT v FROM q WHERE vec_id = 0),
+       |cand0 AS (
+       |  SELECT c.vec_id AS nid, c.v, ${dot("c.v", "qq.v")} AS rel
+       |  FROM q c CROSS JOIN qv qq WHERE c.vec_id <> 0
+       |  ORDER BY rel DESC, nid LIMIT 20),
+       |s1 AS (
+       |  SELECT nid, v, rel, CAST(0 AS BIGINT) AS max_sim, 7*rel AS score,
+       |    CAST(1 AS BIGINT) AS step
+       |  FROM cand0 ORDER BY rel DESC, nid LIMIT 1),
+       |sel1 AS (SELECT nid, v FROM s1),
+       |$steps
+       |SELECT step, nid, CAST(rel AS BIGINT) AS rel,
+       |  CAST(max_sim AS BIGINT) AS max_sim, CAST(score AS BIGINT) AS score
+       |FROM (
+       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+       |ORDER BY step""".stripMargin
+  }
+
   /** q84: per-label vector statistics — element-wise means (first 4 dims)
     * and mean squared norm from exact integer sums. The posexplode/groupBy
     * shape is the distributed spelling of a centroid computation: the
@@ -1445,7 +1603,9 @@ object Similarity extends QueryModule {
     "q81_ann_lsh" -> q81,
     "q82_embed_neardup" -> q82,
     "q83_ann_ivf" -> q83,
-    "q304_ann_recall" -> q304
+    "q304_ann_recall" -> q304,
+    "q305_hard_negatives" -> q305,
+    "q306_mmr_diversity" -> q306
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1464,6 +1624,8 @@ object Similarity extends QueryModule {
     "q81_ann_lsh" -> q81Sql,
     "q82_embed_neardup" -> q82Sql,
     "q83_ann_ivf" -> q83Sql,
-    "q304_ann_recall" -> q304Sql
+    "q304_ann_recall" -> q304Sql,
+    "q305_hard_negatives" -> q305Sql,
+    "q306_mmr_diversity" -> q306Sql
   )
 }

@@ -103,12 +103,27 @@ object VersionedManifest {
 
   /** Data directory of committed version `n`: the `data=<subdir>` manifest
     * line when present (log-format addressing, [[tryCommit]]), else the
-    * positional `v=<n>` layout the plain [[commit]] path uses.
+    * positional `v=<n>` layout the plain [[commit]] path uses. Single-dir
+    * view of [[resolveDataDirs]] for the one-dir-per-version callers.
     */
-  def resolveDataDir(s: SparkSession, dir: String, n: Long): String = {
-    val sub = manifestBody(fs(dir, s), dir, n).linesIterator.toSeq.headOption
+  def resolveDataDir(s: SparkSession, dir: String, n: Long): String =
+    resolveDataDirs(s, dir, n).head
+
+  /** ALL data directories of committed version `n` — the manifest's
+    * `data=` lines generalize from one positional dir to a LIST of dirs,
+    * each either table-relative (`data=d-x`) or EXTERNAL by absolute
+    * address (`data=/other/table/v=1`). This is the directory-granularity
+    * essence of a table format's manifest file list, and the hook SHALLOW
+    * CLONE rides on (q307): a clone's manifest references the source
+    * table's committed dirs without copying a byte, and a later append
+    * lists {source dirs} ∪ {clone-local delta dir}. No `data=` line means
+    * the positional `v=<n>` layout.
+    */
+  def resolveDataDirs(s: SparkSession, dir: String, n: Long): Seq[String] = {
+    val subs = manifestBody(fs(dir, s), dir, n).linesIterator.toSeq
       .filter(_.startsWith("data=")).map(_.stripPrefix("data="))
-    s"$dir/${sub.getOrElse(s"v=$n")}"
+    if (subs.isEmpty) Seq(s"$dir/v=$n")
+    else subs.map(sub => if (sub.startsWith("/")) sub else s"$dir/$sub")
   }
 
   /** Highest committed version, or None for an empty table. Listing cost
@@ -135,7 +150,7 @@ object VersionedManifest {
   def readLatest(s: SparkSession, dir: String): DataFrame = {
     val n = latestCommitted(s, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
-    s.read.parquet(resolveDataDir(s, dir, n))
+    s.read.parquet(resolveDataDirs(s, dir, n): _*)
   }
 
   /** Time travel: read a SPECIFIC committed version. Reading an
@@ -146,7 +161,7 @@ object VersionedManifest {
     val f = fs(dir, s)
     if (!f.exists(new Path(new Path(dir, "_commits"), n.toString)))
       throw new IllegalStateException(s"version $n at $dir is not committed")
-    s.read.parquet(resolveDataDir(s, dir, n))
+    s.read.parquet(resolveDataDirs(s, dir, n): _*)
   }
 
   /** All committed versions, ascending. */
@@ -194,9 +209,13 @@ object VersionedManifest {
     // Referenced-set cost is O(#versions) tiny manifest reads. The
     // protected name is the FIRST path segment under the table dir (a
     // nested `data=d-x/part` manifest must protect `d-x`, not `part`).
-    val referenced = committed.map(n =>
-      resolveDataDir(s, dir, n).stripPrefix(dir).stripPrefix("/")
-        .split('/').head)
+    // external (absolute, other-table) references are not local names and
+    // are skipped — a clone can never anchor garbage in ITS OWN dir, and
+    // this table's vacuum never reasons about another table's dirs
+    val referenced = committed.flatMap(n =>
+      resolveDataDirs(s, dir, n)
+        .filter(_.startsWith(s"$dir/"))
+        .map(_.stripPrefix(dir).stripPrefix("/").split('/').head))
     entries
       .filter(p => p.getName.startsWith("d-") && !referenced(p.getName))
       .foreach(p => f.delete(p, true))

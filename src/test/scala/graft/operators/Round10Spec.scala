@@ -844,4 +844,134 @@ class Round10Spec extends SparkSpec {
       .toMap
     assert(again == sched)
   }
+
+  test("q301 sweep is monotone: a higher quality bar never keeps more docs or tokens") {
+    val out = SparkEntry.queries("q301_quality_sweep")(spark, sf0001).collect()
+    // deciles with zero survivors drop out (join semantics, oracle-matched):
+    // the populated prefix is ascending and starts at the vacuous bar 0
+    val deciles = out.map(_.getLong(0))
+    assert(deciles.nonEmpty && deciles.head == 0L &&
+      deciles.sameElements(deciles.sorted) && deciles.last <= 10L)
+    val docs = out.map(_.getLong(1))
+    val toks = out.map(_.getLong(2))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      s"docs not monotone: ${docs.mkString(",")}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    // decile 0 keeps everything: quality >= 0 is vacuous
+    assert(docs.head == graft.Tables.documents(spark, sf0001).count())
+  }
+
+  test("q302 packing accounting balances: capacity = tokens + slack, waste only from overlong docs") {
+    SparkEntry.queries("q302_packing_efficiency")(spark, sf0001).collect().foreach { r =>
+      val (bins, cap, total, _, overlong, waste, slack) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(cap == bins * 2048, s"capacity mismatch in $r")
+      assert(slack == cap - total, s"slack identity broken in $r")
+      assert(slack >= 0 && slack < 2048,
+        s"greedy fill slack must fit inside the last bin: $r")
+      assert((waste > 0) == (overlong > 0), s"waste without overlong docs: $r")
+    }
+  }
+
+  test("q303 attribution keeps the min-doc original: no self-flows from singleton prefixes") {
+    val out = SparkEntry.queries("q303_dup_provenance")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // independently recompute: every duplicate row's fingerprint has a
+    // strictly smaller origin doc_id carrying the same 100-char prefix
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 100).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byP = docs.groupBy(_._3)
+    val expected = byP.values.filter(_.length > 1).flatMap { g =>
+      val origin = g.minBy(_._1)
+      g.filter(_._1 != origin._1).map(m => (origin._2, m._2))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"flow matrix drifted: $got vs $expected")
+  }
+
+  test("q304 IVF recall@5 stays above the serving floor") {
+    val out = SparkEntry.queries("q304_ann_recall")(spark, sf0001).collect()
+    assert(out.length == 10)
+    val recalled = out.map(_.getLong(1)).sum
+    assert(out.forall(_.getLong(2) == 5L))
+    assert(recalled >= 35, s"recall@5 collapsed: $recalled/50") // ≥70%
+  }
+
+  test("q305 negatives cross labels and the semi-hard flag is the exact margin predicate") {
+    val out = SparkEntry.queries("q305_hard_negatives")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val label = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length.toLong))
+    }
+    out.foreach { r =>
+      assert(label(r.getLong(2)) != label(r.getLong(0)),
+        s"negative shares the anchor's label: $r")
+      val (cn, cp, sh) = (r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert((sh == 1L) == (cn < cp && cn > cp - 0.05), s"flag drifted: $r")
+    }
+  }
+
+  test("q306 MMR matches an independent greedy replay; scores are non-increasing") {
+    val out = SparkEntry.queries("q306_mmr_diversity")(spark, sf0001).collect()
+    assert(out.length == 5 && out.map(_.getLong(1)).distinct.length == 5)
+    val scores = out.map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"greedy scores must be non-increasing: ${scores.mkString(",")}")
+    // driver-side replay of the recurrence over the raw vectors
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val qv = vecs(0L)
+    val cand = vecs.toSeq.collect { case (id, v) if id != 0L => (id, v, dot(v, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(20)
+    var sel = List.empty[Array[Long]]
+    var selIds = Set.empty[Long]
+    val picks = (1 to 5).map { _ =>
+      val best = cand.filterNot { case (id, _, _) => selIds(id) }
+        .map { case (id, v, rel) =>
+          val ms = if (sel.isEmpty) 0L else sel.map(dot(v, _)).max
+          (id, v, rel, ms, 7 * rel - 3 * ms)
+        }
+        .minBy { case (id, _, _, _, sc) => (-sc, id) }
+      sel ::= best._2; selIds += best._1
+      best
+    }
+    out.zip(picks).foreach { case (r, (id, _, rel, ms, sc)) =>
+      assert(r.getLong(1) == id && r.getLong(2) == rel &&
+        r.getLong(3) == ms && r.getLong(4) == sc,
+        s"engine row $r vs replay ($id,$rel,$ms,$sc)")
+    }
+  }
+
+  test("q307 shallow clone copies zero data files; histories diverge independently") {
+    import graft.sources.{VersionedManifest => VM}
+    SparkEntry.queries("q307_shallow_clone")(spark, sf0001).collect()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_clone_" +
+      s"${spark.sparkContext.applicationId}_${sf0001.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    val (src, cl) = (s"$root/src", s"$root/clone")
+    // clone v1 resolves ENTIRELY into the source table — zero local data
+    assert(VM.resolveDataDirs(spark, cl, 1).forall(_.startsWith(src)))
+    // no parquet ever landed under the clone outside its own delta dir
+    val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(cl))
+    val local = try stream.iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+    finally stream.close()
+    assert(local.nonEmpty && local.forall(_.contains("/d-delta-1/")),
+      s"clone grew unexpected data files: $local")
+    // the source's history never saw the clone's append
+    assert(VM.committedVersions(spark, src) == Seq(1L))
+    assert(VM.committedVersions(spark, cl) == Seq(1L, 2L))
+    // clone time travel: v1 is exactly the source; v2 adds only the delta
+    val srcN = VM.readLatest(spark, src).count()
+    assert(VM.readAt(spark, cl, 1).count() == srcN)
+    assert(VM.readAt(spark, cl, 2).count() > srcN)
+  }
 }
