@@ -2196,6 +2196,79 @@ object ScalePatterns extends QueryModule {
       |  SELECT 'clone' AS tbl, o_totalprice FROM orders WHERE o_orderkey % 4 IN (0, 1))
       |GROUP BY tbl ORDER BY tbl""".stripMargin
 
+  // --------------------------------------------------------------- q308
+
+  /** q308: CASCADE ERASURE AUDIT — GDPR right-to-be-forgotten across a
+    * foreign-key chain: a forget-list of customers erases the customers,
+    * THEIR orders, and those orders' lineitems, and the result is audited
+    * for referential closure (zero orphan orders, zero orphan lineitems)
+    * IN the same report, so the closure property itself is hash-checked
+    * against the oracle's independent replay. This is the planning/audit
+    * layer of erasure; the physical row-level delete is q288/q299's
+    * deletion-vector machinery.
+    *
+    * Scale: the forget list is tiny → broadcast; the cascade chases keys
+    * DOWN the FK chain with the O(deleted) key set as the build side at
+    * every hop (forgotten custkeys → their orderkeys), so customer,
+    * orders, and lineitem each stream through ONE map-side anti join —
+    * the 100 TB fact never shuffles. Past broadcast size the same plan
+    * degrades gracefully to a shuffled anti join keyed on the fact's own
+    * join key, still O(deleted) build state per task.
+    */
+  private def q308(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val forget = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val deletedOrders = ord
+      .join(broadcast(forget), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("del_okey"))
+    val survCust = cust.join(broadcast(forget), Seq("c_custkey"), "left_anti")
+    val survOrd = ord.join(broadcast(forget),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val survLi = li.join(broadcast(deletedOrders),
+      col("l_orderkey") === col("del_okey"), "left_anti")
+    def m(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
+    m("customer_after", survCust)
+      .unionByName(m("customer_forgotten", forget))
+      .unionByName(m("orders_after", survOrd))
+      .unionByName(m("orders_deleted", deletedOrders))
+      .unionByName(m("lineitem_after", survLi))
+      // referential closure: surviving children always have surviving parents
+      .unionByName(m("orphan_orders", survOrd.join(survCust,
+        survOrd("o_custkey") === survCust("c_custkey"), "left_anti")))
+      .unionByName(m("orphan_lineitems", survLi.join(survOrd,
+        survLi("l_orderkey") === survOrd("o_orderkey"), "left_anti")))
+      .orderBy(col("metric"))
+  }
+
+  private val q308Sql =
+    """WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |del_ord AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+      |surv_cust AS (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM forget)),
+      |surv_ord AS (
+      |  SELECT * FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)),
+      |surv_li AS (
+      |  SELECT * FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_ord))
+      |SELECT metric, value FROM (
+      |  SELECT 'customer_after' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM surv_cust
+      |  UNION ALL SELECT 'customer_forgotten', CAST(COUNT(*) AS BIGINT) FROM forget
+      |  UNION ALL SELECT 'orders_after', CAST(COUNT(*) AS BIGINT) FROM surv_ord
+      |  UNION ALL SELECT 'orders_deleted', CAST(COUNT(*) AS BIGINT) FROM del_ord
+      |  UNION ALL SELECT 'lineitem_after', CAST(COUNT(*) AS BIGINT) FROM surv_li
+      |  UNION ALL SELECT 'orphan_orders', CAST(COUNT(*) AS BIGINT) FROM surv_ord
+      |    WHERE o_custkey NOT IN (SELECT c_custkey FROM surv_cust)
+      |  UNION ALL SELECT 'orphan_lineitems', CAST(COUNT(*) AS BIGINT) FROM surv_li
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM surv_ord))
+      |ORDER BY metric""".stripMargin
+
   // --------------------------------------------------------------- q285
 
   /** q285: PARTITION-SPEC EVOLUTION — the estate changed its partition
@@ -3061,6 +3134,7 @@ object ScalePatterns extends QueryModule {
     "q299_mor_merge" -> q299,
     "q300_column_mapping" -> q300,
     "q307_shallow_clone" -> q307,
+    "q308_cascade_erasure" -> q308,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -3113,6 +3187,7 @@ object ScalePatterns extends QueryModule {
     "q299_mor_merge" -> q299Sql,
     "q300_column_mapping" -> q300Sql,
     "q307_shallow_clone" -> q307Sql,
+    "q308_cascade_erasure" -> q308Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

