@@ -95,6 +95,82 @@ object TextOps extends QueryModule {
   private def q71(s: SparkSession, d: String): DataFrame =
     qualityFrame(s, d).orderBy(col("doc_id"))
 
+  // --------------------------------------------------------------- q310
+
+  /** q310: CURATION FUNNEL — the whole pre-training curation pipeline as
+    * ONE declarative plan with per-stage accounting: raw corpus → exact
+    * dedup (md5(text), min-doc survivorship) → quality gate (q71's exact
+    * score arithmetic, bar 0.4) → decontamination (drop the eval slice
+    * `doc_id % 101 = 0` AND any train doc sharing its 100-char-prefix
+    * fingerprint with an eval doc). The funnel report (docs + tokens
+    * surviving each stage) is what a data-governance review signs off
+    * on; because the stages compose in one plan, Catalyst pipelines the
+    * projections and each barrier is just the aggregation it needs.
+    *
+    * Scale: text never shuffles — the dedup window keys on the 32-hex
+    * md5, the decontamination set is O(eval) fingerprints broadcast into
+    * a map-side anti join, and the four stage aggregates are partial
+    * (O(1) rows each). The same funnel at 100 TB is one fingerprint
+    * shuffle plus map-side everything else.
+    */
+  private def q310(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d).select(col("doc_id"),
+      md5(col("text")).as("fp_text"),
+      md5(substring(col("text"), 1, 100)).as("fp_pre"))
+    val base = qualityFrame(s, d).join(fp, "doc_id")
+    val s1 = base
+      .withColumn("keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp_text"))))
+      .filter(col("doc_id") === col("keep")).drop("keep")
+    val s2 = s1.filter(col("quality") >= 0.4)
+    val evalFps = fp.filter(col("doc_id") % 101 === 0)
+      .select(col("fp_pre").as("efp")).distinct()
+    val s3 = s2.filter(col("doc_id") % 101 =!= 0)
+      .join(broadcast(evalFps), col("fp_pre") === col("efp"), "left_anti")
+    def stage(id: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("docs"), col("tokens"))
+    stage(0L, "raw", base)
+      .unionByName(stage(1L, "exact_dedup", s1))
+      .unionByName(stage(2L, "quality_gate", s2))
+      .unionByName(stage(3L, "decontaminated", s3))
+      .orderBy(col("stage_id"))
+  }
+
+  private val q310Sql =
+    """WITH q AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+      |    md5(text) AS fp_text, md5(substr(text, 1, 100)) AS fp_pre
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+      |q2 AS (
+      |  SELECT *, uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |    + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+      |  FROM q),
+      |s1 AS (
+      |  SELECT * FROM (
+      |    SELECT *, MIN(doc_id) OVER (PARTITION BY fp_text) AS keep FROM q2)
+      |  WHERE doc_id = keep),
+      |s2 AS (SELECT * FROM s1 WHERE quality >= 0.4),
+      |ev AS (SELECT DISTINCT fp_pre FROM q WHERE doc_id % 101 = 0),
+      |s3 AS (
+      |  SELECT * FROM s2
+      |  WHERE doc_id % 101 <> 0 AND fp_pre NOT IN (SELECT fp_pre FROM ev))
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+      |    CAST(COUNT(*) AS BIGINT) AS docs,
+      |    CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens FROM q2
+      |  UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup',
+      |    CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality_gate',
+      |    CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+      |  UNION ALL SELECT CAST(3 AS BIGINT), 'decontaminated',
+      |    CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3)
+      |ORDER BY stage_id""".stripMargin
+
   // --------------------------------------------------------------- q301
 
   /** q301: QUALITY THRESHOLD SWEEP — the curation dial rendered as a
@@ -1103,6 +1179,7 @@ object TextOps extends QueryModule {
     "q70_token_count" -> q70,
     "q71_quality_score" -> q71,
     "q301_quality_sweep" -> q301,
+    "q310_curation_funnel" -> q310,
     "q72_langid" -> q72,
     "q73_exact_dedup" -> q73,
     "q74_ngram_jaccard" -> q74,
@@ -1125,6 +1202,7 @@ object TextOps extends QueryModule {
     "q70_token_count" -> q70Sql,
     "q71_quality_score" -> q71Sql,
     "q301_quality_sweep" -> q301Sql,
+    "q310_curation_funnel" -> q310Sql,
     "q72_langid" -> q72Sql,
     "q73_exact_dedup" -> q73Sql,
     "q74_ngram_jaccard" -> q74Sql,

@@ -951,6 +951,27 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q310 funnel is monotone, starts at the full corpus, and ends eval-free") {
+    val out = SparkEntry.queries("q310_curation_funnel")(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).sameElements(0L to 3L))
+    val docs = out.map(_.getLong(2))
+    val toks = out.map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      s"funnel docs grew: ${docs.mkString(",")}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    val all = graft.Tables.documents(spark, sf0001)
+    assert(docs(0) == all.count())
+    // dedup stage == distinct text fingerprints
+    assert(docs(1) == all.select(md5(col("text"))).distinct().count())
+    // the final stage kept at least something and dropped the eval slice
+    val evalN = all.filter(col("doc_id") % 101 === 0).count()
+    assert(docs(3) > 0 && docs(3) <= docs(2) && evalN > 0)
+    // at least max(0, evalN − removed-so-far) eval docs reach stage 2,
+    // and every one of them must fall in stage 3
+    assert(docs(2) - docs(3) >= evalN - (docs(0) - docs(2)),
+      "decontamination must at least remove the surviving eval docs")
+  }
+
   test("q308 erasure cascade is complete and referentially closed") {
     val out = SparkEntry.queries("q308_cascade_erasure")(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
