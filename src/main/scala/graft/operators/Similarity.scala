@@ -602,7 +602,7 @@ object Similarity extends QueryModule {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))).cast(LongType))
       .filter(col("rank") <= 3)
-    negs.join(pos, "qid")
+    negs.join(broadcast(pos), "qid") // pos is O(anchors) rows — never shuffle for it
       .select(col("qid"), col("rank"), col("nid"),
         col("cos").as("cos_neg"), col("cos_pos"),
         when(col("cos") < col("cos_pos") && col("cos") > col("cos_pos") - lit(0.05), lit(1L))

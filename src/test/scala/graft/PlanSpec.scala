@@ -568,6 +568,28 @@ class PlanSpec extends SparkSpec {
     assert(rowsOn == rowsOff)
   }
 
+  test("q308 erasure cascade never sort-merge-joins: O(deleted) build sides broadcast") {
+    val p = plan("q308_cascade_erasure")
+    assert(!p.contains("SortMergeJoin"),
+      s"a cascade hop shuffled the fact instead of broadcasting the key set:\n$p")
+    // the three surviving-side scans each anti-join a broadcast key set,
+    // and the two RI probes add two more
+    assert("BroadcastHashJoin .*LeftAnti".r.findAllIn(p).size >= 5,
+      s"expected broadcast anti joins down the FK chain:\n$p")
+  }
+
+  test("q305 mining broadcasts the anchor sample; the corpus streams once per side") {
+    val p = plan("q305_hard_negatives")
+    // qid =!= nid is the only join condition on the scored side — a
+    // broadcast nested loop with the 20-anchor build side, never a
+    // shuffled all-pairs
+    assert(p.contains("BroadcastNestedLoopJoin"), s"anchors not broadcast:\n$p")
+    // the positive-max side is O(anchors) rows and broadcasts too: the
+    // only exchanges left are the per-anchor rank and the final order
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"mining degenerated to a shuffled all-pairs:\n$p")
+  }
+
   test("q30 top-3 per group runs under WindowGroupLimit, partial then final") {
     // the rank-filter idiom must not materialize whole per-group windows:
     // Spark's InferWindowGroupLimit turns `row_number ... WHERE rn <= 3`
