@@ -130,7 +130,9 @@ object Bench {
     "q299_mor_merge", "q300_column_mapping", "q301_quality_sweep",
     "q302_packing_efficiency", "q303_dup_provenance", "q304_ann_recall",
     "q305_hard_negatives", "q306_mmr_diversity", "q307_shallow_clone",
-    "q308_cascade_erasure", "q309_ivf_append", "q310_curation_funnel"
+    "q308_cascade_erasure", "q309_ivf_append", "q310_curation_funnel",
+    "q311_retrieval_metrics", "q312_quality_survivorship",
+    "q313_small_files_audit"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

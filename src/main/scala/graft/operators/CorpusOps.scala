@@ -1686,6 +1686,75 @@ object CorpusOps extends QueryModule {
        |    FROM scored)
        |  WHERE lrank <= $topk)""".stripMargin
 
+  // --------------------------------------------------------------- q311
+
+  /** q311: RETRIEVAL QUALITY METRICS — annotation-free IR evaluation of
+    * the BM25 leg: weak relevance judgments come from the OTHER modality
+    * (a doc is "relevant" to query q iff it sits in q's exact
+    * embedding-cosine top-10 — the pooling trick retrieval teams use when
+    * no human qrels exist), and the report per query is precision@10
+    * (`hits`) and the reciprocal rank of the first relevant hit
+    * (`rr_milli = 1000 div first_rank`, exact integer — no logs, so the
+    * metric is bit-identical cross-engine; nDCG's log2 discount is
+    * deliberately avoided for the same reason as q200's no-libm rule).
+    * Docs without an embedding are unjudged → irrelevant, the standard
+    * pooling caveat. Completes the eval dashboard: q304 measures the ANN
+    * index against exact vectors, q311 measures the lexical ranking
+    * against the semantic neighborhood.
+    *
+    * Scale: BM25 ranks ride [[bm25Ranks]]'s posting-list discipline; the
+    * relevance leg is q80's shape (query slice broadcasts, corpus
+    * streams once); the metric join touches 10 rows per query.
+    */
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val lex = bm25Ranks(s, d).filter(col("lrank") <= 10)
+      .select(col("qid"), col("nid"), col("lrank"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("rqid"), col("v").as("qv"))
+    val rel = emb.join(broadcast(qv), col("rqid") =!= col("vec_id"))
+      .select(col("rqid"), col("vec_id").as("rid"),
+        (expr("graft_dot(qv, v)").cast(DoubleType) /
+          (sqrt(expr("graft_dot(qv, qv)")) * sqrt(expr("graft_dot(v, v)")))).as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("rqid")).orderBy(desc("cos"), col("rid"))))
+      .filter(col("r") <= 10).select(col("rqid"), col("rid"))
+    lex.join(broadcast(rel),
+        col("qid") === col("rqid") && col("nid") === col("rid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("rid")).as("hits"),
+        min(when(col("rid").isNotNull, col("lrank"))).as("first_rel"))
+      .select(col("qid"), col("hits"),
+        coalesce(expr("1000 div first_rel"), lit(0L)).as("rr_milli"))
+      .orderBy(col("qid"))
+  }
+
+  private val q311Sql =
+    s"""WITH ${bm25RanksSql()},
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |qe AS (SELECT vec_id AS rqid, v AS qv FROM e WHERE vec_id < 5),
+       |rels AS (
+       |  SELECT rqid, rid FROM (
+       |    SELECT qe.rqid, e.vec_id AS rid,
+       |      ROW_NUMBER() OVER (PARTITION BY qe.rqid ORDER BY
+       |        CAST(list_sum(list_transform(range(1, len(qe.qv)+1), i -> qe.qv[i]*e.v[i])) AS DOUBLE)
+       |          / (sqrt(list_sum(list_transform(qe.qv, x -> x*x)))
+       |             * sqrt(list_sum(list_transform(e.v, x -> x*x)))) DESC,
+       |        e.vec_id) AS r
+       |    FROM e CROSS JOIN qe WHERE qe.rqid <> e.vec_id)
+       |  WHERE r <= 10),
+       |lex10 AS (SELECT qid, nid, lrank FROM lex WHERE lrank <= 10)
+       |SELECT l.qid, CAST(COUNT(r.rid) AS BIGINT) AS hits,
+       |  CAST(COALESCE(1000 // MIN(CASE WHEN r.rid IS NOT NULL THEN l.lrank END), 0)
+       |    AS BIGINT) AS rr_milli
+       |FROM lex10 l LEFT JOIN rels r ON l.qid = r.rqid AND l.nid = r.rid
+       |GROUP BY l.qid ORDER BY l.qid""".stripMargin
+
   // --------------------------------------------------------------- q229
 
   /** One BPE merge iteration over a (w, freq, s) vocabulary — s is the
@@ -2383,6 +2452,7 @@ object CorpusOps extends QueryModule {
     "q113_canonical_docs" -> q113,
     "q219_dup_spans" -> q219,
     "q224_bm25_retrieval" -> q224,
+    "q311_retrieval_metrics" -> q311,
     "q228_corpus_mixing" -> q228,
     "q274_token_waterfill" -> q274,
     "q283_epoch_schedule" -> q283,
@@ -2423,6 +2493,7 @@ object CorpusOps extends QueryModule {
     "q113_canonical_docs" -> q113Sql,
     "q219_dup_spans" -> q219Sql,
     "q224_bm25_retrieval" -> q224Sql,
+    "q311_retrieval_metrics" -> q311Sql,
     "q228_corpus_mixing" -> q228Sql,
     "q274_token_waterfill" -> q274Sql,
     "q283_epoch_schedule" -> q283Sql,

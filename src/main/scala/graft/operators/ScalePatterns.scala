@@ -2196,6 +2196,62 @@ object ScalePatterns extends QueryModule {
       |  SELECT 'clone' AS tbl, o_totalprice FROM orders WHERE o_orderkey % 4 IN (0, 1))
       |GROUP BY tbl ORDER BY tbl""".stripMargin
 
+  // --------------------------------------------------------------- q313
+
+  /** q313: SMALL-FILES PRESSURE AUDIT — the monitoring query that TRIGGERS
+    * q245's compaction: a hive-partitioned landing deliberately fragmented
+    * (one file per (lang, doc_id%8) leaf — the repartition-then-partitionBy
+    * write guarantees the file-per-leaf layout, so the file census is
+    * DETERMINISTIC and the oracle replays it from the logical data alone:
+    * `n_files = COUNT(DISTINCT doc_id % 8)` per lang). Reports per
+    * partition: file count, rows, mean rows/file, and the
+    * `needs_compaction` flag (> 4 files). The physical census reads the
+    * parquet reader's hidden `_metadata.file_path` column — no driver-side
+    * directory listing.
+    *
+    * Scale: the audit is one metadata-projecting scan + an O(#partitions)
+    * aggregate; at 100 TB it reads file paths and row counts, never data
+    * columns (column pruning keeps the scan to the partition values +
+    * `_metadata`).
+    */
+  private def smallFilesEstate(s: SparkSession, d: String): String = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sfiles_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bucket", col("doc_id") % 8)
+        .repartition(col("lang"), col("bucket"))
+        .write.partitionBy("lang", "bucket").mode("overwrite")
+        .parquet(s"$dir/docs")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    val dir = smallFilesEstate(s, d)
+    s.read.parquet(s"$dir/docs")
+      .select(col("lang"), col("_metadata.file_path").as("f"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n_rows"))
+      .select(col("lang"), col("n_files"), col("n_rows"),
+        expr("n_rows div n_files").as("mean_rows_per_file"),
+        when(col("n_files") > 4, lit(1L)).otherwise(lit(0L)).as("needs_compaction"))
+      .orderBy(col("lang"))
+  }
+
+  private val q313Sql =
+    """SELECT lang,
+      |  CAST(COUNT(DISTINCT doc_id % 8) AS BIGINT) AS n_files,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) // COUNT(DISTINCT doc_id % 8) AS BIGINT) AS mean_rows_per_file,
+      |  CAST(CASE WHEN COUNT(DISTINCT doc_id % 8) > 4 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS needs_compaction
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------------------- q308
 
   /** q308: CASCADE ERASURE AUDIT — GDPR right-to-be-forgotten across a
@@ -3135,6 +3191,7 @@ object ScalePatterns extends QueryModule {
     "q300_column_mapping" -> q300,
     "q307_shallow_clone" -> q307,
     "q308_cascade_erasure" -> q308,
+    "q313_small_files_audit" -> q313,
     "q256_cow_delete" -> q256,
     "q257_zorder_skipping" -> q257,
     "q258_cbo_join_reorder" -> q258,
@@ -3188,6 +3245,7 @@ object ScalePatterns extends QueryModule {
     "q300_column_mapping" -> q300Sql,
     "q307_shallow_clone" -> q307Sql,
     "q308_cascade_erasure" -> q308Sql,
+    "q313_small_files_audit" -> q313Sql,
     "q256_cow_delete" -> q256Sql,
     "q257_zorder_skipping" -> q257Sql,
     "q258_cbo_join_reorder" -> q258Sql,

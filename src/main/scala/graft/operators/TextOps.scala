@@ -95,6 +95,59 @@ object TextOps extends QueryModule {
   private def q71(s: SparkSession, d: String): DataFrame =
     qualityFrame(s, d).orderBy(col("doc_id"))
 
+  // --------------------------------------------------------------- q312
+
+  /** q312: QUALITY-ARBITRATED SURVIVORSHIP — dedup that keeps the BEST
+    * duplicate, not the first: within each prefix-fingerprint group the
+    * survivor is the highest-quality member (q71's exact score,
+    * deterministic doc_id tiebreak), and the per-source report counts
+    * kept, dropped, and RESCUED docs — survivors that the naive min-doc
+    * rule (q303/q73) would have discarded in favor of a worse copy. The
+    * rescue count is the measurable value of arbitration: curation teams
+    * use exactly this number to justify the extra quality pass.
+    *
+    * Scale: same one fingerprint-keyed shuffle as q303 — the quality
+    * score rides the row into the window; no second pass, text never
+    * shuffles (the md5 does).
+    */
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val fp = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      md5(substring(col("text"), 1, 100)).as("fp"))
+    qualityFrame(s, d).join(fp, "doc_id")
+      .withColumn("rk", row_number().over(
+        w.orderBy(desc("quality"), col("doc_id"))))
+      .withColumn("min_doc", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("rk") === 1, 1)).as("n_kept"),
+        count(when(col("rk") > 1, 1)).as("n_dropped"),
+        count(when(col("rk") === 1 && col("doc_id") =!= col("min_doc"), 1))
+          .as("n_rescued"))
+      .orderBy(col("source"))
+  }
+
+  private val q312Sql =
+    """WITH q AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+      |    source, md5(substr(text, 1, 100)) AS fp
+      |  FROM (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents)),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY
+      |      uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |        + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 DESC,
+      |      doc_id) AS rk,
+      |    MIN(doc_id) OVER (PARTITION BY fp) AS min_doc
+      |  FROM q)
+      |SELECT source,
+      |  CAST(COUNT(CASE WHEN rk = 1 THEN 1 END) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(CASE WHEN rk > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+      |  CAST(COUNT(CASE WHEN rk = 1 AND doc_id <> min_doc THEN 1 END) AS BIGINT) AS n_rescued
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q310
 
   /** q310: CURATION FUNNEL — the whole pre-training curation pipeline as
@@ -1180,6 +1233,7 @@ object TextOps extends QueryModule {
     "q71_quality_score" -> q71,
     "q301_quality_sweep" -> q301,
     "q310_curation_funnel" -> q310,
+    "q312_quality_survivorship" -> q312,
     "q72_langid" -> q72,
     "q73_exact_dedup" -> q73,
     "q74_ngram_jaccard" -> q74,
@@ -1203,6 +1257,7 @@ object TextOps extends QueryModule {
     "q71_quality_score" -> q71Sql,
     "q301_quality_sweep" -> q301Sql,
     "q310_curation_funnel" -> q310Sql,
+    "q312_quality_survivorship" -> q312Sql,
     "q72_langid" -> q72Sql,
     "q73_exact_dedup" -> q73Sql,
     "q74_ngram_jaccard" -> q74Sql,

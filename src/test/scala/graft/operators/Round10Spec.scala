@@ -951,6 +951,49 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q311 metrics are internally consistent: rr tracks the first hit exactly") {
+    val out = SparkEntry.queries("q311_retrieval_metrics")(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).sorted.sameElements(0L until 5L))
+    out.foreach { r =>
+      val (hits, rr) = (r.getLong(1), r.getLong(2))
+      assert(hits >= 0L && hits <= 10L, s"P@10 numerator out of range: $r")
+      assert((rr == 0L) == (hits == 0L), s"rr/hits disagree: $r")
+      if (rr > 0L)
+        assert((1L to 10L).exists(k => 1000L / k == rr), s"rr not 1000/rank: $r")
+    }
+  }
+
+  test("q312 survivorship conserves the corpus and keeps one doc per fingerprint") {
+    val out = SparkEntry.queries("q312_quality_survivorship")(spark, sf0001).collect()
+    val kept = out.map(_.getLong(1)).sum
+    val dropped = out.map(_.getLong(2)).sum
+    val all = graft.Tables.documents(spark, sf0001)
+    assert(kept + dropped == all.count(), "kept+dropped must partition the corpus")
+    assert(kept == all.select(md5(substring(col("text"), 1, 100))).distinct().count(),
+      "exactly one survivor per fingerprint group")
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(1),
+      s"rescued exceeds kept: $r"))
+  }
+
+  test("q313 file census matches the physical layout and the compaction trigger") {
+    val out = SparkEntry.queries("q313_small_files_audit")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sfiles_" +
+      s"${spark.sparkContext.applicationId}_${sf0001.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    out.foreach { r =>
+      val (lang, nFiles, nRows, flag) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      // the physical count under lang=<l>/bucket=*/ is what the audit said
+      val stream = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/docs/lang=$lang"))
+      val physical = try stream.iterator().asScala
+        .count(p => p.toString.endsWith(".parquet")) finally stream.close()
+      assert(physical == nFiles, s"audit says $nFiles files, disk has $physical ($lang)")
+      assert((flag == 1L) == (nFiles > 4L), s"trigger drifted: $r")
+      assert(r.getLong(3) == nRows / nFiles)
+    }
+  }
+
   test("q310 funnel is monotone, starts at the full corpus, and ends eval-free") {
     val out = SparkEntry.queries("q310_curation_funnel")(spark, sf0001).collect()
     assert(out.map(_.getLong(0)).sameElements(0L to 3L))

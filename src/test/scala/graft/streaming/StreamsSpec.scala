@@ -38,6 +38,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops are quantified: numRowsDroppedByWatermark counts the late row") {
+    // observability contract for every watermarked operator in the module:
+    // a row behind the watermark is (a) absent from the result AND (b)
+    // COUNTED in the progress metrics — silent data loss is not silent.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val counts = input.toDS().toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user_id"))
+      .count()
+    val q = counts.writeStream.format("memory").queryName("late_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 0L), (1L, 60 * MinUs)) // batch 1: watermark -> 50 min
+      q.processAllAvailable()
+      input.addData((2L, 5 * MinUs)) // 5 min << watermark: late, must drop
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatMap(_.map(_.numRowsDroppedByWatermark))).sum
+      assert(dropped >= 1L, "late row was not counted as dropped")
+      assert(spark.table("late_sink").filter(col("user_id") === 2L).isEmpty,
+        "late row leaked into the result")
+    } finally q.stop()
+  }
+
   test("dynamic session gap varies WITHIN one key (purchase extends the session)") {
     // q244 keys by (user, type), so its gap is constant per group and a
     // batch gaps-and-islands oracle can replay it. THIS case is the merge
