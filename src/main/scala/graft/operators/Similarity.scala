@@ -788,6 +788,71 @@ object Similarity extends QueryModule {
        |ORDER BY c.cid""".stripMargin
   }
 
+  // --------------------------------------------------------------- q314
+
+  /** q314: SEMANTIC PRUNING — embedding-space data pruning per cluster
+    * (Sorscher et al., "Beyond neural scaling laws", NeurIPS 2022; the
+    * cluster-level core of SemDeDup): train the coarse quantizer, assign
+    * every vector, and inside each cluster KEEP only the hardest 20% —
+    * the vectors FURTHEST from their centroid (`rk ≤ ⌈n/5⌉` by exact
+    * integer distance², deterministic tiebreak) — pruning the
+    * prototypical near-duplicates that contribute least to training.
+    * The report per cluster: population, kept count, and the distance
+    * band (max_d2, cut_d2) the keep-set spans — all exact integers, so
+    * the pruning decision itself is hash-checked.
+    *
+    * Scale: training and assignment are the shared IVF machinery
+    * (broadcast centroids, one (vec_id,cid) shuffle); the per-cluster
+    * rank rides the same cid partitioning; the report is O(nlist) rows.
+    * The keep fraction is the one tunable a data-pruning run sweeps.
+    */
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val cents = lloydCents(vecs, seedCentsScaled(vecs))
+    val d2 = assignTo(vecs, cents)
+      .join(vecs, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select(col("cid"), col("vec_id"),
+        (dotExpr("v", "v") + dotExpr("cv", "cv") - lit(2L) * dotExpr("v", "cv"))
+          .as("d2"))
+    val byC = Window.partitionBy(col("cid"))
+    d2.withColumn("rk", row_number().over(byC.orderBy(desc("d2"), col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(byC))
+      .filter(col("rk") <= expr("(n + 4) div 5"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+        max(col("d2")).as("max_d2"), min(col("d2")).as("cut_d2"))
+      .orderBy(col("cid"))
+  }
+
+  private val q314Sql =
+    s"""WITH q AS ($quantizedSql),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |d2 AS (
+       |  SELECT a.cid, a.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*v.v[i]))
+       |     + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*c.cv[i]))
+       |     AS BIGINT) AS d2
+       |  FROM assigned a JOIN q v ON v.vec_id = a.vec_id
+       |  JOIN cents c ON c.cid = a.cid),
+       |r AS (
+       |  SELECT cid, vec_id, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rk,
+       |    COUNT(*) OVER (PARTITION BY cid) AS n
+       |  FROM d2)
+       |SELECT cid, CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  CAST(MAX(d2) AS BIGINT) AS max_d2, CAST(MIN(d2) AS BIGINT) AS cut_d2
+       |FROM r WHERE rk <= (n + 4) // 5
+       |GROUP BY cid ORDER BY cid""".stripMargin
+
   /** q84: per-label vector statistics — element-wise means (first 4 dims)
     * and mean squared norm from exact integer sums. The posexplode/groupBy
     * shape is the distributed spelling of a centroid computation: the
@@ -1674,7 +1739,8 @@ object Similarity extends QueryModule {
     "q304_ann_recall" -> q304,
     "q305_hard_negatives" -> q305,
     "q306_mmr_diversity" -> q306,
-    "q309_ivf_append" -> q309
+    "q309_ivf_append" -> q309,
+    "q314_semantic_prune" -> q314
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1696,6 +1762,7 @@ object Similarity extends QueryModule {
     "q304_ann_recall" -> q304Sql,
     "q305_hard_negatives" -> q305Sql,
     "q306_mmr_diversity" -> q306Sql,
-    "q309_ivf_append" -> q309Sql
+    "q309_ivf_append" -> q309Sql,
+    "q314_semantic_prune" -> q314Sql
   )
 }

@@ -951,6 +951,20 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q314 pruning keeps exactly the hardest ceil(n/5) of every cluster") {
+    val out = SparkEntry.queries("q314_semantic_prune")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // cluster populations partition the corpus
+    assert(out.map(_.getLong(1)).sum ==
+      graft.Tables.embeddings(spark, sf0001).count())
+    out.foreach { r =>
+      val (n, kept, maxD, cutD) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept == (n + 4) / 5, s"keep fraction drifted: $r")
+      assert(cutD <= maxD, s"distance band inverted: $r")
+    }
+  }
+
   test("q311 metrics are internally consistent: rr tracks the first hit exactly") {
     val out = SparkEntry.queries("q311_retrieval_metrics")(spark, sf0001).collect()
     assert(out.map(_.getLong(0)).sorted.sameElements(0L until 5L))
