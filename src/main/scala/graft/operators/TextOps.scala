@@ -167,28 +167,40 @@ object TextOps extends QueryModule {
     * shuffle plus map-side everything else.
     */
   private def q310(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus pass: per-row survival flags for every stage, folded by
+    // a single conditional aggregate — the dedup window's fingerprint
+    // exchange happens exactly once (PlanSpec pins it); a union of
+    // per-stage subplans would re-shuffle the corpus per stage.
     val fp = Tables.documents(s, d).select(col("doc_id"),
       md5(col("text")).as("fp_text"),
       md5(substring(col("text"), 1, 100)).as("fp_pre"))
-    val base = qualityFrame(s, d).join(fp, "doc_id")
-    val s1 = base
-      .withColumn("keep", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp_text"))))
-      .filter(col("doc_id") === col("keep")).drop("keep")
-    val s2 = s1.filter(col("quality") >= 0.4)
     val evalFps = fp.filter(col("doc_id") % 101 === 0)
       .select(col("fp_pre").as("efp")).distinct()
-    val s3 = s2.filter(col("doc_id") % 101 =!= 0)
-      .join(broadcast(evalFps), col("fp_pre") === col("efp"), "left_anti")
-    def stage(id: Long, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("docs"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens"))
-        .select(lit(id).as("stage_id"), lit(name).as("stage"),
-          col("docs"), col("tokens"))
-    stage(0L, "raw", base)
-      .unionByName(stage(1L, "exact_dedup", s1))
-      .unionByName(stage(2L, "quality_gate", s2))
-      .unionByName(stage(3L, "decontaminated", s3))
+    val flags = qualityFrame(s, d).join(fp, "doc_id")
+      .withColumn("keep1", col("doc_id") === min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp_text"))))
+      .withColumn("keep2", col("keep1") && col("quality") >= 0.4)
+      .join(broadcast(evalFps), col("fp_pre") === col("efp"), "left")
+      .withColumn("keep3",
+        col("keep2") && col("doc_id") % 101 =!= 0 && col("efp").isNull)
+    def cnt(c: Column): Column = count(when(c, 1))
+    def tok(c: Column): Column = coalesce(sum(when(c, col("n_tokens"))), lit(0L))
+    flags.agg(
+        count(lit(1)).as("d0"), coalesce(sum(col("n_tokens")), lit(0L)).as("t0"),
+        cnt(col("keep1")).as("d1"), tok(col("keep1")).as("t1"),
+        cnt(col("keep2")).as("d2"), tok(col("keep2")).as("t2"),
+        cnt(col("keep3")).as("d3"), tok(col("keep3")).as("t3"))
+      .select(explode(array(
+        struct(lit(0L).as("stage_id"), lit("raw").as("stage"),
+          col("d0").as("docs"), col("t0").as("tokens")),
+        struct(lit(1L).as("stage_id"), lit("exact_dedup").as("stage"),
+          col("d1").as("docs"), col("t1").as("tokens")),
+        struct(lit(2L).as("stage_id"), lit("quality_gate").as("stage"),
+          col("d2").as("docs"), col("t2").as("tokens")),
+        struct(lit(3L).as("stage_id"), lit("decontaminated").as("stage"),
+          col("d3").as("docs"), col("t3").as("tokens")))).as("r"))
+      .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
+        col("r.docs").as("docs"), col("r.tokens").as("tokens"))
       .orderBy(col("stage_id"))
   }
 

@@ -590,6 +590,28 @@ class PlanSpec extends SparkSpec {
       s"mining degenerated to a shuffled all-pairs:\n$p")
   }
 
+  test("q310 funnel shares ONE fingerprint exchange across its stages") {
+    val p = plan("q310_curation_funnel")
+    val fpShuffles = "hashpartitioning\\(fp_text".r.findAllIn(p).size
+    val reused = "ReusedExchange".r.findAllIn(p).size
+    // the dedup window's fp shuffle must be planned once and REUSED by the
+    // later stages — a funnel that re-shuffles the corpus per stage would
+    // be 3x the work at 100 TB
+    assert(fpShuffles <= 1,
+      s"fingerprint exchange duplicated $fpShuffles times (reused=$reused):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontamination did not broadcast:\n$p")
+  }
+
+  test("q313 audit scan reads metadata and partition values, no data columns") {
+    val p = plan("q313_small_files_audit")
+    // ReadSchema must not include the data columns (doc_id, n_chars) —
+    // the census is metadata-only
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("doc_id") && !read.contains("n_chars"),
+      s"audit reads data columns: $read")
+  }
+
   test("q30 top-3 per group runs under WindowGroupLimit, partial then final") {
     // the rank-filter idiom must not materialize whole per-group windows:
     // Spark's InferWindowGroupLimit turns `row_number ... WHERE rn <= 3`
