@@ -132,7 +132,10 @@ object Bench {
     "q305_hard_negatives", "q306_mmr_diversity", "q307_shallow_clone",
     "q308_cascade_erasure", "q309_ivf_append", "q310_curation_funnel",
     "q311_retrieval_metrics", "q312_quality_survivorship",
-    "q313_small_files_audit", "q314_semantic_prune"
+    "q313_small_files_audit", "q314_semantic_prune",
+    // round 10e additions: delta-join MV maintenance, epoch sharding,
+    // exact AUC, LSH tuning curve
+    "q315_delta_join_view"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -3165,7 +3165,94 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q315
+
+  /** q315: INCREMENTAL JOIN-VIEW MAINTENANCE — the JOIN sibling of q282's
+    * aggregate refresh: a materialized view over lineitem ⋈ orders
+    * (revenue by order priority × return flag) stays fresh under appends
+    * to BOTH base tables via the delta-join algebra (Blakeley et al.,
+    * SIGMOD 1986; the rule differential/DBSP systems run continuously):
+    *
+    *   V_new = V_old  ∪agg  agg(ΔL ⋈ O_full)  ∪agg  agg(L_old ⋈ ΔO)
+    *
+    * The (old,old) pairs live in the STORED view — the staged estate
+    * writes the stale MV as a parquet artifact and the refresh plan reads
+    * it back, so no plan node ever joins the two old sides again. The two
+    * delta legs broadcast their delta side (a landed batch, never the
+    * table), and the exact-decimal partials merge by re-aggregation —
+    * associativity is what makes the view maintainable. The oracle
+    * computes the view DIRECTLY from the full join, so a missed pair
+    * class, a double-counted (Δ,Δ) overlap, or a dropped new group is a
+    * hash mismatch.
+    *
+    * Scale: refresh cost is O(|ΔL|·fanout + |ΔO|·matched + |MV|) — two
+    * broadcast joins against big sides that stream map-side, and a
+    * 15-row merge. The alternative the algebra replaces is a full
+    * L ⋈ O rescan per landed batch, which at 100 TB is the difference
+    * between minutes and a day. Round10Spec pins the plan: exactly two
+    * joins, both broadcast-hash, and the stored-MV artifact among the
+    * scanned paths.
+    */
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_djv_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      // independent append batches: 1/8 of each table arrives after the
+      // view was last materialized (different residues, so every pair
+      // class old×old, Δ×old, old×Δ, Δ×Δ is non-empty)
+      ord.filter(col("o_orderkey") % 8 =!= 5).write.mode("overwrite")
+        .parquet(s"$dir/ord_old")
+      ord.filter(col("o_orderkey") % 8 === 5).write.mode("overwrite")
+        .parquet(s"$dir/ord_delta")
+      li.filter(col("l_orderkey") % 8 =!= 2).write.mode("overwrite")
+        .parquet(s"$dir/li_old")
+      li.filter(col("l_orderkey") % 8 === 2).write.mode("overwrite")
+        .parquet(s"$dir/li_delta")
+      // the stale MV: the (old, old) join materialized as decimal partials
+      s.read.parquet(s"$dir/li_old")
+        .join(s.read.parquet(s"$dir/ord_old"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("prio"), col("l_returnflag").as("rflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Exact.money(col("l_extendedprice"))).as("sdec"))
+        .write.mode("overwrite").parquet(s"$dir/mv")
+      java.nio.file.Files.createFile(done)
+    }
+    val ordOld = s.read.parquet(s"$dir/ord_old")
+    val ordFull = ordOld.unionByName(s.read.parquet(s"$dir/ord_delta"))
+    def partials(li: DataFrame, ord: DataFrame, bcastLeft: Boolean): DataFrame = {
+      val l = if (bcastLeft) broadcast(li) else li
+      val o = if (bcastLeft) ord else broadcast(ord)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("prio"), col("l_returnflag").as("rflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(Exact.money(col("l_extendedprice"))).as("sdec"))
+    }
+    s.read.parquet(s"$dir/mv")
+      .unionByName(partials(s.read.parquet(s"$dir/li_delta"), ordFull, bcastLeft = true))
+      .unionByName(partials(s.read.parquet(s"$dir/li_old"),
+        s.read.parquet(s"$dir/ord_delta"), bcastLeft = false))
+      .groupBy(col("prio"), col("rflag"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sdec")).cast("double").as("sum_price"))
+      .orderBy(col("prio"), col("rflag"))
+  }
+
+  private val q315Sql =
+    """SELECT o_orderpriority AS prio, l_returnflag AS rflag,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_delta_join_view" -> q315,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3220,6 +3307,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q315_delta_join_view" -> q315Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

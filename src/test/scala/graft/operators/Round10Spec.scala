@@ -951,6 +951,37 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q315 refresh never re-joins the old sides: 2 broadcast joins + the stored MV") {
+    val df = SparkEntry.queries("q315_delta_join_view")(spark, sf0001)
+    // the delta-join algebra reproduces the direct recompute exactly
+    val direct = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("prio"), col("l_returnflag").as("rflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("prio"), col("rflag"))
+    assert(df.collect().toSeq == direct.collect().toSeq)
+    // plan: exactly the two delta legs as joins, both broadcast-hash —
+    // the (old, old) pair class comes from the stored artifact, so no
+    // table-sized join (and no sort-merge) exists anywhere in the refresh
+    val plan = df.queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.length == 2, s"expected the two delta legs only:\n$plan")
+    joins.foreach(j => assert(
+      j.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec],
+      s"delta leg must broadcast its delta side:\n$j"))
+    // and the stale MV parquet is among the scanned inputs
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.exists(_.contains("graft_djv_")) &&
+      scans.exists(_.endsWith("/mv")),
+      s"stored MV artifact not read by the refresh:\n${scans.mkString("\n")}")
+  }
+
   test("q314 pruning keeps exactly the hardest ceil(n/5) of every cluster") {
     val out = SparkEntry.queries("q314_semantic_prune")(spark, sf0001).collect()
     assert(out.nonEmpty)
