@@ -1231,7 +1231,75 @@ object TextOps extends QueryModule {
       |GROUP BY 1, 2 ORDER BY n_shared DESC, da, db LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- q316
+
+  /** q316: EPOCH RESHUFFLE + TOKEN-BALANCED SHARDING — the training-order
+    * op every data loader needs: a seed-free pseudo-random permutation of
+    * the corpus (`p = md5("ep1-" || doc_id)` — a new epoch tag is a new
+    * permutation, reproducible across job restarts with no RNG state to
+    * checkpoint), cut into 8 CONTIGUOUS shards of near-equal TOKEN mass:
+    * `shard = ⌊cum_before · S / total⌋` over the running token sum in
+    * permutation order. Equal-token (not equal-doc) shards are what keep
+    * data-parallel training steps in lockstep when document lengths are
+    * skewed. The report per shard: docs, tokens, the permutation-key span
+    * (first/last — monotone across shards, proving contiguity), and the
+    * integer-ppm deviation from the ideal `total/S` — the balance figure
+    * a loader SLA reads.
+    *
+    * Scale: the global prefix sum is the DISTRIBUTED two-pass spelling
+    * (q156's machinery): range-partition by the permutation key,
+    * per-partition totals to the driver (one row per partition), offsets
+    * broadcast back, running sums windowed WITHIN partitions — no
+    * global-order window serializing the corpus through one task. The
+    * oracle states the same semantics as one window.
+    */
+  private def q316(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val parted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("ep1-"), col("doc_id"))).as("p"),
+        size(toks(col("text"))).cast(LongType).as("w"))
+      .repartitionByRange(8, col("p"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids for both consumers
+    val partTotals = parted.groupBy(col("pid")).agg(sum(col("w")).as("pw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    val offsets = partTotals
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, pw)) => (pid, acc + pw) }
+      .init.zip(partTotals)
+      .map { case ((_, off), (pid, _)) => (pid, off) }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("p"))
+    parted
+      .join(broadcast(offsets.toSeq.toDF("pid", "off")), "pid")
+      .withColumn("cum", col("off") + sum(col("w")).over(win))
+      .withColumn("shard", expr(s"(cum - w) * $S div ${total}L"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"),
+        min(col("p")).as("first_key"), max(col("p")).as("last_key"))
+      .withColumn("skew_ppm",
+        expr(s"abs(n_tokens * $S - ${total}L) * 1000000 div ${total}L"))
+      .orderBy(col("shard"))
+  }
+
+  private val q316Sql =
+    """WITH t AS (
+      |  SELECT doc_id, md5('ep1-' || doc_id) AS p,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM t),
+      |c AS (SELECT p, w, CAST(SUM(w) OVER (ORDER BY p) AS BIGINT) AS cum FROM t),
+      |g AS (SELECT ((cum - w) * 8) // total AS shard, p, w, total FROM c, tot)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS n_tokens,
+      |  MIN(p) AS first_key, MAX(p) AS last_key,
+      |  CAST(abs(SUM(w) * 8 - total) * 1000000 // total AS BIGINT) AS skew_ppm
+      |FROM g GROUP BY shard, total ORDER BY shard""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
     "q150_canonical_dedup" -> q150,
@@ -1256,6 +1324,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,
     "q150_canonical_dedup" -> q150Sql,

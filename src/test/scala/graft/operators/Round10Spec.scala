@@ -951,6 +951,39 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q316 shards partition the corpus contiguously with no global-order window") {
+    val df = SparkEntry.queries("q316_epoch_sharding")(spark, sf0001)
+    val out = df.collect()
+    val docs = graft.Tables.documents(spark, sf0001)
+    assert(out.map(_.getLong(1)).sum == docs.count(),
+      "shard doc counts must partition the corpus")
+    val totalTokens = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalTokens,
+      "shard token counts must conserve the corpus token mass")
+    // contiguity in permutation order: shard k's key span sits wholly
+    // below shard k+1's
+    val spans = out.sortBy(_.getLong(0)).map(r => (r.getString(3), r.getString(4)))
+    spans.foreach { case (lo, hi) => assert(lo <= hi) }
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"shards overlap: $hi vs $lo")
+      case _ =>
+    }
+    // the balance the cut rule guarantees: every shard within one max-doc
+    // of ideal — deviation stays well under the ideal share itself
+    out.foreach(r => assert(r.getLong(5) < 1000000L,
+      s"shard deviates by more than the ideal share: $r"))
+    // scale pin: the running sum is windowed WITHIN range partitions —
+    // a global-order (empty partitionBy) window would serialize the
+    // corpus through one task. (String-match: AQE stage wrappers hide
+    // WindowExec from plan.collect.)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("windowspecdefinition(pid#"),
+      s"running sum not partitioned by pid:\n$planStr")
+    assert(!planStr.contains("windowspecdefinition(p#"),
+      s"global-order window found:\n$planStr")
+  }
+
   test("q315 refresh never re-joins the old sides: 2 broadcast joins + the stored MV") {
     val df = SparkEntry.queries("q315_delta_join_view")(spark, sf0001)
     // the delta-join algebra reproduces the direct recompute exactly
