@@ -1298,7 +1298,75 @@ object TextOps extends QueryModule {
       |  CAST(abs(SUM(w) * 8 - total) * 1000000 // total AS BIGINT) AS skew_ppm
       |FROM g GROUP BY shard, total ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------------------- q317
+
+  /** q317: EXACT ROC-AUC — the evaluation op behind every filter-tuning
+    * decision: how well does the q71 quality score separate a class
+    * (here: English documents) per source? AUC is computed EXACTLY as the
+    * normalized Mann–Whitney U statistic with midrank tie handling —
+    * group by distinct score, a per-source running negative count, then
+    * `U·2 = Σ pos_s·(2·negBelow_s + neg_s)` (the `+neg_s` term is the
+    * ties-count-half rule with the /2 cleared), and
+    * `auc_ppm = U2·500000 div (P·N)` — all integer arithmetic after the
+    * score itself, which both engines derive bit-identically (q71/q312's
+    * shared formula), so the AUC is hash-checked, not approximated. NULL
+    * when a source lacks one of the classes (AUC undefined).
+    *
+    * Scale: the shuffle carries (source, score) partial counts — state is
+    * O(distinct scores), never O(docs²) pair enumeration, and the window
+    * is per-source over the collapsed score axis. This is how you compute
+    * AUC over 10⁹ scored rows without sampling.
+    */
+  private def q317(s: SparkSession, d: String): DataFrame = {
+    val scored = qualityFrame(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+    val byScore = scored.groupBy(col("source"), col("quality"))
+      .agg(count(when(col("lang") === "en", 1)).as("pos"),
+        count(when(col("lang") =!= "en", 1)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"))
+    byScore
+      .withColumn("cumneg", sum(col("neg")).over(w) - col("neg"))
+      .groupBy(col("source"))
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") * col("n_neg") > 0,
+          expr("u2 * 500000 div (n_pos * n_neg)")))
+      .orderBy(col("source"))
+  }
+
+  private val q317Sql =
+    """WITH q AS (
+      |  SELECT doc_id, lang, source,
+      |    uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |      + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+      |  FROM (
+      |    SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio
+      |    FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents))),
+      |b AS (
+      |  SELECT source, quality,
+      |    CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS pos,
+      |    CAST(COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT) AS neg
+      |  FROM q GROUP BY 1, 2),
+      |c AS (
+      |  SELECT source, pos, neg,
+      |    CAST(SUM(neg) OVER (PARTITION BY source ORDER BY quality) AS BIGINT)
+      |      - neg AS cumneg
+      |  FROM b)
+      |SELECT source, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |  CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+      |  CASE WHEN SUM(pos) * SUM(neg) > 0 THEN
+      |    CAST(SUM(pos * (2 * cumneg + neg)) * 500000 // (SUM(pos) * SUM(neg))
+      |      AS BIGINT) END AS auc_ppm
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_quality_auc" -> q317,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
@@ -1324,6 +1392,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q317_quality_auc" -> q317Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,

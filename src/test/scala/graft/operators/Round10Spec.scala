@@ -951,6 +951,38 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q317 rank-sum AUC equals the brute-force pairwise definition") {
+    val out = SparkEntry.queries("q317_quality_auc")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // driver-side replay straight from the definition:
+    // U2 = Σ over (pos, neg) pairs of [2·1(s⁺>s⁻) + 1(s⁺=s⁻)]
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("lang"), split(col("text"), " ").as("t"))
+      .select(col("source"), col("lang"),
+        size(col("t")).cast("long").as("n"),
+        size(org.apache.spark.sql.functions.filter(col("t"),
+          x => x.isin("the", "a"))).cast("double").as("stops"),
+        size(array_distinct(col("t"))).cast("double").as("uniq"))
+      .collect().map { r =>
+        val n = r.getLong(2)
+        val q = r.getDouble(4) / n * 0.5 + (1.0 - r.getDouble(3) / n) * 0.3 +
+          math.min(n.toDouble / 256.0, 1.0) * 0.2
+        (r.getString(0), r.getString(1) == "en", q)
+      }
+    out.foreach { r =>
+      val src = r.getString(0)
+      val pos = docs.collect { case (s, true, q) if s == src => q }
+      val neg = docs.collect { case (s, false, q) if s == src => q }
+      assert(r.getLong(1) == pos.length && r.getLong(2) == neg.length, s"$r")
+      val u2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(r.getLong(3) == u2, s"rank-sum U2 drifted from pairwise: $r vs $u2")
+      if (pos.nonEmpty && neg.nonEmpty)
+        assert(r.getLong(4) == u2 * 500000L / (pos.length.toLong * neg.length),
+          s"auc_ppm mismatch: $r")
+    }
+  }
+
   test("q316 shards partition the corpus contiguously with no global-order window") {
     val df = SparkEntry.queries("q316_epoch_sharding")(spark, sf0001)
     val out = df.collect()
