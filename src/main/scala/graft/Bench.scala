@@ -135,7 +135,8 @@ object Bench {
     "q313_small_files_audit", "q314_semantic_prune",
     // round 10e additions: delta-join MV maintenance, epoch sharding,
     // exact AUC, LSH tuning curve
-    "q315_delta_join_view", "q316_epoch_sharding", "q317_quality_auc"
+    "q315_delta_join_view", "q316_epoch_sharding", "q317_quality_auc",
+    "q318_lsh_tuning"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -1365,7 +1365,161 @@ object TextOps extends QueryModule {
       |      AS BIGINT) END AS auc_ppm
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q318
+
+  /** q318: LSH PARAMETER TUNING — the measured S-curve you read BEFORE
+    * running q75 at scale: for every (bands b × rows r) split of the
+    * 16-minhash signature ((16,1),(8,2),(4,4),(2,8)), the fraction of
+    * pairs that become LSH candidates (≥1 equal band), bucketed by their
+    * TRUE Jaccard decile. More rows per band sharpens the threshold, more
+    * bands raises recall — this table is that tradeoff measured with the
+    * corpus's own shingle machinery, not the textbook 1−(1−j^r)^b curve.
+    * Ground truth needs exact pairwise Jaccard, so it runs on a
+    * SIZE-BOUNDED calibration set: the 32 docs with the smallest
+    * `md5("tune-"||doc_id)` (a TakeOrdered at any corpus size), paired
+    * (a) against each other — natural pairs, the curve's non-dup mass —
+    * and (b) against CONTROLLED-DISTORTION TWINS (every k-th token
+    * dropped, k ∈ {2..24}), the standard calibration trick that sweeps
+    * true Jaccard across the deciles where the S-curve actually bends.
+    * Signatures are q75's exact machinery (md5-split h1/h2, 16 linear
+    * permutations), so the tuning verdict transfers directly to the
+    * production dedup run.
+    *
+    * Scale: corpus-sized work is one token scan + TakeOrdered(32);
+    * everything after is constant-bounded (496 + ≤256 pairs × 4
+    * configs). All-integer collision flags and `ppm = cand·10⁶ div
+    * pairs`, so the whole curve is hash-checked.
+    */
+  /** Minhash signature (q75's 16 linear permutations) for any
+    * (keys, shingles) frame — shared by q318's original and twin sides.
+    */
+  private def minhashSig(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val hashed = df
+      .select(keys.map(col) :+ explode(col("shingles")).as("x"): _*)
+      .select(keys.map(col) ++ Seq(
+        expr("CAST(conv(substring(md5(x), 1, 7), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(md5(x), 9, 7), 16, 10) AS BIGINT)").as("h2")): _*)
+    val mins = (0 until 16).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    hashed.groupBy(keys.map(col): _*).agg(mins.head, mins.tail: _*)
+      .select(keys.map(col) :+
+        array((0 until 16).map(i => col(s"m$i")): _*).as("sig"): _*)
+  }
+
+  private def q318(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shingleOf = (t: String) => s"array_distinct(transform(sequence(0, size($t)-3), " +
+      s"i -> concat_ws(' ', $t[i], $t[i+1], $t[i+2])))"
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .orderBy(md5(concat(lit("tune-"), col("doc_id"))), col("doc_id"))
+      .limit(32)
+      .localCheckpoint() // one corpus scan; everything after is 32-doc-bounded
+    val orig = base.select(col("doc_id"), expr(shingleOf("t")).as("shingles"))
+    val twins = base
+      .crossJoin(broadcast(Seq(2, 3, 4, 6, 8, 12, 16, 24).toDF("k")))
+      .withColumn("t2", expr(
+        "transform(filter(sequence(1, size(t)), i -> i % k != 0), i -> element_at(t, i))"))
+      .filter(size(col("t2")) >= 3)
+      .select(col("doc_id"), col("k"), expr(shingleOf("t2")).as("shingles"))
+    val sigO = minhashSig(orig, Seq("doc_id")).join(orig, "doc_id")
+    val sigT = minhashSig(twins, Seq("doc_id", "k")).join(twins, Seq("doc_id", "k"))
+    // pair set 1: originals × originals (the non-dup mass of the curve);
+    // pair set 2: each original × its controlled-distortion twins (the
+    // mid/high-Jaccard probes)
+    val cross = sigO.select(col("doc_id").as("da"), col("sig").as("siga"),
+        col("shingles").as("sa"))
+      .join(sigO.select(col("doc_id").as("db"), col("sig").as("sigb"),
+        col("shingles").as("sb")), col("da") < col("db"))
+      .select(col("siga"), col("sa"), col("sigb"), col("sb"))
+    val probes = sigO.select(col("doc_id"), col("sig").as("siga"),
+        col("shingles").as("sa"))
+      .join(sigT.select(col("doc_id"), col("sig").as("sigb"),
+        col("shingles").as("sb")), "doc_id")
+      .select(col("siga"), col("sa"), col("sigb"), col("sb"))
+    val cfgs = Seq((16, 1), (8, 2), (4, 4), (2, 8)).toDF("bands", "rows_per_band")
+    cross.unionByName(probes)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac_decile",
+        expr("CAST(10 * inter div (size(sa) + size(sb) - inter) AS BIGINT)"))
+      .crossJoin(broadcast(cfgs))
+      .withColumn("hit", expr(
+        """exists(sequence(0, bands - 1), i ->
+          |  slice(siga, i * rows_per_band + 1, rows_per_band)
+          |    == slice(sigb, i * rows_per_band + 1, rows_per_band))""".stripMargin))
+      .groupBy(col("bands"), col("rows_per_band"), col("jac_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("hit"), 1)).as("n_cand"))
+      .withColumn("cand_ppm", expr("n_cand * 1000000 div n_pairs"))
+      .orderBy(col("bands"), col("rows_per_band"), col("jac_decile"))
+  }
+
+  private val q318Sql = {
+    def hex7(off: Int) = Exact.sqlHexToLong("hh", off, 7)
+    val mins = (0 until 16).map(i => s"MIN(h1 + $i * h2)").mkString(", ")
+    def shingleOf(t: String) =
+      s"list_distinct(list_transform(range(1, len($t)-1), " +
+        s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2]))"
+    s"""WITH base AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3
+       |  ORDER BY md5('tune-' || doc_id), doc_id LIMIT 32),
+       |orig AS (SELECT doc_id, ${shingleOf("t")} AS shingles FROM base),
+       |twins AS (
+       |  SELECT doc_id, k, ${shingleOf("t2")} AS shingles FROM (
+       |    SELECT doc_id, k,
+       |      list_transform(list_filter(range(1, len(t)+1), i -> i % k != 0),
+       |        i -> t[i]) AS t2
+       |    FROM base CROSS JOIN (SELECT unnest([2,3,4,6,8,12,16,24]) AS k))
+       |  WHERE len(t2) >= 3),
+       |hashO AS (
+       |  SELECT doc_id, CAST(${hex7(1)} AS BIGINT) AS h1,
+       |    CAST(${hex7(9)} AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, md5(unnest(shingles)) AS hh FROM orig)),
+       |sigO AS (SELECT doc_id, [$mins] AS sig FROM hashO GROUP BY doc_id),
+       |hashT AS (
+       |  SELECT doc_id, k, CAST(${hex7(1)} AS BIGINT) AS h1,
+       |    CAST(${hex7(9)} AS BIGINT) AS h2
+       |  FROM (SELECT doc_id, k, md5(unnest(shingles)) AS hh FROM twins)),
+       |sigT AS (SELECT doc_id, k, [$mins] AS sig FROM hashT GROUP BY doc_id, k),
+       |docsO AS (SELECT o.doc_id, sig, shingles FROM sigO s
+       |          JOIN orig o ON o.doc_id = s.doc_id),
+       |docsT AS (SELECT tw.doc_id, tw.k, sig, shingles FROM sigT s
+       |          JOIN twins tw ON tw.doc_id = s.doc_id AND tw.k = s.k),
+       |pairs AS (
+       |  SELECT a.sig AS siga, a.shingles AS sa, b.sig AS sigb, b.shingles AS sb
+       |  FROM docsO a JOIN docsO b ON a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.sig, a.shingles, b.sig, b.shingles
+       |  FROM docsO a JOIN docsT b ON a.doc_id = b.doc_id),
+       |jp AS (
+       |  SELECT siga, sigb,
+       |    len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+       |    len(sa) + len(sb)
+       |      - len(list_filter(sa, x -> list_contains(sb, x))) AS uni
+       |  FROM pairs),
+       |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8))
+       |        AS t(bands, rows_per_band)),
+       |flags AS (
+       |  SELECT bands, rows_per_band,
+       |    CAST(10 * inter // uni AS BIGINT) AS jac_decile,
+       |    len(list_filter(range(bands), i ->
+       |      siga[i * rows_per_band + 1 : i * rows_per_band + rows_per_band]
+       |        = sigb[i * rows_per_band + 1 : i * rows_per_band + rows_per_band])) > 0
+       |      AS hit
+       |  FROM jp CROSS JOIN cfg)
+       |SELECT CAST(bands AS INT) AS bands,
+       |  CAST(rows_per_band AS INT) AS rows_per_band, jac_decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_cand,
+       |  CAST(COUNT(CASE WHEN hit THEN 1 END) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS cand_ppm
+       |FROM flags GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_lsh_tuning" -> q318,
     "q317_quality_auc" -> q317,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
@@ -1392,6 +1546,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q318_lsh_tuning" -> q318Sql,
     "q317_quality_auc" -> q317Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,

@@ -951,6 +951,33 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q318 S-curve: nested-band monotonicity, clean low end, saturated high end") {
+    val out = SparkEntry.queries("q318_lsh_tuning")(spark, sf0001).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.nonEmpty)
+    val deciles = out.keys.map(_._3).toSeq.distinct.sorted
+    assert(deciles.length >= 4, s"curve degenerate — deciles: $deciles")
+    // the 16 mins are sliced into nested bands (8-row bands are pairs of
+    // 4-row bands, etc.), so a coarser-band collision IMPLIES a
+    // finer-band collision: candidate counts must be monotone in bands
+    val order = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+    deciles.foreach { dec =>
+      val cands = order.flatMap(c => out.get((c._1, c._2, dec)).map(_._2))
+      assert(cands == cands.sorted,
+        s"band-nesting monotonicity broken at decile $dec: $cands")
+      val pairs = order.flatMap(c => out.get((c._1, c._2, dec)).map(_._1))
+      assert(pairs.distinct.length <= 1,
+        s"configs disagree on the pair population at decile $dec: $pairs")
+    }
+    // non-dups (decile 0) must stay essentially candidate-free even for
+    // the most permissive config, and exact dups must always collide
+    out.collect { case ((_, _, 0L), (_, _, ppm)) =>
+      assert(ppm < 10000L, s"decile-0 candidate rate too high: $ppm ppm") }
+    out.collect { case ((_, _, 10L), (_, _, ppm)) =>
+      assert(ppm == 1000000L, s"identical pairs must always collide: $ppm") }
+  }
+
   test("q317 rank-sum AUC equals the brute-force pairwise definition") {
     val out = SparkEntry.queries("q317_quality_auc")(spark, sf0001).collect()
     assert(out.nonEmpty)
