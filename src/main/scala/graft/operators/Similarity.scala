@@ -1720,7 +1720,97 @@ object Similarity extends QueryModule {
        |  FROM fused)
        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // --------------------------------------------------------------- q319
+
+  /** q319: DIMENSION-TRUNCATION RECALL — the Matryoshka-representation
+    * audit (Kusupati et al., NeurIPS 2022): how much ANN quality survives
+    * serving only the first m dimensions of the embedding? For each
+    * truncation m ∈ {4, 8, 16, 64} the cosine top-5 under the SLICED
+    * vectors is compared against the full-dimension exact top-5 (q80's
+    * ranking), and the per-m recall rolls up as exact integers
+    * (`recall_ppm = hits·10⁶ div (5·queries)`), so the serving-cost /
+    * quality tradeoff table is hash-checked. m = 64 is the identity row
+    * (recall 10⁶ by construction — a built-in self-test). Truncated
+    * candidates with a zero sliced norm are excluded (cosine undefined),
+    * identically in both engines.
+    *
+    * Scale: one corpus scan through the broadcast-20-query nested-loop
+    * probe (q80's shape); the ×4 truncation fan-out happens on the scored
+    * pair stream in-plan, never re-reading the corpus, and each leg's
+    * work is O(m) per pair. The report the index-sizing decision reads:
+    * halving stored dims costs X points of recall@5.
+    */
+  private def q319(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val q = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"))
+    val pairs = c.join(broadcast(q), col("qid") =!= col("nid"))
+    val full5 = pairs
+      .select(col("qid"), col("nid"),
+        (dotExpr("qv", "nv").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"))
+    val trunc5 = pairs
+      .crossJoin(broadcast(Seq(4, 8, 16, 64).toDF("m")))
+      .select(col("qid"), col("m"), col("nid"),
+        expr("graft_dot(slice(qv, 1, m), slice(nv, 1, m))").as("dotm"),
+        expr("graft_dot(slice(qv, 1, m), slice(qv, 1, m))").as("nam"),
+        expr("graft_dot(slice(nv, 1, m), slice(nv, 1, m))").as("nbm"))
+      .filter(col("nam") > 0 && col("nbm") > 0)
+      .withColumn("cosm",
+        col("dotm").cast(DoubleType) / (sqrt(col("nam")) * sqrt(col("nbm"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"), col("m")).orderBy(desc("cosm"), col("nid"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("m"), col("nid"))
+    trunc5
+      .join(full5.withColumn("in_full", lit(1L)), Seq("qid", "nid"), "left_outer")
+      .groupBy(col("m"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        sum(coalesce(col("in_full"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div (5 * n_queries)"))
+      .orderBy(col("m"))
+  }
+
+  private val q319Sql =
+    s"""WITH q AS ($quantizedSql),
+       |qs AS (SELECT vec_id AS qid, v AS qv FROM q WHERE vec_id < 20),
+       |pairs AS (
+       |  SELECT qid, qv, vec_id AS nid, v AS nv FROM q CROSS JOIN qs
+       |  WHERE qid <> vec_id),
+       |full5 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |      CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i])) AS DOUBLE)
+       |        / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+       |           * sqrt(list_sum(list_transform(nv, x -> x*x)))) DESC, nid) AS rank
+       |    FROM pairs) WHERE rank <= 5),
+       |tr AS (
+       |  SELECT qid, m, nid,
+       |    CAST(list_sum(list_transform(range(1, m+1), i -> qv[i]*nv[i])) AS BIGINT) AS dotm,
+       |    CAST(list_sum(list_transform(range(1, m+1), i -> qv[i]*qv[i])) AS BIGINT) AS nam,
+       |    CAST(list_sum(list_transform(range(1, m+1), i -> nv[i]*nv[i])) AS BIGINT) AS nbm
+       |  FROM pairs CROSS JOIN (SELECT unnest([4, 8, 16, 64]) AS m)),
+       |trunc5 AS (
+       |  SELECT qid, m, nid FROM (
+       |    SELECT qid, m, nid, ROW_NUMBER() OVER (PARTITION BY qid, m ORDER BY
+       |      CAST(dotm AS DOUBLE) / (sqrt(nam) * sqrt(nbm)) DESC, nid) AS rank
+       |    FROM tr WHERE nam > 0 AND nbm > 0) WHERE rank <= 5)
+       |SELECT CAST(m AS INT) AS m, CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN f.nid IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // (5 * COUNT(DISTINCT t.qid)) AS BIGINT) AS recall_ppm
+       |FROM trunc5 t LEFT JOIN full5 f ON t.qid = f.qid AND t.nid = f.nid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_matryoshka_recall" -> q319,
     "q199_semantic_dedup" -> q199,
     "q225_hybrid_rrf" -> q225,
     "q218_ann_adc_rerank" -> q218,
@@ -1744,6 +1834,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q319_matryoshka_recall" -> q319Sql,
     "q199_semantic_dedup" -> q199Sql,
     "q225_hybrid_rrf" -> q225Sql,
     "q218_ann_adc_rerank" -> q218Sql,

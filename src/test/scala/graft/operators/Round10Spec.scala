@@ -951,6 +951,20 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q319 truncation audit: the full-dimension row is a perfect self-test") {
+    val out = SparkEntry.queries("q319_matryoshka_recall")(spark, sf0001).collect()
+    assert(out.map(_.getInt(0)).sameElements(Array(4, 8, 16, 64)))
+    out.foreach { r =>
+      val (nq, hits, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nq > 0 && hits <= 5 * nq, s"hits exceed the top-5 budget: $r")
+      assert(ppm == hits * 1000000L / (5 * nq), s"recall arithmetic drifted: $r")
+    }
+    // m = 64 is the untruncated identity: recall must be exactly 1.0
+    val full = out.find(_.getInt(0) == 64).get
+    assert(full.getLong(3) == 1000000L,
+      s"identity row must have perfect recall: $full")
+  }
+
   test("q318 S-curve: nested-band monotonicity, clean low end, saturated high end") {
     val out = SparkEntry.queries("q318_lsh_tuning")(spark, sf0001).collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getLong(2)),
