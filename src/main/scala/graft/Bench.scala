@@ -136,7 +136,7 @@ object Bench {
     // round 10e additions: delta-join MV maintenance, epoch sharding,
     // exact AUC, LSH tuning curve
     "q315_delta_join_view", "q316_epoch_sharding", "q317_quality_auc",
-    "q318_lsh_tuning", "q319_matryoshka_recall"
+    "q318_lsh_tuning", "q319_matryoshka_recall", "q320_ndcg"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

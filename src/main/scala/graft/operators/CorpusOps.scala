@@ -1755,6 +1755,97 @@ object CorpusOps extends QueryModule {
        |FROM lex10 l LEFT JOIN rels r ON l.qid = r.rqid AND l.nid = r.rid
        |GROUP BY l.qid ORDER BY l.qid""".stripMargin
 
+  // --------------------------------------------------------------- q320
+
+  /** Position-discount table for NDCG@10: `w_i = round(10⁶ / log2(i+1))`,
+    * computed ONCE in Scala and injected as literals into BOTH the Spark
+    * plan and the DuckDB oracle — the one libm evaluation happens at plan
+    * build, never per row, so the metric is exact integer arithmetic in
+    * both engines (the same shared-constant trick as q306's MMR weights).
+    */
+  private val ndcgW: Seq[Long] = (1 to 10).map(i =>
+    math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** q320's graded weak qrels are always the cosine top-10 in bands
+    * (ranks 1–3 → gain 7, 4–6 → 3, 7–10 → 1 — the 2^g−1 convention), so
+    * the ideal gain sequence is FIXED and IDCG is one shared constant.
+    */
+  private val ndcgIdcg: Long =
+    Seq(7L, 7L, 7L, 3L, 3L, 3L, 1L, 1L, 1L, 1L).zip(ndcgW)
+      .map { case (g, w) => g * w }.sum
+
+  /** q320: EXACT NDCG@10 — the graded-relevance metric that completes the
+    * annotation-free IR dashboard (q311's P@10 + RR, q304's ANN recall):
+    * the BM25 top-10 scored against GRADED pseudo-qrels — per query, the
+    * 10 docs sharing the most DISTINCT terms with it (an exact integer,
+    * so the qrel set is bit-deterministic), banded ranks 1–3 → gain 7,
+    * 4–6 → 3, 7–10 → 1 (the 2^g−1 convention). Shared-term overlap is
+    * correlated with but NOT identical to BM25 (no idf, no length
+    * normalization), so NDCG lands strictly between 0 and 1 — the gap IS
+    * the measurement: how much BM25's weighting re-orders raw overlap.
+    * `dcg = Σ gain·w_lrank`, `ndcg_ppm = dcg·10⁶ div IDCG` with both the
+    * discount table and IDCG compile-time constants shared with the
+    * oracle, so the ranking-quality number is hash-checked — no float
+    * log anywhere near the data.
+    *
+    * Scale: both legs are q224's broadcast-query postings probes —
+    * work is O(query-term postings), the metric join O(queries·10).
+    */
+  private def q320(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val lex = bm25Ranks(s, d).filter(col("lrank") <= 10)
+      .select(col("qid"), col("nid"), col("lrank"))
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("term"))
+    val qterms = terms.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("rqid"), col("term"))
+    val rel = terms.select(col("doc_id").as("rid"), col("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("rqid") =!= col("rid"))
+      .groupBy(col("rqid"), col("rid"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("rqid")).orderBy(desc("shared"), col("rid"))))
+      .filter(col("r") <= 10)
+      .select(col("rqid"), col("rid"),
+        expr("CASE WHEN r <= 3 THEN 7L WHEN r <= 6 THEN 3L ELSE 1L END").as("gain"))
+    val wArr = s"array(${ndcgW.mkString("L, ")}L)"
+    lex.join(broadcast(rel),
+        col("qid") === col("rqid") && col("nid") === col("rid"), "left")
+      .withColumn("contrib",
+        coalesce(col("gain"), lit(0L)) *
+          expr(s"element_at($wArr, CAST(lrank AS INT))"))
+      .groupBy(col("qid"))
+      .agg(sum(col("contrib")).as("dcg"))
+      .withColumn("ndcg_ppm", expr(s"dcg * 1000000 div ${ndcgIdcg}L"))
+      .orderBy(col("qid"))
+  }
+
+  private val q320Sql = {
+    val wList = s"[${ndcgW.mkString(", ")}]"
+    s"""WITH ${bm25RanksSql()},
+       |rels AS (
+       |  SELECT rqid, rid,
+       |    CASE WHEN r <= 3 THEN 7 WHEN r <= 6 THEN 3 ELSE 1 END AS gain
+       |  FROM (
+       |    SELECT rqid, rid, ROW_NUMBER() OVER (PARTITION BY rqid
+       |        ORDER BY shared DESC, rid) AS r
+       |    FROM (
+       |      SELECT q.doc_id AS rqid, c.doc_id AS rid,
+       |        CAST(COUNT(*) AS BIGINT) AS shared
+       |      FROM tf q JOIN tf c ON q.term = c.term
+       |      WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id
+       |      GROUP BY 1, 2))
+       |  WHERE r <= 10),
+       |lex10 AS (SELECT qid, nid, lrank FROM lex WHERE lrank <= 10)
+       |SELECT l.qid,
+       |  CAST(SUM(COALESCE(r.gain, 0) * $wList[CAST(l.lrank AS INT)]) AS BIGINT) AS dcg,
+       |  CAST(SUM(COALESCE(r.gain, 0) * $wList[CAST(l.lrank AS INT)]) * 1000000
+       |    // $ndcgIdcg AS BIGINT) AS ndcg_ppm
+       |FROM lex10 l LEFT JOIN rels r ON l.qid = r.rqid AND l.nid = r.rid
+       |GROUP BY l.qid ORDER BY l.qid""".stripMargin
+  }
+
   // --------------------------------------------------------------- q229
 
   /** One BPE merge iteration over a (w, freq, s) vocabulary — s is the
@@ -2453,6 +2544,7 @@ object CorpusOps extends QueryModule {
     "q219_dup_spans" -> q219,
     "q224_bm25_retrieval" -> q224,
     "q311_retrieval_metrics" -> q311,
+    "q320_ndcg" -> q320,
     "q228_corpus_mixing" -> q228,
     "q274_token_waterfill" -> q274,
     "q283_epoch_schedule" -> q283,
@@ -2494,6 +2586,7 @@ object CorpusOps extends QueryModule {
     "q219_dup_spans" -> q219Sql,
     "q224_bm25_retrieval" -> q224Sql,
     "q311_retrieval_metrics" -> q311Sql,
+    "q320_ndcg" -> q320Sql,
     "q228_corpus_mixing" -> q228Sql,
     "q274_token_waterfill" -> q274Sql,
     "q283_epoch_schedule" -> q283Sql,

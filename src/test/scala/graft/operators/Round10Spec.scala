@@ -951,6 +951,22 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q320 NDCG stays in [0, IDCG] and the normalization is exact") {
+    val out = SparkEntry.queries("q320_ndcg")(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).sorted.sameElements(0L until 5L))
+    // the shared constants: w_i = round(1e6/log2(i+1)), fixed band IDCG
+    val w = (1 to 10).map(i => math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0))))
+    val idcg = Seq(7L, 7L, 7L, 3L, 3L, 3L, 1L, 1L, 1L, 1L).zip(w)
+      .map { case (g, x) => g * x }.sum
+    out.foreach { r =>
+      val (dcg, ppm) = (r.getLong(1), r.getLong(2))
+      assert(dcg >= 0 && dcg <= idcg, s"DCG outside [0, IDCG=$idcg]: $r")
+      assert(ppm == dcg * 1000000L / idcg, s"normalization drifted: $r")
+    }
+    assert(out.exists(_.getLong(1) > 0),
+      "fixture degenerate: no query scored any graded-relevant doc")
+  }
+
   test("q319 truncation audit: the full-dimension row is a perfect self-test") {
     val out = SparkEntry.queries("q319_matryoshka_recall")(spark, sf0001).collect()
     assert(out.map(_.getInt(0)).sameElements(Array(4, 8, 16, 64)))
