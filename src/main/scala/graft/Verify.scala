@@ -10,6 +10,8 @@ object Verify {
     val only: Set[String] = args.drop(2).toSet
     val cpus = GraftSession.cpus("4")
     val spark = GraftSession.get(cpus)
+    // harness main: ERROR-only logs keep the driver's stdout tail clean
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -1169,10 +1169,12 @@ object Joins extends QueryModule {
       audit("l_partkey", Tables.part(s, d), "p_partkey")
       graft.plans.DeclaredConstraints.register(
         graft.plans.DeclaredConstraints.FkPk("l_orderkey",
-          Set("o_orderkey", "o_custkey", "o_orderpriority"), "o_orderkey"))
+          Set("o_orderkey", "o_custkey", "o_orderpriority"), "o_orderkey",
+          s"$d/orders.parquet"))
       graft.plans.DeclaredConstraints.register(
         graft.plans.DeclaredConstraints.FkPk("l_partkey",
-          Set("p_partkey", "p_name", "p_brand"), "p_partkey"))
+          Set("p_partkey", "p_name", "p_brand"), "p_partkey",
+          s"$d/part.parquet"))
       riAudited.add(d)
     }
 

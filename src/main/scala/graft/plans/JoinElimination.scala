@@ -10,13 +10,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * A constraint states: `factCol` is NON-NULL and every value appears
   * EXACTLY ONCE in the dimension's `dimKey` (the dimension identified by
-  * its column set, like [[MaterializedViews]] identifies the base table).
+  * its file path via [[ScanIdentity]], like [[MaterializedViews]]
+  * identifies the base table — name-based matching would drop joins to
+  * any column-superset relation).
   * Spark has no DDL surface for enforced FK/PK, so callers AUDIT the pair
   * before registering (q281 does: null-FK count, dangling-FK anti join,
   * dim-key uniqueness — declared constraints are verified, not trusted).
   */
 object DeclaredConstraints {
-  case class FkPk(factCol: String, dimCols: Set[String], dimKey: String)
+  case class FkPk(factCol: String, dimCols: Set[String], dimKey: String,
+                  dimPath: String)
 
   @volatile private var current: Seq[FkPk] = Seq.empty
   def register(c: FkPk): Unit = current = (current :+ c).distinct
@@ -75,8 +78,13 @@ object JoinElimination extends Rule[LogicalPlan] {
       case _ => return false
     }
     bareScan(right).exists { dim =>
+      // the dim side must be THE registered dimension — file-path identity
+      // via ScanIdentity, not a column-name subset (which any superset
+      // relation would satisfy and get its join silently dropped)
       val dimNames = dim.output.map(_.name).toSet
+      val dimId = ScanIdentity.pathsOf(dim)
       cs.exists(c => c.factCol == fkAttr.name && c.dimKey == pkAttr.name &&
+        dimId == Set(ScanIdentity.normalize(c.dimPath)) &&
         c.dimCols.subsetOf(dimNames))
     }
   }

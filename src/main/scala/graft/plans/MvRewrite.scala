@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object MaterializedViews {
   case class MvDef(dims: Set[String], measures: Map[String, String],
-                   baseCols: Set[String], path: String)
+                   baseCols: Set[String], path: String, basePath: String)
 
   @volatile private var current: Option[MvDef] = None
   def register(mv: MvDef): Unit = current = Some(mv)
@@ -41,9 +41,16 @@ object MaterializedViews {
   * Guards, deliberately narrow:
   *   - gated on `spark.graft.mv.rewrite=true` (scoped by the caller, the
   *     way q258 scopes CBO confs) so no other query's plan ever shifts;
-  *   - the child must be the base scan (identified by its column set)
-  *     under column-pruning Projects only — any Filter present and the
-  *     rewrite is off (a filtered rollup is not derivable from totals);
+  *   - the child must be THE base scan — identified by its file path via
+  *     [[ScanIdentity]], not by column names (a name-subset test would
+  *     silently retarget any lineitem-derived parquet or the bucketed
+  *     twin) — under column-pruning Projects only; any Filter present and
+  *     the rewrite is off (a filtered rollup is not derivable from
+  *     totals);
+  *   - GLOBAL aggregates (empty grouping list) are refused: over an empty
+  *     base, `count(*)` returns one row of 0 but `sum(cnt)` over an empty
+  *     MV returns NULL — the grouped shapes have no such edge (no groups
+  *     → no rows on both paths);
   *   - every aggregate must map (no distinct, no agg filter), every
   *     grouping key must be an MV dimension — one miss and the plan is
   *     left untouched;
@@ -75,10 +82,13 @@ object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (conf.getConfString("spark.graft.mv.rewrite", "false") != "true") return plan
     val mvDef = MaterializedViews.get.getOrElse(return plan)
+    val baseId = Set(ScanIdentity.normalize(mvDef.basePath))
     plan.transformUp {
       case agg @ Aggregate(groupings, results, child, _)
-          if bareScan(child).exists(l =>
-            mvDef.baseCols.subsetOf(l.output.map(_.name).toSet)) &&
+          if groupings.nonEmpty &&
+            bareScan(child).exists(l =>
+              ScanIdentity.pathsOf(l) == baseId &&
+                mvDef.baseCols.subsetOf(l.output.map(_.name).toSet)) &&
             groupings.forall {
               case a: AttributeReference => mvDef.dims.contains(a.name)
               case _ => false

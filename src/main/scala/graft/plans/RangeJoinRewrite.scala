@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, AttributeReference, Cast, EqualNullSafe, EqualTo, Explode,
-  Expression, GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan,
+  Expression, GreaterThan, GreaterThanOrEqual, If, IntegralDivide, LessThan,
   LessThanOrEqual, Literal, Sequence}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -28,8 +28,12 @@ import org.apache.spark.sql.types.{
   * `lo ≤ p ≤ hi ⇒ bin(lo) ≤ bin(p) ≤ bin(hi)`, so every true pair is a
   * candidate, and the residual filters the rest exactly. NULL bounds or
   * points produce NULL bins/sequences and drop, matching the original
-  * predicate's UNKNOWN. A degenerate interval (lo > hi) yields an empty
-  * bin sequence — zero candidates, zero matches, same as the original.
+  * predicate's UNKNOWN. A degenerate interval (lo > hi) must yield zero
+  * candidates, but Spark's `sequence(start, stop, 1)` THROWS when
+  * start > stop rather than returning empty — so the generator is guarded:
+  * `if (bin(lo) <= bin(hi)) sequence(...) else array()`, making inverted
+  * rows contribute nothing, same as the original predicate (a NULL guard
+  * result also takes the empty branch, matching UNKNOWN).
   * The rewrite leaves the join's output attributes untouched (outer
   * Project), so parents resolve unchanged; once rewritten, the new join
   * HAS an equi conjunct, so the rule never fires twice.
@@ -143,9 +147,19 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       val pBin = Alias(bin(p, w), "graft_pbin")()
       val pProj = Project(pointPlan.output :+ pBin, pointPlan)
       val iBin = AttributeReference("graft_ibin", LongType, nullable = false)()
+      // sequence(start, stop, 1) throws "Illegal sequence boundaries" when
+      // start > stop — an inverted interval row would crash the whole
+      // query. Guard: degenerate (or NULL-bound) intervals explode to an
+      // empty array and contribute zero candidates.
+      val loBin = bin(lo, w)
+      val hiBin = bin(hi, w)
+      val emptyBins = Literal.create(Seq.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
       val gen = Generate(
-        Explode(Sequence(bin(lo, w), bin(hi, w), Some(Literal(1L)),
-          Some(conf.sessionLocalTimeZone))),
+        Explode(If(LessThanOrEqual(loBin, hiBin),
+          Sequence(loBin, hiBin, Some(Literal(1L)),
+            Some(conf.sessionLocalTimeZone)),
+          emptyBins)),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(iBin), child = intervalPlan)
       val (nl, nr) = if (pointOnLeft) (pProj, gen) else (gen, pProj)

@@ -466,9 +466,10 @@ private[sources] class ArticlesRowLevelOperation(
   *
   * Known bound: inserts cluster on a NULL key while updates to rows
   * already living in `merged_inserts` cluster on its name, so a MERGE
-  * doing BOTH can stage `merged_inserts.json` from two different tasks —
-  * the commit publishes them in sequence and the later rename wins
-  * (within ONE task the two fold into a single staged rewrite). A
+  * doing BOTH can stage `merged_inserts.json` from two different tasks
+  * (within ONE task the two fold into a single staged rewrite). The
+  * commit DETECTS duplicate staged artifact names and fails the job
+  * before publishing anything — never last-rename-wins data loss. A
   * production artifact scheme gives inserts a fresh per-operation
   * artifact name instead of one shared landing file.
   */
@@ -511,10 +512,24 @@ private[sources] class ArticlesDeltaWrite(dir: String, queryId: String,
     // atomic overwrite — a manifest-pointer estate (q247) is the scale
     // answer; here a FAILED rename must abort the job loudly, never
     // silently lose the artifact)
-    messages.flatMap {
+    val staged = messages.flatMap {
       case ArticlesDeltaCommit(staged) => staged
       case _ => Seq.empty
-    }.distinct.foreach { sp =>
+    }.distinct
+    // two TASKS staging the same artifact name (e.g. a MERGE that both
+    // inserts and updates rows already living in merged_inserts: inserts
+    // cluster on a NULL key, those updates on the artifact name) would
+    // make the later rename silently win and drop the other task's
+    // rewrite — refuse BEFORE publishing anything, so the estate keeps
+    // its pre-merge snapshot and the caller sees the conflict
+    val dup = staged.map(sp => new Path(sp).getName)
+      .groupBy(identity).collect { case (n, v) if v.length > 1 => n }
+    require(dup.isEmpty,
+      s"conflicting staged artifacts ${dup.mkString(", ")}: two tasks " +
+        "rewrote the same artifact in one operation — last-rename-wins " +
+        "would silently lose rows; split the MERGE or give inserts a " +
+        "fresh artifact name")
+    staged.foreach { sp =>
       val p = new Path(sp)
       val dst = new Path(target, p.getName)
       fs.delete(dst, false)

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Round-11 contracts: the ADVICE regression pins (guarded range-join
+  * generator, MV/RI scan identity) plus this round's new machinery.
+  */
+class Round11Spec extends SparkSpec {
+
+  // ---------------------------------------------------- ADVICE regressions
+
+  test("range-join rewrite survives inverted (lo > hi) intervals") {
+    // sequence(start, stop, 1) throws when start > stop — before the
+    // guard, ONE inverted interval row crashed the whole rewritten query
+    val key = "spark.graft.rangejoin.bin"
+    def run(w: String) = {
+      val prev = spark.conf.getOption(key).getOrElse("0")
+      spark.conf.set(key, w)
+      try {
+        val iv = spark.range(10).select(col("id").as("iv_id"),
+          // every third interval inverted, spanning >1 bin at w=3600
+          expr("CASE WHEN id % 3 = 0 THEN id * 10000 + 7200 " +
+            "ELSE id * 10000 END").as("lo"),
+          expr("CASE WHEN id % 3 = 0 THEN id * 10000 " +
+            "ELSE id * 10000 + 7200 END").as("hi"))
+        val pts = spark.range(100).select(col("id").as("p_id"),
+          (col("id") * 1000).as("p"))
+        val df = pts
+          .join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+          .select(col("p_id"), col("iv_id"))
+          .orderBy(col("p_id"), col("iv_id"))
+        (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      } finally spark.conf.set(key, prev)
+    }
+    val (off, rowsOff) = run("0")
+    assert(off.contains("NestedLoopJoin"), off)
+    val (on, rowsOn) = run("3600")
+    assert(!on.contains("NestedLoopJoin") && on.contains("HashJoin"),
+      s"inverted-interval input stopped the rewrite:\n$on")
+    // inverted intervals match nothing on either path — and crash neither
+    assert(rowsOn == rowsOff, s"$rowsOn vs $rowsOff")
+    assert(rowsOff.nonEmpty)
+  }
+
+  test("MV rewrite refuses a column-superset DECOY scan (path identity)") {
+    ScalePatterns.mvLayout(spark, sf0001)
+    // a lineitem-DERIVED parquet: same columns, different data — a
+    // name-subset identity test would silently retarget its rollup to
+    // the full-table MV and return wrong numbers
+    val decoyPath = s"${System.getProperty("java.io.tmpdir")}/graft_r11_decoy_" +
+      spark.sparkContext.applicationId
+    graft.Tables.lineitem(spark, sf0001).filter(col("l_quantity") > 25)
+      .write.mode("overwrite").parquet(decoyPath)
+    def rollup() = spark.read.parquet(decoyPath)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+    val offRows = rollup().collect().toSeq
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    val (planOn, onRows) = try {
+      val q = rollup()
+      (q.queryExecution.executedPlan.toString, q.collect().toSeq)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    assert(!planOn.contains("graft_mv"),
+      s"decoy scan was retargeted to the MV:\n$planOn")
+    assert(onRows == offRows, s"$onRows vs $offRows")
+  }
+
+  test("MV rewrite refuses a GLOBAL aggregate (empty-input count edge)") {
+    ScalePatterns.mvLayout(spark, sf0001)
+    // count(*) with no groupings returns 0 over an empty base but
+    // sum(cnt) over an empty MV returns NULL — the rewrite must leave
+    // global aggregates alone
+    def total() = graft.Tables.lineitem(spark, sf0001)
+      .agg(count(lit(1)).as("n_rows"))
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    val (planOn, onRows) = try {
+      val q = total()
+      (q.queryExecution.executedPlan.toString, q.collect().toSeq)
+    } finally spark.conf.set("spark.graft.mv.rewrite", "false")
+    assert(!planOn.contains("graft_mv"),
+      s"global aggregate was retargeted to the MV:\n$planOn")
+    assert(onRows == total().collect().toSeq)
+  }
+
+  test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
+    // q281 audits + declares constraints for $d/orders.parquet
+    SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
+    // a FILTERED copy of orders at a different path: identical columns,
+    // fewer rows — eliminating this join would be wrong (and a name-based
+    // dim match would do exactly that)
+    val decoyPath = s"${System.getProperty("java.io.tmpdir")}/graft_r11_dimdecoy_" +
+      spark.sparkContext.applicationId
+    graft.Tables.orders(spark, sf0001).filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(decoyPath)
+    def narrowed() = {
+      val li = graft.Tables.lineitem(spark, sf0001)
+      val o = spark.read.parquet(decoyPath)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    }
+    val offRows = narrowed().collect().toSeq
+    spark.conf.set("spark.graft.ri.eliminate", "true")
+    val (planOn, onRows) = try {
+      val q = narrowed()
+      (q.queryExecution.executedPlan.toString, q.collect().toSeq)
+    } finally spark.conf.set("spark.graft.ri.eliminate", "false")
+    assert(planOn.contains("graft_r11_dimdecoy"),
+      s"join to the unregistered dimension was dropped:\n$planOn")
+    assert(onRows == offRows, s"$onRows vs $offRows")
+  }
+}
