@@ -142,7 +142,10 @@ object Bench {
     // round 10e additions: delta-join MV maintenance, epoch sharding,
     // exact AUC, LSH tuning curve
     "q315_delta_join_view", "q316_epoch_sharding", "q317_quality_auc",
-    "q318_lsh_tuning", "q319_matryoshka_recall", "q320_ndcg"
+    "q318_lsh_tuning", "q319_matryoshka_recall", "q320_ndcg",
+    // round 11 additions: the versioned table's SQL front door, the
+    // commit-refusing WAP gate, the DSv2 versioned streaming sink
+    "q321_sql_time_travel", "q322_audit_gate", "q323_versioned_stream_sink"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

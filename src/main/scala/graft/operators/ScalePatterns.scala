@@ -1410,6 +1410,135 @@ object ScalePatterns extends QueryModule {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q321
+
+  /** q321: SQL TIME TRAVEL — q250's `readAt` reached the way a SQL user
+    * reaches it: [[graft.sources.VersionedCatalog]] plugs the versioned
+    * manifest into Spark's DSv2 time-travel grammar, so
+    * `FROM <cat>.tables.tt VERSION AS OF 1` resolves through
+    * `loadTable(ident, version)` to version 1's data directories and
+    * delegates the scan to the stock parquet source (pushdown and
+    * vectorization intact — the catalog decides WHICH dirs, never HOW to
+    * read them). Both committed generations are rolled up by SQL alone;
+    * an uncommitted version is an ANALYSIS-time refusal and
+    * `TIMESTAMP AS OF` resolves against manifest commit times
+    * (Round11Spec pins both). Reference analog: re-reading a prior
+    * scrape session's landed `data/` corpus (SURVEY §3.3).
+    *
+    * Scale: identical to q250 — version resolution is one manifest
+    * listing; the SQL front door adds zero data-path cost.
+    */
+  private def q321(s: SparkSession, d: String): DataFrame = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqltt_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/tt"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "initial load")
+      docs.write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "full rewrite")
+      java.nio.file.Files.createFile(done)
+    }
+    // catalog name carries the dataset tag: catalog instances are cached
+    // by name, so a second dataset in the same session must register its
+    // own, not silently reuse the first root
+    val cat = "g321_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT version, n_docs, total_chars, max_doc FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    MAX(doc_id) AS max_doc
+         |  FROM $cat.tables.tt VERSION AS OF 1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(n_chars) AS BIGINT), MAX(doc_id)
+         |  FROM $cat.tables.tt VERSION AS OF 2)
+         |ORDER BY version""".stripMargin)
+  }
+
+  private val q321Sql = q250Sql
+
+  // --------------------------------------------------------------- q322
+
+  /** q322: WRITE-AUDIT-PUBLISH gate — the commit-REFUSING composition of
+    * q243's DQ audit with the versioned commit
+    * ([[graft.sources.VersionedManifest.commitAudited]]): every batch
+    * lands its data first, then the audit runs over the still-invisible
+    * staged directory, and only a clean audit performs the manifest
+    * rename. The poisoned batch here (negative `n_chars` rows smuggled
+    * into a rewrite) is REFUSED — no manifest, readers keep the previous
+    * snapshot, the bad directory is a vacuumable orphan — and the
+    * corrected retry publishes as the next version. The rollup over the
+    * final table carries the refusal evidence (`violations_refused`,
+    * `versions_committed`) and hash-matches the clean-corpus oracle: a
+    * gate that ever leaked the poisoned batch would fail on n_chars sums.
+    *
+    * Scale: the audit is ONE aggregate pass over the staged version
+    * (columnar scan of the audited columns only), amortized against the
+    * write that produced it; refusal costs zero reader-visible work —
+    * this is Iceberg/Delta's WAP pattern with the branch reduced to the
+    * staged-dir + manifest essence.
+    */
+  private def q322(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_wap_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val audit: DataFrame => Seq[String] = df => {
+      val r = df.agg(
+        sum(when(col("n_chars") < 0, 1L).otherwise(0L)).as("neg_chars"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"))
+        .head()
+      Seq("n_chars < 0" -> r.getLong(0), "source IS NULL" -> r.getLong(1))
+        .collect { case (rule, n) if n > 0 => s"$rule: $n rows" }
+    }
+    var refused: Seq[String] = Seq.empty
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      require(graft.sources.VersionedManifest
+        .commitAudited(s, dir, 1, "initial load", audit).isEmpty)
+      // the poisoned rewrite: data lands, audit refuses, manifest never
+      // renames — version 2 stays an orphan
+      docs.unionByName(
+          docs.filter(col("doc_id") < 5).withColumn("n_chars", lit(-1)))
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      refused = graft.sources.VersionedManifest
+        .commitAudited(s, dir, 2, "poisoned rewrite", audit)
+      require(refused.nonEmpty, "the poisoned batch must be refused")
+      // the corrected retry publishes as the NEXT version; the orphan
+      // at v=2 stays invisible until vacuum reclaims it
+      docs.write.mode("overwrite").parquet(s"$dir/v=3")
+      require(graft.sources.VersionedManifest
+        .commitAudited(s, dir, 3, "corrected rewrite", audit).isEmpty)
+      java.nio.file.Files.createFile(done)
+    } else refused = Seq("n_chars < 0: 5 rows")
+    val committed =
+      graft.sources.VersionedManifest.committedVersions(s, dir).size.toLong
+    graft.sources.VersionedManifest.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("violations_refused", lit(refused.size.toLong))
+      .withColumn("versions_committed", lit(committed))
+      .orderBy(col("source"))
+  }
+
+  private val q322Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(1 AS BIGINT) AS violations_refused,
+      |  CAST(2 AS BIGINT) AS versions_committed
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q260
 
   /** q260: AQE SKEW-JOIN splitting as a first-class operator — the
@@ -1910,7 +2039,7 @@ object ScalePatterns extends QueryModule {
         "max:l_discount:_" -> "max_disc"),
       baseCols = Set("l_orderkey", "l_partkey", "l_quantity",
         "l_extendedprice", "l_returnflag", "l_linestatus"),
-      path = path))
+      path = path, basePath = s"$d/lineitem.parquet"))
     path
   }
 
@@ -3253,6 +3382,8 @@ object ScalePatterns extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q315_delta_join_view" -> q315,
+    "q321_sql_time_travel" -> q321,
+    "q322_audit_gate" -> q322,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3308,6 +3439,8 @@ object ScalePatterns extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q315_delta_join_view" -> q315Sql,
+    "q321_sql_time_travel" -> q321Sql,
+    "q322_audit_gate" -> q322Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -1,0 +1,374 @@
+package graft.sources
+
+import java.util.{Collections => JCollections}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.v2.json.JsonTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL front door for [[VersionedManifest]] tables — the way a SQL user
+  * reaches snapshot history: `spark.sql.catalog.<name> = VersionedCatalog`
+  * (+ `.root = <dir>`) makes every versioned table under `<root>/<tbl>/`
+  * addressable as `<name>.tables.<tbl>`, with Spark's DSv2 time-travel
+  * grammar resolving through the manifest:
+  *
+  *   - `SELECT … FROM <name>.tables.t` — the newest COMMITTED version,
+  *     pinned at analysis time (the snapshot-isolation contract q247
+  *     proves on the Scala API);
+  *   - `… VERSION AS OF 2` — [[VersionedManifest.readAt]]'s refusal
+  *     semantics: an uncommitted version is an analysis-time error, at
+  *     any number (q321, Round11Spec);
+  *   - `… TIMESTAMP AS OF '…'` — resolved against manifest COMMIT times
+  *     (the rename instant), newest version at-or-before the timestamp.
+  *
+  * The data path is deliberately NOT reimplemented: the loaded table
+  * delegates its scan to Spark's own `ParquetTable`/`JsonTable` over the
+  * version's resolved data directories, so pushdown, vectorized reads and
+  * file-splitting are the stock parquet/json scan — the catalog only
+  * decides WHICH directories a snapshot means (reference analog: re-reading
+  * the landed `data/` corpus of a prior scrape session, SURVEY §3.3).
+  *
+  * The WRITE face closes the loop the other way ([[VersionedStreamingWrite]]):
+  * `df.writeStream.toTable("<name>.tables.t")` lands each epoch's rows as
+  * staged JSON-lines part files and makes the EPOCH COMMIT a manifest
+  * [[VersionedManifest.tryCommit]] — q231's epoch idempotence and q252's
+  * manifest idempotence become one mechanism: a replayed epoch finds its
+  * `epoch=` marker in committed history and lands nothing.
+  */
+class VersionedCatalog extends CatalogPlugin with TableCatalog {
+  import VersionedCatalog._
+
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root = <dir>"))
+  }
+  override def name(): String = catName
+  override def defaultNamespace(): Array[String] = Array(TableNs)
+
+  private def spark = SparkSession.active
+  private def dirOf(ident: Identifier): String = s"$root/${ident.name}"
+
+  private def checkNs(ident: Identifier): Unit =
+    if (!(ident.namespace.isEmpty || ident.namespace.sameElements(Array(TableNs))))
+      throw new NoSuchTableException(ident)
+
+  /** A table exists when its directory carries either committed history
+    * or a declared schema (a created-but-not-yet-written stream target).
+    */
+  private def exists(ident: Identifier): Boolean = {
+    val d = dirOf(ident)
+    VersionedManifest.latestCommitted(spark, d).isDefined ||
+      VersionedManifest.readSchema(spark, d).isDefined
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespace.sameElements(Array(TableNs)))
+      throw new NoSuchNamespaceException(namespace)
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("_"))
+      .filter(t => exists(Identifier.of(Array(TableNs), t)))
+      .sorted
+      .map(Identifier.of(Array(TableNs), _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNs(ident)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    new VersionedTable(s"$catName.$TableNs.${ident.name}", dirOf(ident), None)
+  }
+
+  /** `VERSION AS OF <v>` — the SQL spelling of readAt's refusal: only
+    * COMMITTED versions resolve; anything else fails the query at
+    * analysis time.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkNs(ident)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val d = dirOf(ident)
+    val n =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$catName versions are numeric manifest ids, got '$version'")
+      }
+    if (!VersionedManifest.committedVersions(spark, d).contains(n))
+      throw new IllegalStateException(s"version $n at $d is not committed")
+    new VersionedTable(s"$catName.$TableNs.${ident.name}@v$n", d, Some(n))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch; resolved
+    * against manifest commit (rename) times.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    checkNs(ident)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val d = dirOf(ident)
+    val n = VersionedManifest.versionAtTimestamp(spark, d, timestamp / 1000L)
+    new VersionedTable(s"$catName.$TableNs.${ident.name}@v$n", d, Some(n))
+  }
+
+  /** CREATE TABLE declares the schema (stored as `_schema` DDL) and
+    * nothing else — version 1 arrives with the first committed write.
+    * This is the path `writeStream.toTable` takes for a fresh target.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    checkNs(ident)
+    if (exists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (info.partitions().nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catName tables version whole directories; partition transforms " +
+          "are not supported")
+    val schema = StructType(info.columns().map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    VersionedManifest.writeSchema(spark, dirOf(ident), schema)
+    new VersionedTable(s"$catName.$TableNs.${ident.name}", dirOf(ident), None)
+  }
+
+  private def managed: Nothing = throw new UnsupportedOperationException(
+    s"$catName manages versions through the manifest: append via the " +
+      "streaming write, reclaim via vacuum; there is no ALTER/DROP surface")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = managed
+  override def dropTable(ident: Identifier): Boolean = managed
+  override def renameTable(old: Identifier, next: Identifier): Unit = managed
+}
+
+private[sources] object VersionedCatalog {
+  val TableNs = "tables"
+}
+
+/** One snapshot of a versioned table: `pinned` = Some(n) for time travel,
+  * None = newest committed, resolved ONCE at construction (analysis time)
+  * so a commit landing after planning never retargets a running query.
+  * Reads delegate to Spark's own file-source V2 table for the version's
+  * format; writes expose the streaming face only (batch writers use the
+  * Scala manifest API directly — q247/q284's commit/tryCommit).
+  */
+private[sources] class VersionedTable(qualName: String, dir: String,
+                                      pinned: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+  private val resolved: Option[Long] =
+    pinned.orElse(VersionedManifest.latestCommitted(spark, dir))
+  private lazy val declared: Option[StructType] =
+    VersionedManifest.readSchema(spark, dir)
+
+  private lazy val delegate: Option[Table] = resolved.map { n =>
+    val paths = VersionedManifest.resolveDataDirs(spark, dir, n)
+    val opts = new CaseInsensitiveStringMap(JCollections.emptyMap())
+    VersionedManifest.formatOf(spark, dir, n) match {
+      case "json" => JsonTable(qualName, spark, opts, paths, declared,
+        classOf[org.apache.spark.sql.execution.datasources.json.JsonFileFormat])
+      case _ => ParquetTable(qualName, spark, opts, paths, declared,
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    }
+  }
+
+  override def name(): String = qualName
+  override def schema(): StructType =
+    delegate.map(_.schema()).orElse(declared).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version and no declared schema at $dir"))
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.map {
+      case r: SupportsRead => r.newScanBuilder(options)
+      case _ => throw new IllegalStateException("delegate is not readable")
+    }.getOrElse(throw new IllegalStateException(
+      s"no committed version at $dir"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = {
+          // stable across restarts when the caller sets it — the epoch
+          // marker's namespace (a queryId changes per run)
+          val tag = Option(info.options.get("writerTag"))
+            .getOrElse(info.queryId)
+          new VersionedStreamingWrite(dir, tag, info.schema)
+        }
+      }
+    }
+}
+
+private[sources] case class VersionedEpochFile(stagedPath: String)
+    extends WriterCommitMessage
+
+/** The DSv2 streaming write whose EPOCH COMMIT is the manifest commit —
+  * q231's staged-epoch protocol and q252's versioned idempotence as one
+  * mechanism. Tasks stage typed JSON-lines part files under
+  * `.staging-<tag>/`; the driver's per-epoch commit moves them into an
+  * epoch-unique data dir `d-<tag>-e<epoch>` and publishes it as the next
+  * version via [[VersionedManifest.tryCommit]], recording `epoch=<tag>:<n>`
+  * in the manifest body. Idempotence needs no sink-side log: a REPLAYED
+  * epoch (restart in the at-least-once window) finds its marker in
+  * committed history, discards its staged files, and lands nothing; a
+  * lost optimistic race rebases onto the next version number. A failed
+  * epoch leaves only an unreferenced `d-*` dir — vacuumable (q249),
+  * never visible.
+  *
+  * Scale: one manifest create per micro-batch regardless of batch size;
+  * the replay check reads O(#versions) one-line manifests — the same
+  * listing cost every reader already pays.
+  */
+private[sources] class VersionedStreamingWrite(dir: String, tag: String,
+                                               schema: StructType)
+    extends StreamingWrite {
+
+  private def spark = SparkSession.active
+  private def fsOf(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def stagePath = new Path(dir, s".staging-$tag")
+
+  private def marker(epochId: Long) = s"epoch=$tag:$epochId"
+
+  private def alreadyCommitted(epochId: Long): Boolean =
+    VersionedManifest.committedVersions(spark, dir).exists(v =>
+      VersionedManifest.describe(spark, dir, v).linesIterator
+        .contains(marker(epochId)))
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    fsOf(stagePath).mkdirs(stagePath)
+    val d = dir; val t = tag; val s = schema
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        new VersionedEpochWriter(d, t, s,
+          f"part-e$epochId-$partitionId%05d-$taskId.json")
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = fsOf(new Path(dir))
+    def dropStaged(): Unit = messages.foreach {
+      case VersionedEpochFile(p) => fs.delete(new Path(p), false)
+      case _ => ()
+    }
+    if (alreadyCommitted(epochId)) { dropStaged(); return }
+    val dataSub = s"d-$tag-e$epochId"
+    val dataDir = new Path(dir, dataSub)
+    fs.mkdirs(dataDir)
+    messages.foreach {
+      case VersionedEpochFile(staged) =>
+        val src = new Path(staged)
+        if (fs.exists(src)) {
+          val dst = new Path(dataDir, src.getName)
+          fs.delete(dst, false)
+          if (!fs.rename(src, dst))
+            throw new IllegalStateException(
+              s"stage->data rename $src -> $dst failed at epoch $epochId")
+        }
+      case _ => ()
+    }
+    // data fully landed; now the commit POINT: claim the next version
+    // optimistically, rebasing while concurrent commits win slots. Each
+    // version's manifest is CUMULATIVE — the previous version's data
+    // dirs plus this epoch's — so the catalog's latest-version read sees
+    // the whole table, not the last micro-batch (the snapshot-references-
+    // all-live-files discipline of a real table format; compaction folds
+    // the dir list back down, q245/q296).
+    var done = false
+    while (!done) {
+      val latest = VersionedManifest.latestCommitted(spark, dir)
+      val prev = latest.toSeq.flatMap { v =>
+        val fmt = VersionedManifest.formatOf(spark, dir, v)
+        if (fmt != "json") throw new IllegalStateException(
+          s"streaming append needs a json-format (or empty) table; " +
+            s"version $v at $dir is $fmt — compact or start a fresh table")
+        VersionedManifest.resolveDataDirs(spark, dir, v)
+      }
+      val n = latest.getOrElse(0L) + 1
+      val meta = (prev.map("data=" + _) :+ s"data=$dataSub")
+        .mkString("\n") +
+        s"\nformat=json\n${marker(epochId)}\nstreaming ingest epoch $epochId"
+      done = VersionedManifest.tryCommit(spark, dir, n, meta)
+      // a same-tag racer can only be a zombie replaying THIS epoch: if
+      // the marker landed meanwhile, this attempt's data dir is garbage
+      // (unreferenced — vacuum reclaims it) and the epoch is done
+      if (!done && alreadyCommitted(epochId)) done = true
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = fsOf(new Path(dir))
+    messages.foreach {
+      case VersionedEpochFile(p) => fs.delete(new Path(p), false)
+      case _ => ()
+    }
+  }
+}
+
+/** One task's epoch writer: rows → typed JSON lines in a staged part
+  * file (Jackson: proper escaping, exact long/double round-trip under
+  * the declared read schema). Stringly columns only would not do here —
+  * the versioned stream carries event aggregates.
+  */
+private[sources] class VersionedEpochWriter(dir: String, tag: String,
+                                            schema: StructType,
+                                            fileName: String)
+    extends DataWriter[InternalRow] {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+  private val staged = new Path(new Path(dir, s".staging-$tag"), fileName)
+  private val out = {
+    val fs = staged.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.setWriteChecksum(false)
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case dt => throw new UnsupportedOperationException(
+          s"versioned stream ingest supports long/int/double/boolean/string " +
+            s"columns; got ${f.name}: ${dt.simpleString} — cast upstream")
+      }
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    VersionedEpochFile(staged.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    staged.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(staged, false)
+  }
+  override def close(): Unit = ()
+}

@@ -88,6 +88,29 @@ object VersionedManifest {
     true
   }
 
+  /** WRITE-AUDIT-PUBLISH: the commit-refusing gate (r10 verdict #3).
+    * Version `n`'s data must be fully landed under `v=<n>` (the plain
+    * [[commit]] layout); `audit` runs over that STAGED, still-invisible
+    * data and returns violation descriptions. Empty → publish (one
+    * atomic rename, exactly [[commit]]) and return Nil; non-empty →
+    * NO manifest is written, readers can never see the version, the
+    * data dir remains an orphan for [[vacuum]], and the violations are
+    * returned for the writer's dead-letter path. The audit is one
+    * aggregate pass over the staged directory — the "A" of the
+    * write-audit-publish loop, composed from q243's DQ checks; q265's
+    * observe-metrics variant rides the same hook (any
+    * `DataFrame => Seq[String]` closure).
+    */
+  def commitAudited(s: SparkSession, dir: String, n: Long, meta: String,
+                    audit: DataFrame => Seq[String]): Seq[String] = {
+    val staged = s.read.parquet(s"$dir/v=$n")
+    val violations = audit(staged)
+    if (violations.isEmpty) {
+      commit(s, dir, n, s"$meta\naudit=pass")
+      Nil
+    } else violations
+  }
+
   private def manifestBody(f: FileSystem, dir: String, n: Long): String = {
     val in = f.open(new Path(new Path(dir, "_commits"), n.toString))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -100,6 +123,66 @@ object VersionedManifest {
   def describe(s: SparkSession, dir: String, n: Long): String =
     manifestBody(fs(dir, s), dir, n).linesIterator
       .filterNot(_.startsWith("data=")).mkString("\n").trim
+
+  /** Data FORMAT of committed version `n`: the manifest's `format=<fmt>`
+    * line when present (the streaming write face lands JSON-lines part
+    * files, [[VersionedStreamingWrite]]), else `parquet` — the layout the
+    * batch writers use. Per-version, so a table may hold parquet history
+    * with JSON stream epochs appended; each version reads in its own
+    * format.
+    */
+  def formatOf(s: SparkSession, dir: String, n: Long): String =
+    manifestBody(fs(dir, s), dir, n).linesIterator
+      .find(_.startsWith("format=")).map(_.stripPrefix("format="))
+      .getOrElse("parquet")
+
+  /** Declared table schema, stored as a DDL string at `<dir>/_schema`
+    * (underscore-prefixed: invisible to Spark's data-file listing).
+    * Written by [[VersionedCatalog.createTable]]; required for JSON-format
+    * versions (inference over JSON would silently widen types) and used as
+    * the user-specified schema for every catalog read.
+    */
+  def readSchema(s: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(dir, s)
+    val p = new Path(dir, "_schema")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val ddl =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+  }
+
+  def writeSchema(s: SparkSession, dir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = fs(dir, s)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, "_schema"), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Timestamp travel resolution: the newest version whose COMMIT TIME
+    * (the manifest file's modification time — the instant the rename made
+    * it visible) is ≤ `tsMillis`. Refused when nothing was committed yet
+    * at that time, mirroring [[readAt]]'s uncommitted-version refusal.
+    */
+  def versionAtTimestamp(s: SparkSession, dir: String, tsMillis: Long): Long = {
+    val f = fs(dir, s)
+    val commits = new Path(dir, "_commits")
+    if (!f.exists(commits))
+      throw new IllegalStateException(s"no committed version at $dir")
+    val eligible = f.listStatus(commits).toSeq
+      .filter(_.getPath.getName.matches("[0-9]+"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.toLong)
+    if (eligible.isEmpty)
+      throw new IllegalStateException(
+        s"no version at $dir was committed at or before timestamp $tsMillis")
+    eligible.max
+  }
 
   /** Data directory of committed version `n`: the `data=<subdir>` manifest
     * line when present (log-format addressing, [[tryCommit]]), else the
@@ -150,18 +233,27 @@ object VersionedManifest {
   def readLatest(s: SparkSession, dir: String): DataFrame = {
     val n = latestCommitted(s, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
-    s.read.parquet(resolveDataDirs(s, dir, n): _*)
+    readAt(s, dir, n)
   }
 
   /** Time travel: read a SPECIFIC committed version. Reading an
     * uncommitted version is refused — an in-flight or vacuumed writer's
-    * data is never addressable, at any version number.
+    * data is never addressable, at any version number. The version's
+    * manifest `format=` line picks the decoder (parquet default; JSON for
+    * stream-landed epochs, read with the declared `_schema` so types
+    * never drift by inference).
     */
   def readAt(s: SparkSession, dir: String, n: Long): DataFrame = {
     val f = fs(dir, s)
     if (!f.exists(new Path(new Path(dir, "_commits"), n.toString)))
       throw new IllegalStateException(s"version $n at $dir is not committed")
-    s.read.parquet(resolveDataDirs(s, dir, n): _*)
+    val dirs = resolveDataDirs(s, dir, n)
+    formatOf(s, dir, n) match {
+      case "json" =>
+        val r = readSchema(s, dir).map(s.read.schema).getOrElse(s.read)
+        r.json(dirs: _*)
+      case _ => s.read.parquet(dirs: _*)
+    }
   }
 
   /** All committed versions, ascending. */

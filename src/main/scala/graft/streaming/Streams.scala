@@ -1185,6 +1185,67 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q323
+
+  private val q323Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q323: DSv2 STREAMING WRITE into the versioned table — q252's
+    * exactly-once ingest with the `foreachBatch` escape hatch REPLACED by
+    * the connector surface: `df.writeStream.toTable("<cat>.tables.…")`
+    * resolves through [[graft.sources.VersionedCatalog]] to a
+    * `StreamingWrite` whose per-epoch commit IS the manifest commit
+    * ([[graft.sources.VersionedStreamingWrite]] — tasks stage typed
+    * JSON-lines part files, the driver publishes them as the next version
+    * with an `epoch=` marker; cumulative `data=` lines make the latest
+    * version reference the whole table). q231's epoch idempotence and
+    * q252's manifest idempotence are now ONE mechanism: a replayed epoch
+    * finds its marker in committed history and lands nothing
+    * (Round11Spec drives the rogue-epoch replay directly). The rollup
+    * reads the table BACK through the same catalog by SQL identifier and
+    * hash-matches the plain batch oracle over events — failing on any
+    * lost or doubled epoch.
+    *
+    * Scale: one manifest create per micro-batch regardless of batch
+    * size; the replay check lists O(#versions) one-line manifests. The
+    * JSON epoch files are the arrival format — q245's compaction folds
+    * them into parquet as they age (the ingest→columnar lifecycle every
+    * streaming lakehouse runs).
+    */
+  private def q323(s: SparkSession, d: String): DataFrame = {
+    val run = q323Runs.incrementAndGet()
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vsink_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val ckpt = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vsink_ckpt_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    // catalog instances are cached by name: one per (app, run)
+    val cat = s"g323_r$run"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val table = s"$cat.tables.events_log"
+    s.sql(s"CREATE TABLE $table " +
+      "(event_type STRING, user_id BIGINT, value DOUBLE)")
+    val q = streamEvents(s, d)
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .option("writerTag", "ingest")
+      .trigger(Trigger.AvailableNow())
+      .toTable(table)
+    q.awaitTermination()
+    s.table(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q323Sql = q252Sql
+
   // --------------------------------------------------------------- q279
 
   /** Stage every COMMITTED version's part files of a versioned-manifest
@@ -1309,6 +1370,7 @@ object Streams extends QueryModule {
     "q270_state_introspection" -> q270,
     "q279_version_feed" -> q279,
     "q252_stream_versioned_ingest" -> q252,
+    "q323_versioned_stream_sink" -> q323,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1333,6 +1395,7 @@ object Streams extends QueryModule {
     "q270_state_introspection" -> q270Sql,
     "q279_version_feed" -> q279Sql,
     "q252_stream_versioned_ingest" -> q252Sql,
+    "q323_versioned_stream_sink" -> q323Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,

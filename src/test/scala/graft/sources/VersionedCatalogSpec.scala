@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The versioned table's SQL front door and streaming write face:
+  * time-travel resolution, the analysis-time refusal of uncommitted
+  * versions, and the epoch-commit-is-manifest-commit protocol with its
+  * rogue-epoch replay guarantee.
+  */
+class VersionedCatalogSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("tag", StringType, nullable = true)))
+
+  private def freshDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_r11_${name}_" +
+      spark.sparkContext.applicationId
+
+  /** Drive one task's writer for an epoch and return its commit message. */
+  private def stageEpoch(w: VersionedStreamingWrite, epoch: Long,
+                         rows: Seq[(Long, String)]) = {
+    val f = w.createStreamingWriterFactory(null)
+    val writer = f.createWriter(0, epoch * 100, epoch)
+    rows.foreach { case (k, t) =>
+      writer.write(InternalRow(k, UTF8String.fromString(t)))
+    }
+    writer.commit()
+  }
+
+  test("streaming epoch commit IS a manifest commit; a rogue replay lands nothing") {
+    val dir = freshDir("vsw")
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "t1", schema)
+
+    val m0 = stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))
+    w.commit(0, Array(m0))
+    assert(VersionedManifest.committedVersions(spark, dir) == Seq(1L))
+    assert(VersionedManifest.readLatest(spark, dir).count() == 2)
+
+    // rogue epoch: a zombie attempt replays epoch 0 with fresh staged
+    // files — the marker in committed history means it lands NOTHING
+    val rogue = stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))
+    w.commit(0, Array(rogue))
+    assert(VersionedManifest.committedVersions(spark, dir) == Seq(1L),
+      "replayed epoch minted a new version")
+    assert(VersionedManifest.readLatest(spark, dir).count() == 2,
+      "replayed epoch doubled rows")
+
+    // the next epoch publishes version 2 whose CUMULATIVE manifest
+    // references both epochs' dirs
+    val m1 = stageEpoch(w, 1, Seq(3L -> "c"))
+    w.commit(1, Array(m1))
+    assert(VersionedManifest.committedVersions(spark, dir) == Seq(1L, 2L))
+    assert(VersionedManifest.readLatest(spark, dir).count() == 3)
+    // and version 1 still reads as its own snapshot
+    assert(VersionedManifest.readAt(spark, dir, 1).count() == 2)
+  }
+
+  test("catalog SQL: latest read, VERSION AS OF, analysis-time refusal of uncommitted") {
+    val root = freshDir("vcat")
+    val dir = s"$root/t"
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "t2", schema)
+    w.commit(0, Array(stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))))
+    w.commit(1, Array(stageEpoch(w, 1, Seq(3L -> "c"))))
+
+    spark.conf.set("spark.sql.catalog.vc11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vc11.root", root)
+    assert(spark.sql("SELECT COUNT(*) FROM vc11.tables.t").head.getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM vc11.tables.t VERSION AS OF 1").head.getLong(0) == 2)
+    // typed read-back through the declared schema
+    assert(spark.sql(
+      "SELECT SUM(k) FROM vc11.tables.t VERSION AS OF 2").head.getLong(0) == 6)
+    // an uncommitted version refuses at ANALYSIS time — same contract as
+    // VersionedManifest.readAt (q247's refusal), now in SQL spelling
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM vc11.tables.t VERSION AS OF 9"))
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    // and a table the root does not hold is a NoSuchTable analysis error
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM vc11.tables.nope"))
+    assert(e2.getMessage.toLowerCase.contains("table"), e2.getMessage)
+  }
+
+  test("TIMESTAMP AS OF resolves against manifest commit times") {
+    val dir = freshDir("vmts")
+    spark.range(1).toDF("k").write.mode("overwrite").parquet(s"$dir/v=1")
+    VersionedManifest.commit(spark, dir, 1, "first")
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.range(5).toDF("k").write.mode("overwrite").parquet(s"$dir/v=2")
+    VersionedManifest.commit(spark, dir, 2, "second")
+    assert(VersionedManifest.versionAtTimestamp(spark, dir, between) == 1L)
+    assert(VersionedManifest.versionAtTimestamp(
+      spark, dir, System.currentTimeMillis()) == 2L)
+    intercept[IllegalStateException](
+      VersionedManifest.versionAtTimestamp(spark, dir, between - 3600 * 1000))
+    // the SQL spelling rides the same resolution
+    val root = new java.io.File(dir).getParent
+    spark.conf.set("spark.sql.catalog.vc11b",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vc11b.root", root)
+    val tbl = new java.io.File(dir).getName
+    val n = spark.sql(
+      s"SELECT COUNT(*) FROM vc11b.tables.`$tbl` " +
+        "TIMESTAMP AS OF current_timestamp()")
+      .head.getLong(0)
+    assert(n == 5)
+  }
+
+  test("commitAudited refuses the poisoned batch: no manifest, orphan is vacuumable") {
+    val dir = freshDir("wap")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    val audit: org.apache.spark.sql.DataFrame => Seq[String] = df => {
+      val neg = df.filter(org.apache.spark.sql.functions.col("n_chars") < 0).count()
+      if (neg > 0) Seq(s"n_chars<0: $neg") else Nil
+    }
+    assert(VersionedManifest.commitAudited(spark, dir, 1, "load", audit).isEmpty)
+    Seq((3L, -5L)).toDF("doc_id", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/v=2")
+    val refused = VersionedManifest.commitAudited(spark, dir, 2, "bad", audit)
+    assert(refused == Seq("n_chars<0: 1"))
+    // invisible to readers, at latest AND by direct version address
+    assert(VersionedManifest.latestCommitted(spark, dir).contains(1L))
+    intercept[IllegalStateException](VersionedManifest.readAt(spark, dir, 2))
+    // the refused dir is an orphan vacuum reclaims; v=1 survives
+    assert(VersionedManifest.vacuum(spark, dir) == Seq(2L))
+    assert(VersionedManifest.readLatest(spark, dir).count() == 2)
+  }
+}
