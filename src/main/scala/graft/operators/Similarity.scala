@@ -788,6 +788,131 @@ object Similarity extends QueryModule {
        |ORDER BY c.cid""".stripMargin
   }
 
+  // --------------------------------------------------------------- q324
+
+  /** q324: ANN RECALL UNDER CHURN — the number a serving estate actually
+    * alarms on, composing q309 (frozen-quantizer append) with row-level
+    * deletes and q304's recall measurement: the coarse quantizer is
+    * trained on the BASE corpus only (vec_id % 5 ≠ 4), then the index
+    * churns — arrivals assigned to the frozen centroids, a deterministic
+    * delete slice (vec_id % 7 = 3, the q288 deletion-vector subtraction)
+    * removed from serving — and recall@5 is measured on the post-churn
+    * index against exact ground truth over the SAME surviving corpus.
+    * Both rankings replay in the oracle (q304's discipline), so the
+    * churn-degraded recall numbers are hash-checked, not asserted.
+    *
+    * Scale: append assignment is O(new · nlist) map-side against the
+    * broadcast frozen centroids; the delete is a filter riding the scan
+    * (a DV anti-join at estate scale, q288); the exact leg runs over the
+    * fixed query sample only — the shape of every production recall
+    * audit job. When this number sags, q309's `hot` flag says whether
+    * drift (retrain) or deletion skew (rebalance) caused it.
+    */
+  private def q324(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val all = quantized(s, d)
+    val base = all.filter(col("vec_id") % 5 =!= 4)
+    val surviving = all.filter(col("vec_id") % 7 =!= 3)
+    val cents = lloydCents(base, seedCentsScaled(base))
+    val assigned = assignTo(surviving, cents).join(surviving, "vec_id")
+    val queries = surviving.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // probe budget stays the BASE geometry — frozen, like the centroids
+    val ranked = queries.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        (dotExpr("qv", "qv") + dotExpr("cv", "cv") - lit(2L) * dotExpr("qv", "cv"))
+          .as("d2"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+    val probes = ranked
+      .crossJoin(broadcast(ivfGeom(base).select(col("npr"))))
+      .filter(col("pr") <= col("npr"))
+      .select(col("qid"), col("qv"), col("cid"))
+    val scored = probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dotExpr("qv", "v").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("v", "v")))).as("cos"))
+    val ivf = scored
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("r") <= 5)
+      .select(col("qid"), col("nid"), lit(1L).as("hit"))
+    val exact = queries
+      .join(surviving.select(col("vec_id").as("nid"), col("v").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotExpr("qv", "nv").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv")))).as("cos"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("r") <= 5)
+      .select(col("qid"), col("nid"))
+    exact.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_recalled"),
+        count(lit(1)).as("k"))
+      .orderBy(col("qid"))
+  }
+
+  private val q324Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings WHERE vec_id % 5 <> 4),
+       |$trainedCentsSqlScaled,
+       |qs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings WHERE vec_id % 7 <> 3),
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM qs CROSS JOIN cents GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM qs a CROSS JOIN cents c WHERE a.vec_id < 10)
+       |  WHERE pr <= (SELECT npr FROM geom)),
+       |ivf_scored AS (
+       |  SELECT p.qid, m.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*vv.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qq.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(vv.v, x -> x*x)))) AS cos
+       |  FROM probes p
+       |  JOIN assigned m ON p.cid = m.cid
+       |  JOIN qs qq ON qq.vec_id = p.qid
+       |  JOIN qs vv ON vv.vec_id = m.vec_id
+       |  WHERE p.qid <> m.vec_id),
+       |ivf AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+       |    FROM ivf_scored) WHERE r <= 5),
+       |ex_scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+       |  FROM qs a JOIN qs b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+       |    FROM ex_scored) WHERE r <= 5)
+       |SELECT e.qid,
+       |  CAST(SUM(CASE WHEN i.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+       |  CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ex e LEFT JOIN ivf i ON e.qid = i.qid AND e.nid = i.nid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q314
 
   /** q314: SEMANTIC PRUNING — embedding-space data pruning per cluster
@@ -1830,6 +1955,7 @@ object Similarity extends QueryModule {
     "q305_hard_negatives" -> q305,
     "q306_mmr_diversity" -> q306,
     "q309_ivf_append" -> q309,
+    "q324_ann_churn_recall" -> q324,
     "q314_semantic_prune" -> q314
   )
 
@@ -1854,6 +1980,7 @@ object Similarity extends QueryModule {
     "q305_hard_negatives" -> q305Sql,
     "q306_mmr_diversity" -> q306Sql,
     "q309_ivf_append" -> q309Sql,
+    "q324_ann_churn_recall" -> q324Sql,
     "q314_semantic_prune" -> q314Sql
   )
 }

@@ -71,7 +71,7 @@ object Streams extends QueryModule {
   /** Streaming scan of the events table: one file = one backfill batch;
     * a production deployment points the same code at an arriving directory.
     */
-  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+  private[streaming] def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a DIRECTORY of arriving files — stage a
     // symlink to the single test parquet under tmp (a real deployment
@@ -491,6 +491,108 @@ object Streams extends QueryModule {
        |FROM events JOIN dim ON user_id + 1 = c_custkey
        |  AND CAST(ts AS TIMESTAMP) >= valid_from
        |  AND CAST(ts AS TIMESTAMP) < valid_to
+       |GROUP BY 1 ORDER BY tier""".stripMargin
+
+  // --------------------------------------------------------------- q325
+
+  /** The SCD2 dimension as DATA both q325's stream and its oracle replay:
+    * four bounded 8-day tier versions per customer from 2024-01-01
+    * (q286's generator with the open-ended tail CLOSED — a stream-stream
+    * join's state cleanup needs every interval bounded so the watermark
+    * range condition can evict it).
+    */
+  private[streaming] def scd2Dim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"))
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .select(col("c_custkey"),
+        date_add(lit("2024-01-01").cast(DateType), (col("k") * 8).cast(IntegerType))
+          .cast(TimestampType).as("valid_from"),
+        pmod(col("c_custkey") + col("k"), lit(4)).cast(LongType).as("tier"))
+
+  private[streaming] val scd2DimSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("valid_from", TimestampType),
+    StructField("tier", LongType)))
+
+  /** Land the dim as a 4-file parquet arrival dir (one file per version
+    * wave under `maxFilesPerTrigger=1` in the spec), once per
+    * (session, dataset).
+    */
+  private[streaming] def stageScd2Dim(s: SparkSession, d: String): String = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scd2dim_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      scd2Dim(s, d).repartition(4, col("valid_from"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      java.nio.file.Files.createFile(done)
+    }
+    s"$dir/dim"
+  }
+
+  /** q325's core on ANY dim stream (the multi-batch spec drives it with
+    * `maxFilesPerTrigger=1` so dim versions ARRIVE across micro-batches
+    * and events buffered in join state enrich against versions that land
+    * later): purchase events × streaming SCD2 dim, both sides
+    * watermarked, the as-of condition spelled as the event-time RANGE
+    * `valid_from ≤ ts < valid_from + 8 days` so Spark derives state
+    * eviction bounds for BOTH buffers.
+    */
+  private[streaming] def scd2StreamEnrich(s: SparkSession, events: DataFrame,
+                                          dim: DataFrame, sink: String): DataFrame = {
+    val joined = events
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .join(dim.withWatermark("valid_from", "1 hour"),
+        col("user_id") + 1 === col("c_custkey") &&
+          col("ts") >= col("valid_from") &&
+          col("ts") < col("valid_from") + expr("INTERVAL 8 DAYS"))
+      .select(col("tier"), col("value"))
+    runToMemory(s, joined, sink, "append")
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("tier"))
+  }
+
+  /** q325: STREAM-STREAM SCD2 enrichment — q286's temporal join with the
+    * dimension itself ARRIVING as a stream (the last temporal-join cell:
+    * q99 static dim, q286 SCD2 static dim, q98 stream-stream equi+range
+    * on one key, this one stream-stream AS-OF): dim version rows land as
+    * files, events join the version valid at their event time via the
+    * watermarked interval condition, and Spark's join state buffers each
+    * side until the other's watermark passes — so an event arriving
+    * BEFORE its dim version (or a version before its events) still
+    * enriches exactly once, the out-of-order-arrival guarantee a static
+    * dim cannot give. The rollup hash-matches the frozen-dim batch
+    * oracle; StreamsSpec replays the dim one file per micro-batch and
+    * pins batch-order independence.
+    *
+    * Scale: state is bounded on BOTH sides by the watermark range
+    * (every interval closed — the generator's open tail is gone for
+    * exactly this reason); each buffer holds one watermark-window of
+    * rows keyed by the join key, evicted as event time advances. This
+    * is the CDC-fed enrichment topology (dim changes stream from the
+    * OLTP log) every real-time feature pipeline runs.
+    */
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    val dim = s.readStream.schema(scd2DimSchema).parquet(stageScd2Dim(s, d))
+    scd2StreamEnrich(s, streamEvents(s, d), dim, "q325_sink")
+  }
+
+  private val q325Sql =
+    s"""WITH dim AS (
+       |  SELECT c_custkey,
+       |    CAST(DATE '2024-01-01' + CAST(k * 8 AS INTEGER) AS TIMESTAMP) AS valid_from,
+       |    (c_custkey + k) % 4 AS tier
+       |  FROM customer CROSS JOIN range(4) AS t(k))
+       |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events JOIN dim ON user_id + 1 = c_custkey
+       |  AND CAST(ts AS TIMESTAMP) >= valid_from
+       |  AND CAST(ts AS TIMESTAMP) < valid_from + INTERVAL 8 DAY
+       |WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY tier""".stripMargin
 
   /** q106: update-mode aggregation into an upsert sink — the third output
@@ -1383,6 +1485,7 @@ object Streams extends QueryModule {
     "q122_stream_tws_tally" -> q122,
     "q99_stream_static_join" -> q99,
     "q286_stream_scd2_enrich" -> q286,
+    "q325_stream_stream_scd2" -> q325,
     "q98_stream_stream_join" -> q98,
     "q94_stream_sliding" -> q94,
     "q90_stream_tumbling" -> q90,
@@ -1408,6 +1511,7 @@ object Streams extends QueryModule {
     "q122_stream_tws_tally" -> q122Sql,
     "q99_stream_static_join" -> q99Sql,
     "q286_stream_scd2_enrich" -> q286Sql,
+    "q325_stream_stream_scd2" -> q325Sql,
     "q98_stream_stream_join" -> q98Sql,
     "q94_stream_sliding" -> q94Sql,
     "q90_stream_tumbling" -> q90Sql,

@@ -662,4 +662,25 @@ class StreamsSpec extends SparkSpec {
     val st = Streams.lastStateRows("q286_sink")
     assert(st <= 4, s"expected only the rollup's tier rows in state, got $st")
   }
+
+  test("q325 stream-stream SCD2: dim arriving one file per batch enriches identically") {
+    // the registered query: dim backfills in one wave
+    val oneShot = graft.SparkEntry.queries("q325_stream_stream_scd2")(
+      spark, sf0001).collect().toSeq
+    assert(oneShot.nonEmpty)
+    // replay with the dim rate-limited to ONE FILE PER MICRO-BATCH: events
+    // buffered in join state must enrich against versions that only land
+    // in later batches — batch-order independence is the stream-stream
+    // guarantee the static-dim q286 never needed
+    val dimDir = Streams.stageScd2Dim(spark, sf0001)
+    val dim = spark.readStream.schema(Streams.scd2DimSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dimDir)
+    val dripped = Streams.scd2StreamEnrich(spark,
+      Streams.streamEvents(spark, sf0001), dim, "q325_drip_sink")
+      .collect().toSeq
+    assert(dripped == oneShot, s"$dripped vs $oneShot")
+    // and the multi-batch run really ran multiple batches' worth of dim
+    // state: the join buffers held more than the final rollup's 4 rows
+    assert(Streams.lastStateRows("q325_drip_sink") > 4)
+  }
 }
