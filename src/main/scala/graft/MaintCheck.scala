@@ -82,6 +82,28 @@ object MaintCheck {
         s"${perDir.size} partition dirs, files/dir min=${counts.min} " +
         s"max=${counts.max}")
       CacheHygiene.release(spark)
+
+      // ---- q251: manifest file skipping — files READ vs files in layout
+      val q251 = SparkEntry.queries("q251_file_skipping")
+      val df251 = q251(spark, d) // first construction lands layout + stats
+      df251.collect()
+      val skipScan = scans(df251.queryExecution.executedPlan)
+        .find(_.metadata.getOrElse("Location", "").contains("graft_skip_"))
+        .getOrElse(sys.error("q251 pruned scan not found in executed plan"))
+      val filesRead = skipScan.metrics("numFiles").value
+      val dataDir = java.nio.file.Paths.get(s"$tmp/graft_skip_${app}_$tag/data")
+      val fs251 = java.nio.file.Files.list(dataDir)
+      val filesTotal =
+        try fs251.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally fs251.close()
+      val t251 = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q251(spark, d).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"[maint] $d q251_file_skipping: ${t251}%.2f s, " +
+        s"filesRead=$filesRead of $filesTotal layout files")
+      CacheHygiene.release(spark)
     }
     spark.stop()
   }

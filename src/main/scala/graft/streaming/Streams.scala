@@ -1313,16 +1313,20 @@ object Streams extends QueryModule {
     * them into parquet as they age (the ingest→columnar lifecycle every
     * streaming lakehouse runs).
     */
-  private def q323(s: SparkSession, d: String): DataFrame = {
-    val run = q323Runs.incrementAndGet()
+  /** q323/q326's shared ingest: stream events into a fresh versioned
+    * table through the DSv2 write face; returns (SQL table identifier,
+    * table directory). One estate per (tag, invocation).
+    */
+  private[streaming] def ingestVersioned(s: SparkSession, d: String,
+                                         tag: String): (String, String) = {
     val root = graft.StagingDirs.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_vsink_" +
-        s"${s.sparkContext.applicationId}_r$run")
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+        s"${s.sparkContext.applicationId}")
     val ckpt = graft.StagingDirs.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_vsink_ckpt_" +
-        s"${s.sparkContext.applicationId}_r$run")
-    // catalog instances are cached by name: one per (app, run)
-    val cat = s"g323_r$run"
+      s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_ckpt_" +
+        s"${s.sparkContext.applicationId}")
+    // catalog instances are cached by name: one per (app, tag)
+    val cat = s"g$tag"
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.VersionedCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -1338,6 +1342,12 @@ object Streams extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .toTable(table)
     q.awaitTermination()
+    (table, s"$root/events_log")
+  }
+
+  private def q323(s: SparkSession, d: String): DataFrame = {
+    val run = q323Runs.incrementAndGet()
+    val (table, _) = ingestVersioned(s, d, s"vsink_r$run")
     s.table(table)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -1347,6 +1357,50 @@ object Streams extends QueryModule {
   }
 
   private val q323Sql = q252Sql
+
+  // --------------------------------------------------------------- q326
+
+  private val q326Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q326: STREAM-TABLE COMPACTION — the columnar half of the ingest
+    * lifecycle q323 opens: the stream lands many small JSON-lines epoch
+    * files (the arrival format), and this pass folds the CURRENT
+    * snapshot into one parquet rewrite published as the NEXT version of
+    * the SAME manifest (`format=parquet`, fresh `data=` dir, one atomic
+    * tryCommit) — readers mid-compaction keep the JSON snapshot until
+    * the rename, and TIME TRAVEL to the pre-compaction version still
+    * decodes it as JSON (per-version format dispatch,
+    * VersionedCatalogSpec). The rollup reads the compacted table back
+    * through the catalog and hash-matches the same batch oracle as the
+    * ingest — compaction is an optimization, never a semantics change
+    * (q242/q245's invariant, now across a FORMAT boundary).
+    *
+    * Scale: the rewrite streams the snapshot once and costs O(live
+    * data); the commit is one rename regardless of size. This closes
+    * the arrival→columnar loop every streaming lakehouse runs: q323
+    * lands epochs, q326 folds them, q249 vacuums what nothing
+    * references.
+    */
+  private def q326(s: SparkSession, d: String): DataFrame = {
+    val run = q326Runs.incrementAndGet()
+    val (table, dir) = ingestVersioned(s, d, s"vcompact_r$run")
+    val vIn = graft.sources.VersionedManifest.latestCommitted(s, dir).get
+    // the columnar rewrite: land fully, then one atomic manifest rename
+    graft.sources.VersionedManifest.readAt(s, dir, vIn)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/d-compact-$vIn")
+    require(graft.sources.VersionedManifest.tryCommit(s, dir, vIn + 1,
+      s"data=d-compact-$vIn\nformat=parquet\ncompaction of 1..$vIn"),
+      s"compaction commit of version ${vIn + 1} lost a race")
+    s.table(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q326Sql = q252Sql
 
   // --------------------------------------------------------------- q279
 
@@ -1473,6 +1527,7 @@ object Streams extends QueryModule {
     "q279_version_feed" -> q279,
     "q252_stream_versioned_ingest" -> q252,
     "q323_versioned_stream_sink" -> q323,
+    "q326_stream_table_compaction" -> q326,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1499,6 +1554,7 @@ object Streams extends QueryModule {
     "q279_version_feed" -> q279Sql,
     "q252_stream_versioned_ingest" -> q252Sql,
     "q323_versioned_stream_sink" -> q323Sql,
+    "q326_stream_table_compaction" -> q326Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,

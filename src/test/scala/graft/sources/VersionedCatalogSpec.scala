@@ -60,6 +60,31 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(VersionedManifest.readAt(spark, dir, 1).count() == 2)
   }
 
+  test("compaction across the format boundary: parquet snapshot, JSON history intact") {
+    val dir = freshDir("vcmp")
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "t3", schema)
+    w.commit(0, Array(stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))))
+    w.commit(1, Array(stageEpoch(w, 1, Seq(3L -> "c"))))
+    // the q326 move: fold the JSON snapshot into parquet as version 3
+    VersionedManifest.readAt(spark, dir, 2).repartition(1)
+      .write.parquet(s"$dir/d-compact-2")
+    assert(VersionedManifest.tryCommit(spark, dir, 3,
+      "data=d-compact-2\nformat=parquet\ncompaction of 1..2"))
+    assert(VersionedManifest.formatOf(spark, dir, 3) == "parquet")
+    def keys(n: Long) = VersionedManifest.readAt(spark, dir, n)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(3) == Set(1L, 2L, 3L))
+    // time travel to the pre-compaction version still decodes as JSON
+    assert(VersionedManifest.formatOf(spark, dir, 2) == "json")
+    assert(keys(2) == Set(1L, 2L, 3L))
+    assert(keys(1) == Set(1L, 2L))
+    // a further streaming append refuses: the latest snapshot is parquet
+    val m = stageEpoch(w, 2, Seq(4L -> "d"))
+    val e = intercept[IllegalStateException](w.commit(2, Array(m)))
+    assert(e.getMessage.contains("json-format"), e.getMessage)
+  }
+
   test("catalog SQL: latest read, VERSION AS OF, analysis-time refusal of uncommitted") {
     val root = freshDir("vcat")
     val dir = s"$root/t"
