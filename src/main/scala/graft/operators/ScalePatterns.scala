@@ -1428,7 +1428,13 @@ object ScalePatterns extends QueryModule {
     * Scale: identical to q250 — version resolution is one manifest
     * listing; the SQL front door adds zero data-path cost.
     */
-  private def q321(s: SparkSession, d: String): DataFrame = {
+  /** q321/q327's shared estate: the two-generation versioned table from
+    * q250's layout, registered under a per-dataset VersionedCatalog
+    * (catalog instances are cached BY NAME, so a second dataset in the
+    * same session must register its own, not silently reuse the first
+    * root). Returns the catalog name; the table is `<cat>.tables.tt`.
+    */
+  private def sqlTtCatalog(s: SparkSession, d: String): String = {
     val root = graft.StagingDirs.register(
       s"${System.getProperty("java.io.tmpdir")}/graft_sqltt_" +
         s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
@@ -1443,13 +1449,15 @@ object ScalePatterns extends QueryModule {
       graft.sources.VersionedManifest.commit(s, dir, 2, "full rewrite")
       java.nio.file.Files.createFile(done)
     }
-    // catalog name carries the dataset tag: catalog instances are cached
-    // by name, so a second dataset in the same session must register its
-    // own, not silently reuse the first root
     val cat = "g321_" + d.replaceAll("[^A-Za-z0-9]", "_")
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.VersionedCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def q321(s: SparkSession, d: String): DataFrame = {
+    val cat = sqlTtCatalog(s, d)
     s.sql(
       s"""SELECT version, n_docs, total_chars, max_doc FROM (
          |  SELECT CAST(1 AS BIGINT) AS version,
@@ -1465,6 +1473,31 @@ object ScalePatterns extends QueryModule {
   }
 
   private val q321Sql = q250Sql
+
+  // --------------------------------------------------------------- q327
+
+  /** q327: DESCRIBE HISTORY by SQL — the versioned table's audit trail
+    * (`VersionedManifest.describe`, q291's Scala surface) as a metadata
+    * TABLE: `<cat>.tables.tt.history` (the Iceberg spelling) resolves
+    * through the catalog to one (version, format, operation) row per
+    * committed manifest, read driver-side at O(#versions) — the query a
+    * compliance review or an incident rollback (q292) starts from,
+    * needing no Scala. Commit timestamps are deliberately not columns
+    * (run-to-run variance belongs to `TIMESTAMP AS OF`, not to a
+    * hash-checked result).
+    */
+  private def q327(s: SparkSession, d: String): DataFrame = {
+    val cat = sqlTtCatalog(s, d)
+    s.sql(s"SELECT version, format, operation FROM $cat.tables.tt.history " +
+      "ORDER BY version")
+  }
+
+  private val q327Sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'parquet', 'initial load'),
+      |  (CAST(2 AS BIGINT), 'parquet', 'full rewrite'))
+      |  AS t(version, format, operation)
+      |ORDER BY version""".stripMargin
 
   // --------------------------------------------------------------- q322
 
@@ -3384,6 +3417,7 @@ object ScalePatterns extends QueryModule {
     "q315_delta_join_view" -> q315,
     "q321_sql_time_travel" -> q321,
     "q322_audit_gate" -> q322,
+    "q327_sql_table_history" -> q327,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3441,6 +3475,7 @@ object ScalePatterns extends QueryModule {
     "q315_delta_join_view" -> q315Sql,
     "q321_sql_time_travel" -> q321Sql,
     "q322_audit_gate" -> q322Sql,
+    "q327_sql_table_history" -> q327Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -94,6 +94,16 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // `<cat>.tables.<t>.history` — the DESCRIBE HISTORY metadata table
+    // (Iceberg's `tbl.history` spelling): one row per committed version
+    // from the manifest bodies, resolved driver-side at O(#versions)
+    if (ident.namespace.length == 2 && ident.namespace()(0) == TableNs &&
+        ident.name == "history") {
+      val base = Identifier.of(Array(TableNs), ident.namespace()(1))
+      if (!exists(base)) throw new NoSuchTableException(base)
+      return new VersionedHistoryTable(
+        s"$catName.$TableNs.${base.name}.history", dirOf(base))
+    }
     checkNs(ident)
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new VersionedTable(s"$catName.$TableNs.${ident.name}", dirOf(ident), None)
@@ -214,6 +224,52 @@ private[sources] class VersionedTable(qualName: String, dir: String,
         }
       }
     }
+}
+
+/** The DESCRIBE HISTORY metadata table: (version, format, operation) per
+  * committed version, read from the manifest bodies at plan time — the
+  * audit surface `VersionedManifest.describe` exposes in Scala, now one
+  * SQL SELECT away. Commit timestamps are deliberately NOT a column here
+  * (they vary run to run and belong to `TIMESTAMP AS OF` resolution);
+  * `operation` is the writer's description with the addressing
+  * (`data=`/`format=`/`epoch=`) lines stripped.
+  *
+  * Scale: O(#versions) one-line manifest reads on the driver — the same
+  * cost every snapshot resolution already pays; no executor work.
+  */
+private[sources] class VersionedHistoryTable(qualName: String, dir: String)
+    extends Table with SupportsRead {
+  private def spark = SparkSession.active
+
+  private val histSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("operation", StringType, nullable = false)))
+
+  override def name(): String = qualName
+  override def schema(): StructType = histSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val s = spark
+    val data = VersionedManifest.committedVersions(s, dir).map { n =>
+      val op = VersionedManifest.describe(s, dir, n).linesIterator
+        .filterNot(l => l.startsWith("format=") || l.startsWith("epoch="))
+        .mkString("\n").trim
+      InternalRow(n,
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(VersionedManifest.formatOf(s, dir, n)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(op))
+    }.toArray
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = histSchema
+          override def rows(): Array[InternalRow] = data
+        }
+    }
+  }
 }
 
 private[sources] case class VersionedEpochFile(stagedPath: String)

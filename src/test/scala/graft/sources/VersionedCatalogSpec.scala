@@ -113,6 +113,30 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("table"), e2.getMessage)
   }
 
+  test("the .history metadata table reads the manifest trail by SQL") {
+    val root = freshDir("vhist")
+    val dir = s"$root/t"
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "t4", schema)
+    w.commit(0, Array(stageEpoch(w, 0, Seq(1L -> "a"))))
+    w.commit(1, Array(stageEpoch(w, 1, Seq(2L -> "b"))))
+    spark.conf.set("spark.sql.catalog.vc11h",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vc11h.root", root)
+    val rows = spark.sql(
+      "SELECT version, format, operation FROM vc11h.tables.t.history " +
+        "ORDER BY version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getString(1) == "json"))
+    // operation keeps the writer's description, with the addressing
+    // (data=/format=/epoch=) lines stripped
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("streaming ingest epoch 0", "streaming ingest epoch 1"))
+    // history of a table that does not exist is an analysis error
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM vc11h.tables.nope.history"))
+  }
+
   test("TIMESTAMP AS OF resolves against manifest commit times") {
     val dir = freshDir("vmts")
     spark.range(1).toDF("k").write.mode("overwrite").parquet(s"$dir/v=1")
