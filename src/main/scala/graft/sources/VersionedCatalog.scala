@@ -203,14 +203,45 @@ private[sources] class VersionedTable(qualName: String, dir: String,
       throw new IllegalStateException(
         s"no committed version and no declared schema at $dir"))
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.map {
+  /** Batch scans hand back the DELEGATE's ScanBuilder untouched — Spark
+    * introspects pushdown interfaces ON THE BUILDER, so wrapping it would
+    * silently drop parquet filter/column pushdown. The streaming read
+    * (json-format tables — the stream-landed shape) instead wraps: its
+    * Scan serves `toBatch` from the delegate and `toMicroBatchStream`
+    * from the manifest commit log ([[VersionedMicroBatchStream]]). A
+    * JSON builder has no data-skipping pushdown to lose.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val d = delegate.getOrElse(throw new IllegalStateException(
+      s"no committed version at $dir"))
+    val inner = d match {
       case r: SupportsRead => r.newScanBuilder(options)
       case _ => throw new IllegalStateException("delegate is not readable")
-    }.getOrElse(throw new IllegalStateException(
-      s"no committed version at $dir"))
+    }
+    val fmt = resolved.map(VersionedManifest.formatOf(spark, dir, _))
+    if (!fmt.contains("json")) inner
+    else {
+      val tableDir = dir
+      val sch = declared.getOrElse(schema())
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            private lazy val innerScan = inner.build()
+            override def readSchema(): StructType = sch
+            override def toBatch: org.apache.spark.sql.connector.read.Batch =
+              innerScan.toBatch
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              new VersionedMicroBatchStream(tableDir, sch)
+            override def description(): String =
+              s"graft_versioned_scan($tableDir)"
+          }
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -378,6 +409,150 @@ private[sources] class VersionedStreamingWrite(dir: String, tag: String,
       case _ => ()
     }
   }
+}
+
+private[sources] case class VersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] case class VersionedFilePartition(path: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The versioned table's STREAMING READ — the commit log AS the offset
+  * log: each manifest version is an offset, a micro-batch covers the
+  * versions in `(start, end]`, and its input partitions are exactly the
+  * data files those versions ADDED (cumulative manifests diff against
+  * their predecessor, so nothing is re-read). This is q279's
+  * committed-versions feed lifted from file-staging into the DSv2
+  * `MicroBatchStream` contract: `readStream.table(...)` gets
+  * exactly-once progress from the checkpoint's offset log with no
+  * staging dir, and an orphan (uncommitted) version is invisible to
+  * subscribers exactly as it is to batch readers. `AvailableNow` pins
+  * its target version at query start ([[prepareForTriggerAvailableNow]]),
+  * so commits landing mid-run wait for the next start — the same
+  * plan-time snapshot rule the batch read follows.
+  *
+  * Scale: offset resolution is O(#versions) manifest names; a batch's
+  * planning cost is O(its new files). Readers never list data dirs of
+  * versions they already processed.
+  */
+private[sources] class VersionedMicroBatchStream(dir: String,
+                                                 schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = SparkSession.active
+  private def latestCommitted: Long =
+    VersionedManifest.latestCommitted(spark, dir).getOrElse(0L)
+
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestCommitted)
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+  override def latestOffset(): Offset =
+    VersionOffset(availableNowTarget.getOrElse(latestCommitted))
+  // SupportsAdmissionControl face (inherited via the AvailableNow
+  // contract): no rate limit — a micro-batch admits every version up to
+  // the (possibly pinned) latest; a production table would honor a
+  // maxVersionsPerBatch ReadLimit here
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = VersionOffset(latestCommitted)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val s0 = start.asInstanceOf[VersionOffset].v
+    val s1 = end.asInstanceOf[VersionOffset].v
+    val sp = spark
+    val committed = VersionedManifest.committedVersions(sp, dir)
+    def dirsOf(n: Long): Set[String] =
+      VersionedManifest.resolveDataDirs(sp, dir, n).toSet
+    // a version's NEW data = its dirs minus its committed predecessor's
+    // (cumulative manifests grow monotonically; the first version has no
+    // predecessor and contributes everything)
+    val newDirs = committed.filter(n => n > s0 && n <= s1).flatMap { n =>
+      val prev = committed.filter(_ < n).lastOption
+      dirsOf(n) -- prev.map(dirsOf).getOrElse(Set.empty)
+    }.distinct
+    newDirs.flatMap { d0 =>
+      val p = new Path(d0)
+      val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(pp => pp.getName.endsWith(".json") && !pp.getName.startsWith("."))
+        .map(pp => VersionedFilePartition(pp.toString)
+          : org.apache.spark.sql.connector.read.InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new VersionedJsonReaderFactory(schema)
+}
+
+/** Executor-side JSON-lines decode with the DECLARED schema — the exact
+  * inverse of [[VersionedEpochWriter]] (same type palette), through the
+  * Hadoop FileSystem so a multi-node deployment reads shared storage.
+  */
+private[sources] class VersionedJsonReaderFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new VersionedJsonPartitionReader(
+      p.asInstanceOf[VersionedFilePartition].path, schema)
+}
+
+private[sources] class VersionedJsonPartitionReader(path: String,
+                                                    schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+  private val in = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private var row: InternalRow = _
+
+  @scala.annotation.tailrec
+  final override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null) false
+    else if (line.trim.isEmpty) next()
+    else {
+      val node = mapper.readTree(line)
+      row = InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+        val v = node.get(f.name)
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case LongType => v.asLong()
+          case IntegerType => v.asInt()
+          case DoubleType => v.asDouble()
+          case BooleanType => v.asBoolean()
+          case StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(v.asText())
+          case dt => throw new UnsupportedOperationException(
+            s"versioned stream read supports long/int/double/boolean/string; " +
+              s"got ${f.name}: ${dt.simpleString}")
+        }
+      })
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
 }
 
 /** One task's epoch writer: rows → typed JSON lines in a staged part

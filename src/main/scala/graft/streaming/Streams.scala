@@ -1402,6 +1402,43 @@ object Streams extends QueryModule {
 
   private val q326Sql = q252Sql
 
+  // --------------------------------------------------------------- q328
+
+  private val q328Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q328: STREAMING READ FROM the versioned table — the 2×2's last cell
+    * (batch read q321, batch publish q247/q284, stream write q323, now
+    * stream READ): `readStream.table(...)` resolves through the catalog
+    * to [[graft.sources.VersionedMicroBatchStream]], whose OFFSETS ARE
+    * MANIFEST VERSIONS — a micro-batch covers the versions committed in
+    * `(start, end]` and reads exactly the files those versions added
+    * (cumulative manifests diffed against their predecessor). q279's
+    * committed-versions feed without the staging dir: subscriber
+    * progress lives in the checkpoint's offset log, orphans are
+    * invisible, and a restart resumes from the last version it
+    * committed (VersionedCatalogSpec drives land → drain → land → drain
+    * against one checkpoint and sees each row exactly once). The
+    * streamed rollup hash-matches the batch oracle over events.
+    *
+    * Scale: offset resolution is O(#versions) manifest names; each
+    * batch plans O(its new files); subscribers never re-list history.
+    */
+  private def q328(s: SparkSession, d: String): DataFrame = {
+    val run = q328Runs.incrementAndGet()
+    val (table, _) = ingestVersioned(s, d, s"vsrc_r$run")
+    val agg = s.readStream.table(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumMoney(col("value")).as("total_value"))
+    runToMemory(s, agg, "q328_sink", "complete")
+      .orderBy(col("event_type"))
+  }
+
+  private val q328Sql =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q279
 
   /** Stage every COMMITTED version's part files of a versioned-manifest
@@ -1528,6 +1565,7 @@ object Streams extends QueryModule {
     "q252_stream_versioned_ingest" -> q252,
     "q323_versioned_stream_sink" -> q323,
     "q326_stream_table_compaction" -> q326,
+    "q328_versioned_stream_source" -> q328,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1555,6 +1593,7 @@ object Streams extends QueryModule {
     "q252_stream_versioned_ingest" -> q252Sql,
     "q323_versioned_stream_sink" -> q323Sql,
     "q326_stream_table_compaction" -> q326Sql,
+    "q328_versioned_stream_source" -> q328Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,
