@@ -1499,6 +1499,58 @@ object ScalePatterns extends QueryModule {
       |  AS t(version, format, operation)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q329
+
+  /** q329: STATS-IN-MANIFEST data skipping — q251's side-car file-stats
+    * idea folded INTO the versioned commit (Delta's stats-in-log,
+    * Iceberg's per-file column stats): the range-laid-out landing's
+    * per-file (min, max) doc_id rides the manifest BODY, so a selective
+    * reader prunes files from the one manifest it already reads for
+    * snapshot resolution — no footer opens, no side-car to drift, and
+    * the stats are versioned WITH the data (a rewrite's new manifest
+    * carries its own). The point-range rollup over the pruned read
+    * hash-matches the plain-filter oracle (skipping never changes
+    * semantics); Round11Spec pins that the pruned set is a strict
+    * subset and that pruning an unstatted version REFUSES rather than
+    * silently full-scanning.
+    *
+    * Scale: at 100 TB this is "read one manifest, open 1 of 10⁶ files"
+    * — the stats pass is one partial agg at write time, amortized
+    * against the write; the prune is O(#files) driver work on rows the
+    * snapshot resolution already fetched.
+    */
+  private def q329(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vstats_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      val stats =
+        graft.sources.VersionedManifest.fileStats(s, s"$dir/v=1", "doc_id")
+      graft.sources.VersionedManifest.commit(s, dir, 1,
+        ("range layout on doc_id" +: stats).mkString("\n"))
+      java.nio.file.Files.createFile(done)
+    }
+    val (lo, hi) = (100L, 299L)
+    val files = graft.sources.VersionedManifest.prunedFiles(s, dir, 1, lo, hi)
+    s.read.parquet(files: _*)
+      .filter(col("doc_id").between(lo, hi))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  private val q329Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q322
 
   /** q322: WRITE-AUDIT-PUBLISH gate — the commit-REFUSING composition of
@@ -3418,6 +3470,7 @@ object ScalePatterns extends QueryModule {
     "q321_sql_time_travel" -> q321,
     "q322_audit_gate" -> q322,
     "q327_sql_table_history" -> q327,
+    "q329_stats_in_manifest" -> q329,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3476,6 +3529,7 @@ object ScalePatterns extends QueryModule {
     "q321_sql_time_travel" -> q321Sql,
     "q322_audit_gate" -> q322Sql,
     "q327_sql_table_history" -> q327Sql,
+    "q329_stats_in_manifest" -> q329Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

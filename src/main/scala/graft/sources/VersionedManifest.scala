@@ -111,6 +111,49 @@ object VersionedManifest {
     } else violations
   }
 
+  /** Per-file column-stats manifest lines for data landed under
+    * `dataDir`: `stats=<fileName>:<min>:<max>` for one long-castable
+    * column — Delta's stats-in-log / Iceberg's per-file column stats
+    * reduced to the essence. Computed in ONE pass over the staged data
+    * (a partial agg keyed by file), O(#files) rows collected, and meant
+    * to ride the commit body so a selective reader can prune files from
+    * the manifest ALONE — no footer opens, no data-dir listing beyond
+    * the survivors ([[prunedFiles]]).
+    */
+  def fileStats(s: SparkSession, dataDir: String, colName: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    s.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(colName)).cast("long").as("lo"),
+        max(col(colName)).cast("long").as("hi"))
+      .collect()
+      .map(r => s"stats=${new Path(r.getString(0)).getName}:" +
+        s"${r.getLong(1)}:${r.getLong(2)}")
+      .toSeq.sorted
+  }
+
+  /** Manifest-only data skipping: the files of committed version `n`
+    * whose recorded [min, max] intersects `[lo, hi]`. Refuses when the
+    * version carries no stats lines — a caller asking for pruning on an
+    * unstatted version should hear it, not silently full-scan.
+    */
+  def prunedFiles(s: SparkSession, dir: String, n: Long,
+                  lo: Long, hi: Long): Seq[String] = {
+    val f = fs(dir, s)
+    val stats = manifestBody(f, dir, n).linesIterator
+      .filter(_.startsWith("stats=")).map { line =>
+        val Array(name, flo, fhi) = line.stripPrefix("stats=").split(":", 3)
+        (name, flo.toLong, fhi.toLong)
+      }.toSeq
+    require(stats.nonEmpty, s"version $n at $dir carries no stats= lines")
+    val dirs = resolveDataDirs(s, dir, n)
+    stats.filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+      .flatMap { case (name, _, _) =>
+        dirs.map(d0 => new Path(d0, name))
+          .find(f.exists).map(_.toString)
+      }
+  }
+
   private def manifestBody(f: FileSystem, dir: String, n: Long): String = {
     val in = f.open(new Path(new Path(dir, "_commits"), n.toString))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

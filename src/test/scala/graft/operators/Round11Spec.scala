@@ -84,6 +84,32 @@ class Round11Spec extends SparkSpec {
     assert(onRows == total().collect().toSeq)
   }
 
+  test("q329 manifest stats prune a strict subset; an unstatted version refuses") {
+    SparkEntry.queries("q329_stats_in_manifest")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vstats_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val pruned = graft.sources.VersionedManifest
+      .prunedFiles(spark, dir, 1, 100L, 299L)
+    val all = graft.sources.VersionedManifest.readAt(spark, dir, 1)
+      .inputFiles.length
+    assert(pruned.nonEmpty && pruned.size < all,
+      s"pruning did nothing: ${pruned.size} of $all")
+    // pruned read ≡ full read under the same predicate
+    val full = graft.sources.VersionedManifest.readAt(spark, dir, 1)
+      .filter(col("doc_id").between(100, 299)).count()
+    val viaPrune = spark.read.parquet(pruned: _*)
+      .filter(col("doc_id").between(100, 299)).count()
+    assert(viaPrune == full)
+    // a version without stats= lines must REFUSE, not silently full-scan
+    val bare = s"${System.getProperty("java.io.tmpdir")}/graft_r11_nostats_" +
+      spark.sparkContext.applicationId
+    spark.range(10).toDF("doc_id").write.mode("overwrite").parquet(s"$bare/v=1")
+    graft.sources.VersionedManifest.commit(spark, bare, 1, "no stats")
+    intercept[IllegalArgumentException](
+      graft.sources.VersionedManifest.prunedFiles(spark, bare, 1, 0L, 5L))
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
