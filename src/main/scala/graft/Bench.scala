@@ -148,7 +148,8 @@ object Bench {
     "q321_sql_time_travel", "q322_audit_gate", "q323_versioned_stream_sink",
     "q324_ann_churn_recall", "q325_stream_stream_scd2",
     "q326_stream_table_compaction", "q327_sql_table_history",
-    "q328_versioned_stream_source", "q329_stats_in_manifest"
+    "q328_versioned_stream_source", "q329_stats_in_manifest",
+    "q330_sql_rollback"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -1499,6 +1499,61 @@ object ScalePatterns extends QueryModule {
       |  AS t(version, format, operation)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q330
+
+  /** q330: ROLLBACK BY SQL — q292's pointer-flip restore as the stored
+    * procedure an on-call engineer actually runs:
+    * `CALL <cat>.sys.rollback('tt', 1)` commits one new manifest
+    * re-addressing the good version's dirs (zero data movement, bad
+    * version still time-travelable for forensics), and the follow-up
+    * SELECT through the same catalog reads the restored state — the
+    * whole incident response (history q327 → rollback → verify read) is
+    * SQL end to end. The oracle computes the good version's slice
+    * directly, so a rollback that copied, missed, or re-pointed wrong
+    * hash-mismatches. Repeated invocations (bench attempts) each append
+    * another pointer version — content-stable, history append-only.
+    *
+    * Scale: the restore is ONE manifest create regardless of table size
+    * — the reason pointer-based formats undo a 100 TB mistake in
+    * milliseconds.
+    */
+  private def q330(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlrb_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/tt"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, "good load")
+      docs.unionByName(docs)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      VM.commit(s, dir, 2, "bad rewrite (doubled rows)")
+      java.nio.file.Files.createFile(done)
+    }
+    val cat = "g330_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CALL $cat.sys.rollback('tt', 1)").collect()
+    s.sql(
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  MAX(doc_id) AS max_doc
+         |FROM $cat.tables.tt
+         |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  private val q330Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q329
 
   /** q329: STATS-IN-MANIFEST data skipping — q251's side-car file-stats
@@ -3471,6 +3526,7 @@ object ScalePatterns extends QueryModule {
     "q322_audit_gate" -> q322,
     "q327_sql_table_history" -> q327,
     "q329_stats_in_manifest" -> q329,
+    "q330_sql_rollback" -> q330,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3530,6 +3586,7 @@ object ScalePatterns extends QueryModule {
     "q322_audit_gate" -> q322Sql,
     "q327_sql_table_history" -> q327Sql,
     "q329_stats_in_manifest" -> q329Sql,
+    "q330_sql_rollback" -> q330Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest idempotence become one mechanism: a replayed epoch finds its
   * `epoch=` marker in committed history and lands nothing.
   */
-class VersionedCatalog extends CatalogPlugin with TableCatalog {
+class VersionedCatalog extends CatalogPlugin with TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import VersionedCatalog._
 
   private var catName: String = _
@@ -163,10 +164,86 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = managed
   override def dropTable(ident: Identifier): Boolean = managed
   override def renameTable(old: Identifier, next: Identifier): Unit = managed
+
+  /** Control plane: `CALL <cat>.sys.rollback(table, version)` — q292's
+    * pointer-flip restore (Delta RESTORE / Iceberg rollback) as a stored
+    * procedure: one new manifest addressing the good version's existing
+    * dirs, zero data movement, full history (bad version included)
+    * preserved for forensics.
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!namespace.sameElements(Array(ProcNs)))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(Array(ProcNs), "rollback"))
+  }
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace.sameElements(Array(ProcNs)) && ident.name == "rollback"))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    new RollbackProcedure(root)
+  }
 }
 
 private[sources] object VersionedCatalog {
   val TableNs = "tables"
+  val ProcNs = "sys"
+}
+
+/** `CALL <cat>.sys.rollback(table STRING, version BIGINT)` — commit a
+  * NEW version whose manifest re-addresses the target version's data
+  * dirs (and carries its format), returning the receipt
+  * (table, rolled_back_to, new_version). History is append-only; the
+  * rolled-past versions stay time-travelable; vacuum's referenced-set
+  * walk keeps the shared dirs alive. Cost: one manifest create,
+  * regardless of table size.
+  */
+private[sources] class RollbackProcedure(root: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "rollback(table STRING, version BIGINT): restore the table's state " +
+      "to a committed version by pointer flip (new manifest, no copy)"
+  override def bind(inputType: StructType): RollbackProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = input.getUTF8String(0).toString
+    // spliced into an estate path: CALL arguments are user input
+    require(table.matches("[A-Za-z0-9_.-]+"),
+      s"table must be a bare name, got '$table'")
+    val target = input.getLong(1)
+    val dir = s"$root/$table"
+    require(VersionedManifest.committedVersions(spark, dir).contains(target),
+      s"version $target at $dir is not committed")
+    val dirs = VersionedManifest.resolveDataDirs(spark, dir, target)
+    val fmt = VersionedManifest.formatOf(spark, dir, target)
+    var newV = 0L
+    var done = false
+    while (!done) {
+      newV = VersionedManifest.latestCommitted(spark, dir).getOrElse(0L) + 1
+      done = VersionedManifest.tryCommit(spark, dir, newV,
+        (dirs.map("data=" + _) :+ s"format=$fmt" :+
+          s"rollback to version $target").mkString("\n"))
+    }
+    val receipt = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("rolled_back_to", LongType, nullable = false),
+        StructField("new_version", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(table),
+        target, newV))
+    }
+    java.util.Collections.singletonList[Scan](receipt).iterator()
+  }
 }
 
 /** One snapshot of a versioned table: `pinned` = Some(n) for time travel,

@@ -172,6 +172,25 @@ class VersionedCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM vc11h.tables.nope.history"))
   }
 
+  test("CALL sys.rollback flips the pointer; the bad version stays travelable") {
+    graft.SparkEntry.queries("q330_sql_rollback")(spark, sf0001).collect()
+    val cat = "g330_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val good = spark.sql(s"SELECT COUNT(*) FROM $cat.tables.tt").head.getLong(0)
+    val v1 = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.tables.tt VERSION AS OF 1").head.getLong(0)
+    val v2 = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.tables.tt VERSION AS OF 2").head.getLong(0)
+    assert(good == v1, "latest state is not the restored version")
+    val full = graft.Tables.documents(spark, sf0001).count()
+    assert(v2 == 2 * full, "the bad (doubled) version must stay travelable")
+    val hist = spark.sql(
+      s"SELECT operation FROM $cat.tables.tt.history ORDER BY version")
+      .collect().map(_.getString(0))
+    assert(hist.take(2).toSeq ==
+      Seq("good load", "bad rewrite (doubled rows)"))
+    assert(hist.last == "rollback to version 1", hist.mkString("; "))
+  }
+
   test("TIMESTAMP AS OF resolves against manifest commit times") {
     val dir = freshDir("vmts")
     spark.range(1).toDF("k").write.mode("overwrite").parquet(s"$dir/v=1")
