@@ -1499,6 +1499,79 @@ object ScalePatterns extends QueryModule {
       |  AS t(version, format, operation)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q331
+
+  /** q331: MULTI-TABLE SNAPSHOT BY SQL — q277's catalog-pinned
+    * consistency reached the way an analyst reaches it: a
+    * [[graft.sources.VersionedCatalog]] registered with `pinned=true`
+    * resolves EVERY table through the one `_catalog/M` pin file
+    * ([[graft.sources.SnapshotCatalog]]), so a SQL join between
+    * `documents` and its derived `docstats` can never mix snapshot
+    * generations — even though a NEWER table-level commit of documents
+    * (the in-flight v3) already exists, it stays invisible until a
+    * catalog pin references it. The query joins the fact rollup against
+    * the pinned summary and emits the per-source check; the oracle
+    * computes the pinned generation's slice directly, so a catalog that
+    * leaked the in-flight version (or mixed generations) hash-mismatches
+    * on counts. In pinned mode `VERSION AS OF m` addresses CATALOG
+    * history — both tables travel together (Round11Spec).
+    *
+    * Scale: the pin adds ONE tiny file read to resolution; the data
+    * path is unchanged. This is the cross-table transactional read
+    * single-table formats lack.
+    */
+  private def q331(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, VersionedManifest => VM}
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlmt_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val statsOf = (v: Long) => VM.readAt(s, s"$root/documents", v)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      Tables.documents(s, d)
+        .write.mode("overwrite").parquet(s"$root/documents/v=1")
+      VM.commit(s, s"$root/documents", 1, "initial load")
+      statsOf(1).write.mode("overwrite").parquet(s"$root/docstats/v=1")
+      VM.commit(s, s"$root/docstats", 1, "stats of documents v1")
+      SnapshotCatalog.commit(s, root, 1,
+        Map("documents" -> 1L, "docstats" -> 1L))
+      VM.readAt(s, s"$root/documents", 1).filter(col("source") =!= "src3")
+        .write.mode("overwrite").parquet(s"$root/documents/v=2")
+      VM.commit(s, s"$root/documents", 2, "erase src3")
+      statsOf(2).write.mode("overwrite").parquet(s"$root/docstats/v=2")
+      VM.commit(s, s"$root/docstats", 2, "stats of documents v2")
+      SnapshotCatalog.commit(s, root, 2,
+        Map("documents" -> 2L, "docstats" -> 2L))
+      // in-flight: a table-level commit no catalog pin references yet —
+      // must stay invisible to every pinned reader
+      VM.readAt(s, s"$root/documents", 2).filter(col("source") =!= "src5")
+        .write.mode("overwrite").parquet(s"$root/documents/v=3")
+      VM.commit(s, s"$root/documents", 3, "in-flight: erase src5")
+      java.nio.file.Files.createFile(done)
+    }
+    val cat = "g331_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.conf.set(s"spark.sql.catalog.$cat.pinned", "true")
+    s.sql(
+      s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+         |  CAST(MAX(s.n_docs) AS BIGINT) AS pinned_docs
+         |FROM $cat.tables.documents d
+         |JOIN $cat.tables.docstats s ON d.source = s.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+  }
+
+  private val q331Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS pinned_docs
+      |FROM documents WHERE source <> 'src3'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q330
 
   /** q330: ROLLBACK BY SQL — q292's pointer-flip restore as the stored
@@ -3527,6 +3600,7 @@ object ScalePatterns extends QueryModule {
     "q327_sql_table_history" -> q327,
     "q329_stats_in_manifest" -> q329,
     "q330_sql_rollback" -> q330,
+    "q331_sql_multitable_snapshot" -> q331,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3587,6 +3661,7 @@ object ScalePatterns extends QueryModule {
     "q327_sql_table_history" -> q327Sql,
     "q329_stats_in_manifest" -> q329Sql,
     "q330_sql_rollback" -> q330Sql,
+    "q331_sql_multitable_snapshot" -> q331Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -53,12 +53,18 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
 
   private var catName: String = _
   private var root: String = _
+  private var pinnedMode: Boolean = false
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root = <dir>"))
+    // pinned=true: resolve every table through the MULTI-TABLE snapshot
+    // pins (`_catalog/M`, [[SnapshotCatalog]]) instead of per-table
+    // latest — a reader can never observe table A's new version joined
+    // against B's old one, and `VERSION AS OF m` means CATALOG version m
+    pinnedMode = "true".equalsIgnoreCase(options.get("pinned"))
   }
   override def name(): String = catName
   override def defaultNamespace(): Array[String] = Array(TableNs)
@@ -82,6 +88,10 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespace.sameElements(Array(TableNs)))
       throw new NoSuchNamespaceException(namespace)
+    if (pinnedMode)
+      return SnapshotCatalog.latest(spark, root).toSeq
+        .flatMap(m => SnapshotCatalog.pins(spark, root, m).keys.toSeq.sorted)
+        .map(Identifier.of(Array(TableNs), _)).toArray
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Array.empty
@@ -106,8 +116,25 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
         s"$catName.$TableNs.${base.name}.history", dirOf(base))
     }
     checkNs(ident)
+    if (pinnedMode) {
+      val m = SnapshotCatalog.latest(spark, root).getOrElse(
+        throw new NoSuchTableException(ident))
+      return loadPinned(ident, m)
+    }
     if (!exists(ident)) throw new NoSuchTableException(ident)
     new VersionedTable(s"$catName.$TableNs.${ident.name}", dirOf(ident), None)
+  }
+
+  /** Pinned-mode resolution: table → ITS version under catalog pin `m`.
+    * A table the pin set does not name is absent from this snapshot —
+    * NoSuchTable, even if table-level commits exist (they are in-flight
+    * until a catalog pin references them).
+    */
+  private def loadPinned(ident: Identifier, m: Long): Table = {
+    val pin = SnapshotCatalog.pins(spark, root, m).getOrElse(ident.name,
+      throw new NoSuchTableException(ident))
+    new VersionedTable(s"$catName.$TableNs.${ident.name}@cat$m",
+      dirOf(ident), Some(pin))
   }
 
   /** `VERSION AS OF <v>` — the SQL spelling of readAt's refusal: only
@@ -116,14 +143,17 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkNs(ident)
-    if (!exists(ident)) throw new NoSuchTableException(ident)
-    val d = dirOf(ident)
     val n =
       try version.toLong
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"$catName versions are numeric manifest ids, got '$version'")
       }
+    // pinned mode: VERSION AS OF addresses CATALOG history — every table
+    // time-travels to its version under that one pin
+    if (pinnedMode) return loadPinned(ident, n)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    val d = dirOf(ident)
     if (!VersionedManifest.committedVersions(spark, d).contains(n))
       throw new IllegalStateException(s"version $n at $d is not committed")
     new VersionedTable(s"$catName.$TableNs.${ident.name}@v$n", d, Some(n))

@@ -172,6 +172,49 @@ class VersionedCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM vc11h.tables.nope.history"))
   }
 
+  test("catalog reads keep parquet pushdown: filter and pruning reach the delegate scan") {
+    // the catalog must only decide WHICH dirs a snapshot means — the
+    // delegate ScanBuilder is handed back untouched, so predicate
+    // pushdown and column pruning are the stock parquet scan's
+    graft.SparkEntry.queries("q321_sql_time_travel")(spark, sf0001).collect()
+    val cat = "g321_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val df = spark.sql(
+      s"SELECT doc_id FROM $cat.tables.tt VERSION AS OF 2 WHERE doc_id = 42")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(doc_id,42)"),
+      s"filter did not reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("n_chars"),
+      s"column pruning lost through the catalog:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("pinned catalog: tables travel together; in-flight table commits stay invisible") {
+    graft.SparkEntry.queries("q331_sql_multitable_snapshot")(spark, sf0001).collect()
+    val cat = "g331_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    // the CURRENT pin (catalog v2) excludes src3 — and the in-flight
+    // documents v=3 (src5 also erased) must be invisible despite its
+    // table-level commit existing
+    val srcs = spark.sql(
+      s"SELECT DISTINCT source FROM $cat.tables.documents")
+      .collect().map(_.getString(0)).toSet
+    assert(!srcs.contains("src3") && srcs.contains("src5"),
+      s"pin leaked a generation: $srcs")
+    // VERSION AS OF 1 = CATALOG version 1: BOTH tables at their pinned
+    // versions — documents still holds src3 AND docstats agrees
+    val v1 = spark.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) FROM $cat.tables.documents VERSION AS OF 1 d
+         |JOIN $cat.tables.docstats VERSION AS OF 1 s ON d.source = s.source
+         |WHERE d.source = 'src3'""".stripMargin).head.getLong(0)
+    assert(v1 > 0, "catalog v1 must still see src3 in both tables")
+    // a catalog version nothing committed is an analysis-time refusal
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.tables.documents VERSION AS OF 9"))
+    assert(e.getMessage.contains("not committed"), e.getMessage)
+    // a table the pin set does not name does not exist in this snapshot
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM $cat.tables.ghost"))
+  }
+
   test("CALL sys.rollback flips the pointer; the bad version stays travelable") {
     graft.SparkEntry.queries("q330_sql_rollback")(spark, sf0001).collect()
     val cat = "g330_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
