@@ -1499,6 +1499,66 @@ object ScalePatterns extends QueryModule {
       |  AS t(version, format, operation)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q332
+
+  /** q332: SNAPSHOT DRIFT MONITOR — the distribution-shift check a
+    * training estate runs between corpus refreshes, here between two
+    * COMMITTED VERSIONS of the versioned table (q321's estate: v1 the
+    * half-load, v2 the full rewrite): `n_chars` bucketed into 8 fixed
+    * bins, each version's per-bucket share in exact ppm integers
+    * (`n·10⁶ div total` — the PSI shape without the libm log, so the
+    * report hash-checks), absolute delta, and a drift flag at the
+    * 5000-ppm bar. Time travel makes the comparison reproducible
+    * forever: both sides are immutable snapshots, not "current vs
+    * yesterday's export".
+    *
+    * Scale: two scans (each one partial agg to ≤8 rows) + an 8-row
+    * join — the report is O(bins) at any corpus size, and at 100 TB
+    * each side's scan reads only the bucketed column.
+    */
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    sqlTtCatalog(s, d) // stages the two-generation estate
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sqltt_" +
+      s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}/tt"
+    def shares(v: Long, ppmCol: String): DataFrame = {
+      val b = VM.readAt(s, dir, v)
+        .select(least(lit(7L), expr("CAST(n_chars AS BIGINT) div 256"))
+          .as("bucket"))
+      b.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("t"))))
+        .select(col("bucket"), expr(s"n * 1000000 div t").as(ppmCol))
+    }
+    shares(1, "ppm_v1").join(shares(2, "ppm_v2"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ppm_v1", "ppm_v2"))
+      .select(col("bucket"), col("ppm_v1"), col("ppm_v2"),
+        abs(col("ppm_v1") - col("ppm_v2")).as("delta_ppm"))
+      .withColumn("drifted",
+        when(col("delta_ppm") > 5000L, 1L).otherwise(0L))
+      .orderBy(col("bucket"))
+  }
+
+  private val q332Sql =
+    """WITH b1 AS (
+      |  SELECT LEAST(7, CAST(n_chars AS BIGINT) // 256) AS bucket
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |b2 AS (
+      |  SELECT LEAST(7, CAST(n_chars AS BIGINT) // 256) AS bucket
+      |  FROM documents),
+      |c1 AS (
+      |  SELECT bucket, CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM b1)
+      |    AS BIGINT) AS ppm_v1 FROM b1 GROUP BY bucket),
+      |c2 AS (
+      |  SELECT bucket, CAST(COUNT(*) * 1000000 // (SELECT COUNT(*) FROM b2)
+      |    AS BIGINT) AS ppm_v2 FROM b2 GROUP BY bucket)
+      |SELECT COALESCE(c1.bucket, c2.bucket) AS bucket,
+      |  COALESCE(ppm_v1, 0) AS ppm_v1, COALESCE(ppm_v2, 0) AS ppm_v2,
+      |  ABS(COALESCE(ppm_v1, 0) - COALESCE(ppm_v2, 0)) AS delta_ppm,
+      |  CAST(CASE WHEN ABS(COALESCE(ppm_v1, 0) - COALESCE(ppm_v2, 0)) > 5000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+      |FROM c1 FULL OUTER JOIN c2 ON c1.bucket = c2.bucket
+      |ORDER BY bucket""".stripMargin
+
   // --------------------------------------------------------------- q331
 
   /** q331: MULTI-TABLE SNAPSHOT BY SQL — q277's catalog-pinned
@@ -3601,6 +3661,7 @@ object ScalePatterns extends QueryModule {
     "q329_stats_in_manifest" -> q329,
     "q330_sql_rollback" -> q330,
     "q331_sql_multitable_snapshot" -> q331,
+    "q332_snapshot_drift" -> q332,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3662,6 +3723,7 @@ object ScalePatterns extends QueryModule {
     "q329_stats_in_manifest" -> q329Sql,
     "q330_sql_rollback" -> q330Sql,
     "q331_sql_multitable_snapshot" -> q331Sql,
+    "q332_snapshot_drift" -> q332Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -1365,6 +1365,52 @@ object TextOps extends QueryModule {
       |      AS BIGINT) END AS auc_ppm
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q333
+
+  /** q333: QUALITY-SCORE CALIBRATION CURVE — the reliability diagram
+    * completing q317's AUC: AUC says the score RANKS the class well,
+    * calibration says whether the score's VALUE means what a threshold
+    * assumes. The q71 score (bit-identical doubles in both engines, the
+    * q301/q317 discipline) is cut into ten fixed bins; each bin reports
+    * its population and the empirical positive rate under the same weak
+    * label q317 uses (`lang = 'en'`), in exact ppm integers. Reading
+    * the curve top-to-bottom is how a filter bar gets SET (q301 sweeps
+    * tokens-vs-bar; this says what the bar's score actually buys in
+    * label purity) — a non-monotone bin is the signal to recalibrate
+    * before trusting any threshold.
+    *
+    * Scale: one scan, one ≤10-key partial agg — the report is O(bins)
+    * at any corpus size.
+    */
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    qualityFrame(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .select(
+        least(lit(9L), floor(col("quality") * 10).cast(LongType)).as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_docs"))
+      .orderBy(col("bin"))
+  }
+
+  private val q333Sql =
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |    uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |      + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+      |  FROM (
+      |    SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t) AS stop_ratio,
+      |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio
+      |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)))
+      |SELECT LEAST(9, CAST(FLOOR(quality * 10) AS BIGINT)) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_pos,
+      |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS pos_rate_ppm
+      |FROM q GROUP BY 1 ORDER BY bin""".stripMargin
+
   // --------------------------------------------------------------- q318
 
   /** q318: LSH PARAMETER TUNING — the measured S-curve you read BEFORE
@@ -1521,6 +1567,7 @@ object TextOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q318_lsh_tuning" -> q318,
     "q317_quality_auc" -> q317,
+    "q333_quality_calibration" -> q333,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
@@ -1548,6 +1595,7 @@ object TextOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q318_lsh_tuning" -> q318Sql,
     "q317_quality_auc" -> q317Sql,
+    "q333_quality_calibration" -> q333Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,
