@@ -150,7 +150,8 @@ object Bench {
     "q326_stream_table_compaction", "q327_sql_table_history",
     "q328_versioned_stream_source", "q329_stats_in_manifest",
     "q330_sql_rollback", "q331_sql_multitable_snapshot",
-    "q332_snapshot_drift", "q333_quality_calibration"
+    "q332_snapshot_drift", "q333_quality_calibration",
+    "q334_neardup_leakage"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

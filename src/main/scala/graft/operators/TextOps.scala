@@ -474,6 +474,75 @@ object TextOps extends QueryModule {
        |ORDER BY da, db""".stripMargin
   }
 
+  // --------------------------------------------------------------- q334
+
+  /** q334: NEAR-DUP LEAKAGE ACROSS SPLITS — the eval-integrity audit
+    * q238's exact-group split cannot see: a val/test document whose
+    * near-duplicate (q75's verified MinHash-LSH pairs, Jaccard ≥ 0.5)
+    * sits in train inflates eval scores without any EXACT duplicate
+    * existing. Every verified near-dup pair is labeled with its ends'
+    * q69 splits (the engine's one seed-free 80/10/10 hash split) and
+    * rolled into the split-pair matrix: pair counts plus the DISTINCT
+    * leaked eval docs (the non-train end when ranks differ) — the list
+    * a release either re-splits around or quarantines. Same-split pairs
+    * stay in the matrix (they are dedup work, not leakage; their
+    * n_leaked_docs is 0 by definition).
+    *
+    * Scale: rides q75's LSH plan unchanged (16-long signatures, banded
+    * candidates, verification only on candidates — no all-pairs
+    * anywhere); the split labels are two broadcast-size hash joins on
+    * doc_id and the matrix is O(split²) rows at any corpus size.
+    */
+  private def q334(s: SparkSession, d: String): DataFrame = {
+    val pairs = q75(s, d).select(col("da"), col("db"))
+    val split = Tables.documents(s, d).select(col("doc_id"),
+        expr("CAST(conv(substring(md5(concat('doc-', CAST(doc_id AS STRING))), 1, 7), 16, 10) AS BIGINT) % 100")
+          .as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("sp"),
+        when(col("b") < 80, 0L).when(col("b") < 90, 1L).otherwise(2L).as("rk"))
+    pairs
+      .join(split.select(col("doc_id").as("da"), col("sp").as("sa"),
+        col("rk").as("ra")), "da")
+      .join(split.select(col("doc_id").as("db"), col("sp").as("sb"),
+        col("rk").as("rb")), "db")
+      .select(
+        concat(
+          when(col("ra") <= col("rb"), col("sa")).otherwise(col("sb")),
+          lit("-"),
+          when(col("ra") <= col("rb"), col("sb")).otherwise(col("sa")))
+          .as("pair"),
+        when(col("ra") < col("rb"), col("db"))
+          .when(col("rb") < col("ra"), col("da"))
+          .otherwise(lit(null).cast(LongType)).as("eval_doc"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("eval_doc")).as("n_leaked_docs"))
+      .orderBy(col("pair"))
+  }
+
+  private val q334Sql = {
+    val hex7 = graft.Exact.sqlHexToLong("md5('doc-' || doc_id)", 1, 7)
+    s"""WITH p AS ($q75Sql),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |         ELSE 'test' END AS sp,
+       |    CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS rk
+       |  FROM (SELECT doc_id, CAST($hex7 AS BIGINT) % 100 AS b FROM documents)),
+       |j AS (
+       |  SELECT
+       |    CASE WHEN sa.rk <= sb.rk THEN sa.sp || '-' || sb.sp
+       |         ELSE sb.sp || '-' || sa.sp END AS pair,
+       |    CASE WHEN sa.rk < sb.rk THEN p.db
+       |         WHEN sb.rk < sa.rk THEN p.da END AS eval_doc
+       |  FROM p JOIN sp sa ON p.da = sa.doc_id JOIN sp sb ON p.db = sb.doc_id)
+       |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_leaked_docs
+       |FROM j GROUP BY pair ORDER BY pair""".stripMargin
+  }
+
   private val SimBits = 32
 
   /** q76: SimHash near-dup detection — 32-bit signatures from per-token md5
@@ -1568,6 +1637,7 @@ object TextOps extends QueryModule {
     "q318_lsh_tuning" -> q318,
     "q317_quality_auc" -> q317,
     "q333_quality_calibration" -> q333,
+    "q334_neardup_leakage" -> q334,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
@@ -1596,6 +1666,7 @@ object TextOps extends QueryModule {
     "q318_lsh_tuning" -> q318Sql,
     "q317_quality_auc" -> q317Sql,
     "q333_quality_calibration" -> q333Sql,
+    "q334_neardup_leakage" -> q334Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,
