@@ -137,6 +137,78 @@ object CorpusOps extends QueryModule {
        |  md5(array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 48], ' ')) AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------------------------------- q336
+
+  /** q336: BOILERPLATE BLOCK STRIP — the corpus-TRANSFORM face of block
+    * dedup (CCNet's shared-paragraph removal, Wenzek et al. 2020): where
+    * q102/q174/q219 DETECT repeated passages, this pass REWRITES every
+    * document — non-overlapping 8-token blocks whose hash occurs in ≥ 3
+    * distinct documents (headers, license blocks, templated intros) are
+    * dropped and the survivors reassembled in original order. Output per
+    * affected document: block counts, kept token count, and the md5 of the
+    * reassembled cleaned text (the identity downstream exact-dedup keys
+    * on), so the transform itself is hash-checked against the oracle.
+    *
+    * Scale: block text shuffles ONCE, keyed by block hash, for the
+    * document-frequency aggregate; the boilerplate set (df ≥ 3) is a tiny
+    * fraction of distinct blocks and BROADCASTS back onto the block stream
+    * — full text never shuffles twice and no pairwise stage exists. The
+    * reassembly groups by doc_id with an `array_sort` over (bi, block)
+    * structs, so the rebuilt string is deterministic under any partial-agg
+    * order (the collect_list + sort idiom, not a global window).
+    */
+  private def q336(s: SparkSession, d: String): DataFrame = {
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, CAST((size(t) - 1) div 8 AS INT))")).as("i"))
+      .select(col("doc_id"), col("i").cast(LongType).as("bi"),
+        expr("slice(t, i * 8 + 1, 8)").as("blk"))
+      .withColumn("h", md5(array_join(col("blk"), " ")))
+    val boiler = blocks.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 3)
+    blocks.join(broadcast(boiler), Seq("h"), "left")
+      .select(col("doc_id"), col("bi"), col("blk"),
+        col("nd").isNotNull.as("boiler"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("boiler"), 1)).as("n_removed"),
+        sum(when(!col("boiler"), size(col("blk"))).otherwise(0))
+          .cast(LongType).as("kept_tokens"),
+        expr("md5(array_join(flatten(transform(array_sort(" +
+          "collect_list(CASE WHEN NOT boiler THEN struct(bi, blk) END))," +
+          " x -> x.blk)), ' '))").as("cleaned_hash"))
+      .filter(col("n_removed") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q336Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |b AS (
+       |  SELECT doc_id, bi,
+       |    len(t[bi * 8 + 1 : bi * 8 + 8]) AS bl,
+       |    array_to_string(t[bi * 8 + 1 : bi * 8 + 8], ' ') AS bstr
+       |  FROM (SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 8) + 1)) AS bi
+       |        FROM d WHERE len(t) > 0)),
+       |dfreq AS (
+       |  SELECT md5(bstr) AS h, COUNT(DISTINCT doc_id) AS nd
+       |  FROM b GROUP BY 1),
+       |lab AS (
+       |  SELECT doc_id, bi, bl, bstr, (nd >= 3) AS boiler
+       |  FROM b JOIN dfreq ON md5(bstr) = h),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |    CAST(COUNT(CASE WHEN boiler THEN 1 END) AS BIGINT) AS n_removed,
+       |    CAST(SUM(CASE WHEN NOT boiler THEN bl ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |    md5(coalesce(string_agg(CASE WHEN NOT boiler THEN bstr END, ' '
+       |      ORDER BY bi), '')) AS cleaned_hash
+       |  FROM lab GROUP BY doc_id)
+       |SELECT * FROM agg WHERE n_removed > 0 ORDER BY doc_id""".stripMargin
+
   /** q166: one BPE merge iteration — the inner loop of byte-pair-encoding
     * tokenizer training: count every adjacent CHARACTER pair inside each
     * distinct word, weighted by the word's corpus frequency, and rank the
@@ -2524,6 +2596,7 @@ object CorpusOps extends QueryModule {
     "q276_incremental_index" -> q276,
     "q101_repetition_filter" -> q101,
     "q102_passage_dedup" -> q102,
+    "q336_boilerplate_strip" -> q336,
     "q87_bigram_lm" -> q87,
     "q88_length_profile" -> q88,
     "q89_vocab_overlap" -> q89,
@@ -2566,6 +2639,7 @@ object CorpusOps extends QueryModule {
     "q276_incremental_index" -> q276Sql,
     "q101_repetition_filter" -> q101Sql,
     "q102_passage_dedup" -> q102Sql,
+    "q336_boilerplate_strip" -> q336Sql,
     "q87_bigram_lm" -> q87Sql,
     "q88_length_profile" -> q88Sql,
     "q89_vocab_overlap" -> q89Sql,

@@ -1739,6 +1739,69 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q335
+
+  /** q335: BLOOM-IN-MANIFEST point-lookup skipping — the membership
+    * question q329's range stats cannot answer: the corpus is laid out by
+    * doc_id, so every file's [min,max] on that column admits a probe on
+    * ANY OTHER column and range stats prune nothing. The commit body
+    * therefore also carries a per-file bloom mask over `text`
+    * ([[graft.sources.VersionedManifest.fileBlooms]], k=2 xxhash64
+    * positions, 256 bits/file), and the incremental-ingest question —
+    * "does this exact text already exist in the committed corpus, and
+    * where?" — resolves from the ONE manifest snapshot resolution already
+    * reads: files whose mask lacks a probe bit are provably clean and
+    * never opened. The probe doc's text itself is fetched through the
+    * range stats (one file), so the whole lookup composes both skipping
+    * indexes. The dedup-hit rollup hash-matches the plain scalar-subquery
+    * oracle — skipping can produce false-positive file opens, never a
+    * wrong answer. Round11Spec pins the strict-subset file set and the
+    * unbloomed-version refusal.
+    *
+    * Scale: at 100 TB this is the exact-dedup admission check without a
+    * cluster — one manifest read + O(#files) driver-side bit tests +
+    * openings of only the admitted files (expected ≈ 1 + #files·fp-rate;
+    * 256 bits over ~30 distinct texts/file keeps fp ≈ (1-e^(-2·30/256))²
+    * < 5%). The bloom build is one partial agg riding the write it
+    * indexes, exactly like the stats pass.
+    */
+  private def q335(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vbloom_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.documents(s, d)
+        .repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      val stats =
+        graft.sources.VersionedManifest.fileStats(s, s"$dir/v=1", "doc_id")
+      val blooms =
+        graft.sources.VersionedManifest.fileBlooms(s, s"$dir/v=1", "text")
+      graft.sources.VersionedManifest.commit(s, dir, 1,
+        ("range layout on doc_id, bloom on text" +: (stats ++ blooms))
+          .mkString("\n"))
+      java.nio.file.Files.createFile(done)
+    }
+    // probe text: doc 250's, fetched through the RANGE stats (one file,
+    // one row — the bounded driver-side lookup a real ingest has in hand)
+    val probeFile =
+      graft.sources.VersionedManifest.prunedFiles(s, dir, 1, 250L, 250L)
+    val probe = s.read.parquet(probeFile: _*)
+      .filter(col("doc_id") === 250L).select(col("text")).head().getString(0)
+    val files =
+      graft.sources.VersionedManifest.bloomPrunedFiles(s, dir, 1, probe)
+    s.read.parquet(files: _*)
+      .filter(col("text") === lit(probe))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q335Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE text = (SELECT text FROM documents WHERE doc_id = 250)
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q322
 
   /** q322: WRITE-AUDIT-PUBLISH gate — the commit-REFUSING composition of
@@ -3662,6 +3725,7 @@ object ScalePatterns extends QueryModule {
     "q330_sql_rollback" -> q330,
     "q331_sql_multitable_snapshot" -> q331,
     "q332_snapshot_drift" -> q332,
+    "q335_bloom_skipping" -> q335,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3724,6 +3788,7 @@ object ScalePatterns extends QueryModule {
     "q330_sql_rollback" -> q330Sql,
     "q331_sql_multitable_snapshot" -> q331Sql,
     "q332_snapshot_drift" -> q332Sql,
+    "q335_bloom_skipping" -> q335Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -543,6 +543,93 @@ object TextOps extends QueryModule {
        |FROM j GROUP BY pair ORDER BY pair""".stripMargin
   }
 
+  // --------------------------------------------------------------- q337
+
+  /** q337: URL CANONICALIZATION DEDUP — the crawl-hygiene stage that runs
+    * BEFORE any text exists: raw fetch records whose URLs differ only in
+    * host case, default port, trailing slash, fragment, tracking params
+    * (`utm_*`), or query-parameter ORDER are the same page, and a frontier
+    * that can't see that refetches and restores every page many times
+    * over. Fetch URLs are assembled from event attributes with all six
+    * noise dimensions driven by event_id residues (so the oracle exercises
+    * the CANONICALIZER, not the synthesis); canonicalization is the RFC
+    * 3986 normalization essence — lowercase host, strip `:443`, drop
+    * fragment, drop `utm_*` params, sort surviving params, strip trailing
+    * slash — and the rollup groups fetches by canonical URL with
+    * earliest-fetch-wins survivorship (`first_fetch`) plus the raw-variant
+    * count that measures the noise the canonicalizer absorbed.
+    *
+    * Scale: per-row scalar regex/array work (map-only, codegen'd, no UDF),
+    * then ONE shuffle keyed by canonical URL — the frontier-dedup shape
+    * that holds at any crawl size; nothing driver-side anywhere.
+    */
+  private def q337(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("event_id") % 2 === 0, lit("Crawl.Example.ORG"))
+          .otherwise(lit("crawl.example.org")),
+        when(col("event_id") % 11 === 0, lit(":443")).otherwise(lit("")),
+        lit("/u/"), col("user_id"), lit("/"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(col("event_id") % 2 === 0,
+          concat(lit("page="), col("user_id") % 10, lit("&ref="), col("event_type")))
+          .otherwise(
+            concat(lit("ref="), col("event_type"), lit("&page="), col("user_id") % 10)),
+        when(col("event_id") % 3 === 0,
+          concat(lit("&utm_source=e"), col("event_id") % 4)).otherwise(lit("")),
+        when(col("event_id") % 5 === 0, lit("#frag")).otherwise(lit(""))))
+    raw
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+      .withColumn("canon", concat(
+        lower(regexp_extract(col("nofrag"), "^https://([^/:?#]+)", 1)),
+        regexp_replace(
+          regexp_extract(col("nofrag"), "^https://[^/?#]+([^?#]*)", 1), "/$", ""),
+        lit("?"),
+        expr("array_join(array_sort(filter(split(" +
+          "regexp_extract(nofrag, '\\\\?(.*)$', 1), '&')," +
+          " x -> NOT startswith(x, 'utm_'))), '&')")))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("url")).as("n_raw_variants"),
+        min(col("event_id")).as("first_fetch"))
+      .orderBy(col("canon"))
+  }
+
+  private val q337Sql =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    'https://' ||
+      |    CASE WHEN event_id % 2 = 0 THEN 'Crawl.Example.ORG'
+      |         ELSE 'crawl.example.org' END ||
+      |    CASE WHEN event_id % 11 = 0 THEN ':443' ELSE '' END ||
+      |    '/u/' || user_id || '/' || event_type ||
+      |    CASE WHEN event_id % 7 = 0 THEN '/' ELSE '' END || '?' ||
+      |    CASE WHEN event_id % 2 = 0
+      |         THEN 'page=' || (user_id % 10) || '&ref=' || event_type
+      |         ELSE 'ref=' || event_type || '&page=' || (user_id % 10) END ||
+      |    CASE WHEN event_id % 3 = 0 THEN '&utm_source=e' || (event_id % 4)
+      |         ELSE '' END ||
+      |    CASE WHEN event_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM events),
+      |c AS (
+      |  SELECT event_id, url,
+      |    lower(regexp_extract(nofrag, '^https://([^/:?#]+)', 1)) ||
+      |    regexp_replace(regexp_extract(nofrag, '^https://[^/?#]+([^?#]*)', 1),
+      |      '/$', '') ||
+      |    '?' ||
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+      |      x -> NOT starts_with(x, 'utm_'))), '&') AS canon
+      |  FROM (SELECT event_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+      |        FROM raw))
+      |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+      |  MIN(event_id) AS first_fetch
+      |FROM c GROUP BY canon ORDER BY canon""".stripMargin
+
   private val SimBits = 32
 
   /** q76: SimHash near-dup detection — 32-bit signatures from per-token md5
@@ -1638,6 +1725,7 @@ object TextOps extends QueryModule {
     "q317_quality_auc" -> q317,
     "q333_quality_calibration" -> q333,
     "q334_neardup_leakage" -> q334,
+    "q337_url_canonical_dedup" -> q337,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
@@ -1667,6 +1755,7 @@ object TextOps extends QueryModule {
     "q317_quality_auc" -> q317Sql,
     "q333_quality_calibration" -> q333Sql,
     "q334_neardup_leakage" -> q334Sql,
+    "q337_url_canonical_dedup" -> q337Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,

@@ -132,6 +132,72 @@ object VersionedManifest {
       .toSeq.sorted
   }
 
+  /** Per-file BLOOM-FILTER manifest lines for data landed under `dataDir`:
+    * `bloom=<fileName>:<bits>:<hexMask>` over one column — the point-lookup
+    * complement of [[fileStats]]'s range stats (Delta/Parquet file-level
+    * bloom indexes reduced to the essence). Range stats prune range
+    * predicates on the LAYOUT column; a membership probe on any OTHER
+    * high-cardinality column (the exact-dedup "does this text already
+    * exist?" question) hits every file's [min,max] and prunes nothing —
+    * the bloom answers it from the manifest alone.
+    *
+    * Built in ONE pass over the staged data (k=2 xxhash64 positions per
+    * row exploded, per-file `collect_set` of ≤ `bits` small ints, O(#files)
+    * rows collected); the probe side re-derives positions through the SAME
+    * Spark expressions ([[bloomPrunedFiles]]), so writer and reader can
+    * never disagree on the hash. False positives cost an extra file read,
+    * never a wrong answer; false negatives cannot happen.
+    */
+  def fileBlooms(s: SparkSession, dataDir: String, colName: String,
+                 bits: Int = 256): Seq[String] = {
+    import org.apache.spark.sql.functions.{array, col, collect_set, explode, input_file_name, lit, pmod, xxhash64}
+    val pos = (0 until BloomK).map(i =>
+      pmod(xxhash64(col(colName), lit(i)), lit(bits)).cast("int"))
+    s.read.parquet(dataDir)
+      .select(input_file_name().as("f"), explode(array(pos: _*)).as("p"))
+      .groupBy(col("f")).agg(collect_set(col("p")).as("ps"))
+      .collect()
+      .map { r =>
+        val mask = r.getSeq[Int](1).foldLeft(java.math.BigInteger.ZERO)(_.setBit(_))
+        val hex = mask.toString(16).reverse.padTo(bits / 4, '0').reverse
+        s"bloom=${new Path(r.getString(0)).getName}:$bits:$hex"
+      }.toSeq.sorted
+  }
+
+  private val BloomK = 2
+
+  /** Manifest-only POINT-LOOKUP skipping: the files of committed version
+    * `n` whose recorded bloom mask admits `value` in the bloomed column.
+    * The probe's bit positions are computed by one 1-row Spark job over
+    * the same `xxhash64(col, seed) pmod bits` expressions the writer used
+    * — the hash implementation is shared by construction, not by contract.
+    * Refuses when the version carries no bloom lines (mirror of
+    * [[prunedFiles]]'s unstatted refusal: never silently full-scan).
+    */
+  def bloomPrunedFiles(s: SparkSession, dir: String, n: Long,
+                       value: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val f = fs(dir, s)
+    val blooms = manifestBody(f, dir, n).linesIterator
+      .filter(_.startsWith("bloom=")).map { line =>
+        val Array(name, b, hx) = line.stripPrefix("bloom=").split(":", 3)
+        (name, b.toInt, new java.math.BigInteger(hx, 16))
+      }.toSeq
+    require(blooms.nonEmpty, s"version $n at $dir carries no bloom= lines")
+    val bits = blooms.head._2
+    require(blooms.forall(_._2 == bits),
+      s"version $n at $dir mixes bloom widths")
+    val probe = s.range(1).select((0 until BloomK).map(i =>
+        pmod(xxhash64(lit(value), lit(i)), lit(bits)).cast("int").as(s"p$i")): _*)
+      .head()
+    val positions = (0 until BloomK).map(probe.getInt)
+    val dirs = resolveDataDirs(s, dir, n)
+    blooms.filter { case (_, _, mask) => positions.forall(mask.testBit) }
+      .flatMap { case (name, _, _) =>
+        dirs.map(d0 => new Path(d0, name)).find(f.exists).map(_.toString)
+      }
+  }
+
   /** Manifest-only data skipping: the files of committed version `n`
     * whose recorded [min, max] intersects `[lo, hi]`. Refuses when the
     * version carries no stats lines — a caller asking for pruning on an

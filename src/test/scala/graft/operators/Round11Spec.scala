@@ -110,6 +110,75 @@ class Round11Spec extends SparkSpec {
       graft.sources.VersionedManifest.prunedFiles(spark, bare, 1, 0L, 5L))
   }
 
+  test("q335 bloom lines answer point lookups from a strict file subset; no false negatives; stats-only refuses") {
+    assert(SparkEntry.queries("q335_bloom_skipping")(spark, sf0001).collect().nonEmpty)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vbloom_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val table = graft.sources.VersionedManifest.readAt(spark, dir, 1)
+    val probe = table.filter(col("doc_id") === 250).head().getAs[String]("text")
+    val admitted = graft.sources.VersionedManifest
+      .bloomPrunedFiles(spark, dir, 1, probe)
+    val all = table.inputFiles.length
+    assert(admitted.nonEmpty && admitted.size < all,
+      s"bloom admitted ${admitted.size} of $all files")
+    // no false negatives: the admitted files hold EVERY occurrence
+    val holders = table.filter(col("text") === probe).count()
+    val viaBloom = spark.read.parquet(admitted: _*)
+      .filter(col("text") === probe).count()
+    assert(viaBloom == holders && holders >= 1)
+    // an absent key may false-positive a few files but never yields rows
+    val ghost = graft.sources.VersionedManifest
+      .bloomPrunedFiles(spark, dir, 1, "no such text anywhere")
+    assert(ghost.size < all)
+    if (ghost.nonEmpty)
+      assert(spark.read.parquet(ghost: _*)
+        .filter(col("text") === "no such text anywhere").isEmpty)
+    // a version committed with stats but NO bloom lines must refuse
+    val bare = s"${System.getProperty("java.io.tmpdir")}/graft_r11_nobloom_" +
+      spark.sparkContext.applicationId
+    spark.range(10).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+      .write.mode("overwrite").parquet(s"$bare/v=1")
+    graft.sources.VersionedManifest.commit(spark, bare, 1,
+      graft.sources.VersionedManifest.fileStats(spark, s"$bare/v=1", "doc_id")
+        .mkString("\n"))
+    intercept[IllegalArgumentException](
+      graft.sources.VersionedManifest.bloomPrunedFiles(spark, bare, 1, "5"))
+  }
+
+  test("q336 strips only cross-document blocks and broadcasts the boilerplate set") {
+    val q = SparkEntry.queries("q336_boilerplate_strip")(spark, sf0001)
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the boilerplate set should broadcast back onto the block stream")
+    val out = q.collect()
+    assert(out.nonEmpty)
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    val joined = q.join(toks, "doc_id").collect()
+    joined.foreach { r =>
+      val (nb, nr, kept, nt) = (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("kept_tokens"),
+        r.getAs[Int]("n_toks").toLong)
+      assert(nb == (nt + 7) / 8, s"doc ${r.get(0)}: $nb blocks for $nt tokens")
+      assert(nr >= 1 && nr <= nb)
+      assert(kept < nt, s"doc ${r.get(0)} removed blocks but kept all tokens")
+    }
+  }
+
+  test("q337 canonical URLs absorb all six noise dimensions and lose no fetch") {
+    val out = SparkEntry.queries("q337_url_canonical_dedup")(spark, sf0001)
+      .collect()
+    val events = graft.Tables.events(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_fetches")).sum == events,
+      "canonicalization must partition the fetch log, not drop or dup rows")
+    assert(out.exists(_.getAs[Long]("n_raw_variants") > 1),
+      "no raw variants collapsed - the canonicalizer did nothing")
+    out.map(_.getAs[String]("canon")).foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains(":443") &&
+        c == c.toLowerCase && !c.takeWhile(_ != '?').endsWith("/"), c)
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
