@@ -151,7 +151,9 @@ object Bench {
     "q328_versioned_stream_source", "q329_stats_in_manifest",
     "q330_sql_rollback", "q331_sql_multitable_snapshot",
     "q332_snapshot_drift", "q333_quality_calibration",
-    "q334_neardup_leakage"
+    "q334_neardup_leakage", "q335_bloom_skipping", "q336_boilerplate_strip",
+    "q337_url_canonical_dedup", "q338_mixed_format_feed",
+    "q339_release_tags"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

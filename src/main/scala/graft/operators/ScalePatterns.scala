@@ -1739,6 +1739,67 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q339
+
+  /** q339: RELEASE TAGS — the citable name of a training-corpus snapshot:
+    * [[graft.sources.VersionedManifest.tag]] pins an IMMUTABLE `_refs/
+    * <name>` → version pointer (Iceberg's tags reduced to the essence),
+    * and `VERSION AS OF 'release-a'` resolves the name through the same
+    * DSv2 time-travel grammar numeric ids use — so the dataset card
+    * (q295), the reproduction run, and the eval holdout all address
+    * `release-a` instead of "manifest 17, I think". Tags refuse to dangle
+    * (uncommitted version), refuse to move (exclusive create — immutable
+    * by construction), and an unknown tag is an analysis-time refusal
+    * (Round11Spec pins all three). Two releases of the same corpus (raw,
+    * then curated with a source dropped) roll up side by side from their
+    * tags alone; the oracle replays both slices.
+    *
+    * Scale: a tag is one tiny file write at publish time and one read at
+    * resolution — O(1) against any table size, like every pointer
+    * operation in this format (q292/q330's discipline).
+    */
+  private def q339(s: SparkSession, d: String): DataFrame = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vtags_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/corpus"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      docs.write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1, "raw corpus landed")
+      graft.sources.VersionedManifest.tag(s, dir, "release-a", 1)
+      docs.filter(col("source") =!= "src0")
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      graft.sources.VersionedManifest.commit(s, dir, 2, "curated: src0 dropped")
+      graft.sources.VersionedManifest.tag(s, dir, "release-b", 2)
+      java.nio.file.Files.createFile(done)
+    }
+    val cat = "g339_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT release, n_docs, total_chars FROM (
+         |  SELECT 'release-a' AS release, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM $cat.tables.corpus VERSION AS OF 'release-a'
+         |  UNION ALL
+         |  SELECT 'release-b', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(n_chars) AS BIGINT)
+         |  FROM $cat.tables.corpus VERSION AS OF 'release-b')
+         |ORDER BY release""".stripMargin)
+  }
+
+  private val q339Sql =
+    """SELECT release, n_docs, total_chars FROM (
+      |  SELECT 'release-a' AS release, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'release-b', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(n_chars) AS BIGINT) FROM documents WHERE source <> 'src0')
+      |ORDER BY release""".stripMargin
+
   // --------------------------------------------------------------- q335
 
   /** q335: BLOOM-IN-MANIFEST point-lookup skipping — the membership
@@ -3726,6 +3787,7 @@ object ScalePatterns extends QueryModule {
     "q331_sql_multitable_snapshot" -> q331,
     "q332_snapshot_drift" -> q332,
     "q335_bloom_skipping" -> q335,
+    "q339_release_tags" -> q339,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3789,6 +3851,7 @@ object ScalePatterns extends QueryModule {
     "q331_sql_multitable_snapshot" -> q331Sql,
     "q332_snapshot_drift" -> q332Sql,
     "q335_bloom_skipping" -> q335Sql,
+    "q339_release_tags" -> q339Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

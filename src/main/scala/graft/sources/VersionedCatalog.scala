@@ -143,17 +143,24 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkNs(ident)
-    val n =
-      try version.toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"$catName versions are numeric manifest ids, got '$version'")
-      }
+    val numeric =
+      try Some(version.toLong)
+      catch { case _: NumberFormatException => None }
     // pinned mode: VERSION AS OF addresses CATALOG history — every table
-    // time-travels to its version under that one pin
-    if (pinnedMode) return loadPinned(ident, n)
+    // time-travels to its version under that one pin (numeric only; tags
+    // are table-level names)
+    if (pinnedMode) return loadPinned(ident, numeric.getOrElse(
+      throw new IllegalArgumentException(
+        s"$catName catalog pins are numeric ids, got '$version'")))
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val d = dirOf(ident)
+    // non-numeric versions resolve as RELEASE TAGS (`_refs/<name>`) —
+    // `VERSION AS OF 'release-a'` is the citable spelling of a training
+    // corpus snapshot; an unknown tag refuses at analysis time, exactly
+    // like an uncommitted numeric version
+    val n = numeric.orElse(VersionedManifest.resolveRef(spark, d, version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a numeric version nor a tag at $d"))
     if (!VersionedManifest.committedVersions(spark, d).contains(n))
       throw new IllegalStateException(s"version $n at $d is not committed")
     new VersionedTable(s"$catName.$TableNs.${ident.name}@v$n", d, Some(n))
@@ -293,10 +300,25 @@ private[sources] class VersionedTable(qualName: String, dir: String,
   private lazy val declared: Option[StructType] =
     VersionedManifest.readSchema(spark, dir)
 
-  private lazy val delegate: Option[Table] = resolved.map { n =>
-    val paths = VersionedManifest.resolveDataDirs(spark, dir, n)
+  private lazy val dirsWithFmt: Seq[(String, String)] = resolved
+    .map(n => VersionedManifest.resolveDataDirsWithFormat(spark, dir, n))
+    .getOrElse(Seq.empty)
+  // single-format snapshots get the stock file-source delegate (full
+  // pushdown); a MIXED snapshot (JSON epochs + an appended parquet
+  // correction batch, the transitional state between append and
+  // compaction) has no single delegate — it reads through the per-file
+  // feed readers instead ([[VersionedSnapshotBatch]]): correct but
+  // unoptimized, and compaction restores the fast path
+  private lazy val uniformFmt: Option[String] =
+    dirsWithFmt.map(_._2).distinct match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+
+  private lazy val delegate: Option[Table] = uniformFmt.map { fmt =>
+    val paths = dirsWithFmt.map(_._1)
     val opts = new CaseInsensitiveStringMap(JCollections.emptyMap())
-    VersionedManifest.formatOf(spark, dir, n) match {
+    fmt match {
       case "json" => JsonTable(qualName, spark, opts, paths, declared,
         classOf[org.apache.spark.sql.execution.datasources.json.JsonFileFormat])
       case _ => ParquetTable(qualName, spark, opts, paths, declared,
@@ -321,25 +343,48 @@ private[sources] class VersionedTable(qualName: String, dir: String,
     * from the manifest commit log ([[VersionedMicroBatchStream]]). A
     * JSON builder has no data-skipping pushdown to lose.
     */
+  /** A FEED table: any committed version carries non-parquet dirs or a
+    * `dataChange=false` rewrite — i.e. the table was stream-landed or
+    * compacted. Feed tables keep the micro-batch-capable scan wrapper even
+    * when the LATEST snapshot is uniform parquet (a post-compaction
+    * subscriber keeps following the commit log); pure-batch parquet tables
+    * never take the wrapper, so their pinned delegate pushdown is intact.
+    * Cost: O(#versions) one-line manifest reads, the price snapshot
+    * resolution already pays.
+    */
+  private lazy val feedTable: Boolean =
+    VersionedManifest.committedVersions(spark, dir).exists { n =>
+      !VersionedManifest.dataChange(spark, dir, n) ||
+        VersionedManifest.resolveDataDirsWithFormat(spark, dir, n)
+          .exists(_._2 != "parquet")
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val d = delegate.getOrElse(throw new IllegalStateException(
-      s"no committed version at $dir"))
-    val inner = d match {
+    if (resolved.isEmpty)
+      throw new IllegalStateException(s"no committed version at $dir")
+    val inner = delegate.map {
       case r: SupportsRead => r.newScanBuilder(options)
       case _ => throw new IllegalStateException("delegate is not readable")
     }
-    val fmt = resolved.map(VersionedManifest.formatOf(spark, dir, _))
-    if (!fmt.contains("json")) inner
+    // pure-batch uniform parquet: the delegate's builder untouched (full
+    // pushdown); batch tables never stream. Feed tables (json, MIXED, or
+    // compacted history): wrap — batch from the delegate when one exists,
+    // else the per-file snapshot readers; stream from the manifest commit
+    // log in every case. A feed table's batch scan trades pushdown for
+    // streamability; a shallow clone (q307) gives a pushdown batch twin.
+    if (uniformFmt.contains("parquet") && !feedTable) inner.get
     else {
       val tableDir = dir
       val sch = declared.getOrElse(schema())
+      val snapshotDirs = dirsWithFmt
       new ScanBuilder {
         override def build(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.Scan {
-            private lazy val innerScan = inner.build()
+            private lazy val innerScan = inner.map(_.build())
             override def readSchema(): StructType = sch
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
-              innerScan.toBatch
+              innerScan.map(_.toBatch).getOrElse(
+                new VersionedSnapshotBatch(snapshotDirs, sch))
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new VersionedMicroBatchStream(tableDir, sch)
@@ -393,7 +438,8 @@ private[sources] class VersionedHistoryTable(qualName: String, dir: String)
     val s = spark
     val data = VersionedManifest.committedVersions(s, dir).map { n =>
       val op = VersionedManifest.describe(s, dir, n).linesIterator
-        .filterNot(l => l.startsWith("format=") || l.startsWith("epoch="))
+        .filterNot(l => l.startsWith("format=") || l.startsWith("epoch=") ||
+          l.startsWith("dataChange="))
         .mkString("\n").trim
       InternalRow(n,
         org.apache.spark.unsafe.types.UTF8String
@@ -523,7 +569,8 @@ private[sources] case class VersionOffset(v: Long)
   override def json(): String = v.toString
 }
 
-private[sources] case class VersionedFilePartition(path: String)
+private[sources] case class VersionedFilePartition(path: String,
+                                                   format: String)
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The versioned table's STREAMING READ — the commit log AS the offset
@@ -588,37 +635,130 @@ private[sources] class VersionedMicroBatchStream(dir: String,
       VersionedManifest.resolveDataDirs(sp, dir, n).toSet
     // a version's NEW data = its dirs minus its committed predecessor's
     // (cumulative manifests grow monotonically; the first version has no
-    // predecessor and contributes everything)
-    val newDirs = committed.filter(n => n > s0 && n <= s1).flatMap { n =>
-      val prev = committed.filter(_ < n).lastOption
-      dirsOf(n) -- prev.map(dirsOf).getOrElse(Set.empty)
-    }.distinct
+    // predecessor and contributes everything). Versions marked
+    // dataChange=false (compaction: same rows, new layout) contribute
+    // NOTHING — a compaction must never replay the table into
+    // subscribers, and the offset still advances past it normally.
+    val newDirs = committed.filter(n => n > s0 && n <= s1)
+      .filter(n => VersionedManifest.dataChange(sp, dir, n))
+      .flatMap { n =>
+        val prev = committed.filter(_ < n).lastOption
+        dirsOf(n) -- prev.map(dirsOf).getOrElse(Set.empty)
+      }.distinct
     newDirs.flatMap { d0 =>
       val p = new Path(d0)
       val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq.map(_.getPath)
-        .filter(pp => pp.getName.endsWith(".json") && !pp.getName.startsWith("."))
-        .map(pp => VersionedFilePartition(pp.toString)
-          : org.apache.spark.sql.connector.read.InputPartition)
+        .filter(pp => !pp.getName.startsWith(".") && !pp.getName.startsWith("_"))
+        .flatMap { pp =>
+          // dispatch on the PHYSICAL file: the epoch writer lands .json
+          // parts, batch appends land .parquet — both flow to subscribers
+          val fmt =
+            if (pp.getName.endsWith(".json")) Some("json")
+            else if (pp.getName.endsWith(".parquet")) Some("parquet")
+            else None
+          fmt.map(f0 => VersionedFilePartition(pp.toString, f0)
+            : org.apache.spark.sql.connector.read.InputPartition)
+        }
     }.toArray
   }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    new VersionedJsonReaderFactory(schema)
+    new VersionedFeedReaderFactory(schema)
 }
 
-/** Executor-side JSON-lines decode with the DECLARED schema — the exact
-  * inverse of [[VersionedEpochWriter]] (same type palette), through the
-  * Hadoop FileSystem so a multi-node deployment reads shared storage.
+/** Batch read of a MIXED-format snapshot (per-dir `;format=` manifest
+  * addressing): one input partition per data file, each tagged with its
+  * dir's declared format, decoded by the same per-file readers the
+  * streaming feed uses. No pushdown — the mixed state is transitional by
+  * design (append → compaction); the single-format fast path returns with
+  * the next compaction.
   */
-private[sources] class VersionedJsonReaderFactory(schema: StructType)
+private[sources] class VersionedSnapshotBatch(dirsWithFmt: Seq[(String, String)],
+                                              schema: StructType)
+    extends org.apache.spark.sql.connector.read.Batch {
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    dirsWithFmt.flatMap { case (d0, fmt) =>
+      val p = new Path(d0)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(pp => !pp.getName.startsWith(".") && !pp.getName.startsWith("_"))
+        .map(pp => VersionedFilePartition(pp.toString, fmt)
+          : org.apache.spark.sql.connector.read.InputPartition)
+    }.toArray
+  }
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new VersionedFeedReaderFactory(schema)
+}
+
+/** Executor-side decode with the DECLARED schema, dispatched on each
+  * partition's physical format: `.json` epoch parts through the Jackson
+  * reader (exact inverse of [[VersionedEpochWriter]], same type palette),
+  * `.parquet` batch-append parts through parquet-mr's public Group API —
+  * so a subscriber sees EVERY data-changing commit, whichever write face
+  * produced it. Both readers go through the Hadoop FileSystem so a
+  * multi-node deployment reads shared storage.
+  */
+private[sources] class VersionedFeedReaderFactory(schema: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
-      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
-    new VersionedJsonPartitionReader(
-      p.asInstanceOf[VersionedFilePartition].path, schema)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[VersionedFilePartition]
+    if (fp.format == "parquet")
+      new VersionedParquetPartitionReader(fp.path, schema)
+    else new VersionedJsonPartitionReader(fp.path, schema)
+  }
+}
+
+/** Parquet part-file → InternalRow over the SAME type palette as the JSON
+  * reader (long/int/double/boolean/string), via parquet-mr's example Group
+  * API (public, already on every Spark classpath) — no dependence on
+  * Spark-internal parquet readers. A column absent from the file's schema
+  * (evolution) reads as NULL, matching the JSON reader's missing-field
+  * behavior.
+  */
+private[sources] class VersionedParquetPartitionReader(path: String,
+                                                       schema: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new Path(path))
+    .build()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) false
+    else {
+      row = InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+        if (!g.getType.containsField(f.name)) null
+        else {
+          val i = g.getType.getFieldIndex(f.name)
+          if (g.getFieldRepetitionCount(i) == 0) null
+          else f.dataType match {
+            case LongType => g.getLong(i, 0)
+            case IntegerType => g.getInteger(i, 0)
+            case DoubleType => g.getDouble(i, 0)
+            case BooleanType => g.getBoolean(i, 0)
+            case StringType => org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(g.getBinary(i, 0).getBytes)
+            case dt => throw new UnsupportedOperationException(
+              s"versioned stream read supports long/int/double/boolean/string; " +
+                s"got ${f.name}: ${dt.simpleString}")
+          }
+        }
+      })
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
 }
 
 private[sources] class VersionedJsonPartitionReader(path: String,

@@ -311,11 +311,99 @@ object VersionedManifest {
     * lists {source dirs} ∪ {clone-local delta dir}. No `data=` line means
     * the positional `v=<n>` layout.
     */
-  def resolveDataDirs(s: SparkSession, dir: String, n: Long): Seq[String] = {
-    val subs = manifestBody(fs(dir, s), dir, n).linesIterator.toSeq
+  def resolveDataDirs(s: SparkSession, dir: String, n: Long): Seq[String] =
+    resolveDataDirsWithFormat(s, dir, n).map(_._1)
+
+  /** [[resolveDataDirs]] with each dir's DATA FORMAT: a `data=` line may
+    * carry a per-dir override suffix `;format=<fmt>` (a parquet correction
+    * batch APPENDED to a JSON-epoch table — the mixed-format estate every
+    * streaming lakehouse passes through between arrival and compaction);
+    * dirs without the suffix inherit the version's [[formatOf]] default.
+    * [[readAt]] dispatches per GROUP of same-format dirs, so batch reads,
+    * time travel, and the vacuum's referenced-set all stay correct on
+    * mixed tables.
+    */
+  def resolveDataDirsWithFormat(s: SparkSession, dir: String,
+                                n: Long): Seq[(String, String)] = {
+    val body = manifestBody(fs(dir, s), dir, n)
+    val default = body.linesIterator
+      .find(_.startsWith("format=")).map(_.stripPrefix("format="))
+      .getOrElse("parquet")
+    val subs = body.linesIterator.toSeq
       .filter(_.startsWith("data=")).map(_.stripPrefix("data="))
-    if (subs.isEmpty) Seq(s"$dir/v=$n")
-    else subs.map(sub => if (sub.startsWith("/")) sub else s"$dir/$sub")
+    if (subs.isEmpty) Seq(s"$dir/v=$n" -> default)
+    else subs.map { line =>
+      val (sub, fmt) = line.split(";format=", 2) match {
+        case Array(d0, f0) => (d0, f0)
+        case _ => (line, default)
+      }
+      (if (sub.startsWith("/")) sub else s"$dir/$sub") -> fmt
+    }
+  }
+
+  /** Whether committed version `n` CHANGED the table's row set — false iff
+    * the manifest carries a `dataChange=false` line (compaction and other
+    * pure rewrites: same rows, new layout). Streaming subscribers skip
+    * non-data-change versions entirely — a compaction must never replay
+    * the whole table into every subscriber — while batch readers are
+    * unaffected (they read snapshots, not deltas).
+    */
+  def dataChange(s: SparkSession, dir: String, n: Long): Boolean =
+    !manifestBody(fs(dir, s), dir, n).linesIterator
+      .exists(_.trim == "dataChange=false")
+
+  /** RELEASE TAG: a named, IMMUTABLE ref (`<dir>/_refs/<name>`, one tiny
+    * file holding a committed version number) — "the corpus release the
+    * 7B run trained on" as a first-class address, so a dataset card
+    * (q295) or a reproduction names `release-2026-08` instead of a raw
+    * manifest id. Tag names must start with a letter (never ambiguous
+    * with numeric version ids in `VERSION AS OF`); tagging an uncommitted
+    * version refuses (a tag can never dangle); re-tagging an existing
+    * name refuses via the same exclusive-create that serializes
+    * [[tryCommit]] — release tags are immutable by construction, which is
+    * exactly what makes them citable.
+    */
+  def tag(s: SparkSession, dir: String, name: String, n: Long): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"tag name '$name' must start with a letter")
+    if (!committedVersions(s, dir).contains(n))
+      throw new IllegalStateException(
+        s"cannot tag $name: version $n at $dir is not committed")
+    val f = fs(dir, s)
+    val refs = new Path(dir, "_refs")
+    f.mkdirs(refs)
+    val dst = new Path(refs, name)
+    val out =
+      try f.create(dst, false)
+      catch { case e: java.io.IOException =>
+        if (f.exists(dst)) throw new IllegalStateException(
+          s"tag $name already exists at $dir (tags are immutable)")
+        else throw e
+      }
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The version a tag names, or None for an unknown tag. */
+  def resolveRef(s: SparkSession, dir: String, name: String): Option[Long] = {
+    val f = fs(dir, s)
+    val p = new Path(new Path(dir, "_refs"), name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(body.toLong)
+    }
+  }
+
+  /** All tags, name → version. O(#tags) tiny file reads. */
+  def refs(s: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(dir, s)
+    val p = new Path(dir, "_refs")
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .flatMap(name => resolveRef(s, dir, name).map(name -> _)).toMap
   }
 
   /** Highest committed version, or None for an empty table. Listing cost
@@ -356,13 +444,20 @@ object VersionedManifest {
     val f = fs(dir, s)
     if (!f.exists(new Path(new Path(dir, "_commits"), n.toString)))
       throw new IllegalStateException(s"version $n at $dir is not committed")
-    val dirs = resolveDataDirs(s, dir, n)
-    formatOf(s, dir, n) match {
+    // dirs group by FORMAT (per-dir `;format=` override, else the
+    // version's default) — a mixed-format snapshot (JSON epochs + an
+    // appended parquet correction batch) reads as the union of the
+    // same-format groups; single-format tables hit one branch, unchanged
+    def readGroup(fmt: String, dirs: Seq[String]): DataFrame = fmt match {
       case "json" =>
         val r = readSchema(s, dir).map(s.read.schema).getOrElse(s.read)
         r.json(dirs: _*)
       case _ => s.read.parquet(dirs: _*)
     }
+    resolveDataDirsWithFormat(s, dir, n)
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (fmt, ds) => readGroup(fmt, ds.map(_._1)) }
+      .reduce(_ unionByName _)
   }
 
   /** All committed versions, ascending. */

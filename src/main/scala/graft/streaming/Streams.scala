@@ -1389,8 +1389,12 @@ object Streams extends QueryModule {
     graft.sources.VersionedManifest.readAt(s, dir, vIn)
       .repartition(4)
       .write.mode("overwrite").parquet(s"$dir/d-compact-$vIn")
+    // dataChange=false: same rows, new layout — streaming subscribers
+    // must skip this version (never replay the table), batch readers and
+    // time travel are unaffected
     require(graft.sources.VersionedManifest.tryCommit(s, dir, vIn + 1,
-      s"data=d-compact-$vIn\nformat=parquet\ncompaction of 1..$vIn"),
+      s"data=d-compact-$vIn\nformat=parquet\ndataChange=false\n" +
+        s"compaction of 1..$vIn"),
       s"compaction commit of version ${vIn + 1} lost a race")
     s.table(table)
       .groupBy(col("event_type"))
@@ -1438,6 +1442,100 @@ object Streams extends QueryModule {
     s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- q338
+
+  private val q338Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q338: MIXED-FORMAT SUBSCRIBER FEED — the two delivery guarantees the
+    * versioned table's stream source (q328) must honor once q323's ingest
+    * and q326's compaction coexist with batch writers:
+    *
+    *  1. a BATCH PARQUET APPEND to a JSON-epoch table (a columnar
+    *     correction batch, committed with per-dir `data=...;format=`
+    *     addressing) FLOWS to subscribers — before this round the source
+    *     listed only `.json` parts, so a batch append was silently
+    *     invisible to every subscriber: data loss, not skew;
+    *  2. a COMPACTION commit (`dataChange=false`: same rows, new layout)
+    *     is SKIPPED — a source that diffed manifests naively would replay
+    *     the entire table into every subscriber after each compaction.
+    *
+    * The subscriber drains the same checkpoint three times (epochs →
+    * append → compaction) into a parquet file sink; the final rollup over
+    * the sink hash-matches the events ⊎ error-slice oracle — doubled rows
+    * (replayed compaction) or missing rows (dropped append) both break
+    * the hash. Batch reads of the mixed snapshot go through the same
+    * per-dir format groups ([[graft.sources.VersionedManifest.readAt]]),
+    * so time travel to every intermediate version stays correct
+    * (VersionedCatalogSpec).
+    *
+    * Scale: the append's subscriber cost is O(its files); the compaction
+    * costs subscribers NOTHING (one skipped offset); the file-sink log
+    * gives exactly-once delivery across drains from the checkpoint.
+    */
+  private def q338(s: SparkSession, d: String): DataFrame = {
+    val run = q338Runs.incrementAndGet()
+    val (table, dir) = ingestVersioned(s, d, s"vmix_r$run")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_vmix_r${run}_" +
+      s.sparkContext.applicationId
+    val sink = graft.StagingDirs.register(s"$base-sink")
+    val ckpt = graft.StagingDirs.register(s"$base-subckpt")
+    def drain(): Unit = {
+      val q = s.readStream.table(table)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // 1: the stream-landed JSON epochs
+    // batch parquet APPEND: the error slice re-landed columnar, cumulative
+    // manifest with per-dir format addressing (old dirs stay JSON)
+    val vIn = graft.sources.VersionedManifest.latestCommitted(s, dir).get
+    Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .write.mode("overwrite").parquet(s"$dir/d-append-$vIn")
+    val prev = graft.sources.VersionedManifest
+      .resolveDataDirsWithFormat(s, dir, vIn)
+      .map { case (d0, f0) =>
+        val rel = if (d0.startsWith(s"$dir/")) d0.stripPrefix(s"$dir/") else d0
+        s"data=$rel;format=$f0"
+      }
+    require(graft.sources.VersionedManifest.tryCommit(s, dir, vIn + 1,
+      (prev :+ s"data=d-append-$vIn;format=parquet"
+        :+ "appended error correction batch (columnar)").mkString("\n")),
+      "append commit lost a race")
+    drain() // 2: ONLY the parquet append dir arrives
+    // compaction: fold the mixed snapshot into one parquet version
+    val vApp = vIn + 1
+    graft.sources.VersionedManifest.readAt(s, dir, vApp)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/d-compact-$vApp")
+    require(graft.sources.VersionedManifest.tryCommit(s, dir, vApp + 1,
+      s"data=d-compact-$vApp\nformat=parquet\ndataChange=false\n" +
+        s"compaction of 1..$vApp"),
+      "compaction commit lost a race")
+    drain() // 3: dataChange=false — NOTHING may arrive
+    s.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q338Sql =
+    s"""WITH feed AS (
+       |  SELECT event_type, user_id, value FROM events
+       |  UNION ALL
+       |  SELECT event_type, user_id, value FROM events
+       |  WHERE event_type = 'error')
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------- q279
 
@@ -1566,6 +1664,7 @@ object Streams extends QueryModule {
     "q323_versioned_stream_sink" -> q323,
     "q326_stream_table_compaction" -> q326,
     "q328_versioned_stream_source" -> q328,
+    "q338_mixed_format_feed" -> q338,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1594,6 +1693,7 @@ object Streams extends QueryModule {
     "q323_versioned_stream_sink" -> q323Sql,
     "q326_stream_table_compaction" -> q326Sql,
     "q328_versioned_stream_source" -> q328Sql,
+    "q338_mixed_format_feed" -> q338Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,

@@ -179,6 +179,33 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q339 release tags: immutable, never dangling, unknown tag refuses in SQL") {
+    SparkEntry.queries("q339_release_tags")(spark, sf0001).collect()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vtags_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val dir = s"$root/corpus"
+    val M = graft.sources.VersionedManifest
+    assert(M.refs(spark, dir) == Map("release-a" -> 1L, "release-b" -> 2L))
+    // a tag can never dangle: tagging an uncommitted version refuses
+    intercept[IllegalStateException](M.tag(spark, dir, "release-c", 99L))
+    assert(M.resolveRef(spark, dir, "release-c").isEmpty)
+    // tags are immutable: re-tagging an existing name refuses
+    intercept[IllegalStateException](M.tag(spark, dir, "release-a", 2L))
+    assert(M.resolveRef(spark, dir, "release-a").contains(1L))
+    // a name that is neither numeric nor a known tag refuses in SQL
+    val cat = "g339_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.tables.corpus VERSION AS OF 'release-zz'").collect())
+    assert(e.getMessage.contains("neither a numeric version nor a tag"),
+      e.getMessage)
+    // numeric ids keep working unchanged alongside tags
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tables.corpus VERSION AS OF 1")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM $cat.tables.corpus " +
+        "VERSION AS OF 'release-a'").head().getLong(0))
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()

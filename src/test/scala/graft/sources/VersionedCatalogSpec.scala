@@ -172,6 +172,63 @@ class VersionedCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM vc11h.tables.nope.history"))
   }
 
+  test("mixed-format snapshot: parquet appends feed subscribers once; compaction feeds nothing") {
+    val root = freshDir("vmixspec")
+    spark.conf.set("spark.sql.catalog.vmix11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vmix11.root", root)
+    spark.sql("CREATE TABLE vmix11.tables.t (k BIGINT, tag STRING)")
+    val dir = s"$root/t"
+    // v1: a hand-landed JSON epoch (the stream-arrival format)
+    val e1 = java.nio.file.Paths.get(dir, "d-e1")
+    java.nio.file.Files.createDirectories(e1)
+    java.nio.file.Files.writeString(e1.resolve("part-0.json"),
+      "{\"k\":1,\"tag\":\"a\"}\n{\"k\":2,\"tag\":\"b\"}\n")
+    assert(VersionedManifest.tryCommit(spark, dir, 1,
+      "data=d-e1\nformat=json\nepoch one"))
+    val sink = freshDir("vmixspec_sink")
+    val ckpt = freshDir("vmixspec_ckpt")
+    def drained(): Seq[Long] = {
+      val q = spark.readStream.table("vmix11.tables.t")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sink).collect().map(_.getAs[Long]("k")).toSeq.sorted
+    }
+    assert(drained() == Seq(1L, 2L))
+    // v2: a parquet APPEND with per-dir format addressing
+    import spark.implicits._
+    Seq((3L, "c")).toDF("k", "tag").write.parquet(s"$dir/d-app")
+    assert(VersionedManifest.tryCommit(spark, dir, 2,
+      "data=d-e1;format=json\ndata=d-app;format=parquet\nappend"))
+    // the append flows to the subscriber — exactly once
+    assert(drained() == Seq(1L, 2L, 3L),
+      "the parquet append did not reach the subscriber exactly once")
+    // the MIXED snapshot batch-reads whole by SQL, typed per the schema
+    assert(spark.sql("SELECT k FROM vmix11.tables.t").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // time travel to the pre-append version still decodes JSON alone
+    assert(spark.sql("SELECT k FROM vmix11.tables.t VERSION AS OF 1")
+      .count() == 2)
+    // v3: compaction (same rows, one parquet dir, dataChange=false)
+    VersionedManifest.readAt(spark, dir, 2)
+      .write.mode("overwrite").parquet(s"$dir/d-c")
+    assert(VersionedManifest.tryCommit(spark, dir, 3,
+      "data=d-c\nformat=parquet\ndataChange=false\ncompaction of 1..2"))
+    assert(drained() == Seq(1L, 2L, 3L),
+      "a dataChange=false compaction leaked rows into the subscriber")
+    // the compacted (feed) table still batch-reads and still streams;
+    // a LATER data-changing parquet append keeps feeding it
+    Seq((4L, "d")).toDF("k", "tag").write.parquet(s"$dir/d-app2")
+    assert(VersionedManifest.tryCommit(spark, dir, 4,
+      "data=d-c;format=parquet\ndata=d-app2;format=parquet\nappend two"))
+    assert(drained() == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql("SELECT count(*) FROM vmix11.tables.t")
+      .head().getLong(0) == 4L)
+  }
+
   test("catalog reads keep parquet pushdown: filter and pruning reach the delegate scan") {
     // the catalog must only decide WHICH dirs a snapshot means — the
     // delegate ScanBuilder is handed back untouched, so predicate
