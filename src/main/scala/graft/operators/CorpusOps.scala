@@ -209,6 +209,59 @@ object CorpusOps extends QueryModule {
        |  FROM lab GROUP BY doc_id)
        |SELECT * FROM agg WHERE n_removed > 0 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q340
+
+  /** q340: SPAN-CORRUPTION MASKING SCHEDULE — the denoising-objective data
+    * prep (T5, Raffel et al. 2020): every document's tokens partition into
+    * 3-token groups and a group is masked iff its seed-free hash
+    * `md5(doc_id-group) mod 7 = 0` (expected corruption ≈ 14% in 3-token
+    * spans). The mask is DATA, not RNG state — the q69 discipline — so the
+    * same document masks identically on any engine, any cluster size, any
+    * rerun, and the oracle replays the entire schedule bit-for-bit.
+    * Output per document: token count, masked-token count, span count,
+    * and the corruption ratio in exact ppm — the numbers a pretraining
+    * run's data loader asserts before packing (q86/q302).
+    *
+    * Scale: map-only token fan-out straight off the scan, one doc-keyed
+    * partial aggregate — linear in corpus tokens with no shuffle wider
+    * than (doc_id, group bits); no RNG coordination problem exists
+    * because there is no RNG.
+    */
+  private def q340(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
+        explode(expr("sequence(0, size(t) - 1)")).as("j"))
+      .withColumn("g", expr("CAST(j div 3 AS BIGINT)"))
+      .withColumn("m", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '-', " +
+          "CAST(g AS STRING))), 1, 7), 16, 10) AS BIGINT) % 7 = 0"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        count(when(col("m"), 1)).as("n_masked"),
+        countDistinct(when(col("m"), col("g"))).as("n_spans"))
+      .withColumn("mask_ppm", expr("n_masked * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val q340Sql = {
+    val hex7 = graft.Exact.sqlHexToLong("md5(doc_id || '-' || (j // 3))", 1, 7)
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (
+       |  SELECT doc_id, len(t) AS n_tokens, unnest(range(0, len(t))) AS j
+       |  FROM d WHERE len(t) > 0),
+       |lab AS (
+       |  SELECT doc_id, n_tokens, j // 3 AS g,
+       |    (CAST($hex7 AS BIGINT) % 7 = 0) AS m
+       |  FROM tok)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(CASE WHEN m THEN 1 END) AS BIGINT) AS n_masked,
+       |  CAST(COUNT(DISTINCT CASE WHEN m THEN g END) AS BIGINT) AS n_spans,
+       |  CAST(COUNT(CASE WHEN m THEN 1 END) * 1000000 // n_tokens AS BIGINT)
+       |    AS mask_ppm
+       |FROM lab GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+  }
+
   /** q166: one BPE merge iteration — the inner loop of byte-pair-encoding
     * tokenizer training: count every adjacent CHARACTER pair inside each
     * distinct word, weighted by the word's corpus frequency, and rank the
@@ -2597,6 +2650,7 @@ object CorpusOps extends QueryModule {
     "q101_repetition_filter" -> q101,
     "q102_passage_dedup" -> q102,
     "q336_boilerplate_strip" -> q336,
+    "q340_span_corruption" -> q340,
     "q87_bigram_lm" -> q87,
     "q88_length_profile" -> q88,
     "q89_vocab_overlap" -> q89,
@@ -2640,6 +2694,7 @@ object CorpusOps extends QueryModule {
     "q101_repetition_filter" -> q101Sql,
     "q102_passage_dedup" -> q102Sql,
     "q336_boilerplate_strip" -> q336Sql,
+    "q340_span_corruption" -> q340Sql,
     "q87_bigram_lm" -> q87Sql,
     "q88_length_profile" -> q88Sql,
     "q89_vocab_overlap" -> q89Sql,

@@ -206,6 +206,23 @@ class Round11Spec extends SparkSpec {
         "VERSION AS OF 'release-a'").head().getLong(0))
   }
 
+  test("q340 masks ~14% of tokens in 3-token spans, deterministically") {
+    val out = SparkEntry.queries("q340_span_corruption")(spark, sf0001).collect()
+    val (tok, masked) = (out.map(_.getAs[Long]("n_tokens")).sum,
+      out.map(_.getAs[Long]("n_masked")).sum)
+    val ratio = masked.toDouble / tok
+    assert(ratio > 0.10 && ratio < 0.18,
+      f"corpus corruption ratio $ratio%.3f is off the mod-7 expectation")
+    out.foreach { r =>
+      val (m, sp) = (r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"))
+      assert(m <= sp * 3 && (sp == 0 || m >= sp),
+        s"doc ${r.get(0)}: $m masked in $sp spans breaks the 3-token bound")
+    }
+    // seed-free: a rerun masks identically (no RNG state anywhere)
+    val again = SparkEntry.queries("q340_span_corruption")(spark, sf0001).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
