@@ -387,7 +387,8 @@ private[sources] class VersionedTable(qualName: String, dir: String,
                 new VersionedSnapshotBatch(snapshotDirs, sch))
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-              new VersionedMicroBatchStream(tableDir, sch)
+              new VersionedMicroBatchStream(tableDir, sch,
+                Option(options.get("maxVersionsPerBatch")).map(_.toLong))
             override def description(): String =
               s"graft_versioned_scan($tableDir)"
           }
@@ -592,7 +593,8 @@ private[sources] case class VersionedFilePartition(path: String,
   * versions they already processed.
   */
 private[sources] class VersionedMicroBatchStream(dir: String,
-                                                 schema: StructType)
+                                                 schema: StructType,
+                                                 maxVersionsPerBatch: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -609,13 +611,30 @@ private[sources] class VersionedMicroBatchStream(dir: String,
   override def latestOffset(): Offset =
     VersionOffset(availableNowTarget.getOrElse(latestCommitted))
   // SupportsAdmissionControl face (inherited via the AvailableNow
-  // contract): no rate limit — a micro-batch admits every version up to
-  // the (possibly pinned) latest; a production table would honor a
-  // maxVersionsPerBatch ReadLimit here
+  // contract): ADMISSION CONTROL in the source's own granularity — the
+  // read option `maxVersionsPerBatch` caps how many COMMITTED VERSIONS
+  // one micro-batch admits (a backlogged subscriber catches up in
+  // bounded bites instead of one table-sized batch; Spark's row/file
+  // ReadLimits translate poorly to commit granularity, so the cap is a
+  // source option, the same way file sources own maxFilesPerTrigger).
+  // The micro-batch loop keeps firing until offsets reach the (possibly
+  // AvailableNow-pinned) target, so a capped drain still delivers
+  // everything — just across several exactly-once batches.
   override def latestOffset(
       start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[VersionOffset].v
+    maxVersionsPerBatch match {
+      case None => VersionOffset(target)
+      case Some(m) =>
+        require(m >= 1, s"maxVersionsPerBatch must be >= 1, got $m")
+        val s0 = start.asInstanceOf[VersionOffset].v
+        // committed versions need not be contiguous: admit the next m ids
+        val admitted = VersionedManifest.committedVersions(spark, dir)
+          .filter(n => n > s0 && n <= target).take(m.toInt)
+        VersionOffset(if (admitted.isEmpty) s0 else admitted.last)
+    }
+  }
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()

@@ -229,6 +229,41 @@ class VersionedCatalogSpec extends SparkSpec {
       .head().getLong(0) == 4L)
   }
 
+  test("maxVersionsPerBatch: a backlogged subscriber catches up in bounded bites, exactly once") {
+    val root = freshDir("vadm")
+    spark.conf.set("spark.sql.catalog.vadm11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vadm11.root", root)
+    spark.sql("CREATE TABLE vadm11.tables.t (k BIGINT, tag STRING)")
+    val dir = s"$root/t"
+    // a 3-version backlog, one row each (cumulative data= addressing)
+    (1 to 3).foreach { v =>
+      val d0 = java.nio.file.Paths.get(dir, s"d-e$v")
+      java.nio.file.Files.createDirectories(d0)
+      java.nio.file.Files.writeString(d0.resolve("part-0.json"),
+        s"""{"k":$v,"tag":"t$v"}\n""")
+      val lines = (1 to v).map(i => s"data=d-e$i") :+ "format=json"
+      assert(VersionedManifest.tryCommit(spark, dir, v,
+        lines.mkString("\n") + s"\nepoch $v"))
+    }
+    val sink = freshDir("vadm_sink")
+    val q = spark.readStream
+      .option("maxVersionsPerBatch", "1")
+      .table("vadm11.tables.t")
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", freshDir("vadm_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every row exactly once...
+    assert(spark.read.parquet(sink).collect().map(_.getAs[Long]("k"))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+    // ...across THREE bounded micro-batches, not one table-sized batch
+    val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(batchRows == Seq(1L, 1L, 1L),
+      s"expected 3 one-version batches, saw input rows $batchRows")
+  }
+
   test("catalog reads keep parquet pushdown: filter and pruning reach the delegate scan") {
     // the catalog must only decide WHICH dirs a snapshot means — the
     // delegate ScanBuilder is handed back untouched, so predicate
