@@ -18,6 +18,72 @@ import org.apache.spark.sql.types._
   */
 object TimeSeries extends QueryModule {
 
+  // --------------------------------------------------------------- q341
+
+  /** q341: CRAWL POLITENESS SCHEDULER — the frontier stage after q337's
+    * canonicalization: fetches against one host must be spaced ≥ D apart,
+    * so each fetch's dispatch slot obeys the recurrence
+    * `slot_i = max(ts_i, slot_(i-1) + D)`. A literal fold would force a
+    * sequential per-host pass; the algebraic rewrite
+    * `slot_i − i·D = running_max(ts_j − j·D)` turns it into ONE running-max
+    * window per host — O(1) state per row, shuffle-free beyond the single
+    * host-keyed exchange, the same non-associative-fold-to-window move as
+    * q241's sweep line. Per host: fetch count, total politeness wait the
+    * schedule injects, and the makespan tail (how far past the last
+    * arrival the queue drains) — the numbers that size a crawler fleet.
+    * All integer microseconds; the oracle replays the identical window.
+    *
+    * Scale: hosts are the natural partition key of a crawl frontier; the
+    * window carries one running max, never a buffered group, so a hot
+    * host costs memory O(1) — at 100 TB the plan is exactly one exchange
+    * + one sorted window pass.
+    *
+    * The gap D is calibrated to the FIXTURE's per-host arrival density
+    * (median inter-arrival ≈ 3,600 s at sf0.01) so queues genuinely form
+    * at every test SF — a real crawler runs the same plan with D in
+    * seconds; D is a constant in the window expression either way.
+    */
+  private def q341(s: SparkSession, d: String): DataFrame = {
+    val D = 14400000000L // 4 h politeness gap in µs (fixture-calibrated)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val fetches = Tables.events(s, d)
+      .select(col("event_id"), concat(lit("h"), col("user_id") % 20).as("host"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w).cast(LongType) - 1)
+      .withColumn("adj", col("ts_us") - col("rn") * D)
+      .withColumn("slot",
+        max(col("adj")).over(w.rowsBetween(Window.unboundedPreceding, 0)) +
+          col("rn") * D)
+    fetches
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("slot") - col("ts_us")).as("total_wait_us"),
+        (max(col("slot")) - max(col("ts_us"))).as("drain_tail_us"))
+      .orderBy(col("host"))
+  }
+
+  private val q341Sql =
+    """WITH f AS (
+      |  SELECT event_id, 'h' || (user_id % 20) AS host, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |r AS (
+      |  SELECT host, event_id, ts_us,
+      |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts_us, event_id) - 1
+      |      AS rn
+      |  FROM f),
+      |sch AS (
+      |  SELECT host, ts_us,
+      |    MAX(ts_us - rn * 14400000000) OVER (PARTITION BY host
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      + rn * 14400000000 AS slot
+      |  FROM r)
+      |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+      |  CAST(SUM(slot - ts_us) AS BIGINT) AS total_wait_us,
+      |  CAST(MAX(slot) - MAX(ts_us) AS BIGINT) AS drain_tail_us
+      |FROM sch GROUP BY host ORDER BY host""".stripMargin
+
   /** q123: calendar gap-fill + forward-fill — the dense daily revenue view
     * per order priority. Missing days are manufactured from a generated
     * date spine (`sequence(min_day, max_day)` exploded, cross-joined with
@@ -644,6 +710,7 @@ object TimeSeries extends QueryModule {
     "q181_sax_motifs" -> q181,
     "q177_distribution_drift" -> q177,
     "q163_volume_anomaly" -> q163,
+    "q341_politeness_schedule" -> q341,
     "q164_conversion_latency" -> q164,
     "q158_twap" -> q158,
     "q159_survivorship" -> q159,
@@ -659,6 +726,7 @@ object TimeSeries extends QueryModule {
     "q181_sax_motifs" -> q181Sql,
     "q177_distribution_drift" -> q177Sql,
     "q163_volume_anomaly" -> q163Sql,
+    "q341_politeness_schedule" -> q341Sql,
     "q164_conversion_latency" -> q164Sql,
     "q158_twap" -> q158Sql,
     "q159_survivorship" -> q159Sql,

@@ -223,6 +223,37 @@ class Round11Spec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q341 schedules the politeness recurrence in ONE host-keyed exchange") {
+    val q = SparkEntry.queries("q341_politeness_schedule")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"the rewrite should need exactly one host shuffle, saw $exchanges:\n$plan")
+    // the rewritten window solves slot_i = max(ts_i, slot_(i-1) + D):
+    // slots are >= arrivals and successive same-host slots differ >= D
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("total_wait_us") >= 0L))
+    assert(rows.exists(_.getAs[Long]("total_wait_us") > 0L),
+      "no host ever waited - gap too small to exercise the recurrence")
+    rows.foreach(r => assert(r.getAs[Long]("drain_tail_us") >= 0L))
+    // cross-check the algebraic rewrite against the LITERAL recurrence,
+    // folded driver-side over one host's arrival times
+    val d = 14400000000L
+    val ts = graft.Tables.events(spark, sf0001)
+      .filter(col("user_id") % 20 === 0)
+      .select(unix_micros(col("ts")).as("t"), col("event_id"))
+      .orderBy(col("t"), col("event_id"))
+      .collect().map(_.getLong(0))
+    val (wait, _) = ts.foldLeft((0L, Long.MinValue)) {
+      case ((w, prev), t) =>
+        val slot = math.max(t, if (prev == Long.MinValue) t else prev + d)
+        (w + (slot - t), slot)
+    }
+    val h0 = rows.find(_.getAs[String]("host") == "h0").get
+    assert(h0.getAs[Long]("total_wait_us") == wait,
+      s"window rewrite ${h0.getAs[Long]("total_wait_us")} != literal fold $wait")
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
