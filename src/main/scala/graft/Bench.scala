@@ -153,7 +153,8 @@ object Bench {
     "q332_snapshot_drift", "q333_quality_calibration",
     "q334_neardup_leakage", "q335_bloom_skipping", "q336_boilerplate_strip",
     "q337_url_canonical_dedup", "q338_mixed_format_feed",
-    "q339_release_tags", "q340_span_corruption", "q341_politeness_schedule"
+    "q339_release_tags", "q340_span_corruption", "q341_politeness_schedule",
+    "q342_label_agreement"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -630,6 +630,87 @@ object TextOps extends QueryModule {
       |  MIN(event_id) AS first_fetch
       |FROM c GROUP BY canon ORDER BY canon""".stripMargin
 
+  // --------------------------------------------------------------- q342
+
+  /** q342: INTER-RATER AGREEMENT (Cohen's κ) — the eval-ops statistic a
+    * labeling pipeline reports before anyone trusts its labels: when two
+    * raters gate the same corpus (here the q71 quality bar at 0.56 and
+    * the English weak label — in production, two LLM judges or a judge
+    * vs a human pass), raw percent agreement flatters imbalanced labels;
+    * κ subtracts chance agreement. Per source: the full confusion matrix,
+    * observed agreement `po`, chance agreement `pe` (marginal products),
+    * and κ — every one an exact scaled integer derived from counts
+    * (`po_ppm = (n11+n00)·10⁶ div n`, `pe_ppm` from the marginals over
+    * n², `κ_ppm = (po−pe)·10⁶ div (10⁶−pe)` with symmetric truncation so
+    * a negative κ divides identically in both engines; NULL when pe = 1,
+    * where κ is undefined). The quality threshold compares bit-identical
+    * doubles (the q301/q317 discipline).
+    *
+    * Scale: one scan, one source-keyed partial agg — the confusion
+    * matrix is four counters per group; κ over 10⁹ labeled rows costs
+    * exactly one aggregate pass.
+    */
+  private def q342(s: SparkSession, d: String): DataFrame =
+    qualityFrame(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("source"),
+        (col("quality") >= 0.56).as("ra"),
+        (col("lang") === "en").as("rb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("ra") && col("rb"), 1)).as("n11"),
+        count(when(col("ra") && !col("rb"), 1)).as("n10"),
+        count(when(!col("ra") && col("rb"), 1)).as("n01"),
+        count(when(!col("ra") && !col("rb"), 1)).as("n00"))
+      .withColumn("po_ppm", expr("(n11 + n00) * 1000000 div n"))
+      .withColumn("pe_ppm", expr(
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) " +
+          "* 1000000 div (n * n)"))
+      .withColumn("kappa_ppm", expr(
+        "CASE WHEN pe_ppm = 1000000 THEN NULL " +
+          "WHEN po_ppm >= pe_ppm THEN " +
+          "  (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm) " +
+          "ELSE -((pe_ppm - po_ppm) * 1000000 div (1000000 - pe_ppm)) END"))
+      .orderBy(col("source"))
+
+  private val q342Sql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    uniq_ratio * 0.5 + (1.0 - stop_ratio) * 0.3
+      |      + LEAST(CAST(n_tokens AS DOUBLE) / 256.0, 1.0) * 0.2 AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(t) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+      |        / len(t) AS stop_ratio,
+      |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+      |lab AS (
+      |  SELECT d.source, (q.quality >= 0.56) AS ra, (d.lang = 'en') AS rb
+      |  FROM q JOIN documents d USING (doc_id)),
+      |m AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(CASE WHEN ra AND rb THEN 1 END) AS BIGINT) AS n11,
+      |    CAST(COUNT(CASE WHEN ra AND NOT rb THEN 1 END) AS BIGINT) AS n10,
+      |    CAST(COUNT(CASE WHEN NOT ra AND rb THEN 1 END) AS BIGINT) AS n01,
+      |    CAST(COUNT(CASE WHEN NOT ra AND NOT rb THEN 1 END) AS BIGINT) AS n00
+      |  FROM lab GROUP BY source),
+      |p AS (
+      |  SELECT *,
+      |    CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+      |    CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+      |      * 1000000 // (n * n) AS BIGINT) AS pe_ppm
+      |  FROM m)
+      |SELECT source, n, n11, n10, n01, n00, po_ppm, pe_ppm,
+      |  CASE WHEN pe_ppm = 1000000 THEN NULL
+      |       WHEN po_ppm >= pe_ppm THEN
+      |         CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT)
+      |       ELSE -CAST((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT)
+      |  END AS kappa_ppm
+      |FROM p ORDER BY source""".stripMargin
+
   private val SimBits = 32
 
   /** q76: SimHash near-dup detection — 32-bit signatures from per-token md5
@@ -1726,6 +1807,7 @@ object TextOps extends QueryModule {
     "q333_quality_calibration" -> q333,
     "q334_neardup_leakage" -> q334,
     "q337_url_canonical_dedup" -> q337,
+    "q342_label_agreement" -> q342,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
@@ -1756,6 +1838,7 @@ object TextOps extends QueryModule {
     "q333_quality_calibration" -> q333Sql,
     "q334_neardup_leakage" -> q334Sql,
     "q337_url_canonical_dedup" -> q337Sql,
+    "q342_label_agreement" -> q342Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,

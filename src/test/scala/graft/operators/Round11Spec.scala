@@ -254,6 +254,26 @@ class Round11Spec extends SparkSpec {
       s"window rewrite ${h0.getAs[Long]("total_wait_us")} != literal fold $wait")
   }
 
+  test("q342 kappa algebra replays from the confusion counts alone") {
+    val rows = SparkEntry.queries("q342_label_agreement")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+        r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+      assert(n == n11 + n10 + n01 + n00, s"confusion matrix does not sum: $r")
+      val po = (n11 + n00) * 1000000L / n
+      val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) *
+        1000000L / (n * n)
+      assert(r.getAs[Long]("po_ppm") == po && r.getAs[Long]("pe_ppm") == pe)
+      if (pe != 1000000L) {
+        val k = if (po >= pe) (po - pe) * 1000000L / (1000000L - pe)
+          else -((pe - po) * 1000000L / (1000000L - pe))
+        assert(r.getAs[Long]("kappa_ppm") == k, s"kappa drifted: $r vs $k")
+        assert(math.abs(k) <= 1000000L)
+      }
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
