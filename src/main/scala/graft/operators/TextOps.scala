@@ -630,6 +630,64 @@ object TextOps extends QueryModule {
       |  MIN(event_id) AS first_fetch
       |FROM c GROUP BY canon ORDER BY canon""".stripMargin
 
+  // --------------------------------------------------------------- q343
+
+  /** q343: PREFERENCE-PAIR ASSEMBLY — the reward-model data prep of an
+    * RLHF pipeline: within each group (user standing in for "prompt"),
+    * the highest-reward candidate becomes `chosen`, the lowest becomes
+    * `rejected`, and the pair ships with its exact reward `margin` (the
+    * loss-weighting signal) and the candidate count. Ties break
+    * deterministically on event_id, degenerate groups (margin ≤ 0 or a
+    * single candidate) are dropped — a pair whose raters can't be told
+    * apart teaches nothing.
+    *
+    * Scale: ONE group-keyed partial aggregate — chosen/rejected are
+    * `max/min` over tiny (reward, id) structs, so no per-group sort, no
+    * window buffer, no row_number materialization; margins stay exact
+    * DECIMAL until the final per-row double cast (the [[graft.Exact]]
+    * discipline). Assembling 10⁹ candidate generations into pairs is
+    * exactly one shuffle.
+    */
+  private def q343(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), Exact.money(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(struct(col("v"), (-col("event_id")).as("neg_id"))).as("c"),
+        min(struct(col("v"), col("event_id"))).as("r"))
+      .filter(col("n_candidates") >= 2 && col("c.v") > col("r.v"))
+      .select(col("user_id"),
+        (-col("c.neg_id")).as("chosen_event"),
+        col("r.event_id").as("rejected_event"),
+        (col("c.v") - col("r.v")).cast(DoubleType).as("margin"),
+        col("n_candidates"))
+      .orderBy(col("user_id"))
+
+  private val q343Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT user_id, event_id, v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v DESC, event_id)
+      |      AS rk
+      |  FROM e),
+      |r AS (
+      |  SELECT user_id, event_id, v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v ASC, event_id)
+      |      AS rk
+      |  FROM e),
+      |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      |      FROM e GROUP BY 1)
+      |SELECT n.user_id, c.event_id AS chosen_event, r.event_id AS rejected_event,
+      |  CAST(c.v - r.v AS DOUBLE) AS margin, n_candidates
+      |FROM n JOIN c ON n.user_id = c.user_id AND c.rk = 1
+      |       JOIN r ON n.user_id = r.user_id AND r.rk = 1
+      |WHERE n_candidates >= 2 AND c.v > r.v
+      |ORDER BY n.user_id""".stripMargin
+
   // --------------------------------------------------------------- q342
 
   /** q342: INTER-RATER AGREEMENT (Cohen's κ) — the eval-ops statistic a
@@ -1808,6 +1866,7 @@ object TextOps extends QueryModule {
     "q334_neardup_leakage" -> q334,
     "q337_url_canonical_dedup" -> q337,
     "q342_label_agreement" -> q342,
+    "q343_preference_pairs" -> q343,
     "q316_epoch_sharding" -> q316,
     "q230_contamination_matrix" -> q230,
     "q232_winnowing_fingerprints" -> q232,
@@ -1839,6 +1898,7 @@ object TextOps extends QueryModule {
     "q334_neardup_leakage" -> q334Sql,
     "q337_url_canonical_dedup" -> q337Sql,
     "q342_label_agreement" -> q342Sql,
+    "q343_preference_pairs" -> q343Sql,
     "q316_epoch_sharding" -> q316Sql,
     "q230_contamination_matrix" -> q230Sql,
     "q232_winnowing_fingerprints" -> q232Sql,

@@ -274,6 +274,20 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q343 assembles preference pairs without a window or per-group sort") {
+    val q = SparkEntry.queries("q343_preference_pairs")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"chosen/rejected should be max/min aggregates, not windows:\n$plan")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("margin") > 0.0)
+      assert(r.getAs[Long]("chosen_event") != r.getAs[Long]("rejected_event"))
+      assert(r.getAs[Long]("n_candidates") >= 2L)
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
