@@ -154,7 +154,7 @@ object Bench {
     "q334_neardup_leakage", "q335_bloom_skipping", "q336_boilerplate_strip",
     "q337_url_canonical_dedup", "q338_mixed_format_feed",
     "q339_release_tags", "q340_span_corruption", "q341_politeness_schedule",
-    "q342_label_agreement", "q343_preference_pairs"
+    "q342_label_agreement", "q343_preference_pairs", "q344_cluster_rewrite"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

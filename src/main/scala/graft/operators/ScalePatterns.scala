@@ -1739,6 +1739,72 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q344
+
+  /** q344: CLUSTERING REWRITE AS TABLE MAINTENANCE — the estate operation
+    * that makes q329's stats-in-manifest skipping actually BITE: version 1
+    * lands hash-distributed on `source` (every file spans the whole doc_id
+    * domain, so its [min,max] admits ANY doc_id predicate — the stats
+    * prune 0 of 16 files), then the maintenance pass rewrites the SAME
+    * rows range-clustered on doc_id and publishes with `dataChange=false`
+    * (same rows, new layout — subscribers skip it, q338's contract; time
+    * travel to the unclustered version keeps working). The new manifest's
+    * stats now prune the point-range probe to the surviving slice.
+    * Round11Spec pins the measured improvement (16/16 admitted before,
+    * strictly fewer after) and the rollup hash-matches the plain-filter
+    * oracle — a rewrite that changed any row would fail on sums.
+    *
+    * Scale: this is Delta OPTIMIZE ZORDER / Iceberg rewrite_data_files
+    * reduced to the essence — the rewrite streams the snapshot once
+    * (O(live data), amortized maintenance), and every subsequent
+    * selective reader pays O(matching files) instead of O(layout)
+    * forever after. The decision input is q313's small-files/clustering
+    * audit; the verification input is the pruning counter this query's
+    * spec pins.
+    */
+  private def q344(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vcluster_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+      // v1: hash layout on source — doc_id ranges interleave across files
+      docs.repartition(16, col("source"))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1,
+        ("hash layout on source" +:
+          graft.sources.VersionedManifest.fileStats(s, s"$dir/v=1", "doc_id"))
+          .mkString("\n"))
+      // v2: the maintenance rewrite — range-clustered, same rows
+      graft.sources.VersionedManifest.readAt(s, dir, 1)
+        .repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/d-cluster-1")
+      require(graft.sources.VersionedManifest.tryCommit(s, dir, 2,
+        (Seq("data=d-cluster-1", "dataChange=false",
+          "cluster rewrite: range on doc_id") ++
+          graft.sources.VersionedManifest
+            .fileStats(s, s"$dir/d-cluster-1", "doc_id")).mkString("\n")),
+        "cluster rewrite commit lost a race")
+      java.nio.file.Files.createFile(done)
+    }
+    val (lo, hi) = (300L, 499L)
+    val files = graft.sources.VersionedManifest.prunedFiles(s, dir, 2, lo, hi)
+    s.read.parquet(files: _*)
+      .filter(col("doc_id").between(lo, hi))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val q344Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id BETWEEN 300 AND 499
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   // --------------------------------------------------------------- q339
 
   /** q339: RELEASE TAGS — the citable name of a training-corpus snapshot:
@@ -3788,6 +3854,7 @@ object ScalePatterns extends QueryModule {
     "q332_snapshot_drift" -> q332,
     "q335_bloom_skipping" -> q335,
     "q339_release_tags" -> q339,
+    "q344_cluster_rewrite" -> q344,
     "q246_catalog_stats" -> q246,
     "q247_snapshot_read" -> q247,
     "q249_vacuum" -> q249,
@@ -3852,6 +3919,7 @@ object ScalePatterns extends QueryModule {
     "q332_snapshot_drift" -> q332Sql,
     "q335_bloom_skipping" -> q335Sql,
     "q339_release_tags" -> q339Sql,
+    "q344_cluster_rewrite" -> q344Sql,
     "q246_catalog_stats" -> q246Sql,
     "q247_snapshot_read" -> q247Sql,
     "q249_vacuum" -> q249Sql,

@@ -288,6 +288,29 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q344 cluster rewrite: hash layout prunes nothing, the range rewrite prunes hard") {
+    SparkEntry.queries("q344_cluster_rewrite")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vcluster_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val M = graft.sources.VersionedManifest
+    val before = M.prunedFiles(spark, dir, 1, 300L, 499L)
+    val after = M.prunedFiles(spark, dir, 2, 300L, 499L)
+    val allV1 = M.readAt(spark, dir, 1).inputFiles.length
+    val allV2 = M.readAt(spark, dir, 2).inputFiles.length
+    // layouts have different file counts — compare admitted FRACTIONS:
+    // the interleaved hash layout admits nearly everything, the range
+    // rewrite admits only the slice
+    assert(before.size * 4 >= allV1 * 3,
+      s"hash layout should admit nearly every file: ${before.size} of $allV1")
+    assert(after.nonEmpty && after.size * 2 <= allV2,
+      s"clustering bought nothing: ${after.size} of $allV2 admitted")
+    // same rows before and after — the rewrite is layout-only
+    assert(M.readAt(spark, dir, 1).count() == M.readAt(spark, dir, 2).count())
+    // dataChange=false: subscribers must skip the rewrite version
+    assert(!M.dataChange(spark, dir, 2) && M.dataChange(spark, dir, 1))
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
