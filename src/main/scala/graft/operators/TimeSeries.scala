@@ -58,7 +58,10 @@ object TimeSeries extends QueryModule {
     fetches
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_fetches"),
-        sum(col("slot") - col("ts_us")).as("total_wait_us"),
+        // per-row µs→s BEFORE the sum: a backlogged host's waits grow
+        // quadratically (Σ i·D), and a µs-summed total overflows Long at
+        // ~10M fetches/host — found by the sf10 gauge, not by review
+        expr("sum((slot - ts_us) div 1000000)").as("total_wait_s"),
         (max(col("slot")) - max(col("ts_us"))).as("drain_tail_us"))
       .orderBy(col("host"))
   }
@@ -80,7 +83,7 @@ object TimeSeries extends QueryModule {
       |      + rn * 14400000000 AS slot
       |  FROM r)
       |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
-      |  CAST(SUM(slot - ts_us) AS BIGINT) AS total_wait_us,
+      |  CAST(SUM((slot - ts_us) // 1000000) AS BIGINT) AS total_wait_s,
       |  CAST(MAX(slot) - MAX(ts_us) AS BIGINT) AS drain_tail_us
       |FROM sch GROUP BY host ORDER BY host""".stripMargin
 

@@ -232,8 +232,8 @@ class Round11Spec extends SparkSpec {
     // the rewritten window solves slot_i = max(ts_i, slot_(i-1) + D):
     // slots are >= arrivals and successive same-host slots differ >= D
     val rows = q.collect()
-    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("total_wait_us") >= 0L))
-    assert(rows.exists(_.getAs[Long]("total_wait_us") > 0L),
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("total_wait_s") >= 0L))
+    assert(rows.exists(_.getAs[Long]("total_wait_s") > 0L),
       "no host ever waited - gap too small to exercise the recurrence")
     rows.foreach(r => assert(r.getAs[Long]("drain_tail_us") >= 0L))
     // cross-check the algebraic rewrite against the LITERAL recurrence,
@@ -247,11 +247,11 @@ class Round11Spec extends SparkSpec {
     val (wait, _) = ts.foldLeft((0L, Long.MinValue)) {
       case ((w, prev), t) =>
         val slot = math.max(t, if (prev == Long.MinValue) t else prev + d)
-        (w + (slot - t), slot)
+        (w + (slot - t) / 1000000L, slot)
     }
     val h0 = rows.find(_.getAs[String]("host") == "h0").get
-    assert(h0.getAs[Long]("total_wait_us") == wait,
-      s"window rewrite ${h0.getAs[Long]("total_wait_us")} != literal fold $wait")
+    assert(h0.getAs[Long]("total_wait_s") == wait,
+      s"window rewrite ${h0.getAs[Long]("total_wait_s")} != literal fold $wait")
   }
 
   test("q342 kappa algebra replays from the confusion counts alone") {
