@@ -2640,7 +2640,167 @@ object CorpusOps extends QueryModule {
        |SELECT qid, lrank AS rank, nid, score FROM lex
        |WHERE lrank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // --------------------------------------------------------------- q345
+
+  /** Regexes shared by the Spark plan and the DuckDB oracle verbatim —
+    * restricted to the syntax subset (char classes, bounded repeats, `\b`,
+    * `\d`) where Java's engine and RE2 provably agree match-for-match.
+    */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhoneRe = """\b555-\d{3}-\d{4}\b"""
+
+  /** q345: PII SCAN + REDACTION — the release-gate pass every public
+    * training corpus runs before shipping (Dolma's PII tagging, Soldaini
+    * et al. 2024; CCNet/ROOTS do the same with these exact three classes):
+    * regex detectors for emails, IPv4 addresses, and NANP-style phone
+    * numbers, per-type occurrence counts, and a redacted rewrite
+    * (`<EMAIL>`/`<IP>`/`<PHONE>` placeholders, applied in one fixed order)
+    * whose md5 the oracle hash-checks. The synthetic corpus carries no PII,
+    * so the pass first INJECTS it deterministically from doc_id arithmetic
+    * (the q318/q340 controlled-distortion discipline: the planted truth is
+    * DATA, not RNG state) — docs ≡0 mod 3 gain an email, ≡1 mod 4 an IP,
+    * ≡2 mod 5 a phone — and the scanner must find exactly those, so
+    * precision AND recall of the detector are what the hash verifies, not
+    * just "some regexp ran".
+    *
+    * Scale: map-only — inject, count, redact, hash are all per-row
+    * expressions inside one whole-stage-codegen span off the scan; the
+    * only shuffle is the presentation sort. At 100 TB this is the shape
+    * you want: no state, no driver, embarrassingly parallel.
+    */
+  private def q345(s: SparkSession, d: String): DataFrame = {
+    val injected = Tables.documents(s, d)
+      .withColumn("raw", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(
+          lit(" contact user"), col("doc_id"),
+          lit("@mail"), col("doc_id") % 10, lit(".org"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1, concat(
+          lit(" host 10."), col("doc_id") % 256, lit("."),
+          (col("doc_id") * 7) % 256, lit("."), col("doc_id") % 250))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2, concat(
+          lit(" call 555-"), lpad(col("doc_id") % 1000, 3, "0"), lit("-"),
+          lpad((col("doc_id") * 3) % 10000, 4, "0"))).otherwise(lit(""))))
+    injected
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(Ipv4Re), lit(0)))
+          .cast(LongType).as("n_ip"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
+          .cast(LongType).as("n_phone"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>")).as("redacted_hash"))
+      .filter(col("n_email") + col("n_ip") + col("n_phone") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q345Sql =
+    s"""WITH inj AS (
+       |  SELECT doc_id, text
+       |    || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id
+       |         || '@mail' || (doc_id % 10) || '.org' ELSE '' END)
+       |    || (CASE WHEN doc_id % 4 = 1 THEN ' host 10.' || (doc_id % 256)
+       |         || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 250)
+       |         ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 2 THEN ' call 555-'
+       |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+       |         || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END) AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+       |FROM inj
+       |WHERE len(regexp_extract_all(raw, '$EmailRe'))
+       |    + len(regexp_extract_all(raw, '$Ipv4Re'))
+       |    + len(regexp_extract_all(raw, '$PhoneRe')) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q346
+
+  /** q346: CHAT-TEMPLATE ASSEMBLY — the SFT-data face of the corpus prep
+    * family: per-conversation event streams flatten into a rendered
+    * multi-turn transcript (the `<|role|>content` framing every chat
+    * fine-tune pipeline emits before tokenization), with turn capping at
+    * 16, per-role character accounting (the loss-masking budget: user
+    * turns are masked, assistant turns are trained on), and the rendered
+    * transcript's md5 — so the whole template, including turn ORDER, is
+    * hash-verified. Conversations are the events table's per-user streams
+    * (role alternates by turn parity — a deterministic stand-in for the
+    * speaker field a real chat log carries; the mechanics under test are
+    * the grouping, ordering, capping, rendering, and accounting, which are
+    * role-source-agnostic).
+    *
+    * Determinism: the transcript is rebuilt by array_sort over
+    * (turn, piece) structs collected per conversation — the q336
+    * discipline — so any partial-aggregation order yields the same string;
+    * turn order itself is total (ts, then event_id).
+    *
+    * Scale: one shuffle keyed by conversation id; each group holds ≤ the
+    * conversation's events and renders a bounded 16-turn prefix. No
+    * window over an unpartitioned domain, no driver-side assembly.
+    */
+  private def q346(s: SparkSession, d: String): DataFrame = {
+    val turns = Tables.events(s, d)
+      .select(col("user_id").as("conv_id"), col("ts"), col("event_id"),
+        concat(col("event_type"), lit("="),
+          get_json_object(col("props"), "$.k")).as("content"))
+      .withColumn("turn", row_number().over(
+        Window.partitionBy(col("conv_id"))
+          .orderBy(col("ts"), col("event_id"))) - 1)
+      .filter(col("turn") < 16)
+      .withColumn("role",
+        when(col("turn") % 2 === 0, lit("user")).otherwise(lit("assistant")))
+    turns
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", length(col("content")))
+          .otherwise(0)).cast(LongType).as("user_chars"),
+        sum(when(col("role") === "assistant", length(col("content")))
+          .otherwise(0)).cast(LongType).as("assistant_chars"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(turn, concat('<|', role, '|>', content) AS piece))), " +
+          "x -> x.piece), ''))").as("transcript_hash"))
+      .orderBy(col("conv_id"))
+  }
+
+  private val q346Sql =
+    """WITH t AS (
+      |  SELECT user_id AS conv_id, ts, event_id,
+      |    event_type || '=' || json_extract_string(props, '$.k') AS content,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+      |      AS turn
+      |  FROM events),
+      |capped AS (
+      |  SELECT conv_id, turn,
+      |    CASE WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    content
+      |  FROM t WHERE turn < 16)
+      |SELECT conv_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  CAST(SUM(CASE WHEN role = 'user' THEN len(content) ELSE 0 END)
+      |    AS BIGINT) AS user_chars,
+      |  CAST(SUM(CASE WHEN role = 'assistant' THEN len(content) ELSE 0 END)
+      |    AS BIGINT) AS assistant_chars,
+      |  md5(string_agg('<|' || role || '|>' || content, '' ORDER BY turn))
+      |    AS transcript_hash
+      |FROM capped GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_pii_scan" -> q345,
+    "q346_chat_assembly" -> q346,
     "q214_incremental_dedup" -> q214,
     "q216_snapshot_gate_persisted" -> q216,
     "q200_lm_fluency" -> q200,
@@ -2685,6 +2845,8 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q345_pii_scan" -> q345Sql,
+    "q346_chat_assembly" -> q346Sql,
     "q214_incremental_dedup" -> q214Sql,
     "q216_snapshot_gate_persisted" -> q214Sql, // same contract, persisted
     "q200_lm_fluency" -> q200Sql,

@@ -1934,7 +1934,115 @@ object Similarity extends QueryModule {
        |FROM trunc5 t LEFT JOIN full5 f ON t.qid = f.qid AND t.nid = f.nid
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q347
+
+  /** q347: MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): candidate translation pairs
+    * are scored not by raw cosine (which a hubness-y embedding space
+    * inflates for some vectors regardless of partner) but by the RATIO
+    * margin `cos(x,y) / ((fwd_k(x) + bwd_k(y)) / 2)` — cosine normalized
+    * by the mean of each side's top-k neighborhood — and a pair is mined
+    * when its margin clears the threshold. Sides here are the vec_id
+    * parity classes (the deterministic stand-in for source/target
+    * language pools; the mechanics under test — two-directional top-k
+    * neighborhoods, the normalized score, the thresholded argmax — are
+    * pool-agnostic). Output: each anchor's best candidate with cos,
+    * margin, and the mined flag at threshold 1.10.
+    *
+    * Determinism: cosines come from exact integer dots (module-wide
+    * quantized domain); each top-4 mean is assembled by PIVOTING ranks
+    * 1..4 into scalar aggregates and summing in one fixed literal order
+    * — no float sum ever depends on aggregation order — so margins are
+    * bit-identical in both engines.
+    *
+    * Scale: the 64-anchor slice BROADCASTS; the candidate pool streams
+    * through once (no pool×pool stage — the classic miner's x·Yᵀ block
+    * matmul, here one broadcast-nested-loop pass). fwd is a 64-group
+    * aggregate; bwd is one shuffle of (nid, cos) ids — never vectors.
+    * At 100 TB the scan leg swaps for q83's IVF candidates and the
+    * margin algebra is unchanged.
+    */
+  private def q347(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val anchors = vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") < 128)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pool = vecs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("nid"), col("v").as("nv"))
+    val scored = pool.join(broadcast(anchors))
+      .select(col("qid"), col("nid"),
+        (dotExpr("qv", "nv").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv")))).as("cos"))
+    val fwd = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("rk") <= 4)
+      .groupBy(col("qid"))
+      .agg(((max(when(col("rk") === 1, col("cos"))) +
+        max(when(col("rk") === 2, col("cos"))) +
+        max(when(col("rk") === 3, col("cos"))) +
+        max(when(col("rk") === 4, col("cos")))) / 4).as("fwd_k"))
+    val bwd = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("nid")).orderBy(desc("cos"), col("qid"))))
+      .filter(col("rk") <= 4)
+      .groupBy(col("nid"))
+      .agg(((max(when(col("rk") === 1, col("cos"))) +
+        max(when(col("rk") === 2, col("cos"))) +
+        max(when(col("rk") === 3, col("cos"))) +
+        max(when(col("rk") === 4, col("cos")))) / 4).as("bwd_k"))
+    scored
+      .withColumn("best", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("best") === 1)
+      .join(broadcast(fwd), "qid") // O(anchors) rows
+      .join(bwd, "nid")
+      .select(col("qid"), col("nid"), col("cos"),
+        ((col("cos") * 2) / (col("fwd_k") + col("bwd_k"))).as("margin"))
+      .withColumn("mined",
+        when(col("margin") > 1.10, lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("qid"))
+  }
+
+  private val q347Sql =
+    s"""WITH q AS ($quantizedSql),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+       |  FROM q a JOIN q b ON a.vec_id % 2 = 0 AND a.vec_id < 128
+       |                   AND b.vec_id % 2 = 1),
+       |fwd AS (
+       |  SELECT qid,
+       |    (MAX(CASE WHEN rk = 1 THEN cos END) + MAX(CASE WHEN rk = 2 THEN cos END)
+       |     + MAX(CASE WHEN rk = 3 THEN cos END) + MAX(CASE WHEN rk = 4 THEN cos END)) / 4
+       |      AS fwd_k
+       |  FROM (SELECT qid, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |        FROM scored) WHERE rk <= 4 GROUP BY qid),
+       |bwd AS (
+       |  SELECT nid,
+       |    (MAX(CASE WHEN rk = 1 THEN cos END) + MAX(CASE WHEN rk = 2 THEN cos END)
+       |     + MAX(CASE WHEN rk = 3 THEN cos END) + MAX(CASE WHEN rk = 4 THEN cos END)) / 4
+       |      AS bwd_k
+       |  FROM (SELECT nid, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY nid ORDER BY cos DESC, qid) AS rk
+       |        FROM scored) WHERE rk <= 4 GROUP BY nid),
+       |best AS (
+       |  SELECT qid, nid, cos FROM (
+       |    SELECT qid, nid, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS best
+       |    FROM scored) WHERE best = 1)
+       |SELECT b.qid, b.nid, b.cos,
+       |  (b.cos * 2) / (f.fwd_k + w.bwd_k) AS margin,
+       |  CAST(CASE WHEN (b.cos * 2) / (f.fwd_k + w.bwd_k) > 1.10
+       |       THEN 1 ELSE 0 END AS BIGINT) AS mined
+       |FROM best b JOIN fwd f ON b.qid = f.qid JOIN bwd w ON b.nid = w.nid
+       |ORDER BY b.qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_bitext_margin" -> q347,
     "q319_matryoshka_recall" -> q319,
     "q199_semantic_dedup" -> q199,
     "q225_hybrid_rrf" -> q225,
@@ -1960,6 +2068,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q347_bitext_margin" -> q347Sql,
     "q319_matryoshka_recall" -> q319Sql,
     "q199_semantic_dedup" -> q199Sql,
     "q225_hybrid_rrf" -> q225Sql,

