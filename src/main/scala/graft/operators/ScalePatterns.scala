@@ -4,7 +4,7 @@ import graft.{Exact, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, LongType}
 
 /** Scale patterns as first-class, oracle-verified operators: the rewrites
   * an engine applies when a key is too hot or a partition too big. Each
@@ -3843,7 +3843,275 @@ object ScalePatterns extends QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q348
+
+  /** q348: ROW TRACKING ACROSS REWRITES — Delta's row-tracking / Iceberg's
+    * row-lineage essence: the ingest commit assigns every row a stable
+    * `row_id`, and table-maintenance rewrites (compaction q242, clustering
+    * q344) must PRESERVE ids while freely moving rows between files. The
+    * audit this query ships is the one a lineage-dependent consumer (CDC
+    * materialization, incremental ML feature backfill, GDPR erasure
+    * receipts q308) runs after every maintenance window: full-outer join
+    * the pre- and post-rewrite snapshots ON row_id and count preserved /
+    * lost / invented ids and payload drift — all four must come back
+    * clean, per source. Version 2 re-clusters the same rows on a
+    * DIFFERENT key (n_chars) with `dataChange=false`, so files change
+    * completely while identity must not (Round11Spec pins that the
+    * layout really moved).
+    *
+    * Scale: the audit is one row_id-keyed shuffle join of two snapshots —
+    * O(live rows), the same cost class as the rewrite itself, and it
+    * needs NO natural key: at 100 TB the payload often has none, which is
+    * the whole reason engine-assigned stable ids exist.
+    */
+  private def q348(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vrowtrack_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      // ingest: row ids assigned at commit time (the source cursor here;
+      // an engine counter in general), payload carries NO natural key
+      Tables.documents(s, d)
+        .select(col("doc_id").as("row_id"), col("lang"), col("source"),
+          col("n_chars"), md5(col("text")).as("payload_hash"))
+        .repartition(8, col("source"))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      graft.sources.VersionedManifest.commit(s, dir, 1,
+        "ingest with row tracking (hash layout on source)")
+      // maintenance: re-cluster on a different key — every file changes,
+      // no row may
+      graft.sources.VersionedManifest.readAt(s, dir, 1)
+        .repartitionByRange(8, col("n_chars"), col("row_id"))
+        .write.mode("overwrite").parquet(s"$dir/d-rt-rewrite")
+      require(graft.sources.VersionedManifest.tryCommit(s, dir, 2,
+        Seq("data=d-rt-rewrite", "dataChange=false",
+          "rowTracking=preserved", "cluster rewrite: range on n_chars")
+          .mkString("\n")),
+        "row-tracking rewrite commit lost a race")
+      java.nio.file.Files.createFile(done)
+    }
+    val M = graft.sources.VersionedManifest
+    val v1 = M.readAt(s, dir, 1).select(col("row_id"), col("source"),
+      col("payload_hash").as("h1"))
+    val v2 = M.readAt(s, dir, 2).select(col("row_id"), col("source").as("s2"),
+      col("payload_hash").as("h2"))
+    v1.join(v2, Seq("row_id"), "full_outer")
+      .select(coalesce(col("source"), col("s2")).as("source"),
+        col("h1"), col("h2"))
+      .groupBy(col("source"))
+      .agg(
+        count(when(col("h1").isNotNull, 1)).as("n_rows"),
+        count(when(col("h1") === col("h2"), 1)).as("n_preserved"),
+        count(when(col("h2").isNull, 1)).as("n_lost"),
+        count(when(col("h1").isNull, 1)).as("n_invented"))
+      .orderBy(col("source"))
+  }
+
+  private val q348Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_preserved,
+      |  CAST(0 AS BIGINT) AS n_lost, CAST(0 AS BIGINT) AS n_invented
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q349
+
+  /** q349: BRANCH-AND-PUBLISH — the experimentation workflow Iceberg
+    * branches / Git-for-data give a curation estate: experimental
+    * versions land on the `exp` branch (each advance is a CAS on the
+    * branch's own OCC log, [[graft.sources.VersionedManifest.advanceBranch]]),
+    * readers of `main` keep seeing the blessed version, and only after
+    * the audit clears does ONE pointer advance fast-forward `main` to the
+    * vetted head — versions that failed the gate (the over-aggressive
+    * n_chars ≥ 400 cut here, rejected for shrinking the corpus past the
+    * 50% floor) stay addressable on `exp`'s history but are never
+    * publishable to `main` readers. The query renders both branches'
+    * full pointer logs joined to each pointed version's rollup — the
+    * audit trail a data-release review actually reads.
+    *
+    * Scale: branch creation/advance are O(1) tiny-file pointer ops
+    * against any table size (the q292/q339 discipline); the rollups read
+    * each version once. The CAS log means concurrent experimenters
+    * serialize without a lock service — the loser rebases, exactly like
+    * writers racing tryCommit.
+    */
+  private def q349(s: SparkSession, d: String): DataFrame = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vbranch_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/corpus"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    val M = graft.sources.VersionedManifest
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1, "raw corpus")
+      M.createBranch(s, dir, "main", 1)
+      M.createBranch(s, dir, "exp", 1)
+      // experiment 1: aggressive length cut — lands on exp only
+      docs.filter(col("n_chars") >= 400)
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      M.commit(s, dir, 2, "exp: n_chars >= 400")
+      require(M.advanceBranch(s, dir, "exp", 0, 2), "exp advance lost a race")
+      // audit: the cut keeps < 50% of the corpus — REFUSE to publish
+      val total = M.readAt(s, dir, 1).count()
+      require(M.readAt(s, dir, 2).count() * 2 < total,
+        "fixture drift: the aggressive cut was expected to fail the floor")
+      // experiment 2: moderate cut — passes the floor
+      docs.filter(col("n_chars") >= 100)
+        .write.mode("overwrite").parquet(s"$dir/v=3")
+      M.commit(s, dir, 3, "exp: n_chars >= 100")
+      require(M.advanceBranch(s, dir, "exp", 1, 3), "exp advance lost a race")
+      require(M.readAt(s, dir, 3).count() * 2 >= total, "audit failed")
+      // the publish: ONE pointer advance, main 1 -> 3 (never saw v2)
+      require(M.advanceBranch(s, dir, "main", 0, 3), "publish lost a race")
+      java.nio.file.Files.createFile(done)
+    }
+    import s.implicits._
+    val log = (M.branchLog(s, dir, "main").map { case (q, v) => ("main", q, v) }
+      ++ M.branchLog(s, dir, "exp").map { case (q, v) => ("exp", q, v) })
+      .toDF("ref", "seq", "version")
+    val versions = M.committedVersions(s, dir)
+    val rollups = versions.map { v =>
+      M.readAt(s, dir, v).agg(
+        lit(v).as("version"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+    }.reduce(_ unionByName _)
+    log.join(broadcast(rollups), "version")
+      .select(col("ref"), col("seq"), col("version"),
+        col("n_docs"), col("total_chars"))
+      .orderBy(col("ref"), col("seq"))
+  }
+
+  private val q349Sql =
+    """WITH rollup AS (
+      |  SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+      |  UNION ALL
+      |  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE n_chars >= 400
+      |  UNION ALL
+      |  SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE n_chars >= 100),
+      |log AS (
+      |  SELECT 'main' AS ref, CAST(0 AS BIGINT) AS seq, CAST(1 AS BIGINT) AS version
+      |  UNION ALL SELECT 'main', 1, 3
+      |  UNION ALL SELECT 'exp', 0, 1
+      |  UNION ALL SELECT 'exp', 1, 2
+      |  UNION ALL SELECT 'exp', 2, 3)
+      |SELECT l.ref, l.seq, l.version, r.n_docs, r.total_chars
+      |FROM log l JOIN rollup r ON l.version = r.version
+      |ORDER BY l.ref, l.seq""".stripMargin
+
+  // --------------------------------------------------------------- q350
+
+  /** q350: BITEMPORAL AS-OF — the two-clock lookup a restatement-prone
+    * estate needs (Snodgrass's bitemporal model; SQL:2011 system +
+    * application time): VALID time is the rate card's applicability
+    * interval, TRANSACTION time is the versioned table's commit history
+    * — "what rate did we APPLY to this order when we billed it (v1), and
+    * what SHOULD it have been after the restatement (v2)". Version 2
+    * restates one (region, year) cell; the query as-of joins the order
+    * sample into BOTH transaction-time snapshots along valid time and
+    * returns exactly the orders whose applied rate changed — the
+    * restatement's blast radius, which is what the finance/compliance
+    * consumer actually asks for.
+    *
+    * Scale: the rate card is O(regions × years) and BROADCASTS to both
+    * interval joins; the fact sample streams once per snapshot and the
+    * diff joins on orderkey. Snapshots are manifest-addressed (q250), so
+    * both transaction times read without copying anything. At 100 TB the
+    * dim stays broadcast-sized by construction — rate cards grow with
+    * entities × time, not with facts.
+    */
+  private def q350(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vbitemp_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val M = graft.sources.VersionedManifest
+    if (!java.nio.file.Files.exists(done)) {
+      // rate card: per (region, fiscal year starting Mar-15), in basis
+      // points — exact integers end to end
+      val base = Tables.region(s, d)
+        .select(col("r_regionkey"))
+        .withColumn("fy", explode(expr("sequence(1995, 2001)")))
+        .select(col("r_regionkey"), col("fy"),
+          expr("to_date(concat(fy, '-03-15'))").as("valid_from"),
+          expr("to_date(concat(fy + 1, '-03-15'))").as("valid_to"),
+          ((col("r_regionkey") + 1) * 100 + (col("fy") - 1995) * 10)
+            .cast(LongType).as("rate_bp"))
+      base.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1, "rate card as billed")
+      // the restatement: region 2, FY1997 — one cell changes
+      base.withColumn("rate_bp",
+        when(col("r_regionkey") === 2 && col("fy") === 1997,
+          col("rate_bp") + 55).otherwise(col("rate_bp")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/v=2")
+      M.commit(s, dir, 2, "restatement: region 2 FY1997 +55bp")
+      java.nio.file.Files.createFile(done)
+    }
+    val facts = Tables.orders(s, d).filter(col("o_orderkey") % 11 === 0)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("n_regionkey"))
+    def applied(v: Long, out: String) = facts.join(
+      broadcast(M.readAt(s, dir, v)),
+      col("n_regionkey") === col("r_regionkey") &&
+        col("o_orderdate") >= col("valid_from") &&
+        col("o_orderdate") < col("valid_to"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("n_regionkey"),
+        col("rate_bp").as(out))
+    applied(1, "rate_billed")
+      .join(applied(2, "rate_restated")
+        .select(col("o_orderkey"), col("rate_restated")), "o_orderkey")
+      .filter(col("rate_billed") =!= col("rate_restated"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("n_regionkey").cast(LongType).as("regionkey"),
+        col("rate_billed"), col("rate_restated"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q350Sql =
+    """WITH facts AS (
+      |  SELECT o.o_orderkey, o.o_orderdate, n.n_regionkey
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE o.o_orderkey % 11 = 0),
+      |card AS (
+      |  SELECT r.r_regionkey, fy,
+      |    make_date(fy, 3, 15) AS valid_from,
+      |    make_date(fy + 1, 3, 15) AS valid_to,
+      |    CAST((r.r_regionkey + 1) * 100 + (fy - 1995) * 10 AS BIGINT) AS rate_bp
+      |  FROM region r, (SELECT unnest(range(1995, 2002)) AS fy)),
+      |billed AS (
+      |  SELECT f.o_orderkey, f.o_orderdate, f.n_regionkey, c.rate_bp AS rate_billed
+      |  FROM facts f JOIN card c ON f.n_regionkey = c.r_regionkey
+      |    AND f.o_orderdate >= c.valid_from AND f.o_orderdate < c.valid_to),
+      |restated AS (
+      |  SELECT f.o_orderkey,
+      |    c.rate_bp + (CASE WHEN c.r_regionkey = 2 AND c.fy = 1997
+      |                 THEN 55 ELSE 0 END) AS rate_restated
+      |  FROM facts f JOIN card c ON f.n_regionkey = c.r_regionkey
+      |    AND f.o_orderdate >= c.valid_from AND f.o_orderdate < c.valid_to)
+      |SELECT b.o_orderkey, b.o_orderdate,
+      |  CAST(b.n_regionkey AS BIGINT) AS regionkey,
+      |  b.rate_billed, r.rate_restated
+      |FROM billed b JOIN restated r ON b.o_orderkey = r.o_orderkey
+      |WHERE b.rate_billed <> r.rate_restated
+      |ORDER BY b.o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_row_tracking" -> q348,
+    "q349_branch_publish" -> q349,
+    "q350_bitemporal_asof" -> q350,
     "q315_delta_join_view" -> q315,
     "q321_sql_time_travel" -> q321,
     "q322_audit_gate" -> q322,
@@ -3909,6 +4177,9 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q348_row_tracking" -> q348Sql,
+    "q349_branch_publish" -> q349Sql,
+    "q350_bitemporal_asof" -> q350Sql,
     "q315_delta_join_view" -> q315Sql,
     "q321_sql_time_travel" -> q321Sql,
     "q322_audit_gate" -> q322Sql,

@@ -406,6 +406,87 @@ object VersionedManifest {
       .flatMap(name => resolveRef(s, dir, name).map(name -> _)).toMap
   }
 
+  /** BRANCHES: named MUTABLE refs (vs [[tag]]'s immutable releases) —
+    * Iceberg branches / Git refs reduced to the essence. A branch is its
+    * own tiny OCC log `_branches/<name>/<seq>` (each file holds a table
+    * version number; head = highest seq), so advancing the pointer
+    * inherits [[tryCommit]]'s serialization for free: exactly one writer
+    * creates `<seq+1>` (exclusive create), every loser sees `false` and
+    * rebases — no lock service, and the full pointer HISTORY stays
+    * auditable (who pointed where, in order). Branch moves are POINTER
+    * operations: O(1) tiny-file writes against any table size, like
+    * tags/rollback (q292/q339's discipline). The write-audit-publish
+    * pattern composes: stage experimental versions, advance the `exp`
+    * branch as they land, and only fast-forward `main` (one advance)
+    * after the audit passes — readers of `main` never see a version that
+    * hasn't cleared the gate.
+    */
+  def createBranch(s: SparkSession, dir: String, name: String, n: Long): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"),
+      s"branch name '$name' must start with a letter")
+    if (!committedVersions(s, dir).contains(n))
+      throw new IllegalStateException(
+        s"cannot branch $name: version $n at $dir is not committed")
+    val f = fs(dir, s)
+    val b = new Path(new Path(dir, "_branches"), name)
+    f.mkdirs(b)
+    val out =
+      try f.create(new Path(b, "0"), false)
+      catch { case e: java.io.IOException =>
+        if (f.exists(new Path(b, "0"))) throw new IllegalStateException(
+          s"branch $name already exists at $dir")
+        else throw e
+      }
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Branch head as (seq, table version), or None for an unknown branch. */
+  def branchHead(s: SparkSession, dir: String, name: String): Option[(Long, Long)] = {
+    val log = branchLog(s, dir, name)
+    if (log.isEmpty) None else Some(log.last)
+  }
+
+  /** The branch's full pointer history, (seq, version) ascending. */
+  def branchLog(s: SparkSession, dir: String, name: String): Seq[(Long, Long)] = {
+    val f = fs(dir, s)
+    val b = new Path(new Path(dir, "_branches"), name)
+    if (!f.exists(b)) Seq.empty
+    else f.listStatus(b).toSeq.map(_.getPath.getName)
+      .filter(_.matches("[0-9]+")).map(_.toLong).sorted
+      .map { seq =>
+        val in = f.open(new Path(b, seq.toString))
+        val v =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        (seq, v)
+      }
+  }
+
+  /** CAS-advance the branch pointer: succeeds iff the head is still at
+    * `expectedSeq` (exclusive create of `<expectedSeq+1>` — the loser of a
+    * race sees false and rebases, exactly [[tryCommit]]'s contract).
+    * Advancing to an uncommitted version refuses — a branch can never
+    * dangle, matching [[tag]].
+    */
+  def advanceBranch(s: SparkSession, dir: String, name: String,
+                    expectedSeq: Long, n: Long): Boolean = {
+    if (!committedVersions(s, dir).contains(n))
+      throw new IllegalStateException(
+        s"cannot advance $name: version $n at $dir is not committed")
+    val f = fs(dir, s)
+    val b = new Path(new Path(dir, "_branches"), name)
+    if (!f.exists(b))
+      throw new IllegalStateException(s"branch $name does not exist at $dir")
+    val dst = new Path(b, (expectedSeq + 1).toString)
+    val out =
+      try f.create(dst, false)
+      catch { case e: java.io.IOException =>
+        if (f.exists(dst)) return false else throw e
+      }
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
   /** Highest committed version, or None for an empty table. Listing cost
     * is O(#versions) tiny manifest names — never the data directories.
     */

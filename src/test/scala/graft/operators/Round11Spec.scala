@@ -386,6 +386,65 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q348: the rewrite moved the physical layout; row identity did not move") {
+    val rows = SparkEntry.queries("q348_row_tracking")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}: payload drifted")
+      assert(r.getLong(3) == 0 && r.getLong(4) == 0,
+        s"${r.getString(0)}: ids lost/invented")
+    }
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vrowtrack_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val M = graft.sources.VersionedManifest
+    // the audit must not be vacuous: v2's files are a different set
+    val f1 = M.readAt(spark, dir, 1).inputFiles.toSet
+    val f2 = M.readAt(spark, dir, 2).inputFiles.toSet
+    assert(f1.intersect(f2).isEmpty, "rewrite did not move the layout")
+    assert(!M.dataChange(spark, dir, 2), "rewrite must publish dataChange=false")
+  }
+
+  test("q349: branch CAS refuses stale advances, dangling targets, and re-creates") {
+    SparkEntry.queries("q349_branch_publish")(spark, sf0001).collect()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vbranch_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val dir = s"$root/corpus"
+    val M = graft.sources.VersionedManifest
+    // main fast-forwarded 1 -> 3 and NEVER pointed at the rejected v2
+    assert(M.branchLog(spark, dir, "main").map(_._2) == Seq(1L, 3L))
+    assert(M.branchLog(spark, dir, "exp").map(_._2) == Seq(1L, 2L, 3L))
+    // stale CAS: head is seq 1, an advance expecting seq 0 must lose
+    assert(!M.advanceBranch(spark, dir, "main", 0, 1),
+      "stale-seq advance should return false")
+    assert(M.branchHead(spark, dir, "main").contains((1L, 3L)))
+    // a branch can never dangle
+    intercept[IllegalStateException] {
+      M.advanceBranch(spark, dir, "exp", 2, 99)
+    }
+    intercept[IllegalStateException] { M.createBranch(spark, dir, "main", 1) }
+    intercept[IllegalStateException] {
+      M.advanceBranch(spark, dir, "nosuch", 0, 1)
+    }
+  }
+
+  test("q350: rate card broadcasts and the blast radius is exactly the restated cell") {
+    val df = SparkEntry.queries("q350_bitemporal_asof")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"rate card is not broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "restatement hit no orders — fixture drift")
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2, s"order outside region 2: $r")
+      assert(r.getLong(4) - r.getLong(3) == 55, s"wrong restatement delta: $r")
+      val ts = r.get(1).toString // TIMESTAMP_NTZ surfaces as LocalDateTime
+      assert(ts >= "1997-03-15" && ts < "1998-03-15",
+        s"order outside the restated valid window: $ts")
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
