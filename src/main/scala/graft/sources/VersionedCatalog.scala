@@ -388,7 +388,8 @@ private[sources] class VersionedTable(qualName: String, dir: String,
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               new VersionedMicroBatchStream(tableDir, sch,
-                Option(options.get("maxVersionsPerBatch")).map(_.toLong))
+                Option(options.get("maxVersionsPerBatch")).map(_.toLong),
+                Option(options.get("branch")))
             override def description(): String =
               s"graft_versioned_scan($tableDir)"
           }
@@ -594,14 +595,27 @@ private[sources] case class VersionedFilePartition(path: String,
   */
 private[sources] class VersionedMicroBatchStream(dir: String,
                                                  schema: StructType,
-                                                 maxVersionsPerBatch: Option[Long] = None)
+                                                 maxVersionsPerBatch: Option[Long] = None,
+                                                 followBranch: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def spark = SparkSession.active
-  private def latestCommitted: Long =
-    VersionedManifest.latestCommitted(spark, dir).getOrElse(0L)
+  // branch-scoped subscription (read option `branch`): the visibility
+  // horizon is the BRANCH HEAD, not the newest commit — versions landed
+  // past the pointer (staged experiments, unpublished corrections) never
+  // reach this subscriber until a fast-forward advances the branch
+  // (q349's publish gate, extended to streaming consumers). An unknown
+  // branch refuses loudly — silently draining the whole table would be
+  // exactly the isolation violation the option exists to prevent.
+  private def latestCommitted: Long = followBranch match {
+    case None => VersionedManifest.latestCommitted(spark, dir).getOrElse(0L)
+    case Some(b) => VersionedManifest.branchHead(spark, dir, b)
+      .map(_._2)
+      .getOrElse(throw new IllegalStateException(
+        s"branch $b does not exist at $dir"))
+  }
 
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =

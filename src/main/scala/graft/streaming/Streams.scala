@@ -1537,6 +1537,78 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q351
+
+  private val q351Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q351: BRANCH-SCOPED SUBSCRIPTION — q349's publish gate extended to
+    * STREAMING consumers (Iceberg's branch-scoped reads): the subscriber
+    * passes `option("branch", "main")` and its visibility horizon becomes
+    * the branch HEAD, not the newest commit — a correction batch that is
+    * committed but not yet fast-forwarded onto `main` does NOT reach the
+    * feed (the middle drain must deliver zero rows, require()d in-flow),
+    * and arrives exactly once after the one-CAS publish. Offsets stay
+    * manifest versions in the same checkpoint, so the gate composes with
+    * everything the source already honors (admission control q328,
+    * compaction skip q338, exactly-once file-sink delivery). An unknown
+    * branch refuses at stream start rather than silently draining the
+    * whole table (Round11Spec).
+    *
+    * Scale: the branch cap adds ONE tiny-file pointer read per offset
+    * resolution — O(1) against table size; everything else is q328's
+    * cost model (O(#versions) names, O(new files) per batch).
+    */
+  private def q351(s: SparkSession, d: String): DataFrame = {
+    val run = q351Runs.incrementAndGet()
+    val (table, dir) = ingestVersioned(s, d, s"vbr_r$run")
+    val M = graft.sources.VersionedManifest
+    val vIn = M.latestCommitted(s, dir).get
+    M.createBranch(s, dir, "main", vIn)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_vbr_r${run}_" +
+      s.sparkContext.applicationId
+    val sink = graft.StagingDirs.register(s"$base-sink")
+    val ckpt = graft.StagingDirs.register(s"$base-subckpt")
+    def drain(): Unit = {
+      val q = s.readStream.option("branch", "main").table(table)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // 1: everything on main (the ingested epochs)
+    val afterFirst = s.read.parquet(sink).count()
+    // the correction batch: COMMITTED, but not yet published to main
+    val prev = M.resolveDataDirsWithFormat(s, dir, vIn).map { case (d0, f0) =>
+      val rel = if (d0.startsWith(s"$dir/")) d0.stripPrefix(s"$dir/") else d0
+      s"data=$rel;format=$f0"
+    }
+    Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value"))
+      .write.mode("overwrite").parquet(s"$dir/d-fix-$vIn")
+    require(M.tryCommit(s, dir, vIn + 1,
+      (prev :+ s"data=d-fix-$vIn;format=parquet"
+        :+ "error correction batch (pending publish)").mkString("\n")),
+      "correction commit lost a race")
+    drain() // 2: main still points BEFORE the correction — nothing arrives
+    require(s.read.parquet(sink).count() == afterFirst,
+      "branch-scoped subscriber drained past the branch head")
+    // the publish: one CAS fast-forward, then the correction flows
+    require(M.advanceBranch(s, dir, "main", 0, vIn + 1),
+      "main fast-forward lost a race")
+    drain() // 3: exactly the correction batch
+    s.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q351Sql = q338Sql
+
   // --------------------------------------------------------------- q279
 
   /** Stage every COMMITTED version's part files of a versioned-manifest
@@ -1665,6 +1737,7 @@ object Streams extends QueryModule {
     "q326_stream_table_compaction" -> q326,
     "q328_versioned_stream_source" -> q328,
     "q338_mixed_format_feed" -> q338,
+    "q351_branch_subscriber" -> q351,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1694,6 +1767,7 @@ object Streams extends QueryModule {
     "q326_stream_table_compaction" -> q326Sql,
     "q328_versioned_stream_source" -> q328Sql,
     "q338_mixed_format_feed" -> q338Sql,
+    "q351_branch_subscriber" -> q351Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,

@@ -148,6 +148,49 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(drain() == Seq(4L))
   }
 
+  test("branch-scoped stream: the horizon is the branch head; unknown branch refuses") {
+    val root = freshDir("vbrs")
+    val dir = s"$root/t"
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "tb", schema)
+    w.commit(0, Array(stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))))
+    w.commit(1, Array(stageEpoch(w, 1, Seq(3L -> "c"))))
+    VersionedManifest.createBranch(spark, dir, "main", 1)
+    spark.conf.set("spark.sql.catalog.vbrs11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vbrs11.root", root)
+    val ckpt = freshDir("vbrs_ckpt")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(branch: String): Seq[Long] = {
+      val before = seen.size
+      val q = spark.readStream.option("branch", branch)
+        .table("vbrs11.tables.t")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("k").collect().foreach(r => seen.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.drop(before)
+    }
+    // version 2 is committed but past the branch head — invisible
+    assert(drain("main").sorted == Seq(1L, 2L))
+    assert(drain("main").isEmpty)
+    // the fast-forward publishes version 2 to this subscriber
+    assert(VersionedManifest.advanceBranch(spark, dir, "main", 0, 2))
+    assert(drain("main") == Seq(3L))
+    // an unknown branch refuses rather than draining the table
+    val e = intercept[Exception] { drain("nosuch") }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("nosuch"))),
+      s"wrong failure: $e")
+  }
+
   test("the .history metadata table reads the manifest trail by SQL") {
     val root = freshDir("vhist")
     val dir = s"$root/t"
