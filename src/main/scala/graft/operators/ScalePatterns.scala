@@ -4108,7 +4108,81 @@ object ScalePatterns extends QueryModule {
       |WHERE b.rate_billed <> r.rate_restated
       |ORDER BY b.o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q353
+
+  /** q353: SKEW-SALT PLANNING + the salted two-phase aggregate it feeds —
+    * the static face of skew handling (q46 demonstrates a fixed salt;
+    * q260's AQE splits JOIN partitions at runtime, but a skewed GROUP BY
+    * key still lands on one reducer unless the plan re-keys it). Phase 0
+    * builds the key histogram and derives each key's salt factor from
+    * the planning rule `salt_k = ⌈n_k · P / total⌉` (P = 32, the target
+    * parallelism): a key carrying 6× the per-partition budget gets 6+
+    * slices. Phases 1–2 run the aggregation UNDER the plan — partial by
+    * (key, deterministic md5 slot mod salt), final by key — and the
+    * output carries the plan (salt), its realization (slices used, max
+    * slice rows: the bound a reducer actually sees), and the totals,
+    * which hash-match a direct single-phase oracle: the rewrite provably
+    * changes the shuffle shape, never the answer.
+    *
+    * Scale: the histogram is a tiny map-side-combinable agg broadcast
+    * back as the plan; both phases stay combinable (count/decimal-sum),
+    * so the heavy key's rows split across salt reducers and each final
+    * group folds ≤ salt partials. At 100 TB this is the difference
+    * between one 3 TB reducer and 32 × 100 GB ones.
+    */
+  private def q353(s: SparkSession, d: String): DataFrame = {
+    val P = 32L
+    val ev = Tables.events(s, d)
+    val hist = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("total"))))
+      .select(col("event_type"), col("n_events"),
+        greatest(lit(1L),
+          expr(s"(n_events * $P + total - 1) div total")).as("salt"))
+    val partials = ev.join(broadcast(hist), "event_type")
+      .withColumn("slot",
+        expr("CAST(conv(substring(md5(concat('salt-', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % salt"))
+      .groupBy(col("event_type"), col("slot"))
+      .agg(count(lit(1)).as("pn"), sum(Exact.money(col("value"))).as("pv"))
+    partials
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).cast(LongType).as("n_events"),
+        count(lit(1)).as("n_slices"),
+        max(col("pn")).as("max_slice"),
+        sum(col("pv")).cast(org.apache.spark.sql.types.DoubleType)
+          .as("total_value"))
+      .join(broadcast(hist.select(col("event_type"), col("salt"))),
+        "event_type")
+      .select(col("event_type"), col("n_events"), col("salt"),
+        col("n_slices"), col("max_slice"), col("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q353Sql = {
+    val hex8 = Exact.sqlHexToLong("md5('salt-' || event_id)", 1, 8)
+    s"""WITH hist AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    GREATEST(1, (COUNT(*) * 32 + (SELECT COUNT(*) FROM events) - 1)
+       |      // (SELECT COUNT(*) FROM events)) AS salt
+       |  FROM events GROUP BY 1),
+       |partials AS (
+       |  SELECT e.event_type, ($hex8) % h.salt AS slot,
+       |    CAST(COUNT(*) AS BIGINT) AS pn,
+       |    SUM(CAST(e.value AS DECIMAL(18,2))) AS pv
+       |  FROM events e JOIN hist h ON e.event_type = h.event_type
+       |  GROUP BY 1, 2)
+       |SELECT p.event_type,
+       |  CAST(SUM(p.pn) AS BIGINT) AS n_events,
+       |  CAST(h.salt AS BIGINT) AS salt,
+       |  CAST(COUNT(*) AS BIGINT) AS n_slices,
+       |  CAST(MAX(p.pn) AS BIGINT) AS max_slice,
+       |  CAST(SUM(p.pv) AS DOUBLE) AS total_value
+       |FROM partials p JOIN hist h ON p.event_type = h.event_type
+       |GROUP BY p.event_type, h.salt ORDER BY p.event_type""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_salted_agg_plan" -> q353,
     "q348_row_tracking" -> q348,
     "q349_branch_publish" -> q349,
     "q350_bitemporal_asof" -> q350,
@@ -4177,6 +4251,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q353_salted_agg_plan" -> q353Sql,
     "q348_row_tracking" -> q348Sql,
     "q349_branch_publish" -> q349Sql,
     "q350_bitemporal_asof" -> q350Sql,

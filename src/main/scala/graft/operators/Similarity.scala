@@ -2041,7 +2041,101 @@ object Similarity extends QueryModule {
        |FROM best b JOIN fwd f ON b.qid = f.qid JOIN bwd w ON b.nid = w.nid
        |ORDER BY b.qid""".stripMargin
 
+  // --------------------------------------------------------------- q352
+
+  /** q352: NEAREST-CENTROID DOMAIN CLASSIFIER — the embedding-space
+    * classifier a curation pipeline trains for domain/quality bucketing
+    * (the fastText-classifier role in CCNet/Dolma, here as the Rocchio /
+    * nearest-centroid form that needs NO gradient loop): class centroids
+    * from the training split (vec_id % 5 ≠ 0), every held-out vector
+    * assigned to its nearest centroid by squared L2, and the full
+    * confusion matrix — the artifact a curation owner actually inspects
+    * before trusting the classifier to route 100 TB.
+    *
+    * Determinism: centroid SUMS and counts stay exact integers (an
+    * element-wise (label, pos) aggregate — never a float mean);
+    * `‖x − S/n‖² = x·x − 2(x·S)/n + (S·S)/n²` is evaluated in one fixed
+    * literal order from exact-integer dots, so distances are
+    * bit-identical across engines and the argmin (ties → lowest label)
+    * is exact.
+    *
+    * Scale: training is ONE (label, dim)-keyed partial aggregate over
+    * the split — map-side combinable, no per-class scan. The 10-row
+    * centroid table BROADCASTS; scoring streams the held-out split once
+    * with a per-row bounded argmin. This is exactly the IVF assignment
+    * geometry (q83) with labels as the "lists" — the classifier serves
+    * at scan speed.
+    */
+  private def q352(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"),
+      col("label").cast(LongType).as("label"))
+    val train = vecs.filter(col("vec_id") % 5 =!= 0)
+    val test = vecs.filter(col("vec_id") % 5 === 0)
+    val cent = train
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("sx"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> p.sx)")
+        .as("sv"))
+      .join(train.groupBy(col("label")).agg(count(lit(1)).as("n")), "label")
+      .select(col("label").as("clabel"), col("sv"), col("n"),
+        expr("graft_dot(sv, sv)").as("ss"))
+    val scored = test.join(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        ((dotExpr("v", "v").cast(DoubleType) -
+          ((lit(2.0) * dotExpr("v", "sv")) / col("n"))) +
+          (col("ss") / (col("n") * col("n")))).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))))
+      .filter(col("rk") === 1)
+    scored
+      .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  private val q352Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |tr AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+       |te AS (SELECT * FROM q WHERE vec_id % 5 = 0),
+       |sums AS (
+       |  SELECT label, pos, SUM(v[CAST(pos AS INT)]) AS sx
+       |  FROM tr, (SELECT unnest(range(1, $Dims + 1)) AS pos)
+       |  GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT s.label AS clabel, list(s.sx ORDER BY s.pos) AS sv, c.n
+       |  FROM sums s JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+       |                    FROM tr GROUP BY 1) c ON s.label = c.label
+       |  GROUP BY s.label, c.n),
+       |cent2 AS (
+       |  SELECT clabel, sv, n,
+       |    list_sum(list_transform(sv, x -> x * x)) AS ss FROM cent),
+       |scored AS (
+       |  SELECT t.vec_id, t.label, c.clabel,
+       |    (CAST(list_sum(list_transform(t.v, x -> x * x)) AS DOUBLE)
+       |      - ((2.0 * list_sum(list_transform(range(1, $Dims + 1),
+       |           i -> t.v[i] * c.sv[i]))) / c.n))
+       |      + (ss / (c.n * c.n)) AS dist
+       |  FROM te t CROSS JOIN cent2 c),
+       |pred AS (
+       |  SELECT vec_id, label, clabel FROM (
+       |    SELECT vec_id, label, clabel,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+       |    FROM scored) WHERE rk = 1)
+       |SELECT label AS true_label, clabel AS pred_label,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_centroid_classifier" -> q352,
     "q347_bitext_margin" -> q347,
     "q319_matryoshka_recall" -> q319,
     "q199_semantic_dedup" -> q199,
@@ -2068,6 +2162,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q352_centroid_classifier" -> q352Sql,
     "q347_bitext_margin" -> q347Sql,
     "q319_matryoshka_recall" -> q319Sql,
     "q199_semantic_dedup" -> q199Sql,

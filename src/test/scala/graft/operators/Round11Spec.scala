@@ -445,6 +445,35 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q352: centroids broadcast; every held-out vector is classified exactly once") {
+    val df = SparkEntry.queries("q352_centroid_classifier")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"centroid table is not broadcast:\n$plan")
+    val classified = df.collect().map(_.getLong(2)).sum
+    val held = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(classified == held,
+      s"$classified classified vs $held held out — argmin dropped or doubled rows")
+  }
+
+  test("q353: the salt plan bounds the heaviest reducer slice") {
+    val rows = SparkEntry.queries("q353_salted_agg_plan")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, salt, slices, maxSlice) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(salt >= (n * 32 + 9999) / 10000 || salt == 1,
+        s"plan under-salted: $r")
+      assert(slices <= salt, s"more slices than salts: $r")
+      // the md5 slot spreads within 3x of perfectly even — the bound a
+      // reducer actually sees is O(n/salt), not O(n)
+      assert(maxSlice * salt <= n * 3, s"slice bound blown: $r")
+      assert(salt == 1 || maxSlice < n, s"salting did not split the key: $r")
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
