@@ -4181,7 +4181,146 @@ object ScalePatterns extends QueryModule {
        |GROUP BY p.event_type, h.salt ORDER BY p.event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- q354
+
+  /** q354: SQL BRANCH READS — `VERSION AS OF '<branch>'` resolves through
+    * the branch HEAD (the mutable pointer q349 publishes with), alongside
+    * the immutable tag spelling q339 established: `'blessed'` is a branch
+    * deliberately LEFT at version 1 while `'main'` fast-forwarded to the
+    * curated version 2, so the two name-addressed reads return different
+    * corpora from the same table — the SQL surface of the
+    * experiment/publish split, with tags shadowing branches on a name
+    * clash (the citation must never start moving; Round11Spec pins the
+    * shadowing and the unknown-name refusal). Consumers address
+    * `VERSION AS OF 'main'` and follow every publish without query edits.
+    *
+    * Scale: name resolution is one tiny-file read on top of q321's
+    * version resolution — O(1) against table size.
+    */
+  private def q354(s: SparkSession, d: String): DataFrame = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vsqlbr_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/corpus"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    val M = graft.sources.VersionedManifest
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1, "raw corpus")
+      M.createBranch(s, dir, "blessed", 1)
+      M.createBranch(s, dir, "main", 1)
+      docs.filter(col("lang") =!= "zh")
+        .write.mode("overwrite").parquet(s"$dir/v=2")
+      M.commit(s, dir, 2, "curated: zh routed to its own corpus")
+      require(M.advanceBranch(s, dir, "main", 0, 2), "publish lost a race")
+      java.nio.file.Files.createFile(done)
+    }
+    val cat = "g354_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT ref, n_docs, total_chars FROM (
+         |  SELECT 'blessed' AS ref, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM $cat.tables.corpus VERSION AS OF 'blessed'
+         |  UNION ALL
+         |  SELECT 'main', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(n_chars) AS BIGINT)
+         |  FROM $cat.tables.corpus VERSION AS OF 'main')
+         |ORDER BY ref""".stripMargin)
+  }
+
+  private val q354Sql =
+    """SELECT ref, n_docs, total_chars FROM (
+      |  SELECT 'blessed' AS ref, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'main', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE lang <> 'zh')
+      |ORDER BY ref""".stripMargin
+
+  // --------------------------------------------------------------- q355
+
+  /** q355: SNAPSHOT EXPIRY — the retention half of the estate lifecycle
+    * (Iceberg expire_snapshots / Delta VACUUM-with-retention): history
+    * older than the retention window retires, EXCEPT versions a ref still
+    * names — the tagged release stays readable forever (the citation
+    * contract, q339), the newest version survives as the table, and
+    * cumulative manifests keep every data dir a SURVIVOR references (an
+    * old append dir usually lives inside newer snapshots — expiry must
+    * reclaim only what became unreachable). Time travel to an expired
+    * version refuses exactly like an uncommitted one (Round11Spec walks
+    * the refusal plus the crash-ordering: manifest first, data second).
+    * The rollup reads the tagged release and the head side by side —
+    * both must survive the purge bit-identically.
+    *
+    * Scale: O(#versions + #refs) pointer work; data deletion touches only
+    * unreachable dirs — the storage the op exists to reclaim. At 100 TB
+    * this is the nightly job that keeps manifest listing O(window), not
+    * O(forever).
+    */
+  private def q355(s: SparkSession, d: String): DataFrame = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vexpire_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/corpus"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    val M = graft.sources.VersionedManifest
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      // four cumulative append versions: src0, +src1, +src2, +src3
+      (1 to 4).foreach { v =>
+        docs.filter(col("source") === s"src${v - 1}")
+          .write.mode("overwrite").parquet(s"$dir/d-b$v")
+        val dirs = (1 to v).map(i => s"data=d-b$i")
+        M.commit(s, dir, v, (dirs :+ s"append src${v - 1}").mkString("\n"))
+      }
+      M.tag(s, dir, "release-x", 2)
+      // compact the head so the old append dirs become reclaimable: the
+      // surviving snapshots (head v5, tagged v2) reference d-compact and
+      // d-b1/d-b2 — expiry may then really delete d-b3/d-b4
+      M.readAt(s, dir, 4).repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/d-compact")
+      M.commit(s, dir, 5,
+        "data=d-compact\ndataChange=false\ncompaction of 1..4")
+      val expired = M.expireSnapshots(s, dir, keepLast = 1)
+      require(expired == Seq(1L, 3L, 4L),
+        s"expected versions 1, 3, 4 to expire, got $expired")
+      java.nio.file.Files.createFile(done)
+    }
+    val cat = "g355_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""SELECT ref, n_docs, total_chars FROM (
+         |  SELECT 'head' AS ref, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM $cat.tables.corpus
+         |  UNION ALL
+         |  SELECT 'release-x', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(n_chars) AS BIGINT)
+         |  FROM $cat.tables.corpus VERSION AS OF 'release-x')
+         |ORDER BY ref""".stripMargin)
+  }
+
+  private val q355Sql =
+    """SELECT ref, n_docs, total_chars FROM (
+      |  SELECT 'head' AS ref, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+      |  UNION ALL
+      |  SELECT 'release-x', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+      |  FROM documents WHERE source IN ('src0', 'src1'))
+      |ORDER BY ref""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q354_sql_branch_read" -> q354,
+    "q355_snapshot_expiry" -> q355,
     "q353_salted_agg_plan" -> q353,
     "q348_row_tracking" -> q348,
     "q349_branch_publish" -> q349,
@@ -4251,6 +4390,8 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q354_sql_branch_read" -> q354Sql,
+    "q355_snapshot_expiry" -> q355Sql,
     "q353_salted_agg_plan" -> q353Sql,
     "q348_row_tracking" -> q348Sql,
     "q349_branch_publish" -> q349Sql,

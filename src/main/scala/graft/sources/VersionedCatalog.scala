@@ -154,13 +154,17 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
         s"$catName catalog pins are numeric ids, got '$version'")))
     if (!exists(ident)) throw new NoSuchTableException(ident)
     val d = dirOf(ident)
-    // non-numeric versions resolve as RELEASE TAGS (`_refs/<name>`) —
-    // `VERSION AS OF 'release-a'` is the citable spelling of a training
-    // corpus snapshot; an unknown tag refuses at analysis time, exactly
-    // like an uncommitted numeric version
+    // non-numeric versions resolve as RELEASE TAGS (`_refs/<name>`), then
+    // as BRANCH HEADS (`_branches/<name>`) — `VERSION AS OF 'release-a'`
+    // is the citable IMMUTABLE spelling, `VERSION AS OF 'main'` the
+    // MUTABLE one that follows fast-forwards (Iceberg's branch reads);
+    // an unknown name refuses at analysis time, exactly like an
+    // uncommitted numeric version. Tags shadow branches on a name clash
+    // — the immutable citation must never silently start moving.
     val n = numeric.orElse(VersionedManifest.resolveRef(spark, d, version))
+      .orElse(VersionedManifest.branchHead(spark, d, version).map(_._2))
       .getOrElse(throw new IllegalArgumentException(
-        s"'$version' is neither a numeric version nor a tag at $d"))
+        s"'$version' is neither a numeric version, a tag, nor a branch at $d"))
     if (!VersionedManifest.committedVersions(spark, d).contains(n))
       throw new IllegalStateException(s"version $n at $d is not committed")
     new VersionedTable(s"$catName.$TableNs.${ident.name}@v$n", d, Some(n))

@@ -487,6 +487,48 @@ object VersionedManifest {
     true
   }
 
+  /** All branches, name → head version. O(#branches) tiny-file reads. */
+  def branches(s: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(dir, s)
+    val p = new Path(dir, "_branches")
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .flatMap(name => branchHead(s, dir, name).map { case (_, v) => name -> v })
+      .toMap
+  }
+
+  /** SNAPSHOT EXPIRY — Iceberg's expire_snapshots reduced to the essence:
+    * versions older than the newest `keepLast` are retired UNLESS a ref
+    * still names them (release tags and branch HEADS pin their targets —
+    * a citable snapshot can never expire out from under its citation).
+    * For each expired version the manifest file is removed FIRST (time
+    * travel refuses from that instant — crash between the two deletes
+    * leaves only unreferenced data for [[vacuum]]-style cleanup, never a
+    * readable version with missing files), then its data dirs that no
+    * SURVIVING version references are deleted — cumulative manifests mean
+    * an old append dir usually lives on inside newer snapshots and MUST
+    * survive. Returns the expired version ids.
+    *
+    * Scale: pointer/manifest work is O(#versions + #refs) tiny files;
+    * data deletion touches only dirs that became unreachable — the
+    * storage this op exists to reclaim.
+    */
+  def expireSnapshots(s: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(dir, s)
+    val all = committedVersions(s, dir)
+    val keep = all.takeRight(keepLast).toSet ++
+      refs(s, dir).values ++ branches(s, dir).values
+    val liveDirs = keep.flatMap(n => resolveDataDirs(s, dir, n))
+    val expired = all.filterNot(keep)
+    expired.foreach { n =>
+      val dead = resolveDataDirs(s, dir, n).toSet -- liveDirs
+      f.delete(new Path(new Path(dir, "_commits"), n.toString), false)
+      dead.foreach(d0 => f.delete(new Path(d0), true))
+    }
+    expired
+  }
+
   /** Highest committed version, or None for an empty table. Listing cost
     * is O(#versions) tiny manifest names — never the data directories.
     */

@@ -197,7 +197,7 @@ class Round11Spec extends SparkSpec {
     val cat = "g339_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM $cat.tables.corpus VERSION AS OF 'release-zz'").collect())
-    assert(e.getMessage.contains("neither a numeric version nor a tag"),
+    assert(e.getMessage.contains("neither a numeric version, a tag, nor a branch"),
       e.getMessage)
     // numeric ids keep working unchanged alongside tags
     assert(spark.sql(s"SELECT count(*) FROM $cat.tables.corpus VERSION AS OF 1")
@@ -472,6 +472,53 @@ class Round11Spec extends SparkSpec {
       assert(maxSlice * salt <= n * 3, s"slice bound blown: $r")
       assert(salt == 1 || maxSlice < n, s"salting did not split the key: $r")
     }
+  }
+
+  test("q354: tags shadow branches on a name clash; unknown names refuse") {
+    SparkEntry.queries("q354_sql_branch_read")(spark, sf0001).collect()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vsqlbr_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val dir = s"$root/corpus"
+    val M = graft.sources.VersionedManifest
+    // a TAG named like the branch, pinned at v1 while the branch head is 2:
+    // the immutable citation must win
+    M.createBranch(spark, dir, "clash", 2)
+    M.tag(spark, dir, "clash", 1)
+    val cat = "g354_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val viaName = spark.sql(
+      s"SELECT COUNT(*) AS n FROM $cat.tables.corpus VERSION AS OF 'clash'")
+      .head().getLong(0)
+    assert(viaName == M.readAt(spark, dir, 1).count(),
+      "the mutable branch shadowed the immutable tag")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.tables.corpus VERSION AS OF 'nosuch'")
+        .collect()
+    }
+    assert(e.getMessage.contains("nosuch") || e.getMessage.contains("branch"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("q355: expiry refuses expired time travel, keeps ref-pinned history, reclaims only unreachable dirs") {
+    SparkEntry.queries("q355_snapshot_expiry")(spark, sf0001).collect()
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_vexpire_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val dir = s"$root/corpus"
+    val M = graft.sources.VersionedManifest
+    // expired versions refuse exactly like uncommitted ones
+    intercept[IllegalStateException] { M.readAt(spark, dir, 1) }
+    intercept[IllegalStateException] { M.readAt(spark, dir, 3) }
+    intercept[IllegalStateException] { M.readAt(spark, dir, 4) }
+    // the tagged release and the head survive
+    assert(M.readAt(spark, dir, 2).count() > 0)
+    assert(M.readAt(spark, dir, 5).count() > M.readAt(spark, dir, 2).count())
+    // reclaim exactly the unreachable dirs: tagged v2 still needs b1/b2,
+    // the compacted head needs d-compact; b3/b4 became garbage
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    assert(exists(s"$dir/d-b1") && exists(s"$dir/d-b2") && exists(s"$dir/d-compact"))
+    assert(!exists(s"$dir/d-b3") && !exists(s"$dir/d-b4"),
+      "unreachable append dirs survived expiry")
   }
 
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
