@@ -651,6 +651,52 @@ object CorpusOps extends QueryModule {
        |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz FROM comp
        |GROUP BY comp ORDER BY comp""".stripMargin
 
+  // --------------------------------------------------------------- q357
+
+  /** q357: SOFT DEDUP DOWN-WEIGHTING — the alternative to dropping
+    * near-duplicates (q113 keeps one canonical, q312 the best): keep
+    * EVERY member but weight it 1/|cluster| at sampling time, so a
+    * passage's total training exposure is independent of how many times
+    * the crawl re-collected it (the soft variant of Lee et al.'s dedup
+    * argument; what mixing pipelines feed q228 instead of a hard drop
+    * when provenance must be preserved). Weights are exact ppm integers
+    * (`10⁶ div |cluster|`, singletons 10⁶); the per-source report — raw
+    * docs, cluster members, EFFECTIVE corpus size in ppm-docs — is the
+    * number that replaces raw row counts in every downstream budget
+    * (q274's waterfill, q283's schedule).
+    *
+    * Scale: the component fixpoint is O(near-dup pairs) (q85's loop);
+    * weights are one tiny join against cluster sizes; the rollup is a
+    * source-keyed partial agg. Text never shuffles — only ids and
+    * weights.
+    */
+  private def q357(s: SparkSession, d: String): DataFrame = {
+    val comp = components(s, nearDupEdges(s, d))
+    val sz = comp.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    val w = comp.join(sz, "comp")
+      .select(col("id").as("doc_id"), expr("1000000L div sz").as("w_ppm"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(w, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("w_ppm")).as("n_dup_members"),
+        sum(coalesce(col("w_ppm"), lit(1000000L))).cast(LongType)
+          .as("effective_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val q357Sql =
+    s"""WITH RECURSIVE $componentsCteSql,
+       |sz AS (SELECT comp AS c, COUNT(*) AS sz FROM comp GROUP BY 1),
+       |w AS (SELECT comp.doc_id, 1000000 // sz.sz AS w_ppm
+       |      FROM comp JOIN sz ON comp.comp = sz.c)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(w.doc_id) AS BIGINT) AS n_dup_members,
+       |  CAST(SUM(COALESCE(w.w_ppm, 1000000)) AS BIGINT) AS effective_ppm
+       |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // --------------------------------------------------------------- q238
 
   /** q238: LEAKAGE-SAFE train/val/test split — the assignment step every
@@ -2801,6 +2847,7 @@ object CorpusOps extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q345_pii_scan" -> q345,
     "q346_chat_assembly" -> q346,
+    "q357_soft_dedup_weights" -> q357,
     "q214_incremental_dedup" -> q214,
     "q216_snapshot_gate_persisted" -> q216,
     "q200_lm_fluency" -> q200,
@@ -2847,6 +2894,7 @@ object CorpusOps extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q345_pii_scan" -> q345Sql,
     "q346_chat_assembly" -> q346Sql,
+    "q357_soft_dedup_weights" -> q357Sql,
     "q214_incremental_dedup" -> q214Sql,
     "q216_snapshot_gate_persisted" -> q214Sql, // same contract, persisted
     "q200_lm_fluency" -> q200Sql,

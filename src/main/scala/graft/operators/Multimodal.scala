@@ -33,6 +33,10 @@ case class ImageFeatures(doc_id: Long, format: String, width: Long,
 case class AudioFeatures(doc_id: Long, n_samples: Long, sample_rate: Long,
                          energy: Long, pcm_hash: String, pcm_csum: Long)
 
+/** A perceptual (average) hash of one decoded image variant. */
+case class PerceptualHash(doc_id: Long, variant: String, width: Long,
+                          height: Long, ahash: Long)
+
 /** Multimodal-column surface (north star: image/audio/video as opaque
   * binary + typed metadata, decoded per partition in batches).
   *
@@ -513,7 +517,159 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Average-hash of a decoded image (LAION-style perceptual dedup): the
+    * per-pixel integer gray vs the image's mean gray, one bit per pixel
+    * (row-major `y·w+x`), division-free (`gray·n > Σgray`) so the bit
+    * pattern is integer-exact and a SQL oracle replays it from the
+    * fixture's closed form. Fixture grids are ≤ 8×6 → the hash fits a
+    * Long without the canonical 8×8 resample step (which would only add
+    * a second interpolation formula to verify, not a new property).
+    */
+  private[operators] def aHashImage(r: MediaRecord): PerceptualHash = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val grays = new Array[Long](w * h)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) & 0xffffff
+        val g = ((rgb >> 16) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        grays(y * w + x) = g.toLong
+        sum += g
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toLong
+    var hash = 0L
+    var i = 0
+    while (i < grays.length) {
+      if (grays(i) * n > sum) hash |= 1L << i
+      i += 1
+    }
+    PerceptualHash(r.doc_id, r.format, w.toLong, h.toLong, hash)
+  }
+
+  /** The fixture image re-encoded after a uniform +delta brightness shift
+    * with per-channel saturation — a byte-level DIFFERENT PNG holding a
+    * perceptually near-identical picture.
+    */
+  private[operators] def encodePngBright(id: Long, w: Int, h: Int,
+                                         delta: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = pixel(id, x, y)
+      val r = math.min((rgb >> 16) + delta, 255)
+      val g = math.min(((rgb >> 8) & 0xff) + delta, 255)
+      val b = math.min((rgb & 0xff) + delta, 255)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q356: PERCEPTUAL near-dup IMAGE dedup — the multimodal twin of the
+    * text near-dup family (q74/q75): every fixture image ships in two
+    * BYTE-DIFFERENT encodings (the original and a +3 brightness-shifted
+    * re-encode), exact byte dedup (md5 of payload) catches NONE of the
+    * pairs — the negative control the output carries — while the
+    * average-hash of the DECODED pixels lands within a small Hamming
+    * radius for almost every pair (bit flips only where a gray sat at the
+    * threshold or saturated at 255), which is precisely why image
+    * pipelines dedup on perceptual hashes, not bytes. Both variants run
+    * the REAL path: encode to genuine PNG, decode with ImageIO, hash the
+    * recovered pixels; the oracle replays hash/Hamming/verdict from the
+    * fixture's closed form (the q195 discipline), so a decoder that
+    * recovered one wrong pixel breaks the compare.
+    *
+    * Scale: payload bytes are born and die inside one partition (the
+    * module's invariant); only 64-bit hashes leave the stage, and the
+    * variant pairing is a doc_id-keyed join of hash rows. At corpus
+    * scale the pairing generalizes to the q75 band-bucket join over
+    * hash prefixes — same downstream plan as text LSH.
+    */
+  private def q356(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val both = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 50).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (w, h) = fixtureDims(id)
+        Seq(
+          MediaRecord(id, encodePng(id, w, h), "a", (w * h).toLong),
+          MediaRecord(id, encodePngBright(id, w, h, 3), "b", (w * h).toLong))
+      })
+    val hashed = both
+      .mapPartitions(_.map { r =>
+        val ph = aHashImage(r)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (ph.doc_id, ph.variant, ph.width, ph.height, ph.ahash,
+          md.digest(r.payload).map("%02x".format(_)).mkString)
+      })
+      .toDF("doc_id", "variant", "width", "height", "ahash", "byte_md5")
+    val a = hashed.filter(col("variant") === "a")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("ahash").as("hash_a"), col("byte_md5").as("md5_a"))
+    val b = hashed.filter(col("variant") === "b")
+      .select(col("doc_id"), col("ahash").as("hash_b"),
+        col("byte_md5").as("md5_b"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("hash_a"), col("hash_b"),
+        expr("CAST(bit_count(hash_a ^ hash_b) AS BIGINT)").as("hamming"),
+        when(expr("bit_count(hash_a ^ hash_b)") <= 2, lit(1L))
+          .otherwise(lit(0L)).as("near_dup"),
+        when(col("md5_a") === col("md5_b"), lit(1L))
+          .otherwise(lit(0L)).as("byte_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of q356 from the fixture closed form: gray channels
+    * from the q195 pixel formula, +3 saturated for variant b, the
+    * division-free threshold bit `gray·n > Σgray`, row-major bit packing,
+    * Hamming via xor/bit_count. byte_dup is identically 0: the two PNG
+    * encodings differ by construction (brightness shifts the pixels), so
+    * the oracle states the control as a constant.
+    */
+  private val q356Sql =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+      |ys AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |              unnest(range(0, 3 + doc_id % 4)) AS y FROM ids),
+      |px AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+      |v AS (SELECT doc_id, w, h, y, x,
+      |        (doc_id * 2654435761 + y * 131 + x * 17) % 16777216 AS rgb
+      |      FROM px),
+      |g AS (SELECT doc_id, w, h, (y * w + x) AS idx,
+      |        ((rgb // 65536) + ((rgb // 256) % 256) + (rgb % 256)) // 3 AS ga,
+      |        (LEAST((rgb // 65536) + 3, 255) + LEAST(((rgb // 256) % 256) + 3, 255)
+      |         + LEAST((rgb % 256) + 3, 255)) // 3 AS gb
+      |      FROM v),
+      |m AS (SELECT doc_id, SUM(ga) AS sa, SUM(gb) AS sb, COUNT(*) AS n
+      |      FROM g GROUP BY doc_id),
+      |bits AS (
+      |  SELECT g.doc_id, MAX(g.w) AS w, MAX(g.h) AS h,
+      |    CAST(SUM(CASE WHEN g.ga * m.n > m.sa
+      |         THEN (CAST(1 AS BIGINT) << g.idx) ELSE 0 END) AS BIGINT) AS hash_a,
+      |    CAST(SUM(CASE WHEN g.gb * m.n > m.sb
+      |         THEN (CAST(1 AS BIGINT) << g.idx) ELSE 0 END) AS BIGINT) AS hash_b
+      |  FROM g JOIN m ON g.doc_id = m.doc_id GROUP BY g.doc_id)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  hash_a, hash_b,
+      |  CAST(bit_count(xor(hash_a, hash_b)) AS BIGINT) AS hamming,
+      |  CAST(CASE WHEN bit_count(xor(hash_a, hash_b)) <= 2
+      |       THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
+      |  CAST(0 AS BIGINT) AS byte_dup
+      |FROM bits ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_phash_dedup" -> q356,
     "q95_multimodal_decode" -> q95,
     "q96_multimodal_frames" -> q96,
     "q97_multimodal_resize" -> q97,
@@ -524,6 +680,7 @@ object Multimodal extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q356_phash_dedup" -> q356Sql,
     "q95_multimodal_decode" -> q95Sql,
     "q96_multimodal_frames" -> q96Sql,
     "q97_multimodal_resize" -> q97Sql,

@@ -4318,7 +4318,77 @@ object ScalePatterns extends QueryModule {
       |  FROM documents WHERE source IN ('src0', 'src1'))
       |ORDER BY ref""".stripMargin
 
+  // --------------------------------------------------------------- q358
+
+  /** q358: THE ESTATE CONTROL PLANE IN SQL — branch creation, publish,
+    * and retention as stored procedures (`CALL <cat>.sys.create_branch /
+    * fast_forward / expire_snapshots`, joining q330's rollback): the
+    * whole release cycle an on-call data engineer runs — land versions,
+    * branch at the blessed one, fast-forward after the audit, expire the
+    * stale history — without leaving SQL. Each CALL returns a receipt
+    * (the fast-forward's carries from/to/seq; the expiry's one row per
+    * retired version — staged require()s pin all three), and the final
+    * state reads back through the same catalog: head, branch head, and
+    * the post-expiry `.history` count. fast_forward retries a lost CAS
+    * by rebasing on the new head, exactly like writers racing tryCommit.
+    *
+    * Scale: every CALL is pointer work — O(1) tiny files for branch ops,
+    * O(#versions + #refs) for expiry — regardless of table size.
+    */
+  private def q358(s: SparkSession, d: String): DataFrame = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_vsqlproc_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/corpus"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    val M = graft.sources.VersionedManifest
+    val cat = "g358_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      (1 to 3).foreach { v =>
+        docs.filter(col("doc_id") % 3 === (v - 1))
+          .write.mode("overwrite").parquet(s"$dir/d-b$v")
+        M.commit(s, dir,
+          v, ((1 to v).map(i => s"data=d-b$i") :+ s"slice $v").mkString("\n"))
+      }
+      val cb = s.sql(s"CALL $cat.sys.create_branch('corpus', 'main', 2)").head()
+      require(cb.getString(1) == "main" && cb.getLong(2) == 2L, s"bad receipt $cb")
+      val ff = s.sql(s"CALL $cat.sys.fast_forward('corpus', 'main', 3)").head()
+      require(ff.getLong(2) == 2L && ff.getLong(3) == 3L && ff.getLong(4) == 1L,
+        s"bad fast-forward receipt $ff")
+      val ex = s.sql(s"CALL $cat.sys.expire_snapshots('corpus', 1)").collect()
+      require(ex.map(_.getLong(1)).toSeq == Seq(1L, 2L),
+        s"expected versions 1,2 expired, got ${ex.mkString(",")}")
+      java.nio.file.Files.createFile(done)
+    }
+    s.sql(
+      s"""SELECT step, n FROM (
+         |  SELECT 'head_docs' AS step, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM $cat.tables.corpus
+         |  UNION ALL
+         |  SELECT 'main_docs', CAST(COUNT(*) AS BIGINT)
+         |  FROM $cat.tables.corpus VERSION AS OF 'main'
+         |  UNION ALL
+         |  SELECT 'live_versions', CAST(COUNT(*) AS BIGINT)
+         |  FROM $cat.tables.corpus.history)
+         |ORDER BY step""".stripMargin)
+  }
+
+  private val q358Sql =
+    """SELECT step, n FROM (
+      |  SELECT 'head_docs' AS step, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      |  UNION ALL
+      |  SELECT 'main_docs', CAST(COUNT(*) AS BIGINT) FROM documents
+      |  UNION ALL
+      |  SELECT 'live_versions', CAST(1 AS BIGINT))
+      |ORDER BY step""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_sql_estate_procs" -> q358,
     "q354_sql_branch_read" -> q354,
     "q355_snapshot_expiry" -> q355,
     "q353_salted_agg_plan" -> q353,
@@ -4390,6 +4460,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q358_sql_estate_procs" -> q358Sql,
     "q354_sql_branch_read" -> q354Sql,
     "q355_snapshot_expiry" -> q355Sql,
     "q353_salted_agg_plan" -> q353Sql,

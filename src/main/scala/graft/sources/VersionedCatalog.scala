@@ -215,13 +215,21 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (!namespace.sameElements(Array(ProcNs)))
       throw new NoSuchNamespaceException(namespace)
-    Array(Identifier.of(Array(ProcNs), "rollback"))
+    Array("rollback", "create_branch", "fast_forward", "expire_snapshots")
+      .map(Identifier.of(Array(ProcNs), _))
   }
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
-    if (!(ident.namespace.sameElements(Array(ProcNs)) && ident.name == "rollback"))
+    if (!ident.namespace.sameElements(Array(ProcNs)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
-    new RollbackProcedure(root)
+    ident.name match {
+      case "rollback" => new RollbackProcedure(root)
+      case "create_branch" => new CreateBranchProcedure(root)
+      case "fast_forward" => new FastForwardProcedure(root)
+      case "expire_snapshots" => new ExpireSnapshotsProcedure(root)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
   }
 }
 
@@ -284,6 +292,146 @@ private[sources] class RollbackProcedure(root: String)
         target, newV))
     }
     java.util.Collections.singletonList[Scan](receipt).iterator()
+  }
+}
+
+/** Shared plumbing for the estate stored procedures: bare-name validation
+  * (CALL arguments are user input spliced into estate paths) and the
+  * one-row LocalScan receipt shape.
+  */
+private[sources] trait EstateProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  override def isDeterministic: Boolean = false
+
+  protected def checkName(v: String, what: String): String = {
+    require(v.matches("[A-Za-z0-9_.-]+"), s"$what must be a bare name, got '$v'")
+    v
+  }
+
+  protected def receipt(sch: StructType, data: Array[InternalRow])
+      : java.util.Iterator[Scan] = {
+    val scan = new LocalScan {
+      override def readSchema(): StructType = sch
+      override def rows(): Array[InternalRow] = data
+    }
+    java.util.Collections.singletonList[Scan](scan).iterator()
+  }
+
+  protected def utf8(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+}
+
+/** `CALL <cat>.sys.create_branch(table, branch, version)` — q349's
+  * createBranch as the SQL control plane: a mutable ref born at a
+  * committed version (dangling refuses; duplicate names refuse via the
+  * OCC log's exclusive create). O(1) pointer work.
+  */
+private[sources] class CreateBranchProcedure(root: String) extends EstateProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.read.Scan
+
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "create_branch(table STRING, branch STRING, version BIGINT)"
+  override def bind(inputType: StructType): CreateBranchProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = checkName(input.getUTF8String(0).toString, "table")
+    val branch = checkName(input.getUTF8String(1).toString, "branch")
+    val v = input.getLong(2)
+    VersionedManifest.createBranch(spark, s"$root/$table", branch, v)
+    receipt(
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("version", LongType, nullable = false))),
+      Array(InternalRow(utf8(table), utf8(branch), v)))
+  }
+}
+
+/** `CALL <cat>.sys.fast_forward(table, branch, version)` — the publish
+  * step of q349's branch-and-publish as SQL: CAS-advance the branch head
+  * to a committed version, retrying on a lost race (the loser rebases on
+  * the new head, exactly like writers racing tryCommit). Receipt carries
+  * (from_version, to_version, seq).
+  */
+private[sources] class FastForwardProcedure(root: String) extends EstateProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.read.Scan
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "fast_forward(table STRING, branch STRING, version BIGINT)"
+  override def bind(inputType: StructType): FastForwardProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = checkName(input.getUTF8String(0).toString, "table")
+    val branch = checkName(input.getUTF8String(1).toString, "branch")
+    val v = input.getLong(2)
+    val dir = s"$root/$table"
+    var fromV = 0L
+    var seq = 0L
+    var done = false
+    while (!done) {
+      val (s0, v0) = VersionedManifest.branchHead(spark, dir, branch)
+        .getOrElse(throw new IllegalStateException(
+          s"branch $branch does not exist at $dir"))
+      fromV = v0
+      seq = s0 + 1
+      done = VersionedManifest.advanceBranch(spark, dir, branch, s0, v)
+    }
+    receipt(
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("seq", LongType, nullable = false))),
+      Array(InternalRow(utf8(table), utf8(branch), fromV, v, seq)))
+  }
+}
+
+/** `CALL <cat>.sys.expire_snapshots(table, keep_last)` — q355's retention
+  * pass as SQL: one receipt row per expired version (refs pin their
+  * targets; only unreachable dirs are reclaimed — the Scala
+  * [[VersionedManifest.expireSnapshots]] contract verbatim).
+  */
+private[sources] class ExpireSnapshotsProcedure(root: String) extends EstateProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.read.Scan
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "expire_snapshots(table STRING, keep_last BIGINT)"
+  override def bind(inputType: StructType): ExpireSnapshotsProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("keep_last", LongType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = checkName(input.getUTF8String(0).toString, "table")
+    val keep = input.getLong(1)
+    val expired = VersionedManifest
+      .expireSnapshots(spark, s"$root/$table", keep.toInt)
+    receipt(
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("expired_version", LongType, nullable = false))),
+      expired.map(v => InternalRow(utf8(table), v)).toArray)
   }
 }
 

@@ -521,6 +521,69 @@ class Round11Spec extends SparkSpec {
       "unreachable append dirs survived expiry")
   }
 
+  test("q356: aHash is brightness-invariant yet separates genuinely different images") {
+    val rows = SparkEntry.queries("q356_phash_dedup")(spark, sf0001).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getLong(5) <= 2 && r.getLong(6) == 1L,
+        s"brightness twin drifted past the radius: $r")
+      assert(r.getLong(7) == 0L, s"byte dedup matched different PNGs: $r")
+    }
+    // negative control: half-blanking the image must flip MANY bits —
+    // the detector separates, it doesn't just say yes
+    val id = 7L
+    val (w, h) = Multimodal.fixtureDims(id)
+    val a = Multimodal.aHashImage(
+      MediaRecord(id, Multimodal.encodePng(id, w, h), "a", (w * h).toLong))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (y < h / 2) 0 else Multimodal.pixel(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val c = Multimodal.aHashImage(
+      MediaRecord(id, bos.toByteArray, "c", (w * h).toLong))
+    assert(java.lang.Long.bitCount(a.ahash ^ c.ahash) > 2,
+      s"half-blanked image stayed within the near-dup radius: " +
+        s"${a.ahash} vs ${c.ahash}")
+  }
+
+  test("q357: down-weighting conserves the weight budget per cluster") {
+    val rows = SparkEntry.queries("q357_soft_dedup_weights")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (docs, members, eff) = rows.foldLeft((0L, 0L, 0L)) { (acc, r) =>
+      (acc._1 + r.getLong(1), acc._2 + r.getLong(2), acc._3 + r.getLong(3))
+    }
+    assert(members > 0, "fixture has no near-dup members — nothing tested")
+    // every clustered member weighs < 1 doc; singletons weigh exactly 1
+    assert(eff < docs * 1000000L, "down-weighting changed nothing")
+    // a cluster's members sum to ~1 doc (ppm truncation loses < sz ppm):
+    // corpus-wide, effective >= singletons + one doc per cluster - slack
+    assert(eff > (docs - members) * 1000000L,
+      "clustered docs lost more than their whole weight")
+  }
+
+  test("q358: estate procedures are listed and refuse duplicates through SQL") {
+    SparkEntry.queries("q358_sql_estate_procs")(spark, sf0001).collect()
+    val cat = "g358_" + sf0001.replaceAll("[^A-Za-z0-9]", "_")
+    val procRows = spark.sql(s"SHOW PROCEDURES IN $cat.sys").collect()
+    val procs = procRows
+      .map(r => r.get(r.length - 1).toString).sorted.toSeq
+    assert(procs == Seq("create_branch", "expire_snapshots", "fast_forward",
+      "rollback"), s"procedure roster drifted: $procs")
+    // duplicate branch creation refuses through the SQL surface too
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.create_branch('corpus', 'main', 3)").collect()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // expiring everything refuses: keep_last >= 1
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.expire_snapshots('corpus', 0)").collect()
+    }
+    assert(e2.getMessage.contains("keep_last") ||
+      e2.getMessage.contains("keepLast"), e2.getMessage)
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
