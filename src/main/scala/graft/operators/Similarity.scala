@@ -2134,7 +2134,107 @@ object Similarity extends QueryModule {
        |  CAST(COUNT(*) AS BIGINT) AS n_vecs
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q359
+
+  /** q359: TRUNCATED-SHORTLIST SERVING — the two-stage rerank pattern
+    * Matryoshka embeddings exist for (Kusupati et al. 2022; q319 measures
+    * the recall curve, THIS is the serving plan that exploits it): stage
+    * 1 shortlists top-20 per query on the FIRST 8 dimensions (an 8×
+    * cheaper dot — at 100 TB, an 8× smaller index scan), stage 2 reranks
+    * ONLY the shortlist with exact full-dimension cosine and keeps top-5.
+    * Output per query: the end-to-end recall@5 against the exact
+    * full-dimension top-5 — the number that decides whether the cheap
+    * prefix is safe to serve. Both stages AND the exact ground truth
+    * replay in the oracle (q304's discipline), so the measured recall is
+    * itself hash-checked.
+    *
+    * Scale: the corpus streams ONCE against the broadcast 10-query slice
+    * computing the 8-dim dot; the shortlist is 200 ids that rejoin
+    * vectors for the exact stage — O(k) full-width work per query
+    * regardless of corpus size. The ground-truth leg exists only for the
+    * audit; production serves stage1+stage2 alone.
+    */
+  private def q359(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        expr("slice(v, 1, 8)").as("qv8"))
+    val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"),
+      expr("slice(v, 1, 8)").as("nv8"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+    val short = scored
+      .withColumn("dot8", dotExpr("qv8", "nv8"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("dot8"), col("nid"))))
+      .filter(col("srk") <= 20)
+    def cosCol = col("dot").cast(DoubleType) /
+      (sqrt(col("na")) * sqrt(col("nb")))
+    val reranked = short
+      .select(col("qid"), col("nid"),
+        dotExpr("qv", "nv").as("dot"),
+        dotExpr("qv", "qv").as("na"), dotExpr("nv", "nv").as("nb"))
+      .withColumn("cos", cosCol)
+      .withColumn("rrk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("rrk") <= 5)
+      .select(col("qid"), col("nid"))
+    val exact = scored
+      .select(col("qid"), col("nid"),
+        dotExpr("qv", "nv").as("dot"),
+        dotExpr("qv", "qv").as("na"), dotExpr("nv", "nv").as("nb"))
+      .withColumn("cos", cosCol)
+      .withColumn("erk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))))
+      .filter(col("erk") <= 5)
+      .select(col("qid"), col("nid"))
+    exact.join(reranked.withColumn("hit", lit(1L)),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_recalled"),
+        count(lit(1)).as("k"))
+      .orderBy(col("qid"))
+  }
+
+  private val q359Sql =
+    s"""WITH q AS ($quantizedSql),
+       |pairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, a.v AS qv, b.v AS nv
+       |  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |short AS (
+       |  SELECT qid, nid, qv, nv FROM (
+       |    SELECT qid, nid, qv, nv,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        list_sum(list_transform(range(1, 9), i -> qv[i]*nv[i])) DESC,
+       |        nid) AS srk
+       |    FROM pairs) WHERE srk <= 20),
+       |rer AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i])) AS DOUBLE)
+       |          / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+       |             * sqrt(list_sum(list_transform(nv, x -> x*x)))) DESC,
+       |        nid) AS rrk
+       |    FROM short) WHERE rrk <= 5),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        CAST(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*nv[i])) AS DOUBLE)
+       |          / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+       |             * sqrt(list_sum(list_transform(nv, x -> x*x)))) DESC,
+       |        nid) AS erk
+       |    FROM pairs) WHERE erk <= 5)
+       |SELECT e.qid,
+       |  CAST(SUM(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_recalled,
+       |  CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ex e LEFT JOIN rer r ON e.qid = r.qid AND e.nid = r.nid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q359_truncated_rerank" -> q359,
     "q352_centroid_classifier" -> q352,
     "q347_bitext_margin" -> q347,
     "q319_matryoshka_recall" -> q319,
@@ -2162,6 +2262,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q359_truncated_rerank" -> q359Sql,
     "q352_centroid_classifier" -> q352Sql,
     "q347_bitext_margin" -> q347Sql,
     "q319_matryoshka_recall" -> q319Sql,

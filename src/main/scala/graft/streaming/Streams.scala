@@ -1609,6 +1609,55 @@ object Streams extends QueryModule {
 
   private val q351Sql = q338Sql
 
+  // --------------------------------------------------------------- q360
+
+  /** q360: MULTI-LAG STREAM UNION — two legs of the event feed carry
+    * DIFFERENT lateness contracts (interactions settle in 30 minutes;
+    * transactions may arrive 2 hours late — the heterogeneous-source
+    * union every production topology hits when fast clickstreams meet
+    * slow billing feeds), each leg watermarked with its OWN delay before
+    * the union, so the stateful window aggregate downstream evicts by
+    * Spark's multipleWatermarkPolicy (min by default: the SLOWEST leg
+    * gates state eviction — correctness over memory; Round11Spec pins
+    * that BOTH EventTimeWatermark nodes with their distinct delays
+    * survive into the analyzed plan). The windowed per-leg rollup
+    * hash-matches the batch oracle.
+    *
+    * Scale: state is |windows × legs| — bounded by the time range, not
+    * input volume (q90's invariant), and the min policy means sizing
+    * state for the slowest contract, which is exactly the decision this
+    * operator surfaces.
+    */
+  private def q360(s: SparkSession, d: String): DataFrame = {
+    val agg = unionLagged(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("leg"))
+      .agg(count(lit(1)).as("n"), Exact.sumMoney(col("value")).as("total"))
+    runToMemory(s, agg, "q360_sink", "complete")
+      .select(col("w.start").as("hour_start"), col("leg"), col("n"),
+        col("total"))
+      .orderBy(col("hour_start"), col("leg"))
+  }
+
+  /** q360's two-contract union, exposed for the spec's plan pin. */
+  private[graft] def unionLagged(s: SparkSession, d: String): DataFrame = {
+    val ev = streamEvents(s, d)
+    val fast = ev.filter(col("event_type").isin("click", "view"))
+      .withWatermark("ts", "30 minutes")
+      .withColumn("leg", lit("interactions"))
+    val slow = ev.filter(!col("event_type").isin("click", "view"))
+      .withWatermark("ts", "2 hours")
+      .withColumn("leg", lit("transactions"))
+    fast.unionByName(slow)
+  }
+
+  private val q360Sql =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+       |  CASE WHEN event_type IN ('click', 'view') THEN 'interactions'
+       |       ELSE 'transactions' END AS leg,
+       |  COUNT(*) AS n, ${Exact.sqlSumMoney("value")} AS total
+       |FROM events GROUP BY 1, 2
+       |ORDER BY hour_start, leg""".stripMargin
+
   // --------------------------------------------------------------- q279
 
   /** Stage every COMMITTED version's part files of a versioned-manifest
@@ -1738,6 +1787,7 @@ object Streams extends QueryModule {
     "q328_versioned_stream_source" -> q328,
     "q338_mixed_format_feed" -> q338,
     "q351_branch_subscriber" -> q351,
+    "q360_stream_union_lagged" -> q360,
     "q227_stream_dedup_gate" -> q227,
     "q244_stream_dynamic_session" -> q244,
     "q143_stream_left_outer" -> q143,
@@ -1768,6 +1818,7 @@ object Streams extends QueryModule {
     "q328_versioned_stream_source" -> q328Sql,
     "q338_mixed_format_feed" -> q338Sql,
     "q351_branch_subscriber" -> q351Sql,
+    "q360_stream_union_lagged" -> q360Sql,
     "q227_stream_dedup_gate" -> q227Sql,
     "q244_stream_dynamic_session" -> q244Sql,
     "q143_stream_left_outer" -> q143Sql,

@@ -584,6 +584,36 @@ class Round11Spec extends SparkSpec {
       e2.getMessage.contains("keepLast"), e2.getMessage)
   }
 
+  test("q359: two-stage serving keeps k=5 and bounded recall; queries broadcast") {
+    val df = SparkEntry.queries("q359_truncated_rerank")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query slice is not broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 5, s"ground truth lost rows: $r")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5, s"recall out of range: $r")
+    }
+    // on iid-random synthetic embeddings an 8/64 prefix carries ~1/8 of
+    // the signal, so LOW recall is the honest measurement (real
+    // Matryoshka-trained embeddings front-load variance — q319's point).
+    // Pin non-degeneracy both ways: the audit sees hits AND misses.
+    val total = rows.map(_.getLong(1)).sum
+    assert(total >= 1, "shortlist never recalled anything — wiring broken")
+    assert(total < 50, "perfect recall on random data — ground truth leaked")
+  }
+
+  test("q360: both lateness contracts survive into the analyzed plan") {
+    val u = graft.streaming.Streams.unionLagged(spark, sf0001)
+    val analyzed = u.queryExecution.analyzed.toString
+    val wmarks = "EventTimeWatermark".r.findAllIn(analyzed).size
+    assert(wmarks == 2, s"expected two watermark nodes, got $wmarks:\n$analyzed")
+    assert(analyzed.contains("30 minutes") && analyzed.contains("2 hours"),
+      s"per-leg delays collapsed:\n$analyzed")
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
