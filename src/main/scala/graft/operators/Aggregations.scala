@@ -1110,7 +1110,127 @@ object Aggregations extends QueryModule {
       |  100.0 * promo_revenue / total_revenue AS promo_share
       |FROM agg""".stripMargin
 
+  // --------------------------------------------------------------- q361
+
+  /** The Bradley–Terry item domain: the five event types, alphabetical.
+    * Fixed and literal so every float expression below is generated in
+    * ONE order shared verbatim by the Spark plan and the DuckDB oracle —
+    * no aggregation-order float sum exists anywhere in the algebra.
+    */
+  private val btTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** One minorization–maximization step of the Bradley–Terry MLE
+    * (Hunter 2004): `r'_i = W_i / Σ_j g_ij / (r_i + r_j)` — emitted as a
+    * dialect-neutral SQL fragment with a fixed literal term order.
+    */
+  private def btStep(i: String, prev: String): String = {
+    val others = btTypes.filterNot(_ == i)
+    val w = others.map(j => s"w_${i}_$j").mkString(" + ")
+    val denom = others
+      .map(j => s"g_${i}_$j / (${prev}_$i + ${prev}_$j)").mkString(" + ")
+    s"CAST($w AS DOUBLE) / ($denom)"
+  }
+
+  /** q361: BRADLEY–TERRY RANKING FROM PAIRWISE WINS — the RLHF-eval step
+    * after q343 assembles preference pairs: turn a matrix of pairwise
+    * outcomes into a maximum-likelihood strength per candidate (Bradley
+    * & Terry 1952; the MM iteration of Hunter 2004, five steps from
+    * r = 1), here ranking the five event types by which wins the
+    * per-user spend contest. Everything before the ratings is exact
+    * (decimal spend totals, integer win counts); the MM iterations are
+    * pure literal float expressions in one fixed term order generated
+    * from the SAME template for both engines, so the ratings — and the
+    * rank order they induce — hash-match bit for bit.
+    *
+    * Scale: one user-keyed partial aggregate (map-side combinable
+    * pivoted spend), ONE global 20-counter aggregate for the win matrix
+    * (constant state: the item domain is the matrix dimension, never
+    * users), and the iterations run on a 1-row frame — at 10⁹ users the
+    * only scaling cost is the first aggregate. Ranking 10⁵ candidates
+    * instead moves the matrix to a (i, j)-keyed table and the iteration
+    * to a join — same algebra, still no per-user state.
+    */
+  private def q361(s: SparkSession, d: String): DataFrame = {
+    val uCols = btTypes.map { t =>
+      coalesce(sum(when(col("event_type") === t, Exact.money(col("value")))),
+        lit(0).cast(Exact.Money)).as(s"u_$t")
+    }
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(uCols.head, uCols.tail: _*)
+    val winCols = for (i <- btTypes; j <- btTypes if i != j)
+      yield count(when(col(s"u_$i") > col(s"u_$j"), 1)).as(s"w_${i}_$j")
+    var frame = perUser.agg(winCols.head, winCols.tail: _*)
+    for (i <- btTypes; j <- btTypes if i != j)
+      frame = frame.withColumn(s"g_${i}_$j",
+        col(s"w_${i}_$j") + col(s"w_${j}_$i"))
+    frame = frame.select(col("*") +: btTypes.map(t =>
+      expr("CAST(1.0 AS DOUBLE)").as(s"r0_$t")): _*)
+    for (k <- 1 to 5)
+      frame = frame.select(col("*") +: btTypes.map(t =>
+        expr(btStep(t, s"r${k - 1}")).as(s"r${k}_$t")): _*)
+    val rows = btTypes.map { t =>
+      val others = btTypes.filterNot(_ == t)
+      frame.select(
+        lit(t).as("event_type"),
+        expr(others.map(j => s"w_${t}_$j").mkString(" + "))
+          .cast(LongType).as("n_wins"),
+        expr(others.map(j => s"g_${t}_$j").mkString(" + "))
+          .cast(LongType).as("n_games"),
+        col(s"r5_$t").as("rating"))
+    }.reduce(_ unionByName _)
+    rows
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("rating"), col("event_type"))).cast(LongType))
+      .orderBy(col("rank"))
+  }
+
+  private val q361Sql = {
+    val perUser = btTypes.map(t =>
+      s"COALESCE(SUM(CASE WHEN event_type = '$t' " +
+        s"THEN CAST(value AS DECIMAL(18,2)) END), 0) AS u_$t").mkString(",\n  ")
+    val wins = (for (i <- btTypes; j <- btTypes if i != j)
+      yield s"CAST(COUNT(CASE WHEN u_$i > u_$j THEN 1 END) AS BIGINT) " +
+        s"AS w_${i}_$j").mkString(",\n  ")
+    val g = (for (i <- btTypes; j <- btTypes if i != j)
+      yield s"w_${i}_$j + w_${j}_$i AS g_${i}_$j").mkString(",\n  ")
+    val r0 = btTypes.map(t => s"CAST(1.0 AS DOUBLE) AS r0_$t").mkString(", ")
+    val its = (1 to 5).map { k =>
+      val cols = btTypes
+        .map(t => s"${btStep(t, s"r${k - 1}")} AS r${k}_$t").mkString(",\n  ")
+      s"it$k AS (SELECT *,\n  $cols FROM it${k - 1})"
+    }.mkString(",\n")
+    val unpivot = btTypes.map { t =>
+      val others = btTypes.filterNot(_ == t)
+      s"SELECT '$t' AS event_type, " +
+        s"CAST(${others.map(j => s"w_${t}_$j").mkString(" + ")} AS BIGINT) AS n_wins, " +
+        s"CAST(${others.map(j => s"g_${t}_$j").mkString(" + ")} AS BIGINT) AS n_games, " +
+        s"r5_$t AS rating FROM it5"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |  $perUser
+       |  FROM events GROUP BY user_id),
+       |wins AS (
+       |  SELECT
+       |  $wins
+       |  FROM per_user),
+       |gmat AS (
+       |  SELECT *,
+       |  $g
+       |  FROM wins),
+       |it0 AS (SELECT *, $r0 FROM gmat),
+       |$its,
+       |unp AS (
+       |$unpivot)
+       |SELECT event_type, n_wins, n_games, rating,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY rating DESC, event_type) AS BIGINT)
+       |    AS rank
+       |FROM unp ORDER BY rank""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q361_bradley_terry" -> q361,
     "q212_late_shipments" -> q212,
     "q213_promo_share" -> q213,
     "q205_top_supplier" -> q205,
@@ -1141,6 +1261,7 @@ object Aggregations extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q361_bradley_terry" -> q361Sql,
     "q212_late_shipments" -> q212Sql,
     "q213_promo_share" -> q213Sql,
     "q205_top_supplier" -> q205Sql,

@@ -166,13 +166,49 @@ object SqlProgrammability extends QueryModule {
       |GROUP BY bucket, bucket_lo, width
       |ORDER BY bucket""".stripMargin
 
+  // --------------------------------------------------------------- q362
+
+  /** q362: PARAMETERIZED SQL — named parameter markers (`:name`) bound at
+    * call time through `spark.sql(text, args)` (the injection-proof
+    * front door every SQL client should use instead of string splicing;
+    * the programmatic twin of q272's session variables): the same query
+    * TEXT serves any (lo, hi, source) binding, and because markers bind
+    * as LITERALS at parse time they stay visible to Catalyst exactly
+    * like hand-written constants — the spec pins that the bound
+    * predicate reaches the parquet scan as a PushedFilter, which string
+    * templating gets only by re-planning per value and injection risk.
+    *
+    * Scale: zero runtime cost — by analysis time the plan is identical
+    * to the constant-folded original, so pushdown, pruning, and codegen
+    * all see literals.
+    */
+  private def q362(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("g362_docs")
+    s.sql(
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM g362_docs
+        |WHERE n_chars BETWEEN :lo AND :hi AND source <> :excluded
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+      Map("lo" -> 120, "hi" -> 480, "excluded" -> "src7"))
+  }
+
+  private val q362Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE n_chars BETWEEN 120 AND 480 AND source <> 'src7'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q362_parameterized_sql" -> q362,
     "q271_sql_udf" -> q271,
     "q272_session_variables" -> q272,
     "q273_sql_scripting" -> q273
   )
 
   override def oracles: Map[String, String] = Map(
+    "q362_parameterized_sql" -> q362Sql,
     "q271_sql_udf" -> q271Sql,
     "q272_session_variables" -> q272Sql,
     "q273_sql_scripting" -> q273Sql

@@ -614,6 +614,30 @@ class Round11Spec extends SparkSpec {
       s"per-leg delays collapsed:\n$analyzed")
   }
 
+  test("q362: named-parameter bindings reach the parquet scan as pushed filters") {
+    val df = SparkEntry.queries("q362_parameterized_sql")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(n_chars,120)") ||
+        plan.contains("120")),
+      s"bound parameter did not push into the scan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q361: Bradley-Terry ratings order consistently with the win matrix") {
+    val rows = SparkEntry.queries("q361_bradley_terry")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    // MM iterations preserve the dominance structure: the top-rated item
+    // must not have strictly fewer wins than the bottom-rated one
+    val byRank = rows.sortBy(_.getLong(4))
+    assert(byRank.head.getLong(1) >= byRank.last.getLong(1),
+      s"rating inverted the win counts: ${byRank.map(_.toString).mkString(", ")}")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0, s"non-positive BT rating: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"more wins than games: $r")
+    }
+  }
+
   test("RI elimination refuses an UNREGISTERED same-shape dimension (path identity)") {
     // q281 audits + declares constraints for $d/orders.parquet
     SparkEntry.queries("q281_join_elimination")(spark, sf0001).collect()
