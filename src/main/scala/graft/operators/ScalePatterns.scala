@@ -4387,7 +4387,110 @@ object ScalePatterns extends QueryModule {
       |  SELECT 'live_versions', CAST(1 AS BIGINT))
       |ORDER BY step""".stripMargin
 
+  // --------------------------------------------------------------- q363
+
+  /** q363: DECLARED TABLE CONSTRAINTS — the versioned table's CHECK
+    * rules as PERSISTED METADATA (Delta's `ALTER TABLE ADD CONSTRAINT`
+    * essence), not a caller-supplied closure (that is q322's audit
+    * gate): `constraint=<name>:<predicate>` lines ride every manifest
+    * body, ADD CONSTRAINT validates the whole current snapshot before
+    * activating (a violated history refuses with the offending count and
+    * publishes nothing), and from then on EVERY append is checked by the
+    * table itself — `commitConstrained` refuses the batch (no manifest
+    * rename, staged dir left a vacuumable orphan) when any declared
+    * predicate fails on the increment. The estate walks all four arms:
+    * two constraints activate (each a metadata-only version, the
+    * snapshot unchanged), one alter refuses on history, one append
+    * publishes, one append is refused; the rollup reads the final
+    * snapshot per source and carries the refusal evidence, so a
+    * constraint that silently failed to block (or blocked the good
+    * batch) hash-mismatches the oracle.
+    *
+    * Scale: ADD CONSTRAINT costs one aggregate scan of the snapshot
+    * (activation time, once); enforcement costs one aggregate pass over
+    * the INCREMENT only — constraints are row-local predicates and every
+    * visible row was validated at its own publish, so the append path
+    * stays O(batch) at any table size. All constraints fold in a single
+    * `sum(CASE …)` aggregate (map-side combinable, one job per batch,
+    * O(#constraints) driver rows).
+    */
+  private def constraintEstate(s: SparkSession, d: String): (String, Long, Long) = {
+    val M = graft.sources.VersionedManifest
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_constr_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    if (!java.nio.file.Files.exists(done)) {
+      docs.filter(col("doc_id") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1, "initial load")
+      require(M.addConstraint(s, dir, "chars_positive", "n_chars >= 0") ==
+        Right(2L), "chars_positive must activate as v2")
+      require(M.addConstraint(s, dir, "id_even", "doc_id % 2 = 0") ==
+        Right(3L), "id_even must activate as v3")
+      // history violates (long docs exist) → refusal, nothing published
+      M.addConstraint(s, dir, "short_docs", "n_chars < 100") match {
+        case Left(c) if c > 0 => ()
+        case other => throw new IllegalStateException(
+          s"short_docs must refuse on history, got $other")
+      }
+      // good append: even ids only — passes both declared constraints
+      docs.filter(col("doc_id") % 4 === 2)
+        .write.mode("overwrite").parquet(s"$dir/v=4")
+      require(M.commitConstrained(s, dir, 4, "append evens").isEmpty,
+        "clean append must publish")
+      // bad append: odd ids violate id_even → refused, v=5 stays orphan
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$dir/v=5")
+      require(M.commitConstrained(s, dir, 5, "append odds").nonEmpty,
+        "violating append must refuse")
+      java.nio.file.Files.createFile(done)
+    }
+    // evidence re-exercises BOTH refusal paths every run (the staged
+    // inputs are immutable), so a broken gate can't hide behind the
+    // staging cache: a wrongly-accepted alter/append would publish a
+    // version and shift latest_version/n_constraints off the oracle
+    val alterRefused = M.addConstraint(s, dir,
+      s"short_docs_${java.util.UUID.randomUUID.toString.take(8)}",
+      "n_chars < 100").left.getOrElse(0L)
+    val appendRefused = M.commitConstrained(s, dir, 5, "append odds (retry)")
+      .map(_.split(" violated by ")(1).split(" ")(0).toLong).sum
+    (dir, alterRefused, appendRefused)
+  }
+
+  private def q363(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val (dir, alterRefused, appendRefused) = constraintEstate(s, d)
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    val nConstraints = M.constraints(s, dir).size.toLong
+    val evidence = Seq((latest, nConstraints, alterRefused, appendRefused))
+      .toDF("latest_version", "n_constraints", "alter_refused_rows",
+        "append_refused_rows")
+    M.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q363Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(4 AS BIGINT) AS latest_version,
+      |  CAST(2 AS BIGINT) AS n_constraints,
+      |  CAST((SELECT COUNT(*) FROM documents
+      |        WHERE doc_id % 2 = 0 AND NOT (n_chars < 100))
+      |    AS BIGINT) AS alter_refused_rows,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 1)
+      |    AS BIGINT) AS append_refused_rows
+      |FROM documents WHERE doc_id % 2 = 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_table_constraints" -> q363,
     "q358_sql_estate_procs" -> q358,
     "q354_sql_branch_read" -> q354,
     "q355_snapshot_expiry" -> q355,
@@ -4460,6 +4563,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q363_table_constraints" -> q363Sql,
     "q358_sql_estate_procs" -> q358Sql,
     "q354_sql_branch_read" -> q354Sql,
     "q355_snapshot_expiry" -> q355Sql,

@@ -111,6 +111,110 @@ object VersionedManifest {
     } else violations
   }
 
+  // ------------------------------------------------ declared constraints
+
+  /** Declared CHECK constraints of committed version `n`:
+    * `constraint=<name>:<sql predicate>` manifest lines. Constraints are
+    * TABLE METADATA carried in every manifest body (each publish copies
+    * the inherited set forward), so a snapshot's rules travel with it —
+    * time travel to version `n` sees exactly the constraints that were
+    * in force when `n` was written.
+    */
+  def constraintsAt(s: SparkSession, dir: String, n: Long): Seq[(String, String)] =
+    manifestBody(fs(dir, s), dir, n).linesIterator.toSeq
+      .filter(_.startsWith("constraint="))
+      .map(_.stripPrefix("constraint=").split(":", 2))
+      .collect { case Array(name, pred) => (name, pred) }
+
+  /** Constraints in force now (those of the latest committed version). */
+  def constraints(s: SparkSession, dir: String): Seq[(String, String)] =
+    latestCommitted(s, dir).map(n => constraintsAt(s, dir, n)).getOrElse(Nil)
+
+  /** Violation count per constraint over `df`, ALL constraints in ONE
+    * aggregate pass (one `sum(CASE …)` column each — map-side combinable,
+    * no per-constraint rescans). Standard CHECK semantics: a row violates
+    * iff the predicate evaluates to FALSE; UNKNOWN (NULL) passes, exactly
+    * as SQL CHECK and Delta's table constraints treat it — a NOT NULL
+    * rule is therefore spelled `col IS NOT NULL`, which never yields
+    * UNKNOWN.
+    */
+  private def violationCounts(df: DataFrame,
+                              cs: Seq[(String, String)]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    if (cs.isEmpty) return Nil
+    val aggs = cs.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(not(coalesce(expr(p), lit(true))), lit(1L))
+        .otherwise(lit(0L))).as(s"c$i")
+    }
+    // one row, |constraints| columns — driver traffic is O(#constraints)
+    val row = df.agg(aggs.head, aggs.drop(1): _*).collect()(0)
+    cs.zipWithIndex.map { case ((name, _), i) =>
+      (name, if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: the new predicate must hold on the
+    * CURRENT table first (one aggregate scan of the latest snapshot —
+    * the same validate-before-activate contract Delta's ADD CONSTRAINT
+    * has); a violated history refuses with the offending row count and
+    * publishes NOTHING. On success the constraint activates via a
+    * METADATA-ONLY version: `dataChange=false`, `data=` lines
+    * re-addressing the latest snapshot's dirs byte-for-byte (subscribers
+    * skip it, q338's contract; time travel behind it sees the old rule
+    * set), body carrying inherited + new `constraint=` lines.
+    */
+  def addConstraint(s: SparkSession, dir: String, name: String,
+                    predicate: String): Either[Long, Long] = {
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val inherited = constraintsAt(s, dir, latest)
+    require(!inherited.exists(_._1 == name),
+      s"constraint $name already declared at $dir")
+    val bad = violationCounts(readAt(s, dir, latest),
+      Seq(name -> predicate)).head._2
+    if (bad > 0) return Left(bad)
+    val fmt = formatOf(s, dir, latest)
+    val dataLines = resolveDataDirsWithFormat(s, dir, latest).map {
+      case (d0, f0) => if (f0 == fmt) s"data=$d0" else s"data=$d0;format=$f0"
+    }
+    val all = inherited :+ (name -> predicate)
+    val body = (Seq(s"alter add constraint $name", s"format=$fmt",
+      "dataChange=false") ++ dataLines ++
+      all.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
+    val v = latest + 1
+    commit(s, dir, v, body)
+    Right(v)
+  }
+
+  /** Constraint-ENFORCING append publish: the staged increment under
+    * `v=<n>` is checked against every declared constraint in one
+    * aggregate pass — violations mean NO manifest rename (readers keep
+    * the previous snapshot, the staged dir is a vacuumable orphan) and
+    * the per-constraint counts come back for the dead-letter path. Only
+    * the INCREMENT is scanned: constraints are row-local predicates and
+    * every already-visible row was validated at ITS publish (or at
+    * ALTER time), so enforcement stays O(batch), never O(table). On
+    * success the new manifest addresses {previous snapshot dirs} ∪
+    * {v=<n>} (cumulative, the q323 stream-sink convention) and carries
+    * the constraint set forward.
+    */
+  def commitConstrained(s: SparkSession, dir: String, n: Long,
+                        meta: String): Seq[String] = {
+    val cs = constraints(s, dir)
+    val staged = s.read.parquet(s"$dir/v=$n")
+    val bad = violationCounts(staged, cs).filter(_._2 > 0)
+    if (bad.nonEmpty)
+      return bad.map { case (nm, c) =>
+        s"constraint $nm violated by $c staged rows"
+      }
+    val prevData = latestCommitted(s, dir).toSeq
+      .flatMap(v => resolveDataDirs(s, dir, v))
+    val body = (Seq(meta) ++ (prevData :+ s"$dir/v=$n").map(d0 => s"data=$d0") ++
+      cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
+    commit(s, dir, n, body)
+    Nil
+  }
+
   /** Per-file column-stats manifest lines for data landed under
     * `dataDir`: `stats=<fileName>:<min>:<max>` for one long-castable
     * column — Delta's stats-in-log / Iceberg's per-file column stats

@@ -665,4 +665,40 @@ class Round11Spec extends SparkSpec {
       s"join to the unregistered dimension was dropped:\n$planOn")
     assert(onRows == offRows, s"$onRows vs $offRows")
   }
+
+  // ------------------------------------------------- q363 constraints
+
+  test("q363: declared constraints persist, enforce, and refuse (CHECK-NULL passes)") {
+    import graft.sources.{VersionedManifest => M}
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_constr_" +
+      spark.sparkContext.applicationId
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    M.commit(spark, dir, 1, "base")
+    // activation is a metadata-only version: same snapshot, rule stored
+    assert(M.addConstraint(spark, dir, "v_pos", "v > 0") == Right(2L))
+    assert(!M.dataChange(spark, dir, 2))
+    assert(M.readAt(spark, dir, 2).count() == 2)
+    assert(M.constraints(spark, dir) == Seq("v_pos" -> "v > 0"))
+    // ALTER validates history: a violated predicate publishes NOTHING
+    assert(M.addConstraint(spark, dir, "v_small", "v < 15") == Left(1L))
+    assert(M.latestCommitted(spark, dir).contains(2L))
+    // SQL CHECK semantics: UNKNOWN (null) passes, FALSE refuses
+    Seq((3L, Some(30L)), (4L, None)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/v=3")
+    assert(M.commitConstrained(spark, dir, 3, "append with null").isEmpty,
+      "a NULL predicate must pass CHECK")
+    assert(M.readLatest(spark, dir).count() == 4)
+    // a violating batch: refused, no manifest, dir is a vacuumable orphan
+    Seq((5L, -1L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/v=4")
+    val refusal = M.commitConstrained(spark, dir, 4, "bad append")
+    assert(refusal == Seq("constraint v_pos violated by 1 staged rows"))
+    assert(M.latestCommitted(spark, dir).contains(3L))
+    assert(M.constraintsAt(spark, dir, 3) == Seq("v_pos" -> "v > 0"),
+      "constraints must ride every published manifest forward")
+    // the refused version's data never became visible
+    assert(M.readLatest(spark, dir).filter(col("v") < 0).count() == 0)
+  }
 }
