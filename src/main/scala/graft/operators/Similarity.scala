@@ -2233,7 +2233,101 @@ object Similarity extends QueryModule {
        |FROM ex e LEFT JOIN rer r ON e.qid = r.qid AND e.nid = r.nid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  // --------------------------------------------------------------- q364
+
+  /** q364: SQ8 SERVING RECALL — the retrieval-side audit of scalar int8
+    * quantization (faiss's SQ8 / the vector store's "compressed index"
+    * knob; q121 measures the RECONSTRUCTION error of the same codes, THIS
+    * measures what serving actually cares about): corpus vectors compress
+    * to int8 codes under q121's symmetric per-vector scaling (q =
+    * sym_round(x·127/max|x|) in pure integer arithmetic — no float
+    * `round()` tie-break can leak in), queries rank the corpus by COSINE
+    * OVER THE CODES (per-vector scales cancel in cosine, so the code dot
+    * needs no dequantization), and recall@5 against the exact full-width
+    * ranking is reported per query. Both rankings replay in the oracle
+    * (q304's discipline) — the measured recall itself hash-checks.
+    *
+    * Scale: the int8 index is the 8×-smaller RESIDENT set (8-bit codes vs
+    * the 64-bit exact vectors); the corpus streams ONCE against the
+    * broadcast 10-query slice, codes are computed map-side in the same
+    * pass (production would store them), and the only shuffles are the
+    * two per-query top-k windows over 10 keys. The exact leg exists only
+    * for the audit; production serves the code leg alone.
+    */
+  private def q364(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    // q121's integer-exact symmetric rounding: |c| ≤ 127 by construction
+    val code = "transform(v, x -> IF(x >= 0, (x * 254 + scale) div (2 * scale), " +
+      "-(((-x) * 254 + scale) div (2 * scale))))"
+    val coded = quantized(s, d)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("scale") > 0)
+      .withColumn("c", expr(code))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("c").as("qc"))
+    val n = coded.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("c").as("nc"))
+    val pairs = n.join(broadcast(q), col("qid") =!= col("nid"))
+    def cosOf(a: String, b: String) =
+      dotExpr(a, b).cast(DoubleType) /
+        (sqrt(dotExpr(a, a).cast(DoubleType)) *
+          sqrt(dotExpr(b, b).cast(DoubleType)))
+    val sq8Top = pairs
+      .withColumn("ccos", cosOf("qc", "nc"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ccos"), col("nid"))))
+      .filter(col("crk") <= 5)
+      .select(col("qid"), col("nid"))
+    val exact = pairs
+      .withColumn("ecos", cosOf("qv", "nv"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("ecos"), col("nid"))))
+      .filter(col("erk") <= 5)
+      .select(col("qid"), col("nid"))
+    exact.join(sq8Top.withColumn("hit", lit(1L)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast(LongType).as("n_recalled"),
+        count(lit(1)).as("k"))
+      .orderBy(col("qid"))
+  }
+
+  private val q364Sql = {
+    val code = "list_transform(v, x -> CASE WHEN x >= 0 THEN (x * 254 + scale) // (2 * scale) " +
+      "ELSE -(((-x) * 254 + scale) // (2 * scale)) END)"
+    def cos(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])) AS DOUBLE)" +
+        s" / (sqrt(CAST(list_sum(list_transform($a, x -> x*x)) AS DOUBLE))" +
+        s" * sqrt(CAST(list_sum(list_transform($b, x -> x*x)) AS DOUBLE)))"
+    s"""WITH qz AS ($quantizedSql),
+       |coded AS (
+       |  SELECT vec_id, v, $code AS c FROM (
+       |    SELECT vec_id, v,
+       |      CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS scale
+       |    FROM qz) WHERE scale > 0),
+       |pairs AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    a.v AS qv, b.v AS nv, a.c AS qc, b.c AS nc
+       |  FROM coded a JOIN coded b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |sq8 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${cos("qc", "nc")} DESC, nid) AS crk
+       |    FROM pairs) WHERE crk <= 5),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${cos("qv", "nv")} DESC, nid) AS erk
+       |    FROM pairs) WHERE erk <= 5)
+       |SELECT e.qid,
+       |  CAST(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_recalled,
+       |  CAST(COUNT(*) AS BIGINT) AS k
+       |FROM ex e LEFT JOIN sq8 s ON e.qid = s.qid AND e.nid = s.nid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_sq8_recall" -> q364,
     "q359_truncated_rerank" -> q359,
     "q352_centroid_classifier" -> q352,
     "q347_bitext_margin" -> q347,
@@ -2262,6 +2356,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q364_sq8_recall" -> q364Sql,
     "q359_truncated_rerank" -> q359Sql,
     "q352_centroid_classifier" -> q352Sql,
     "q347_bitext_margin" -> q347Sql,

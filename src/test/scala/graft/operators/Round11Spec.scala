@@ -701,4 +701,30 @@ class Round11Spec extends SparkSpec {
     // the refused version's data never became visible
     assert(M.readLatest(spark, dir).filter(col("v") < 0).count() == 0)
   }
+
+  // ------------------------------------------------- q364 SQ8 serving
+
+  test("q364: int8 codes are bounded, saturate at the argmax dim, and the query slice broadcasts") {
+    // the quantizer contract: |c| ≤ 127 everywhere, = 127 where |v| = scale
+    val code = "transform(v, x -> IF(x >= 0, (x * 254 + scale) div (2 * scale), " +
+      "-(((-x) * 254 + scale) div (2 * scale))))"
+    val coded = graft.Tables.embeddings(spark, sf0001)
+      .select(expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("scale") > 0)
+      .withColumn("c", expr(code))
+      .select(expr("array_max(transform(c, x -> abs(x)))").as("cmax"))
+      .agg(min(col("cmax")).as("lo"), max(col("cmax")).as("hi"))
+      .head()
+    assert(coded.getLong(0) == 127L && coded.getLong(1) == 127L,
+      s"every vector must saturate exactly at 127, got $coded")
+    // serving plan: the 10-query slice broadcasts; the corpus streams
+    val df = SparkEntry.queries("q364_sq8_recall")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query slice must broadcast against the streamed corpus:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 10 && rows.forall(r =>
+      r.getLong(2) == 5L && r.getLong(1) >= 0L && r.getLong(1) <= 5L))
+  }
 }
