@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** SQL programmability surface — the way an analytics estate packages
   * reusable logic for SQL-only consumers, without shipping a jar: SQL-body
@@ -200,7 +201,72 @@ object SqlProgrammability extends QueryModule {
       |WHERE n_chars BETWEEN 120 AND 480 AND source <> 'src7'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q365
+
+  /** q365: COLUMN-LEVEL LINEAGE — the governance relation every impact
+    * analysis and PII-propagation audit starts from: each output column
+    * of a registered pipeline resolved to the exact (source table, source
+    * column) pairs that feed it, computed by [[graft.plans.ColumnLineage]]
+    * walking the ANALYZED Catalyst plan (attributes are minted only at
+    * Project/Aggregate/Window/Generate/Union — everything else passes
+    * them through by ExprId, so one bottom-up fold resolves the whole
+    * tree). Two subject plans exercise the traversal: a four-table
+    * join+aggregate (fan-in through joins, multi-column measures) and an
+    * explode+window chain (generator lineage, window partition/order keys
+    * counted as sources). The oracle pins the complete expected relation
+    * — a lineage walk that dropped the generator hop, missed a window
+    * key, or mis-attributed a join column hash-mismatches.
+    *
+    * Scale: O(plan) driver-side metadata work — the audit never touches
+    * data, so it costs the same over 100 TB as over the test SF. The
+    * recorded relation is what a catalog would persist per registered
+    * pipeline version.
+    */
+  private def q365(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val revenue = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(col("l_orderkey")).as("n_items"),
+        max(col("o_orderdate")).as("last_order"))
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"),
+        col("n_chars"))
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("doc_id")).orderBy(col("tok"))))
+      .select(col("doc_id").as("d"), col("tok"),
+        (col("n_chars") + lit(1)).as("len1"), col("rk"))
+    graft.plans.ColumnLineage
+      .table(Seq("revenue" -> revenue, "tokens" -> tokens))
+      .toDF("plan", "out_col", "src_table", "src_col")
+      .orderBy(col("plan"), col("out_col"), col("src_table"), col("src_col"))
+  }
+
+  private val q365Sql =
+    """SELECT * FROM (VALUES
+      |  ('revenue', 'last_order', 'orders',   'o_orderdate'),
+      |  ('revenue', 'n_items',    'lineitem', 'l_orderkey'),
+      |  ('revenue', 'n_name',     'nation',   'n_name'),
+      |  ('revenue', 'revenue',    'lineitem', 'l_discount'),
+      |  ('revenue', 'revenue',    'lineitem', 'l_extendedprice'),
+      |  ('tokens',  'd',          'documents', 'doc_id'),
+      |  ('tokens',  'len1',       'documents', 'n_chars'),
+      |  ('tokens',  'rk',         'documents', 'doc_id'),
+      |  ('tokens',  'rk',         'documents', 'text'),
+      |  ('tokens',  'tok',        'documents', 'text'))
+      |  AS t(plan, out_col, src_table, src_col)
+      |ORDER BY plan, out_col, src_table, src_col""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_column_lineage" -> q365,
     "q362_parameterized_sql" -> q362,
     "q271_sql_udf" -> q271,
     "q272_session_variables" -> q272,
@@ -208,6 +274,7 @@ object SqlProgrammability extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q365_column_lineage" -> q365Sql,
     "q362_parameterized_sql" -> q362Sql,
     "q271_sql_udf" -> q271Sql,
     "q272_session_variables" -> q272Sql,
