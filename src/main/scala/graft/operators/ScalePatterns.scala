@@ -4489,7 +4489,91 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE doc_id % 2 = 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q366
+
+  /** q366: COPY-ON-WRITE MERGE into the versioned table — the upsert a
+    * corpus refresh runs ("these documents were re-crawled, these are
+    * new") as a TABLE-FORMAT operation (`VersionedManifest.merge`):
+    * source rows replace snapshot rows sharing the key and append
+    * otherwise, the rewrite touches ONLY the affected data dirs (one
+    * semi-join pass finds them; Iceberg's COW at this format's
+    * dir granularity), and the published manifest re-addresses every
+    * untouched dir byte-for-byte. The estate lands two dirs (base +
+    * append), then merges updates hitting only the BASE dir plus a
+    * fresh insert slice: the append dir must survive unrewritten
+    * (evidence column derived from the committed manifests — the v3/v2
+    * dir intersection), time travel to the pre-merge snapshot stays
+    * intact, and the final rollup hash-matches the oracle's replay of
+    * the upsert semantics.
+    *
+    * Scale: merge cost is O(affected dirs + source), never O(table) —
+    * the append-heavy estate (thousands of landed dirs, updates
+    * clustered in a few) rewrites exactly the dirs it must; duplicate
+    * source keys refuse up front (the MERGE cardinality rule); a lost
+    * publish race throws for an OCC rebase (q284's contract).
+    */
+  private def mergeEstate(s: SparkSession, d: String): String = {
+    val M = graft.sources.VersionedManifest
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$dir/d-a")
+      M.commit(s, dir, 1, "data=d-a\nbase load")
+      docs.filter(col("doc_id") % 3 === 1)
+        .write.mode("overwrite").parquet(s"$dir/d-b")
+      M.commit(s, dir, 2, "data=d-a\ndata=d-b\nappend")
+      // updates hit only d-a (%6==0 ⊂ %3==0); inserts are brand-new keys
+      val src = docs.filter(col("doc_id") % 6 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000)
+        .unionByName(docs.filter(col("doc_id") % 15 === 2))
+      val (v, affected, untouched) = M.merge(s, dir, src, "doc_id")
+      require(v == 3L && affected.size == 1 && untouched.size == 1 &&
+        affected.head.endsWith("d-a") && untouched.head.endsWith("d-b"),
+        s"merge must rewrite exactly d-a: v=$v aff=$affected unt=$untouched")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  private def q366(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val dir = mergeEstate(s, d)
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    val nowDirs = M.resolveDataDirs(s, dir, latest)
+    val untouched = nowDirs.toSet
+      .intersect(M.resolveDataDirs(s, dir, latest - 1).toSet)
+    val evidence = Seq((latest, nowDirs.size.toLong, untouched.size.toLong))
+      .toDF("latest_version", "n_dirs", "n_untouched_dirs")
+    M.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q366Sql =
+    """WITH final AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 6 = 0 THEN n_chars + 5000 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 15 = 2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS latest_version,
+      |  CAST(2 AS BIGINT) AS n_dirs,
+      |  CAST(1 AS BIGINT) AS n_untouched_dirs
+      |FROM final GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_versioned_merge" -> q366,
     "q363_table_constraints" -> q363,
     "q358_sql_estate_procs" -> q358,
     "q354_sql_branch_read" -> q354,
@@ -4563,6 +4647,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q366_versioned_merge" -> q366Sql,
     "q363_table_constraints" -> q363Sql,
     "q358_sql_estate_procs" -> q358Sql,
     "q354_sql_branch_read" -> q354Sql,

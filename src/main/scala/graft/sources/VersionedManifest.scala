@@ -215,6 +215,66 @@ object VersionedManifest {
     Nil
   }
 
+  /** COPY-ON-WRITE MERGE (upsert) into the versioned table at the
+    * format's natural rewrite granularity — the DATA DIRECTORY (the
+    * manifest's `data=` unit; Iceberg's COW rewrites files, this format's
+    * dirs play that role): source rows REPLACE snapshot rows sharing
+    * `key` and append otherwise. One pass over the snapshot finds the
+    * AFFECTED dirs (a semi join against the source keys, grouped by
+    * `input_file_name` — O(affected files) driver rows); only those dirs
+    * are rewritten (their unmatched rows + the whole source) into a
+    * fresh `d-m<n>` dir, and the new manifest addresses {untouched dirs}
+    * ∪ {merge dir} — an untouched dir's bytes are never read twice and
+    * never move. Declared constraints (q363) ride forward and the merge
+    * output is validated against them before publish. Duplicate source
+    * keys refuse up front (ambiguous upsert — the MERGE cardinality rule).
+    * Publication is [[tryCommit]]: a lost race throws
+    * ConcurrentModificationException and the caller re-runs against the
+    * new snapshot (the standard OCC rebase contract, q284).
+    *
+    * Returns (new version, affected dirs, untouched dirs).
+    */
+  def merge(s: SparkSession, dir: String, source: DataFrame,
+            key: String): (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val dup = source.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(dup == 0,
+      s"merge source has duplicate $key values: ambiguous upsert")
+    val dirs = resolveDataDirs(s, dir, latest)
+    val keys = source.select(col(key))
+    val matchedFiles = s.read.parquet(dirs: _*)
+      .select(col(key), input_file_name().as("_gfile"))
+      .join(keys, Seq(key), "left_semi")
+      .select(col("_gfile")).distinct().collect().map(_.getString(0))
+    def dirOfFile(f: String): String =
+      new Path(f).getParent.toUri.getPath
+    val affectedSet = matchedFiles.map(dirOfFile).toSet
+    val (affected, untouched) = dirs.partition(d0 =>
+      affectedSet.contains(new Path(d0).toUri.getPath))
+    val kept =
+      if (affected.isEmpty) source.limit(0)
+      else s.read.parquet(affected: _*).join(keys, Seq(key), "left_anti")
+    val out = kept.unionByName(source.select(kept.columns.map(col): _*))
+    val n = latest + 1
+    val newSub = s"d-m$n"
+    out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    val cs = constraintsAt(s, dir, latest)
+    val bad = violationCounts(s.read.parquet(s"$dir/$newSub"), cs)
+      .filter(_._2 > 0)
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"merge output violates ${bad.map(_._1).mkString(", ")} — not published")
+    val body = (Seq(s"merge on $key") ++
+      (untouched :+ s"$dir/$newSub").map(d0 => s"data=$d0") ++
+      cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
+    if (!tryCommit(s, dir, n, body))
+      throw new java.util.ConcurrentModificationException(
+        s"version $n was committed concurrently at $dir — rebase and retry")
+    (n, affected, untouched)
+  }
+
   /** Per-file column-stats manifest lines for data landed under
     * `dataDir`: `stats=<fileName>:<min>:<max>` for one long-castable
     * column — Delta's stats-in-log / Iceberg's per-file column stats

@@ -727,4 +727,51 @@ class Round11Spec extends SparkSpec {
     assert(rows.length == 10 && rows.forall(r =>
       r.getLong(2) == 5L && r.getLong(1) >= 0L && r.getLong(1) <= 5L))
   }
+
+  // ------------------------------------------------- q366 COW merge
+
+  test("q366: merge rewrites only affected dirs, keeps time travel, refuses dup keys") {
+    import graft.sources.{VersionedManifest => M}
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_merge_" +
+      spark.sparkContext.applicationId
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
+      .write.mode("overwrite").parquet(s"$dir/d-x")
+    M.commit(spark, dir, 1, "data=d-x\nbase")
+    Seq((3L, "c", 30L)).toDF("id", "s", "v")
+      .write.mode("overwrite").parquet(s"$dir/d-y")
+    M.commit(spark, dir, 2, "data=d-x\ndata=d-y\nappend")
+    def listing(sub: String) = {
+      val p = java.nio.file.Paths.get(dir, sub)
+      java.nio.file.Files.list(p).toArray.map(_.toString).sorted.toSeq
+        .map(f => (f, java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(f)).toMillis))
+    }
+    val dyBefore = listing("d-y")
+    // update id=1 (lives in d-x), insert id=9
+    val src = Seq((1L, "a2", 11L), (9L, "z", 90L)).toDF("id", "s", "v")
+    val (v, affected, untouched) = M.merge(spark, dir, src, "id")
+    assert(v == 3L)
+    assert(affected.map(p => p.split("/").last) == Seq("d-x"))
+    assert(untouched.map(p => p.split("/").last) == Seq("d-y"))
+    // the untouched dir's bytes never moved
+    assert(listing("d-y") == dyBefore, "d-y must not be rewritten")
+    // final state: upsert applied, kept row survives
+    val got = M.readLatest(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a2", 11L), (2L, "b", 20L), (3L, "c", 30L),
+      (9L, "z", 90L)), got.toString)
+    // time travel: the pre-merge snapshot is intact
+    assert(M.readAt(spark, dir, 2).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // duplicate source keys refuse before any write
+    val dup = Seq((5L, "d", 1L), (5L, "d", 2L)).toDF("id", "s", "v")
+    intercept[IllegalArgumentException] { M.merge(spark, dir, dup, "id") }
+    assert(M.latestCommitted(spark, dir).contains(3L))
+    // insert-only merge: no dir affected, everything re-addressed
+    val ins = Seq((100L, "n", 1L)).toDF("id", "s", "v")
+    val (v2, aff2, unt2) = M.merge(spark, dir, ins, "id")
+    assert(v2 == 4L && aff2.isEmpty && unt2.size == 2)
+    assert(M.readLatest(spark, dir).count() == 5)
+  }
 }
