@@ -261,17 +261,77 @@ object VersionedManifest {
     val n = latest + 1
     val newSub = s"d-m$n"
     out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    publishCow(s, dir, latest, n, untouched, newSub, s"merge on $key")
+    (n, affected, untouched)
+  }
+
+  /** Shared COW publish tail: validate the freshly-written merge dir
+    * against the declared constraints (q363 — a merge may not smuggle in
+    * rows an append would have refused), then OCC-publish the manifest
+    * re-addressing {untouched dirs} ∪ {merge dir} with the constraint
+    * set carried forward.
+    */
+  private def publishCow(s: SparkSession, dir: String, latest: Long, n: Long,
+                         untouched: Seq[String], newSub: String,
+                         head: String): Unit = {
     val cs = constraintsAt(s, dir, latest)
     val bad = violationCounts(s.read.parquet(s"$dir/$newSub"), cs)
       .filter(_._2 > 0)
     if (bad.nonEmpty) throw new IllegalStateException(
       s"merge output violates ${bad.map(_._1).mkString(", ")} — not published")
-    val body = (Seq(s"merge on $key") ++
+    val body = (Seq(head) ++
       (untouched :+ s"$dir/$newSub").map(d0 => s"data=$d0") ++
       cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
     if (!tryCommit(s, dir, n, body))
       throw new java.util.ConcurrentModificationException(
         s"version $n was committed concurrently at $dir — rebase and retry")
+  }
+
+  /** LAST-WRITER-WINS merge — the CDC-apply flavor of [[merge]]: a
+    * matched key keeps whichever row wins on the `orderCols` tuple
+    * (event time + a unique tiebreaker make it a TOTAL order), so the
+    * operation is COMMUTATIVE across batches — replays, out-of-order
+    * micro-batches, and arbitrary file→batch assignment all converge to
+    * the same table, which is what lets a streaming upsert be verified
+    * against a batch oracle at all. In-batch duplicates fold first
+    * (lexicographic max over the packed (orderCols ++ rest) struct — the
+    * same total order, applied map-side). Rewrite granularity, affected-
+    * dir discovery, constraint validation, and OCC publish are exactly
+    * [[merge]]'s; `head` lands verbatim in the manifest body (the
+    * streaming caller writes its `epoch=<n>` idempotence marker there).
+    */
+  def mergeLww(s: SparkSession, dir: String, source: DataFrame, key: String,
+               orderCols: Seq[String], head: String)
+      : (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, greatest, input_file_name, max, struct}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val rest = source.columns.filterNot(c =>
+      c == key || orderCols.contains(c)).toSeq
+    val packed = (orderCols ++ rest).map(col)
+    def pack(df: DataFrame, as: String): DataFrame =
+      df.select(col(key), struct(packed: _*).as(as))
+    val src = pack(source, "_s").groupBy(col(key)).agg(max(col("_s")).as("_s"))
+    val dirs = resolveDataDirs(s, dir, latest)
+    val matchedFiles = s.read.parquet(dirs: _*)
+      .select(col(key), input_file_name().as("_gfile"))
+      .join(src.select(col(key)), Seq(key), "left_semi")
+      .select(col("_gfile")).distinct().collect().map(_.getString(0))
+    val affectedSet = matchedFiles
+      .map(f => new Path(f).getParent.toUri.getPath).toSet
+    val (affected, untouched) = dirs.partition(d0 =>
+      affectedSet.contains(new Path(d0).toUri.getPath))
+    val aff =
+      if (affected.isEmpty) pack(source.limit(0), "_t")
+      else pack(s.read.parquet(affected: _*), "_t")
+    val out = aff.join(src, Seq(key), "full_outer")
+      .select(col(key), greatest(col("_t"), col("_s")).as("_p"))
+      .select(col(key) +: (orderCols ++ rest).map(c => col(s"_p.$c")): _*)
+      .select(source.columns.map(col): _*)
+    val n = latest + 1
+    val newSub = s"d-m$n"
+    out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    publishCow(s, dir, latest, n, untouched, newSub, head)
     (n, affected, untouched)
   }
 

@@ -1287,6 +1287,90 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q367
+
+  private val q367Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q367: STREAMING LWW UPSERT — CDC apply into the versioned table:
+    * q252 APPENDS each epoch as a new version, THIS one MERGES it
+    * (`VersionedManifest.mergeLww`, the q366 COW machinery) so the table
+    * converges to one live row per key — the mutable "profile" table
+    * every CDC pipeline maintains downstream of an event log. Matched
+    * keys keep whichever row wins on (ts, event_id) — a TOTAL order, so
+    * the upsert is COMMUTATIVE across micro-batches: replays,
+    * out-of-order file→batch assignment, and restarts all converge to
+    * the same table, which is why a batch oracle (the per-user argmax
+    * over ALL events) can hash-check a streaming result at all.
+    * Idempotence is the manifest's: each epoch stamps an `epoch=<n>`
+    * marker line into the commit body and a replayed epoch finds its
+    * marker in committed history and lands nothing (q252's discipline,
+    * carried through a MERGE instead of an append). The estate
+    * bootstraps v1 from the even-event_id half (the stale profile
+    * snapshot); the stream feeds the odd half; the final rollup is
+    * split-independent BY CONSTRUCTION — LWW order, not arrival order,
+    * decides every row.
+    *
+    * Scale: per epoch, one semi-join pass finds affected dirs and only
+    * those rewrite (O(affected + batch), never O(table)); the LWW fold
+    * is a map-side-combinable struct max. State lives in the TABLE, not
+    * the stream — no watermark, no state store, restart-safe by
+    * manifest alone.
+    */
+  private def q367(s: SparkSession, d: String): DataFrame = {
+    val M = graft.sources.VersionedManifest
+    val run = q367Runs.incrementAndGet()
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdc_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val ckpt = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdc_ckpt_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def lwwFold(df: DataFrame): DataFrame = df
+      .select(col("user_id"), struct(col("ts"), col("event_id"),
+        col("event_type"), col("value"), col("props")).as("p"))
+      .groupBy(col("user_id")).agg(max(col("p")).as("p"))
+      .select(col("user_id"), col("p.ts"), col("p.event_id"),
+        col("p.event_type"), col("p.value"), col("p.props"))
+      .select(cols.map(col): _*)
+    if (M.latestCommitted(s, dir).isEmpty) {
+      lwwFold(Tables.events(s, d).filter(col("event_id") % 2 === 0))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1, "bootstrap profiles")
+    }
+    val applyCdc: (DataFrame, Long) => Unit = (batch, epoch) => {
+      val marker = s"epoch=$epoch"
+      val seen = M.committedVersions(s, dir).exists(v =>
+        M.describe(s, dir, v).linesIterator.exists(_.trim == marker))
+      if (!seen && !batch.isEmpty)
+        M.mergeLww(s, dir, batch.select(cols.map(col): _*), "user_id",
+          Seq("ts", "event_id"), marker)
+    }
+    val q = streamEvents(s, d).filter(col("event_id") % 2 === 1)
+      .writeStream
+      .foreachBatch(applyCdc)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    M.readLatest(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("event_id")).as("id_sum"),
+        Exact.sumMoney(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q367Sql =
+    s"""WITH w AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rk
+       |  FROM events)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       |  ${Exact.sqlSumMoney("value")} AS total_value
+       |FROM w WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q323
 
   private val q323Runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1784,6 +1868,7 @@ object Streams extends QueryModule {
     "q252_stream_versioned_ingest" -> q252,
     "q323_versioned_stream_sink" -> q323,
     "q326_stream_table_compaction" -> q326,
+    "q367_stream_lww_upsert" -> q367,
     "q328_versioned_stream_source" -> q328,
     "q338_mixed_format_feed" -> q338,
     "q351_branch_subscriber" -> q351,
@@ -1815,6 +1900,7 @@ object Streams extends QueryModule {
     "q252_stream_versioned_ingest" -> q252Sql,
     "q323_versioned_stream_sink" -> q323Sql,
     "q326_stream_table_compaction" -> q326Sql,
+    "q367_stream_lww_upsert" -> q367Sql,
     "q328_versioned_stream_source" -> q328Sql,
     "q338_mixed_format_feed" -> q338Sql,
     "q351_branch_subscriber" -> q351Sql,

@@ -774,4 +774,35 @@ class Round11Spec extends SparkSpec {
     assert(v2 == 4L && aff2.isEmpty && unt2.size == 2)
     assert(M.readLatest(spark, dir).count() == 5)
   }
+
+  test("q367: LWW merge is commutative — batch order never changes the table") {
+    import graft.sources.{VersionedManifest => M}
+    import spark.implicits._
+    def estate(tag: String): String = {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_lww_${tag}_" +
+        spark.sparkContext.applicationId
+      Seq((1L, 10L, "old1"), (2L, 10L, "old2")).toDF("k", "ts", "v")
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(spark, dir, 1, "base")
+      dir
+    }
+    // batch A carries the NEWEST row for k=1; batch B an older one + k=3;
+    // B also holds an in-batch duplicate for k=3 that must fold first
+    val a = Seq((1L, 20L, "newest")).toDF("k", "ts", "v")
+    val b = Seq((1L, 15L, "stale"), (3L, 5L, "late3"), (3L, 7L, "best3"))
+      .toDF("k", "ts", "v")
+    def read(dir: String) = M.readLatest(spark, dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val d1 = estate("ab")
+    M.mergeLww(spark, d1, a, "k", Seq("ts"), "epoch=0")
+    M.mergeLww(spark, d1, b, "k", Seq("ts"), "epoch=1")
+    val d2 = estate("ba")
+    M.mergeLww(spark, d2, b, "k", Seq("ts"), "epoch=0")
+    M.mergeLww(spark, d2, a, "k", Seq("ts"), "epoch=1")
+    val want = Seq((1L, 20L, "newest"), (2L, 10L, "old2"), (3L, 7L, "best3"))
+    assert(read(d1) == want, s"A,B order: ${read(d1)}")
+    assert(read(d2) == want, s"B,A order: ${read(d2)}")
+    // the marker line a streaming caller stamps is findable verbatim
+    assert(M.describe(spark, d1, 2).linesIterator.exists(_.trim == "epoch=0"))
+  }
 }
