@@ -1859,7 +1859,91 @@ object TextOps extends QueryModule {
        |FROM flags GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // --------------------------------------------------------------- q368
+
+  /** q368: TAXONOMY DICTIONARY TAGGING — the keyword-dictionary domain
+    * labeler a mixing pipeline runs when no classifier exists yet (the
+    * FlashText/gazetteer pattern; complements q352's embedding centroid
+    * classifier and q66's character-n-gram language ID — three rungs of
+    * the same curation ladder): a 12-keyword, 3-topic taxonomy broadcasts
+    * against the exploded token stream, per-document topic histograms
+    * fold in one keyed aggregate, and the DOMINANT topic is the
+    * lexicographic max of a (count, −topic-code) struct — no per-group
+    * sort, no window buffer (q343's discipline), ties broken by the
+    * dictionary's own topic precedence so the label is deterministic on
+    * any engine. Unmatched documents surface as 'untagged' (curation
+    * needs the residue measured, not dropped — the q310 funnel
+    * discipline); the (lang, topic) rollup carries dominant-hit and
+    * total-hit masses so a tagger that over- or under-counts any
+    * keyword hash-mismatches.
+    *
+    * Scale: tokens shuffle ONCE keyed by (doc, topic) with map-side
+    * combine; the dictionary (O(keywords)) broadcasts; full text never
+    * shuffles. Tagging 10⁹ documents is one scan + two combinable
+    * aggregates — the same plan at any corpus size.
+    */
+  private def q368(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = Seq(
+      ("table", "storage", 1), ("scan", "storage", 1),
+      ("column", "storage", 1), ("row", "storage", 1),
+      ("join", "exec", 2), ("hash", "exec", 2),
+      ("merge", "exec", 2), ("sort", "exec", 2),
+      ("stream", "streaming", 3), ("window", "streaming", 3),
+      ("batch", "streaming", 3), ("agg", "streaming", 3)
+    ).toDF("tok", "topic", "code")
+    val docs = Tables.documents(s, d)
+    val hits = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(broadcast(dict), Seq("tok"))
+      .groupBy(col("doc_id"), col("topic"), col("code"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = hits.groupBy(col("doc_id"))
+      .agg(max(struct(col("cnt"), (-col("code")).as("nc"),
+        col("topic"))).as("w"),
+        sum(col("cnt")).as("all_hits"))
+      .select(col("doc_id"), col("w.topic").as("topic"),
+        col("w.cnt").as("dom_hits"), col("all_hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("lang"),
+        coalesce(col("topic"), lit("untagged")).as("topic"),
+        coalesce(col("dom_hits"), lit(0L)).as("dh"),
+        coalesce(col("all_hits"), lit(0L)).as("ah"))
+      .groupBy(col("lang"), col("topic"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dh")).as("dom_hits"),
+        sum(col("ah")).as("all_hits"))
+      .orderBy(col("lang"), col("topic"))
+  }
+
+  private val q368Sql =
+    """WITH dict(tok, topic, code) AS (VALUES
+      |  ('table','storage',1), ('scan','storage',1),
+      |  ('column','storage',1), ('row','storage',1),
+      |  ('join','exec',2), ('hash','exec',2),
+      |  ('merge','exec',2), ('sort','exec',2),
+      |  ('stream','streaming',3), ('window','streaming',3),
+      |  ('batch','streaming',3), ('agg','streaming',3)),
+      |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents),
+      |h AS (SELECT t.doc_id, d.topic, d.code, COUNT(*) AS cnt
+      |      FROM tk t JOIN dict d ON t.tok = d.tok GROUP BY 1, 2, 3),
+      |w AS (SELECT doc_id, topic, cnt,
+      |        SUM(cnt) OVER (PARTITION BY doc_id) AS all_hits,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |          ORDER BY cnt DESC, code ASC) AS rk
+      |      FROM h),
+      |p AS (SELECT doc_id, topic, cnt AS dom_hits, all_hits
+      |      FROM w WHERE rk = 1)
+      |SELECT d.lang, COALESCE(p.topic, 'untagged') AS topic,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(COALESCE(p.dom_hits, 0)) AS BIGINT) AS dom_hits,
+      |  CAST(SUM(COALESCE(p.all_hits, 0)) AS BIGINT) AS all_hits
+      |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q368_taxonomy_tagging" -> q368,
     "q318_lsh_tuning" -> q318,
     "q317_quality_auc" -> q317,
     "q333_quality_calibration" -> q333,
@@ -1892,6 +1976,7 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q368_taxonomy_tagging" -> q368Sql,
     "q318_lsh_tuning" -> q318Sql,
     "q317_quality_auc" -> q317Sql,
     "q333_quality_calibration" -> q333Sql,

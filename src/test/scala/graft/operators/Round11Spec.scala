@@ -805,4 +805,16 @@ class Round11Spec extends SparkSpec {
     // the marker line a streaming caller stamps is findable verbatim
     assert(M.describe(spark, d1, 2).linesIterator.exists(_.trim == "epoch=0"))
   }
+
+  test("q368: dominant-topic pick uses no window buffer and broadcasts the dictionary") {
+    val df = SparkEntry.queries("q368_taxonomy_tagging")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"dominant topic must be a struct-max aggregate, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 12-keyword dictionary must broadcast:\n$plan")
+    // every document lands in exactly one (topic) bucket
+    val total = df.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total == graft.Tables.documents(spark, sf0001).count())
+  }
 }
