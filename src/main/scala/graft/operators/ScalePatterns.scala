@@ -4572,7 +4572,107 @@ object ScalePatterns extends QueryModule {
       |  CAST(1 AS BIGINT) AS n_untouched_dirs
       |FROM final GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q369
+
+  /** q369: Z-ORDER CLUSTERING — the MULTI-dimensional upgrade of q344's
+    * single-column range rewrite (Delta `OPTIMIZE ZORDER BY (a, b)`
+    * reduced to the essence): both columns bucket to 8 bits by min-max
+    * scaling, the buckets' bits INTERLEAVE into one z-value, and a
+    * range-repartition on z gives every file a tight bounding BOX in
+    * (doc_id, n_chars) space — so the manifest's column-namespaced stats
+    * (`colstats=`, new with this query) prune selective probes on EITHER
+    * column from one layout. The contrast is the point: the v1 layout is
+    * range-clustered on doc_id ALONE — perfect for doc_id probes, BLIND
+    * for n_chars probes (every file's [min,max] admits everything, the
+    * q344 failure mode on the second column). The rollup reads the
+    * n_chars probe THROUGH the z-order pruned file set (a wrongly
+    * pruned file loses rows and hash-mismatches) and carries the three
+    * pruning claims as oracle-pinned booleans; Round11Spec pins the
+    * strict file-count inequality.
+    *
+    * Scale: the rewrite streams the snapshot once (one range exchange on
+    * z); every later probe on either clustered column pays O(matching
+    * files) forever — at 100 TB, the difference between "the n_chars
+    * probe reads 6% of files" and "reads all of them". Published
+    * `dataChange=false`: subscribers skip it, time travel to the
+    * doc_id-clustered layout intact.
+    */
+  private def zorderEstate(s: SparkSession, d: String): String = {
+    val M = graft.sources.VersionedManifest
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      // v1: the single-column answer — range layout on doc_id only
+      docs.repartitionByRange(16, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1,
+        ("range layout on doc_id" +:
+          (M.fileStatsOn(s, s"$dir/v=1", "doc_id") ++
+            M.fileStatsOn(s, s"$dir/v=1", "n_chars"))).mkString("\n"))
+      // v2: Z-order rewrite — same rows, interleaved-bit layout
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        min(col("n_chars")), max(col("n_chars"))).head()
+      val (aLo, aHi, bLo, bHi) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val bucketA = s"(((doc_id - ${aLo}L) * 256L) div ${aHi - aLo + 1}L)"
+      val bucketB = s"(((n_chars - ${bLo}L) * 256L) div ${bHi - bLo + 1}L)"
+      val z = (0 until 8).map(i =>
+        s"(shiftleft(($bucketA >> $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(($bucketB >> $i) & 1, ${2 * i}))").mkString(" + ")
+      M.readAt(s, dir, 1).withColumn("_z", expr(z))
+        .repartitionByRange(16, col("_z")).drop("_z")
+        .write.mode("overwrite").parquet(s"$dir/d-zorder")
+      require(M.tryCommit(s, dir, 2,
+        (Seq("data=d-zorder", "dataChange=false",
+          "cluster rewrite: zorder on (doc_id, n_chars)") ++
+          M.fileStatsOn(s, s"$dir/d-zorder", "doc_id") ++
+          M.fileStatsOn(s, s"$dir/d-zorder", "n_chars")).mkString("\n")),
+        "z-order rewrite commit lost a race")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  private def q369(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val dir = zorderEstate(s, d)
+    val maxId = Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0)
+    // two ~10% probes: one per clustered column
+    val (aLo, aHi) = (maxId * 3 / 10, maxId * 4 / 10)
+    val (cLo, cHi) = (200L, 260L)
+    def admitted(v: Long, c: String, lo: Long, hi: Long) =
+      M.prunedFilesOn(s, dir, v, c, lo, hi).size.toLong
+    val total = M.prunedFilesOn(s, dir, 2, "doc_id", Long.MinValue,
+      Long.MaxValue).size.toLong
+    val evidence = Seq((
+      admitted(1, "n_chars", cLo, cHi) == total, // range layout: blind
+      admitted(2, "n_chars", cLo, cHi) < total, // z-order: prunes chars
+      admitted(2, "doc_id", aLo, aHi) < total // z-order: still prunes ids
+    )).toDF("range_blind_chars", "zorder_prunes_chars", "zorder_prunes_id")
+    s.read.parquet(M.prunedFilesOn(s, dir, 2, "n_chars", cLo, cHi): _*)
+      .filter(col("n_chars").between(cLo, cHi))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("lang"))
+  }
+
+  private val q369Sql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  TRUE AS range_blind_chars,
+      |  TRUE AS zorder_prunes_chars,
+      |  TRUE AS zorder_prunes_id
+      |FROM documents WHERE n_chars BETWEEN 200 AND 260
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q369_zorder_clustering" -> q369,
     "q366_versioned_merge" -> q366,
     "q363_table_constraints" -> q363,
     "q358_sql_estate_procs" -> q358,
@@ -4647,6 +4747,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q369_zorder_clustering" -> q369Sql,
     "q366_versioned_merge" -> q366Sql,
     "q363_table_constraints" -> q363Sql,
     "q358_sql_estate_procs" -> q358Sql,

@@ -356,6 +356,47 @@ object VersionedManifest {
       .toSeq.sorted
   }
 
+  /** COLUMN-NAMESPACED per-file stats — [[fileStats]] generalized to
+    * several columns per commit (`colstats=<col>:<file>:<min>:<max>`
+    * lines), the shape a multi-dimensional clustering rewrite (Z-order,
+    * q369) needs: one layout, independent skipping on EVERY clustered
+    * column. Same one-pass construction, one aggregate per call.
+    */
+  def fileStatsOn(s: SparkSession, dataDir: String,
+                  colName: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    s.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(colName)).cast("long").as("lo"),
+        max(col(colName)).cast("long").as("hi"))
+      .collect()
+      .map(r => s"colstats=$colName:${new Path(r.getString(0)).getName}:" +
+        s"${r.getLong(1)}:${r.getLong(2)}")
+      .toSeq.sorted
+  }
+
+  /** [[prunedFiles]] against the `colstats=` lines of ONE named column.
+    * Refuses when the version carries no stats for that column — a
+    * selective reader must never silently full-scan (q329's contract).
+    */
+  def prunedFilesOn(s: SparkSession, dir: String, n: Long, colName: String,
+                    lo: Long, hi: Long): Seq[String] = {
+    val f = fs(dir, s)
+    val prefix = s"colstats=$colName:"
+    val stats = manifestBody(f, dir, n).linesIterator
+      .filter(_.startsWith(prefix)).map { line =>
+        val Array(name, flo, fhi) = line.stripPrefix(prefix).split(":", 3)
+        (name, flo.toLong, fhi.toLong)
+      }.toSeq
+    require(stats.nonEmpty,
+      s"version $n at $dir carries no colstats= lines for $colName")
+    val dirs = resolveDataDirs(s, dir, n)
+    stats.filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+      .flatMap { case (name, _, _) =>
+        dirs.map(d0 => new Path(d0, name)).find(f.exists).map(_.toString)
+      }
+  }
+
   /** Per-file BLOOM-FILTER manifest lines for data landed under `dataDir`:
     * `bloom=<fileName>:<bits>:<hexMask>` over one column — the point-lookup
     * complement of [[fileStats]]'s range stats (Delta/Parquet file-level

@@ -817,4 +817,42 @@ class Round11Spec extends SparkSpec {
     val total = df.agg(sum(col("n_docs"))).head().getLong(0)
     assert(total == graft.Tables.documents(spark, sf0001).count())
   }
+
+  // ------------------------------------------------- q369 z-order
+
+  test("q369: z-order strictly beats the single-column layout on the second column") {
+    import graft.sources.{VersionedManifest => M}
+    // build (or reuse) the estate by running the query once
+    SparkEntry.queries("q369_zorder_clustering")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val total = M.prunedFilesOn(spark, dir, 2, "doc_id",
+      Long.MinValue, Long.MaxValue).size
+    def adm(v: Long, c: String, lo: Long, hi: Long) =
+      M.prunedFilesOn(spark, dir, v, c, lo, hi).size
+    val maxId = graft.Tables.documents(spark, sf0001)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val (aLo, aHi) = (maxId * 3 / 10, maxId * 4 / 10)
+    val rangeChars = adm(1, "n_chars", 200, 260)
+    val zChars = adm(2, "n_chars", 200, 260)
+    val zIds = adm(2, "doc_id", aLo, aHi)
+    val rangeIds = adm(1, "doc_id", aLo, aHi)
+    assert(rangeChars == total,
+      s"doc_id-range layout should be blind to n_chars: $rangeChars/$total")
+    assert(zChars < rangeChars,
+      s"z-order must prune the second column: $zChars vs $rangeChars")
+    assert(zIds < total, s"z-order must still prune doc_id: $zIds/$total")
+    // the trade: z-order gives up SOME doc_id tightness vs the pure
+    // range layout but never degenerates to a full scan
+    assert(rangeIds <= zIds, s"pure range should be tightest on its own " +
+      s"column: range=$rangeIds z=$zIds")
+    // pruned ≡ full equality on the probe the rollup serves
+    val files = M.prunedFilesOn(spark, dir, 2, "n_chars", 200, 260)
+    val pruned = spark.read.parquet(files: _*)
+      .filter(col("n_chars").between(200, 260)).count()
+    val full = M.readAt(spark, dir, 2)
+      .filter(col("n_chars").between(200, 260)).count()
+    assert(pruned == full, s"pruning lost rows: $pruned vs $full")
+  }
 }
