@@ -4671,7 +4671,85 @@ object ScalePatterns extends QueryModule {
       |FROM documents WHERE n_chars BETWEEN 200 AND 260
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q370
+
+  /** q370: SQL MERGE PROCEDURE — q366's copy-on-write upsert reached the
+    * way a SQL-only client reaches it: `CALL <cat>.sys.merge(table,
+    * source_view, key)` (the stored-procedure merge spelling estates
+    * expose where full MERGE INTO isn't wired), source staged as a temp
+    * view, receipt carrying the published version AND the affected/
+    * untouched dir split — the caller SEES the merge rewrote one dir of
+    * two. The whole incident flow is SQL end to end: stage view → CALL →
+    * SELECT the merged table back through the same catalog; evidence
+    * columns re-derive from the committed manifests each run (the q366
+    * discipline — a broken receipt can't hide behind the staging cache),
+    * and the rollup hash-matches the oracle's replay of the upsert.
+    *
+    * Scale: identical to q366 — O(affected dirs + source); the CALL adds
+    * one receipt row. Duplicate-key refusal, constraint validation, and
+    * OCC rebase all ride along from `VersionedManifest.merge`.
+    */
+  private def q370(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlmerge_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val dir = s"$root/corpus"
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    val cat = "g370_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    if (!java.nio.file.Files.exists(done)) {
+      docs.filter(col("doc_id") % 4 === 0)
+        .write.mode("overwrite").parquet(s"$dir/d-b1")
+      M.commit(s, dir, 1, "data=d-b1\nbase")
+      docs.filter(col("doc_id") % 4 === 2)
+        .write.mode("overwrite").parquet(s"$dir/d-b2")
+      M.commit(s, dir, 2, "data=d-b1\ndata=d-b2\nappend")
+      docs.filter(col("doc_id") % 8 === 0)
+        .withColumn("n_chars", col("n_chars") + 7000)
+        .unionByName(docs.filter(col("doc_id") % 4 === 1))
+        .createOrReplaceTempView("g370_src")
+      val r = s.sql(s"CALL $cat.sys.merge('corpus', 'g370_src', 'doc_id')")
+        .head()
+      require(r.getLong(2) == 3L && r.getLong(3) == 1L && r.getLong(4) == 1L,
+        s"merge receipt must be (v3, 1 affected, 1 untouched): $r")
+      java.nio.file.Files.createFile(done)
+    }
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    val untouched = M.resolveDataDirs(s, dir, latest).toSet
+      .intersect(M.resolveDataDirs(s, dir, latest - 1).toSet)
+    val evidence = Seq((latest, untouched.size.toLong))
+      .toDF("latest_version", "n_untouched_dirs")
+    s.sql(
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM $cat.tables.corpus
+         |GROUP BY lang""".stripMargin)
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("lang"))
+  }
+
+  private val q370Sql =
+    """WITH final AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 8 = 0 THEN n_chars + 7000 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 = 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS latest_version,
+      |  CAST(1 AS BIGINT) AS n_untouched_dirs
+      |FROM final GROUP BY lang ORDER BY lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_sql_merge_proc" -> q370,
     "q369_zorder_clustering" -> q369,
     "q366_versioned_merge" -> q366,
     "q363_table_constraints" -> q363,
@@ -4747,6 +4825,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q370_sql_merge_proc" -> q370Sql,
     "q369_zorder_clustering" -> q369Sql,
     "q366_versioned_merge" -> q366Sql,
     "q363_table_constraints" -> q363Sql,

@@ -215,8 +215,8 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     if (!namespace.sameElements(Array(ProcNs)))
       throw new NoSuchNamespaceException(namespace)
-    Array("rollback", "create_branch", "fast_forward", "expire_snapshots")
-      .map(Identifier.of(Array(ProcNs), _))
+    Array("rollback", "create_branch", "fast_forward", "expire_snapshots",
+      "merge").map(Identifier.of(Array(ProcNs), _))
   }
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -227,6 +227,7 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
       case "create_branch" => new CreateBranchProcedure(root)
       case "fast_forward" => new FastForwardProcedure(root)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(root)
+      case "merge" => new MergeProcedure(root)
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
@@ -401,6 +402,49 @@ private[sources] class FastForwardProcedure(root: String) extends EstateProcedur
         StructField("to_version", LongType, nullable = false),
         StructField("seq", LongType, nullable = false))),
       Array(InternalRow(utf8(table), utf8(branch), fromV, v, seq)))
+  }
+}
+
+/** `CALL <cat>.sys.merge(table, source, key)` — q366's copy-on-write
+  * upsert as the SQL control plane: `source` is any SQL-resolvable
+  * relation name (a temp view staged by the caller — the stored-proc
+  * merge spelling Iceberg/Delta estates expose when full MERGE INTO
+  * isn't available to a client), `key` the upsert column. The receipt
+  * carries the published version and the affected/untouched dir split —
+  * the caller SEES that the merge rewrote two dirs out of two hundred.
+  * All of [[VersionedManifest.merge]]'s contracts ride along: duplicate
+  * source keys refuse, declared constraints validate the output before
+  * publish, a lost race throws for an OCC rebase.
+  */
+private[sources] class MergeProcedure(root: String) extends EstateProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.read.Scan
+
+  override def name(): String = "merge"
+  override def description(): String =
+    "merge(table STRING, source STRING, key STRING)"
+  override def bind(inputType: StructType): MergeProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("key", StringType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = checkName(input.getUTF8String(0).toString, "table")
+    val source = input.getUTF8String(1).toString
+    val key = checkName(input.getUTF8String(2).toString, "key")
+    val (v, affected, untouched) =
+      VersionedManifest.merge(spark, s"$root/$table", spark.table(source), key)
+    receipt(
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("key", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("n_affected_dirs", LongType, nullable = false),
+        StructField("n_untouched_dirs", LongType, nullable = false))),
+      Array(InternalRow(utf8(table), utf8(key), v,
+        affected.size.toLong, untouched.size.toLong)))
   }
 }
 

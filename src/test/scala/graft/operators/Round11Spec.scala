@@ -855,4 +855,39 @@ class Round11Spec extends SparkSpec {
       .filter(col("n_chars").between(200, 260)).count()
     assert(pruned == full, s"pruning lost rows: $pruned vs $full")
   }
+
+  // ------------------------------------------------- q370 CALL sys.merge
+
+  test("q370: sys.merge is in the roster and surfaces the dup-key refusal through SQL") {
+    import graft.sources.{VersionedManifest => M}
+    import spark.implicits._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_r11_sqlmerge_" +
+      spark.sparkContext.applicationId
+    val cat = "g370spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/t/v=1")
+    M.commit(spark, s"$root/t", 1, "base")
+    val roster = spark.sql(s"SHOW PROCEDURES IN $cat.sys")
+      .collect().map(_.toString).mkString(",")
+    assert(roster.contains("merge"), roster)
+    Seq((9L, 90L), (9L, 91L)).toDF("id", "v")
+      .createOrReplaceTempView("g370spec_dup")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.merge('t', 'g370spec_dup', 'id')").collect()
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    assert(M.latestCommitted(spark, s"$root/t").contains(1L),
+      "a refused SQL merge must publish nothing")
+    // and a clean one publishes v2 with a truthful receipt
+    Seq((2L, 25L), (3L, 30L)).toDF("id", "v")
+      .createOrReplaceTempView("g370spec_ok")
+    val r = spark.sql(s"CALL $cat.sys.merge('t', 'g370spec_ok', 'id')").head()
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L && r.getLong(4) == 0L, r.toString)
+    assert(M.readLatest(spark, s"$root/t").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 25L), (3L, 30L)))
+  }
 }
