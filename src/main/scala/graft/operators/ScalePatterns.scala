@@ -4748,7 +4748,93 @@ object ScalePatterns extends QueryModule {
       |  CAST(1 AS BIGINT) AS n_untouched_dirs
       |FROM final GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q371
+
+  /** q371: ERASURE vs TIME TRAVEL — the compliance tension every
+    * versioned estate must resolve (q308 erases from PLAIN tables; a
+    * versioned table's old snapshots can RESURRECT the erased rows):
+    * the full right-to-be-forgotten flow is COW DELETE
+    * (`VersionedManifest.deleteWhere` — only dirs containing forget-list
+    * rows rewrite, q366's granularity) followed by SNAPSHOT EXPIRY +
+    * VACUUM, which retire every manifest that could still address the
+    * old bytes and reclaim the dirs only those manifests referenced.
+    * The estate proves each phase: pre-erasure time travel WORKS (the
+    * baseline the regulator's copy relies on), post-erasure travel to
+    * any pre-delete version REFUSES, and the dir that held the erased
+    * rows is GONE FROM DISK — all three as oracle-pinned evidence
+    * columns re-derived every run, with the surviving-corpus rollup
+    * hash-checked.
+    *
+    * Scale: delete cost O(affected dirs + forget list); expiry is
+    * O(#versions) pointer work + deletes of DEAD dirs only (live dirs
+    * shared with the kept snapshot survive untouched); nothing ever
+    * rescans the table. The untouched-dir re-address means a 100 TB
+    * estate erases a user from the two dirs that hold them, not from
+    * two thousand.
+    */
+  private def erasureEstate(s: SparkSession, d: String): (String, Boolean) = {
+    val M = graft.sources.VersionedManifest
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_erase_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    var travelWorkedBefore = false
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$dir/d-a")
+      M.commit(s, dir, 1, "data=d-a\nbase")
+      docs.filter(col("doc_id") % 3 === 1)
+        .write.mode("overwrite").parquet(s"$dir/d-b")
+      M.commit(s, dir, 2, "data=d-a\ndata=d-b\nappend")
+      travelWorkedBefore = M.readAt(s, dir, 1).count() > 0
+      require(travelWorkedBefore, "pre-erasure time travel must work")
+      // the forget list: doc_id % 9 == 0 — lives only in d-a
+      val (v, affected, untouched) = M.deleteWhere(s, dir, "doc_id % 9 = 0")
+      require(v == 3L && affected.size == 1 && untouched.size == 1 &&
+        affected.head.endsWith("d-a"),
+        s"delete must rewrite exactly d-a: $v $affected $untouched")
+      val expired = M.expireSnapshots(s, dir, keepLast = 1)
+      require(expired == Seq(1L, 2L), s"expected v1,v2 expired: $expired")
+      M.vacuum(s, dir)
+      java.nio.file.Files.createFile(done)
+    }
+    (dir, travelWorkedBefore)
+  }
+
+  private def q371(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val (dir, _) = erasureEstate(s, d)
+    // evidence re-derived from the estate every run
+    val travelRefused =
+      try { M.readAt(s, dir, 2).count(); false }
+      catch { case _: Exception => true }
+    val bytesGone = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "d-a"))
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    val evidence = Seq((latest, travelRefused, bytesGone))
+      .toDF("latest_version", "travel_refused", "erased_dir_gone")
+    M.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q371Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS latest_version,
+      |  TRUE AS travel_refused,
+      |  TRUE AS erased_dir_gone
+      |FROM documents
+      |WHERE doc_id % 3 IN (0, 1) AND NOT doc_id % 9 = 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_versioned_erasure" -> q371,
     "q370_sql_merge_proc" -> q370,
     "q369_zorder_clustering" -> q369,
     "q366_versioned_merge" -> q366,
@@ -4825,6 +4911,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q371_versioned_erasure" -> q371Sql,
     "q370_sql_merge_proc" -> q370Sql,
     "q369_zorder_clustering" -> q369Sql,
     "q366_versioned_merge" -> q366Sql,

@@ -287,6 +287,41 @@ object VersionedManifest {
         s"version $n was committed concurrently at $dir — rebase and retry")
   }
 
+  /** COPY-ON-WRITE DELETE — [[merge]]'s destructive sibling: rows where
+    * `predicate` is TRUE leave the table (UNKNOWN/NULL rows stay, SQL
+    * DELETE semantics); only the data dirs that CONTAIN matching rows
+    * rewrite, every other dir re-addresses untouched. A predicate that
+    * matches nothing publishes NOTHING (no empty churn version). The
+    * deleted bytes still exist in EARLIER versions' dirs — time travel
+    * can resurrect them by design — so a compliance erasure pairs this
+    * with [[expireSnapshots]] + [[vacuum]] (q371): delete, then retire
+    * the snapshots that could still address the old bytes.
+    */
+  def deleteWhere(s: SparkSession, dir: String,
+                  predicate: String): (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{coalesce, expr, input_file_name, lit, not}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val dirs = resolveDataDirs(s, dir, latest)
+    val matchedFiles = s.read.parquet(dirs: _*)
+      .filter(expr(predicate))
+      .select(input_file_name().as("_gfile")).distinct()
+      .collect().map(_.getString(0))
+    if (matchedFiles.isEmpty) return (latest, Nil, dirs)
+    val affectedSet = matchedFiles
+      .map(f => new Path(f).getParent.toUri.getPath).toSet
+    val (affected, untouched) = dirs.partition(d0 =>
+      affectedSet.contains(new Path(d0).toUri.getPath))
+    val n = latest + 1
+    val newSub = s"d-d$n"
+    s.read.parquet(affected: _*)
+      .filter(not(coalesce(expr(predicate), lit(false))))
+      .write.mode("overwrite").parquet(s"$dir/$newSub")
+    publishCow(s, dir, latest, n, untouched, newSub,
+      s"delete where $predicate")
+    (n, affected, untouched)
+  }
+
   /** LAST-WRITER-WINS merge — the CDC-apply flavor of [[merge]]: a
     * matched key keeps whichever row wins on the `orderCols` tuple
     * (event time + a unique tiebreaker make it a TOTAL order), so the

@@ -890,4 +890,25 @@ class Round11Spec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toSeq ==
       Seq((1L, 10L), (2L, 25L), (3L, 30L)))
   }
+
+  // ------------------------------------------------- q371 COW delete
+
+  test("q371: deleteWhere keeps NULL-predicate rows and skips no-match publishes") {
+    import graft.sources.{VersionedManifest => M}
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_del_" +
+      spark.sparkContext.applicationId
+    Seq((1L, Some(5L)), (2L, None), (3L, Some(50L))).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    M.commit(spark, dir, 1, "base")
+    // DELETE WHERE v > 10: row 3 goes, row 2 (NULL predicate) STAYS
+    val (n, affected, _) = M.deleteWhere(spark, dir, "v > 10")
+    assert(n == 2L && affected.nonEmpty)
+    assert(M.readLatest(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a predicate matching nothing publishes NO version
+    val (n2, aff2, unt2) = M.deleteWhere(spark, dir, "v > 1000")
+    assert(n2 == 2L && aff2.isEmpty && unt2.nonEmpty)
+    assert(M.latestCommitted(spark, dir).contains(2L))
+  }
 }
