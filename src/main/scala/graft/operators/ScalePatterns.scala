@@ -4833,7 +4833,108 @@ object ScalePatterns extends QueryModule {
       |WHERE doc_id % 3 IN (0, 1) AND NOT doc_id % 9 = 0
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q373
+
+  /** q373: SCHEMA GATE + EXPLICIT EVOLUTION — the write-time contract
+    * that keeps a multi-producer estate coherent (Delta's schema
+    * enforcement; q239 shows the READ side of evolution, THIS is the
+    * write side): every append must conform to the DECLARED schema as a
+    * (name → type) map (`VersionedManifest.commitConformed` — missing,
+    * undeclared, and retyped columns each refuse with the mismatch
+    * named, no manifest written), and the contract changes only through
+    * `evolveSchema`, which is ADDITIVE-ONLY (drops/retypes refuse) and
+    * records the event as a metadata-only version in the audit trail.
+    * The estate walks every arm: a conforming base lands, three
+    * malformed batches refuse (one per mismatch class — re-exercised
+    * every run), a destructive evolution refuses, the additive one
+    * lands, and the post-evolution append carries the new column. The
+    * rollup reads ACROSS the evolution boundary (footer merge, q239's
+    * contract): pre-evolution rows surface the added column as NULL and
+    * fold into a '(pre-evolution)' bucket the oracle replays.
+    *
+    * Scale: the gate is one FOOTER read per append — no data scan;
+    * evolution is a pointer write + one metadata-only manifest. The
+    * expensive alternative (discovering drift at TRAINING time, three
+    * months later) is what this gate exists to prevent.
+    */
+  private def q373(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType => LT, StringType => ST, StructField => SF, StructType => STT}
+    val M = graft.sources.VersionedManifest
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_schemagate_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    val docs = Tables.documents(s, d)
+    val v3cols = Seq("doc_id", "lang", "n_chars")
+    if (!java.nio.file.Files.exists(done)) {
+      M.writeSchema(s, dir, STT(Seq(SF("doc_id", LT), SF("lang", ST),
+        SF("n_chars", LT))))
+      docs.filter(col("doc_id") % 2 === 0).select(v3cols.map(col): _*)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      require(M.commitConformed(s, dir, 1, "base").isEmpty,
+        "conforming base must land")
+      // the three mismatch classes, staged once, re-refused every run
+      docs.filter(col("doc_id") % 2 === 1)
+        .select((v3cols :+ "source").map(col): _*)
+        .write.mode("overwrite").parquet(s"$dir/v=10")
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/v=11")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("string").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/v=12")
+      java.nio.file.Files.createFile(done)
+    }
+    // refusals re-exercised every run — all four gates must still hold
+    val refusals = Seq(10L, 11L, 12L).map(v =>
+      M.commitConformed(s, dir, v, s"bad batch $v"))
+    require(refusals(0) == Seq("undeclared column source"), refusals(0))
+    require(refusals(1) == Seq("missing column n_chars"), refusals(1))
+    require(refusals(2) == Seq("column n_chars is string, declared bigint"),
+      refusals(2))
+    val badEvolve = M.evolveSchema(s, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        SF("doc_id", LT), SF("lang", ST))))
+    require(badEvolve == Left(Seq("evolution would drop column n_chars")),
+      badEvolve.toString)
+    if (M.latestCommitted(s, dir).contains(1L)) {
+      // one-time: the additive evolution + the post-evolution append
+      require(M.evolveSchema(s, dir, STT(Seq(SF("doc_id", LT),
+        SF("lang", ST), SF("n_chars", LT), SF("source", ST)))) == Right(2L))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select((v3cols :+ "source").map(col): _*)
+        .write.mode("overwrite").parquet(s"$dir/v=3")
+      require(M.commitConformed(s, dir, 3, "post-evolution append").isEmpty,
+        "the evolved batch must now conform")
+    }
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    val evidence = Seq((latest, refusals.count(_.nonEmpty).toLong,
+      badEvolve.isLeft))
+      .toDF("latest_version", "n_refused_batches", "evolve_refused")
+    s.read.option("mergeSchema", "true")
+      .parquet(M.resolveDataDirs(s, dir, latest): _*)
+      .select(col("lang"), coalesce(col("source"), lit("(pre-evolution)"))
+        .as("src"), col("n_chars"))
+      .groupBy(col("lang"), col("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("lang"), col("src"))
+  }
+
+  private val q373Sql =
+    """SELECT lang,
+      |  CASE WHEN doc_id % 2 = 1 THEN source
+      |       ELSE '(pre-evolution)' END AS src,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS latest_version,
+      |  CAST(3 AS BIGINT) AS n_refused_batches,
+      |  TRUE AS evolve_refused
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_schema_gate" -> q373,
     "q371_versioned_erasure" -> q371,
     "q370_sql_merge_proc" -> q370,
     "q369_zorder_clustering" -> q369,
@@ -4911,6 +5012,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q373_schema_gate" -> q373Sql,
     "q371_versioned_erasure" -> q371Sql,
     "q370_sql_merge_proc" -> q370Sql,
     "q369_zorder_clustering" -> q369Sql,

@@ -215,6 +215,76 @@ object VersionedManifest {
     Nil
   }
 
+  // ------------------------------------------------ schema enforcement
+
+  /** SCHEMA-ENFORCING append publish (Delta's write-time schema
+    * enforcement): the staged increment's parquet footer schema must
+    * match the DECLARED schema ([[readSchema]]) as a (name → type) map —
+    * order-free, nullability-free — or the batch refuses with every
+    * mismatch named (missing / undeclared / retyped columns) and NO
+    * manifest is written. Pairs with [[evolveSchema]]: the gate is what
+    * makes evolution EXPLICIT — a producer can never widen the table by
+    * accident, which is how silent schema drift poisons a 100 TB estate.
+    * Cost: one footer read of the staged dir — no data scan at all.
+    */
+  def commitConformed(s: SparkSession, dir: String, n: Long,
+                      meta: String): Seq[String] = {
+    val declared = readSchema(s, dir).getOrElse(
+      throw new IllegalStateException(s"no declared schema at $dir"))
+    val staged = s.read.parquet(s"$dir/v=$n").schema
+    def m(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val (dm, sm) = (m(declared), m(staged))
+    val problems =
+      (dm.keySet -- sm.keySet).toSeq.sorted.map(c => s"missing column $c") ++
+        (sm.keySet -- dm.keySet).toSeq.sorted
+          .map(c => s"undeclared column $c") ++
+        dm.keySet.intersect(sm.keySet).toSeq.sorted
+          .filter(k => dm(k) != sm(k))
+          .map(k => s"column $k is ${sm(k)}, declared ${dm(k)}")
+    if (problems.nonEmpty) return problems
+    val prevData = latestCommitted(s, dir).toSeq
+      .flatMap(v => resolveDataDirs(s, dir, v))
+    commit(s, dir, n, (Seq(meta) ++
+      (prevData :+ s"$dir/v=$n").map(d0 => s"data=$d0")).mkString("\n"))
+    Nil
+  }
+
+  /** EXPLICIT ADDITIVE schema evolution: the new declared schema must
+    * contain every existing column at its existing type (drops and
+    * retypes refuse — those are COW rewrites, not declarations); the new
+    * declaration lands plus a metadata-only version recording the event
+    * in the audit trail (history shows WHEN the contract changed, q291).
+    * Earlier data dirs simply lack the added columns — readers surface
+    * them as NULL via footer merge (q239's contract).
+    */
+  def evolveSchema(s: SparkSession, dir: String,
+                   newSchema: org.apache.spark.sql.types.StructType)
+      : Either[Seq[String], Long] = {
+    val old = readSchema(s, dir).getOrElse(
+      throw new IllegalStateException(s"no declared schema at $dir"))
+    def m(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val (om, nm) = (m(old), m(newSchema))
+    val problems =
+      (om.keySet -- nm.keySet).toSeq.sorted
+        .map(c => s"evolution would drop column $c") ++
+        om.keySet.intersect(nm.keySet).toSeq.sorted
+          .filter(k => om(k) != nm(k))
+          .map(k => s"evolution would retype $k: ${om(k)} -> ${nm(k)}")
+    if (problems.nonEmpty) return Left(problems)
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    writeSchema(s, dir, newSchema)
+    val added = (nm.keySet -- om.keySet).toSeq.sorted.mkString(", ")
+    val dataLines = resolveDataDirs(s, dir, latest).map(d0 => s"data=$d0")
+    val v = latest + 1
+    commit(s, dir, v,
+      (Seq(s"schema evolved: added $added", "dataChange=false") ++
+        dataLines).mkString("\n"))
+    Right(v)
+  }
+
   /** COPY-ON-WRITE MERGE (upsert) into the versioned table at the
     * format's natural rewrite granularity — the DATA DIRECTORY (the
     * manifest's `data=` unit; Iceberg's COW rewrites files, this format's

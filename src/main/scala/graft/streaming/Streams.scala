@@ -1371,6 +1371,127 @@ object Streams extends QueryModule {
        |  ${Exact.sqlSumMoney("value")} AS total_value
        |FROM w WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q372
+
+  private val q372Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q372: LATE-DATA DEAD-LETTER — the capture half of the watermark
+    * story: Spark's own watermark DROPS late rows (q90s) and COUNTS them
+    * (`numRowsDroppedByWatermark`), but a training-data estate must KEEP
+    * them — late events are data, just data that missed its window (the
+    * reprocessing queue every event pipeline runs). Each micro-batch
+    * classifies against the high-water mark of the PRIOR batches
+    * (`hwm − 1 hour`, the allowed-lateness contract): on-time rows land
+    * in the main table, late rows in the dead-letter table, and NOTHING
+    * is dropped — the rollup carries both sides and their exact value
+    * masses, so a row misrouted in either direction hash-mismatches.
+    * Replayability is the q340 discipline: batch ASSIGNMENT is DATA
+    * (`event_id % 4`, four single-file arrivals under
+    * `maxFilesPerTrigger=1` with strictly increasing mtimes), so the
+    * oracle replays the exact same batch sequence — hwm evolution
+    * included — as four CTEs.
+    *
+    * Scale: classification is one map-side comparison per row against a
+    * broadcast scalar; the only driver state is ONE timestamp (the hwm),
+    * not per-key state — this gate runs in front of any stateful
+    * pipeline at any rate. The dead-letter table is the versioned-ingest
+    * shape (q252) a later catch-up job drains.
+    */
+  private def q372(s: SparkSession, d: String): DataFrame = {
+    val run = q372Runs.incrementAndGet()
+    val base = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dlq_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val arrivals = s"$base/arrivals"
+    val staged = java.nio.file.Paths.get(base, "_STAGED")
+    if (!java.nio.file.Files.exists(staged)) {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+      (0 to 3).foreach { k =>
+        val slice = s"$base/slice$k"
+        ev.filter(col("event_id") % 4 === k)
+          .coalesce(1).write.mode("overwrite").parquet(slice)
+        val part = new java.io.File(slice).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(arrivals, f"b$k.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // strictly increasing mtimes: the file source's processing order
+        // IS the intended batch order
+        dst.setLastModified(1700000000000L + k * 60000L)
+      }
+      java.nio.file.Files.createFile(staged)
+    }
+    val mainDir = s"$base/main_r$run"
+    val deadDir = s"$base/dead_r$run"
+    val ckpt = graft.StagingDirs.register(s"$base/ckpt_r$run")
+    val sch = s.read.parquet(arrivals).schema
+    var hwmMicros = Long.MinValue // driver state: ONE scalar
+    val route: (DataFrame, Long) => Unit = (batch, _) => {
+      if (!batch.isEmpty) {
+        batch.persist()
+        val cutoff =
+          if (hwmMicros == Long.MinValue) None
+          else Some(hwmMicros - 3600L * 1000000L)
+        val late = cutoff.map(c => unix_micros(col("ts")) < lit(c))
+          .getOrElse(lit(false))
+        batch.filter(!late).write.mode("append").parquet(mainDir)
+        val lateRows = batch.filter(late)
+        if (!lateRows.isEmpty) lateRows.write.mode("append").parquet(deadDir)
+        val mx = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        hwmMicros = math.max(hwmMicros, mx)
+        batch.unpersist()
+      }
+    }
+    val q = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(arrivals)
+      .writeStream.foreachBatch(route)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val main = s.read.parquet(mainDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_ontime"),
+        Exact.sumMoney(col("value")).as("ontime_value"))
+    val dead = (if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(deadDir)))
+      s.read.parquet(deadDir) else s.read.parquet(arrivals).limit(0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_late"),
+        Exact.sumMoney(col("value")).as("late_value"))
+    main.join(dead, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_ontime"), lit(0L)).as("n_ontime"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        coalesce(col("ontime_value"), lit(0.0)).as("ontime_value"),
+        coalesce(col("late_value"), lit(0.0)).as("late_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q372Sql =
+    s"""WITH b AS (SELECT *, event_id % 4 AS bk FROM events),
+       |mx AS (SELECT bk, MAX(ts) AS mxts FROM b GROUP BY bk),
+       |hwm AS (
+       |  SELECT k.bk, MAX(m.mxts) AS hw
+       |  FROM (SELECT DISTINCT bk FROM b) k
+       |  LEFT JOIN mx m ON m.bk < k.bk GROUP BY k.bk),
+       |cls AS (
+       |  SELECT b.*, (h.hw IS NOT NULL AND
+       |    b.ts < h.hw - INTERVAL 1 HOUR) AS late
+       |  FROM b LEFT JOIN hwm h ON b.bk = h.bk)
+       |SELECT event_type,
+       |  CAST(COUNT(*) FILTER (NOT late) AS BIGINT) AS n_ontime,
+       |  CAST(COUNT(*) FILTER (late) AS BIGINT) AS n_late,
+       |  COALESCE(CAST(SUM(CASE WHEN NOT late
+       |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+       |    AS ontime_value,
+       |  COALESCE(CAST(SUM(CASE WHEN late
+       |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0)
+       |    AS late_value
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- q323
 
   private val q323Runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1869,6 +1990,7 @@ object Streams extends QueryModule {
     "q323_versioned_stream_sink" -> q323,
     "q326_stream_table_compaction" -> q326,
     "q367_stream_lww_upsert" -> q367,
+    "q372_late_deadletter" -> q372,
     "q328_versioned_stream_source" -> q328,
     "q338_mixed_format_feed" -> q338,
     "q351_branch_subscriber" -> q351,
@@ -1901,6 +2023,7 @@ object Streams extends QueryModule {
     "q323_versioned_stream_sink" -> q323Sql,
     "q326_stream_table_compaction" -> q326Sql,
     "q367_stream_lww_upsert" -> q367Sql,
+    "q372_late_deadletter" -> q372Sql,
     "q328_versioned_stream_source" -> q328Sql,
     "q338_mixed_format_feed" -> q338Sql,
     "q351_branch_subscriber" -> q351Sql,

@@ -911,4 +911,37 @@ class Round11Spec extends SparkSpec {
     assert(n2 == 2L && aff2.isEmpty && unt2.nonEmpty)
     assert(M.latestCommitted(spark, dir).contains(2L))
   }
+
+  // ------------------------------------------------- q372 dead-letter
+
+  test("q372: nothing is dropped — main and dead-letter partition the input") {
+    val df = SparkEntry.queries("q372_late_deadletter")(spark, sf0001)
+    val r = df.agg(sum(col("n_ontime")), sum(col("n_late"))).head()
+    val total = graft.Tables.events(spark, sf0001).count()
+    assert(r.getLong(0) + r.getLong(1) == total,
+      s"ontime ${r.getLong(0)} + late ${r.getLong(1)} != $total")
+    // the first batch can never be late (no prior high-water mark)
+    assert(r.getLong(1) > 0, "later batches must produce late rows here")
+    assert(r.getLong(0) >= total / 4,
+      "at least the first batch's rows are on time")
+  }
+
+  // ------------------------------------------------- q373 schema gate
+
+  test("q373: evolution refuses retypes, not just drops") {
+    import graft.sources.{VersionedManifest => M}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_evolve_" +
+      spark.sparkContext.applicationId
+    M.writeSchema(spark, dir, StructType(Seq(StructField("id", LongType))))
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(s"$dir/v=1")
+    assert(M.commitConformed(spark, dir, 1, "base").isEmpty)
+    val bad = M.evolveSchema(spark, dir,
+      StructType(Seq(StructField("id", StringType))))
+    assert(bad == Left(Seq("evolution would retype id: bigint -> string")),
+      bad.toString)
+    // declared schema unchanged after the refusal
+    assert(M.readSchema(spark, dir).get.fields.head.dataType == LongType)
+  }
 }
