@@ -4933,7 +4933,119 @@ object ScalePatterns extends QueryModule {
       |  TRUE AS evolve_refused
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q374
+
+  /** q374: CONCURRENT MERGE with snapshot-isolation conflict detection —
+    * the multi-writer story q284 (version-slot OCC) and q366 (COW merge)
+    * each tell half of: two refresh jobs that both read snapshot v2 and
+    * both publish. Writer A's merge (keys in d-b only) lands v3; writer
+    * B — staged against the SAME v2, keys in d-a only — loses the
+    * version-slot race, walks the versions committed since its base,
+    * proves A's history DISJOINT (A removed no dir B rewrote; A's new
+    * dir shares no keys with B's source), rebases by re-addressing v3's
+    * dirs minus its own affected set, and lands v4 WITHOUT recomputing
+    * its rewrite. Writer C — also staged against v2 but touching the
+    * same keys A rewrote — must ABORT (`ConcurrentModificationException`;
+    * its staged dir stays an orphan for vacuum, invisible to readers).
+    * The rollup reads the final snapshot (both disjoint merges applied,
+    * C's refused) and carries the protocol evidence as oracle-pinned
+    * columns: final version, the loser's rebase count parsed from the
+    * committed manifest body, and the orphan staged-dir count from an
+    * on-disk audit against every committed version's address list.
+    *
+    * Scale: the rebase is manifest arithmetic — O(versions since base)
+    * manifest reads plus one key semi-join per version that added data —
+    * never a rewrite recompute; at 100 TB this is the difference between
+    * "the nightly dedup and the hourly CDC apply serialize through a
+    * coordinator" and "they commit concurrently unless they actually
+    * touched the same rows" (Delta/Iceberg conflict taxonomy at dir
+    * granularity). Reference analog: concurrent scrape sessions landing
+    * into one corpus dir (`main.py:203-214` re-reads between sessions).
+    */
+  private def conflictEstate(s: SparkSession, d: String): String = {
+    val M = graft.sources.VersionedManifest
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ccmerge_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").parquet(s"$dir/d-a")
+      M.commit(s, dir, 1, "data=d-a\nbase load")
+      docs.filter(col("doc_id") % 3 === 1)
+        .write.mode("overwrite").parquet(s"$dir/d-b")
+      M.commit(s, dir, 2, "data=d-a\ndata=d-b\nappend")
+      // writer A: reads v2, updates keys living only in d-b (%6==1 ⊂ %3==1)
+      val srcA = docs.filter(col("doc_id") % 6 === 1)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      val (vA, rA) = M.mergeDetectingConflicts(s, dir, srcA, "doc_id")
+      require(vA == 3L && rA == 0L,
+        s"writer A must land v3 with no rebase: v=$vA rebases=$rA")
+      // writer B: ALSO read v2 (before A published); keys only in d-a
+      // (%6==0 ⊂ %3==0) — disjoint from A, must rebase once and land v4
+      val srcB = docs.filter(col("doc_id") % 6 === 0)
+        .withColumn("n_chars", col("n_chars") + 3000)
+      val (vB, rB) =
+        M.mergeDetectingConflicts(s, dir, srcB, "doc_id", Some(2L))
+      require(vB == 4L && rB == 1L,
+        s"writer B must rebase once onto v3 and land v4: v=$vB rebases=$rB")
+      // writer C: read v2, touches the keys A rewrote — TRUE conflict
+      val srcC = docs.filter(col("doc_id") % 6 === 1)
+        .withColumn("n_chars", col("n_chars") + 7)
+      val refused =
+        try { M.mergeDetectingConflicts(s, dir, srcC, "doc_id", Some(2L)); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      require(refused, "overlapping concurrent merge must abort")
+      java.nio.file.Files.createFile(done)
+    }
+    dir
+  }
+
+  private def q374(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val dir = conflictEstate(s, d)
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    // loser's rebase count: parsed from the committed manifest body
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_commits", latest.toString)), "UTF-8")
+    val rebases = "rebases=(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    // orphan audit: staged d-c* dirs on disk that no committed version
+    // addresses — exactly writer C's aborted rewrite
+    val addressed = (1L to latest)
+      .flatMap(v => M.resolveDataDirs(s, dir, v))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val orphans = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString.split('/').last)
+      .count(n => n.startsWith("d-c") && !addressed.contains(n)).toLong
+    val evidence = Seq((latest, rebases, orphans))
+      .toDF("latest_version", "loser_rebases", "orphan_dirs")
+    M.readLatest(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q374Sql =
+    """WITH final AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 6 = 1 THEN n_chars + 1000
+      |         WHEN doc_id % 6 = 0 THEN n_chars + 3000
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 3 IN (0, 1))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(4 AS BIGINT) AS latest_version,
+      |  CAST(1 AS BIGINT) AS loser_rebases,
+      |  CAST(1 AS BIGINT) AS orphan_dirs
+      |FROM final GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_concurrent_merge" -> q374,
     "q373_schema_gate" -> q373,
     "q371_versioned_erasure" -> q371,
     "q370_sql_merge_proc" -> q370,
@@ -5012,6 +5124,7 @@ object ScalePatterns extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q374_concurrent_merge" -> q374Sql,
     "q373_schema_gate" -> q373Sql,
     "q371_versioned_erasure" -> q371Sql,
     "q370_sql_merge_proc" -> q370Sql,

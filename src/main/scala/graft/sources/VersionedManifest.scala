@@ -440,6 +440,107 @@ object VersionedManifest {
     (n, affected, untouched)
   }
 
+  /** MERGE WITH SNAPSHOT-ISOLATION CONFLICT DETECTION — the retry arm of
+    * the OCC publish. [[merge]] throws on a lost race (q284's contract:
+    * "rebase and retry"); this method IS that rebase, mechanized the way
+    * a transactional table format resolves concurrent writers (Delta's
+    * ConcurrentAppend/ConcurrentDeleteRead taxonomy, Iceberg's validation
+    * of conflicting files, at this format's dir granularity).
+    *
+    * The writer stages ONCE against `baseVersion` (default: the snapshot
+    * it reads now): affected-dir discovery, COW rewrite of exactly those
+    * dirs, output landed under a writer-unique `d-c<base>-<token>` subdir
+    * — decoupling data location from version number is what makes the
+    * retry safe (two losers can never collide on a staging path). The
+    * publish loop then walks every version committed since its base and
+    * classifies it:
+    *
+    *  - a committed version REMOVED one of this writer's affected dirs →
+    *    its staged `kept` rows are stale — TRUE write-write conflict,
+    *    throws [[java.util.ConcurrentModificationException]]; the staged
+    *    dir stays an orphan for [[vacuum]], readers never see it.
+    *  - a committed version ADDED dirs containing any of this writer's
+    *    source keys → the same rows were written concurrently (an insert
+    *    race would otherwise land the key twice) — conflict, throws.
+    *  - otherwise the histories are DISJOINT: rebase = re-address the
+    *    latest snapshot's dirs minus this writer's affected set, re-check
+    *    the staged output against the latest snapshot's declared
+    *    constraints, and attempt the next version slot.
+    *
+    * Returns (committedVersion, rebases). The conflict walk costs
+    * O(versions since base) manifest reads plus one key semi-join per
+    * version that added data — never O(table); the staged rewrite is
+    * never recomputed, so a rebase is manifest arithmetic, not I/O.
+    */
+  def mergeDetectingConflicts(s: SparkSession, dir: String, source: DataFrame,
+      key: String, baseVersion: Option[Long] = None,
+      maxRebases: Int = 5): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val base = baseVersion.orElse(latestCommitted(s, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val dup = source.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count()
+    require(dup == 0,
+      s"merge source has duplicate $key values: ambiguous upsert")
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val baseDirs = resolveDataDirs(s, dir, base)
+    val keys = source.select(col(key))
+    val matchedFiles = s.read.parquet(baseDirs: _*)
+      .select(col(key), input_file_name().as("_gfile"))
+      .join(keys, Seq(key), "left_semi")
+      .select(col("_gfile")).distinct().collect().map(_.getString(0))
+    val affNorm = matchedFiles.map(f => norm(new Path(f).getParent.toString)).toSet
+    val affected = baseDirs.filter(d0 => affNorm.contains(norm(d0)))
+    val kept =
+      if (affected.isEmpty) source.limit(0)
+      else s.read.parquet(affected: _*).join(keys, Seq(key), "left_anti")
+    val out = kept.unionByName(source.select(kept.columns.map(col): _*))
+    val newSub = s"d-c$base-${java.util.UUID.randomUUID.toString.take(8)}"
+    out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    var rebases = 0L
+    var attemptBase = base
+    while (true) {
+      val latest = latestCommitted(s, dir).getOrElse(attemptBase)
+      if (latest != attemptBase) {
+        var prevDirs = resolveDataDirs(s, dir, attemptBase).map(norm).toSet
+        ((attemptBase + 1) to latest).foreach { v =>
+          val vDirs = resolveDataDirs(s, dir, v)
+          val vNorm = vDirs.map(norm).toSet
+          val removedMine = (prevDirs -- vNorm).intersect(affNorm)
+          if (removedMine.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"version $v rewrote ${removedMine.mkString(", ")} — this merge's " +
+              s"affected dirs are stale; staged $newSub left for vacuum")
+          val added = vDirs.filterNot(d0 => prevDirs.contains(norm(d0)))
+          if (added.nonEmpty) {
+            val hit = s.read.parquet(added: _*).select(col(key))
+              .join(keys, Seq(key), "left_semi").limit(1).count()
+            if (hit > 0) throw new java.util.ConcurrentModificationException(
+              s"version $v committed rows sharing $key values with this " +
+                s"merge's source — concurrent write-write; staged $newSub left for vacuum")
+          }
+          prevDirs = vNorm
+        }
+        rebases += 1
+        if (rebases > maxRebases) throw new java.util.ConcurrentModificationException(
+          s"merge at $dir exceeded $maxRebases rebases")
+        attemptBase = latest
+      }
+      val untouched = resolveDataDirs(s, dir, attemptBase)
+        .filterNot(d0 => affNorm.contains(norm(d0)))
+      val cs = constraintsAt(s, dir, attemptBase)
+      val bad = violationCounts(s.read.parquet(s"$dir/$newSub"), cs)
+        .filter(_._2 > 0)
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"merge output violates ${bad.map(_._1).mkString(", ")} — not published")
+      val body = (Seq(s"merge on $key rebases=$rebases") ++
+        (untouched :+ s"$dir/$newSub").map(d0 => s"data=$d0") ++
+        cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
+      if (tryCommit(s, dir, attemptBase + 1, body))
+        return (attemptBase + 1, rebases)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Per-file column-stats manifest lines for data landed under
     * `dataDir`: `stats=<fileName>:<min>:<max>` for one long-castable
     * column — Delta's stats-in-log / Iceberg's per-file column stats

@@ -944,4 +944,48 @@ class Round11Spec extends SparkSpec {
     // declared schema unchanged after the refusal
     assert(M.readSchema(spark, dir).get.fields.head.dataType == LongType)
   }
+
+  test("q374: concurrent merges — disjoint rebases, overlapping aborts") {
+    import graft.sources.{VersionedManifest => M}
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_ccm_" +
+      spark.sparkContext.applicationId
+    def row(id: Long, v: Long) = (id, v)
+    Seq(row(1, 10), row(2, 20)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/d-a")
+    M.commit(spark, dir, 1, "data=d-a\nbase")
+    Seq(row(3, 30), row(4, 40)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/d-b")
+    M.commit(spark, dir, 2, "data=d-a\ndata=d-b\nappend")
+    // A: touches d-b only, lands v3 with no rebase
+    val (vA, rA) = M.mergeDetectingConflicts(spark, dir,
+      Seq(row(3, 31)).toDF("id", "v"), "id")
+    assert((vA, rA) == (3L, 0L))
+    // B: staged against v2, touches d-a only — rebases onto v3, lands v4
+    val (vB, rB) = M.mergeDetectingConflicts(spark, dir,
+      Seq(row(1, 11)).toDF("id", "v"), "id", Some(2L))
+    assert((vB, rB) == (4L, 1L))
+    // C: staged against v2, touches the dir A rewrote — must abort,
+    // and its aborted staging must stay invisible to readers
+    intercept[java.util.ConcurrentModificationException] {
+      M.mergeDetectingConflicts(spark, dir,
+        Seq(row(4, 41)).toDF("id", "v"), "id", Some(2L))
+    }
+    // D: staged against v4, INSERT of a key concurrently inserted by E —
+    // the added-dirs key check must refuse the double-insert
+    Seq(row(9, 90)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/d-e")
+    M.commit(spark, dir, 5,
+      M.resolveDataDirs(spark, dir, 4).map(p => s"data=$p")
+        .mkString("", "\n", "\ndata=d-e\nconcurrent insert"))
+    intercept[java.util.ConcurrentModificationException] {
+      M.mergeDetectingConflicts(spark, dir,
+        Seq(row(9, 99)).toDF("id", "v"), "id", Some(4L))
+    }
+    // final state: both disjoint merges applied, no aborted writer's rows
+    val got = M.readLatest(spark, dir).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(row(1, 11), row(2, 20), row(3, 31), row(4, 40),
+      row(9, 90)), got.toString)
+  }
 }
