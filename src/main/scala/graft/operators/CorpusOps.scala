@@ -2844,7 +2844,86 @@ object CorpusOps extends QueryModule {
       |    AS transcript_hash
       |FROM capped GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
+  // --------------------------------------------------------------- q375
+
+  /** q375: PREFIX-CACHE SAVINGS PLAN — the serving-estate number a
+    * KV-cache-aware router is provisioned from: if prompts sharing a
+    * prefix land on the same server, how many prompt characters are
+    * cache HITS (already prefilled by the previous prompt) versus cold?
+    * Prompts (leading 64 chars — the system-prompt/template region where
+    * real traffic overlaps) bucket by their 2-char radix — the router's
+    * shard key — and within each (source, radix) bucket, sorted order,
+    * each prompt's hit length is its longest common prefix with its
+    * predecessor: exactly the incremental node cost of inserting the
+    * prompts into a radix tree in sorted order, so `cached_chars` is the
+    * total trie-sharing a prefix cache achieves within a shard. The LCP
+    * is a codegen'd char-compare HOF (first mismatch position over
+    * `sequence(1, min(len))`), no UDF; `hit_ppm` is exact integer
+    * arithmetic. Public grounding: radix-tree prefix reuse in LLM
+    * serving (Zheng et al., "SGLang: Efficient Execution of Structured
+    * Language Model Programs", RadixAttention).
+    *
+    * Scale: the window partitions by (source, radix bucket) — never a
+    * global order — so the sort shuffles into thousands of bounded
+    * buckets exactly as the router shards; cross-bucket neighbors are
+    * deliberately NOT credited (prompts differing in their first two
+    * chars share ≤ 2 chars of prefix, and a different shard's cache).
+    * O(n · 64²) char compares map-side, one keyed shuffle, one rollup.
+    */
+  private def q375(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("source"), substring(col("text"), 1, 64).as("prompt"))
+    val w = Window.partitionBy(col("source"), substring(col("prompt"), 1, 2))
+      .orderBy(col("prompt"))
+    val withPrev = p.withColumn("prev", lag(col("prompt"), 1).over(w))
+    val n = least(length(col("prompt")), length(col("prev")))
+    val firstMismatch = array_min(filter(
+      transform(sequence(lit(1), n), i =>
+        when(col("prompt").substr(i, lit(1)) === col("prev").substr(i, lit(1)),
+          lit(null)).otherwise(i)),
+      x => x.isNotNull))
+    val lcp = when(col("prev").isNull || n < 1, lit(0))
+      .otherwise(coalesce(firstMismatch - 1, n))
+    withPrev
+      .select(col("source"), length(col("prompt")).cast("long").as("lp"),
+        lcp.cast("long").as("lcp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_prompts"),
+        sum(col("lp")).as("total_chars"),
+        sum(col("lcp")).as("cached_chars"))
+      .withColumn("hit_ppm", expr("cached_chars * 1000000 div total_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q375Sql =
+    """WITH p AS (
+      |  SELECT source, substr(text, 1, 64) AS prompt
+      |  FROM documents WHERE length(text) >= 1),
+      |w AS (
+      |  SELECT source, prompt,
+      |    lag(prompt) OVER (
+      |      PARTITION BY source, substr(prompt, 1, 2) ORDER BY prompt) AS prev
+      |  FROM p),
+      |l AS (
+      |  SELECT source, length(prompt) AS lp,
+      |    CASE WHEN prev IS NULL THEN 0
+      |      ELSE COALESCE(
+      |        list_min(list_filter(
+      |          range(1, LEAST(length(prompt), length(prev)) + 1),
+      |          i -> substr(prompt, CAST(i AS INTEGER), 1)
+      |            <> substr(prev, CAST(i AS INTEGER), 1))) - 1,
+      |        LEAST(length(prompt), length(prev))) END AS lcp
+      |  FROM w)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_prompts,
+      |  CAST(SUM(lp) AS BIGINT) AS total_chars,
+      |  CAST(SUM(lcp) AS BIGINT) AS cached_chars,
+      |  CAST(CAST(SUM(lcp) AS BIGINT) * 1000000
+      |    // CAST(SUM(lp) AS BIGINT) AS BIGINT) AS hit_ppm
+      |FROM l GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q375_prefix_cache_plan" -> q375,
     "q345_pii_scan" -> q345,
     "q346_chat_assembly" -> q346,
     "q357_soft_dedup_weights" -> q357,
@@ -2892,6 +2971,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q375_prefix_cache_plan" -> q375Sql,
     "q345_pii_scan" -> q345Sql,
     "q346_chat_assembly" -> q346Sql,
     "q357_soft_dedup_weights" -> q357Sql,

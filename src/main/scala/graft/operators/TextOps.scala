@@ -1942,7 +1942,134 @@ object TextOps extends QueryModule {
       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q376
+
+  /** q376: PASS@K — the eval-harness headline number, computed the
+    * unbiased way: per task, `n` sampled attempts of which `c` pass, and
+    * pass@k = 1 − C(n−c,k)/C(n,k), the probability that a random size-k
+    * draw contains at least one passing attempt (Chen et al. 2021,
+    * "Evaluating Large Language Models Trained on Code", the HumanEval
+    * estimator — the naive (c/n)^k-style plug-ins are biased). The
+    * binomial ratio telescopes to Π_{i<k} (n−c−i)/(n−i): five exact-
+    * integer-derived double factors multiplied in one fixed left-
+    * associative order, so both engines produce bit-identical doubles;
+    * n−c < k short-circuits to exactly 1. Events stand in for the eval
+    * log (task = user_id, attempt = event, pass = value > 400).
+    *
+    * Scale: per task the state is TWO counters — pass@k over a billion
+    * sampled generations is one map-side-combinable aggregate pass, no
+    * per-attempt data ever crosses the shuffle.
+    */
+  private def q376(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val prod = (0 until k).map(i =>
+      (col("n") - col("c") - i).cast(DoubleType) /
+        (col("n") - i).cast(DoubleType)).reduce(_ * _)
+    Tables.events(s, d)
+      .select(col("user_id").as("task_id"),
+        (col("value") > 400.0).cast("long").as("ok"))
+      .groupBy(col("task_id"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+      .filter(col("n") >= k)
+      .withColumn("pass_at_5",
+        when(col("n") - col("c") < k, lit(1.0)).otherwise(lit(1.0) - prod))
+      .orderBy(col("task_id"))
+  }
+
+  private val q376Sql =
+    """WITH g AS (
+      |  SELECT user_id AS task_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) FILTER (WHERE value > 400.0) AS BIGINT) AS c
+      |  FROM events GROUP BY 1)
+      |SELECT task_id, n, c,
+      |  CASE WHEN n - c < 5 THEN CAST(1 AS DOUBLE)
+      |    ELSE CAST(1 AS DOUBLE) -
+      |      (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE))
+      |    * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |    * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+      |    * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+      |    * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE))
+      |  END AS pass_at_5
+      |FROM g WHERE n >= 5 ORDER BY task_id""".stripMargin
+
+  // --------------------------------------------------------------- q377
+
+  /** q377: POISSON-BOOTSTRAP CONFIDENCE BAND — uncertainty for a metric
+    * over data too big to resample: instead of drawing n-row resamples
+    * (which needs global coordination), each row independently receives
+    * a Poisson(1)-distributed multiplicity per replicate — the streaming
+    * bootstrap of Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams" (Google TR, 2012). Multiplicities here are DERIVED,
+    * not random: two md5 hex digits of (replicate, event_id) → a value
+    * in [0,256) quantized at {94,188,235} to weights {0,1,2,3}
+    * (probabilities .367/.367/.184/.082 vs Poisson(1)'s
+    * .368/.368/.184/.081) — deterministic, seedable, and identically
+    * computable by the DuckDB oracle via the shared hex-parse helper
+    * ([[Exact.sqlHexToLong]]). Per event type: the point-estimate mean
+    * (exact decimal sum, one double division) and the min/max envelope
+    * of B=32 replicate means (order-independent double extremes — no
+    * cross-engine float summation anywhere).
+    *
+    * Scale: the 32× row expansion is map-side combinable into
+    * (type, replicate) partials — 32·|types| cells of state, ZERO extra
+    * shuffle volume relative to the un-bootstrapped mean; the classical
+    * resample would shuffle 32 full copies.
+    */
+  private def q377(s: SparkSession, d: String): DataFrame = {
+    val B = 32
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        Exact.money(col("value")).as("v"))
+    val rep = e
+      .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("h", conv(substring(md5(concat_ws("|",
+        lit("boot"), col("b"), col("event_id"))), 1, 2), 16, 10).cast("long"))
+      .withColumn("w", when(col("h") < 94, 0L).when(col("h") < 188, 1L)
+        .when(col("h") < 235, 2L).otherwise(3L))
+    val ci = rep.groupBy(col("event_type"), col("b"))
+      .agg((sum(col("v") * col("w")).cast(DoubleType) / sum(col("w"))).as("m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_replicates"),
+        min(col("m")).as("lo_mean"), max(col("m")).as("hi_mean"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("v")).cast(DoubleType) / count(lit(1))).as("mean_value"))
+      .join(ci, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q377Sql = {
+    val h = Exact.sqlHexToLong(
+      "md5(concat_ws('|', 'boot', b, event_id))", 1, 2)
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v
+       |  FROM events),
+       |rep AS (
+       |  SELECT event_type, b, v,
+       |    CASE WHEN h < 94 THEN 0 WHEN h < 188 THEN 1
+       |         WHEN h < 235 THEN 2 ELSE 3 END AS w
+       |  FROM (SELECT e.*, r.b, $h AS h
+       |        FROM e CROSS JOIN
+       |          (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS b) r)),
+       |means AS (
+       |  SELECT event_type, b,
+       |    CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS m
+       |  FROM rep GROUP BY 1, 2),
+       |ci AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       |    MIN(m) AS lo_mean, MAX(m) AS hi_mean
+       |  FROM means GROUP BY 1)
+       |SELECT e2.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_value,
+       |  ANY_VALUE(n_replicates) AS n_replicates,
+       |  ANY_VALUE(lo_mean) AS lo_mean, ANY_VALUE(hi_mean) AS hi_mean
+       |FROM e e2 JOIN ci ON e2.event_type = ci.event_type
+       |GROUP BY e2.event_type ORDER BY e2.event_type""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_pass_at_k" -> q376,
+    "q377_bootstrap_ci" -> q377,
     "q368_taxonomy_tagging" -> q368,
     "q318_lsh_tuning" -> q318,
     "q317_quality_auc" -> q317,
@@ -1976,6 +2103,8 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q376_pass_at_k" -> q376Sql,
+    "q377_bootstrap_ci" -> q377Sql,
     "q368_taxonomy_tagging" -> q368Sql,
     "q318_lsh_tuning" -> q318Sql,
     "q317_quality_auc" -> q317Sql,

@@ -988,4 +988,61 @@ class Round11Spec extends SparkSpec {
     assert(got == Seq(row(1, 11), row(2, 20), row(3, 31), row(4, 40),
       row(9, 90)), got.toString)
   }
+
+  test("q375: prefix-cache window never collapses to a single partition") {
+    val df = SparkEntry.queries("q375_prefix_cache_plan")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the LCP window partitions by (source, radix) — a global-order
+    // window would show a SinglePartition exchange feeding Window
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(df.collect().nonEmpty)
+    // LCP ground truth on a hand-built bucket: prompts sharing "ab"
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdef", "en", "s1", 6L), (2L, "abcxyz", "en", "s1", 6L),
+      (3L, "abcdefgh", "en", "s1", 8L), (4L, "zq", "en", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_r11_lcp_" +
+      spark.sparkContext.applicationId
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings")) {
+      val src = s"$sf0001/$t.parquet"
+      if (new java.io.File(src).exists)
+        spark.read.parquet(src).limit(0).write.mode("overwrite")
+          .parquet(s"$tmp/$t.parquet")
+    }
+    val r = SparkEntry.queries("q375_prefix_cache_plan")(spark, tmp)
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3))).toSeq
+    // sorted: abcdef(0) -> abcdefgh(lcp 6) -> abcxyz(lcp 3); zq alone(0)
+    assert(r == Seq(("s1", 22L, 9L)), r.toString)
+  }
+
+  test("q376: pass@k short-circuits at n-c<k and matches the closed form") {
+    val rows = SparkEntry.queries("q376_pass_at_k")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c, p) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      if (n - c < 5) assert(p == 1.0, r.toString)
+      else {
+        val expect = 1.0 - (0 until 5)
+          .map(i => (n - c - i).toDouble / (n - i).toDouble).product
+        assert(p == expect, s"$r vs $expect")
+        assert(p >= 0.0 && p <= 1.0)
+      }
+    }
+  }
+
+  test("q377: bootstrap envelope brackets the point estimate, 32 replicates") {
+    val rows = SparkEntry.queries("q377_bootstrap_ci")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, nRep, lo, hi) =
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(nRep == 32L, r.toString)
+      assert(lo <= hi, r.toString)
+      // Poisson-bootstrap means concentrate around the point estimate
+      assert(lo <= mean && mean <= hi, r.toString)
+    }
+  }
 }
