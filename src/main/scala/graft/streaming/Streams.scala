@@ -415,6 +415,47 @@ object Streams extends QueryModule {
        |GROUP BY s.user_id
        |ORDER BY s.user_id""".stripMargin
 
+  /** q378: stream-stream LEFT SEMI join — the last supported cell of the
+    * stream-join matrix (q98 inner, q143/q202 one-sided outer, q194 full
+    * outer): "signups that converted within 2 hours", emitted AS
+    * EXISTENCE — one row per qualifying signup no matter how many
+    * purchases matched, and the purchase columns never leave the join.
+    * That asymmetry is the point at scale: the right side is pure
+    * probe-state (rows buffered only until the watermark proves no left
+    * row can still match), nothing from it is retained in the output, so
+    * the sink sees |qualifying signups| rows instead of |pairs| — for a
+    * funnel with 50 purchases per signup, a 50× smaller emission with the
+    * same downstream semantics as `WHERE EXISTS`. Left ANTI is the one
+    * matrix cell Structured Streaming does not support (a non-match is
+    * only provable at watermark expiry, and Spark reserves that path for
+    * outer-join NULL emission) — the batch q13/q197 shapes cover it.
+    *
+    * The rollup counts qualifying signups per user; the DuckDB oracle is
+    * the literal `WHERE EXISTS` replay. Multi-batch invariance rides the
+    * StreamsSpec slicing test alongside the other matrix cells.
+    */
+  private def q378(s: SparkSession, d: String): DataFrame = {
+    val joined = signupPurchaseJoin(streamEvents(s, d), "left_semi")
+    val out = runToMemory(s,
+      joined.select(col("user_id"), col("signup_ts")),
+      "q378_sink", "append")
+    out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_qualified"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q378Sql =
+    """SELECT s.user_id, CAST(COUNT(*) AS BIGINT) AS n_qualified
+      |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |      WHERE event_type = 'signup') s
+      |WHERE EXISTS (
+      |  SELECT 1 FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |                 FROM events WHERE event_type = 'purchase') p
+      |  WHERE p.user_id = s.user_id
+      |    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 2 HOUR)
+      |GROUP BY s.user_id
+      |ORDER BY s.user_id""".stripMargin
+
   /** q99: stream-static enrichment join — the arriving event stream joined
     * to the static customer dimension (broadcast: the dim is loaded once
     * per micro-batch, no stream state), then a running per-segment count
@@ -2009,6 +2050,7 @@ object Streams extends QueryModule {
     "q286_stream_scd2_enrich" -> q286,
     "q325_stream_stream_scd2" -> q325,
     "q98_stream_stream_join" -> q98,
+    "q378_stream_semi_join" -> q378,
     "q94_stream_sliding" -> q94,
     "q90_stream_tumbling" -> q90,
     "q91_stream_session" -> q91,
@@ -2042,6 +2084,7 @@ object Streams extends QueryModule {
     "q286_stream_scd2_enrich" -> q286Sql,
     "q325_stream_stream_scd2" -> q325Sql,
     "q98_stream_stream_join" -> q98Sql,
+    "q378_stream_semi_join" -> q378Sql,
     "q94_stream_sliding" -> q94Sql,
     "q90_stream_tumbling" -> q90Sql,
     "q91_stream_session" -> q91Sql,

@@ -683,4 +683,27 @@ class StreamsSpec extends SparkSpec {
     // state: the join buffers held more than the final rollup's 4 rows
     assert(Streams.lastStateRows("q325_drip_sink") > 4)
   }
+
+  test("q378 left-semi: one row per qualifying signup, fewer than pairs") {
+    val got = graft.SparkEntry.queries("q378_stream_semi_join")(
+      spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    // batch replay of the same existence semantics
+    val ev = graft.Tables.events(spark, sf0001)
+    val signup = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val cond = col("user_id") === col("p_user") &&
+      col("p_ts") >= col("s_ts") &&
+      col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS")
+    val batch = signup.join(purchase, cond, "left_semi")
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"$got vs $batch")
+    // existence, not pairs: the inner join emits at least as many rows
+    val pairs = signup.join(purchase, cond, "inner").count()
+    assert(got.values.sum <= pairs)
+  }
 }
