@@ -708,7 +708,71 @@ object TimeSeries extends QueryModule {
       |  CAST(MAX(conc) AS BIGINT) AS max_concurrency
       |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- q379
+
+  /** q379: EXPONENTIALLY-DECAYED FRESHNESS SCORE — the recency-weighted
+    * value a crawl scheduler or feature store keeps per key ("how much
+    * recent signal does this source still carry"), computed so a
+    * distributed run and the single-threaded oracle agree BIT-FOR-BIT.
+    * The trap: `sum(value * exp(-λ·age))` is a floating sum whose result
+    * depends on partial-aggregation order (and libm's exp differs by
+    * ulps across engines). The discipline: quantize age to half-life
+    * buckets (k = age-in-weeks, clamped to 4 — a 5-level decay ladder),
+    * sum each bucket EXACTLY in decimal, and combine the ≤5 bucket sums
+    * in ONE fixed-order expression `S₀ + S₁·2⁻¹ + … + S₄·2⁻⁴` — powers
+    * of two are exactly representable, the per-bucket casts stay under
+    * 2⁵³, and five IEEE ops in a written-down order are deterministic
+    * everywhere. `now` is the table's max event date (deterministic
+    * replay, no wall clock).
+    *
+    * Scale: state per group is FIVE decimal cells regardless of row
+    * count — the decay ladder rides any partial-agg tree unchanged;
+    * contrast with a per-row exp() sum, which at 1000 executors is
+    * nondeterministic run to run. Same trick serves TTL-weighted counts
+    * and half-life popularity ranking.
+    */
+  private def q379(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), Exact.money(col("value")).as("v"))
+    val mx = e.agg(max(to_date(col("ts"))).as("mxd"))
+    val withK = e.crossJoin(broadcast(mx))
+      .withColumn("k", least(
+        floor(datediff(col("mxd"), to_date(col("ts"))) / 7), lit(4L)))
+    val buckets = (0 to 4).map(i =>
+      coalesce(sum(when(col("k") === i, col("v"))),
+        lit(0).cast(Exact.Money)).as(s"s$i"))
+    val score = (0 to 4).map(i =>
+      col(s"s$i").cast(DoubleType) * lit(math.pow(2, -i))).reduce(_ + _)
+    withK.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), buckets: _*)
+      .select(col("event_type"), col("n_events"),
+        score.as("decayed_total"),
+        (col("s0") + col("s1") + col("s2") + col("s3") + col("s4"))
+          .cast(DoubleType).as("raw_total"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q379Sql = {
+    val sums = (0 to 4).map(i =>
+      s"COALESCE(SUM(CASE WHEN k = $i THEN v END), 0) AS s$i").mkString(", ")
+    val score = (0 to 4).map(i =>
+      s"CAST(s$i AS DOUBLE) * ${math.pow(2, -i)}").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+       |    LEAST(datediff('day',
+       |      CAST(ts AS DATE),
+       |      (SELECT MAX(CAST(ts AS DATE)) FROM events)) // 7, 4) AS k
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, $sums
+       |  FROM e GROUP BY 1)
+       |SELECT event_type, n_events, $score AS decayed_total,
+       |  CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE) AS raw_total
+       |FROM g ORDER BY event_type""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_freshness_decay" -> q379,
     "q241_max_concurrency" -> q241,
     "q181_sax_motifs" -> q181,
     "q177_distribution_drift" -> q177,
@@ -725,6 +789,7 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q379_freshness_decay" -> q379Sql,
     "q241_max_concurrency" -> q241Sql,
     "q181_sax_motifs" -> q181Sql,
     "q177_distribution_drift" -> q177Sql,
