@@ -2922,7 +2922,80 @@ object CorpusOps extends QueryModule {
       |    // CAST(SUM(lp) AS BIGINT) AS BIGINT) AS hit_ppm
       |FROM l GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q380
+
+  /** q380: TEMPERATURE-SCALED MIXTURE ALLOCATION — q228's mixing step
+    * with the weights production actually uses: instead of a uniform
+    * target share, each source's sampling weight is `n_s^α / Σ n_t^α`
+    * with α = 1/2 — the temperature-scaled multinomial of multilingual
+    * pretraining (Conneau & Lample, XLM; mT5's α-sampling), which
+    * up-weights small sources without letting a giant one dominate. The
+    * numeric discipline is the point: `Σ n_t^α` is a sum of DOUBLES, and
+    * a hash-aggregate would add them in partition order — so the total
+    * is computed as an ORDERED prefix sum over the source-keyed rollup
+    * (a window ordered by source name), making every IEEE addition
+    * happen in one written-down order in both engines; sqrt is exactly
+    * rounded per IEEE-754, so the whole weight column is bit-stable.
+    * Allocations floor against a half-corpus token budget; implied
+    * epochs per source in exact ppm arithmetic.
+    *
+    * Scale: the window runs over the per-SOURCE rollup — tens of rows,
+    * bounded by the source domain, never by corpus size — after one
+    * map-side-combinable token count; the single-partition frame is a
+    * deliberate O(#sources) reduction, the same bounded-state argument
+    * as q361's 1-row MM frame.
+    */
+  private def q380(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("n_tokens"))
+    val total = toks.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val ordered = Window.orderBy(col("source"))
+    val full = ordered.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    toks.crossJoin(broadcast(total))
+      .withColumn("sqw", sqrt(col("n_tokens").cast(DoubleType)))
+      .withColumn("running", sum(col("sqw")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("z", max(col("running")).over(full))
+      .withColumn("weight", col("sqw") / col("z"))
+      .withColumn("budget", expr("corpus_tokens div 2"))
+      .withColumn("alloc_tokens",
+        floor(col("budget").cast(DoubleType) * col("weight")).cast(LongType))
+      .withColumn("epochs_ppm",
+        expr("alloc_tokens * 1000000 div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val q380Sql =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    sqrt(CAST(n_tokens AS DOUBLE)) AS sqw,
+      |    SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (
+      |      ORDER BY source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+      |    CAST((SELECT SUM(n_tokens) FROM t) AS BIGINT) AS corpus_tokens
+      |  FROM t),
+      |z AS (
+      |  SELECT source, n_tokens, sqw, corpus_tokens,
+      |    MAX(running) OVER () AS z
+      |  FROM w)
+      |SELECT source, n_tokens, sqw / z AS weight,
+      |  CAST(FLOOR(CAST(corpus_tokens // 2 AS DOUBLE) * (sqw / z))
+      |    AS BIGINT) AS alloc_tokens,
+      |  CAST(FLOOR(CAST(corpus_tokens // 2 AS DOUBLE) * (sqw / z))
+      |    AS BIGINT) * 1000000 // n_tokens AS epochs_ppm
+      |FROM z ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_temperature_mixture" -> q380,
     "q375_prefix_cache_plan" -> q375,
     "q345_pii_scan" -> q345,
     "q346_chat_assembly" -> q346,
@@ -2971,6 +3044,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q380_temperature_mixture" -> q380Sql,
     "q375_prefix_cache_plan" -> q375Sql,
     "q345_pii_scan" -> q345Sql,
     "q346_chat_assembly" -> q346Sql,

@@ -1942,6 +1942,56 @@ object TextOps extends QueryModule {
       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- q381
+
+  /** q381: TOKENIZER FERTILITY — pieces emitted per whitespace word, THE
+    * cross-lingual tokenizer-quality metric (a fertility of 2.4 means a
+    * language pays 2.4× the sequence length per word; SentencePiece
+    * evals and multilingual-vocab papers report exactly this, e.g. Rust
+    * et al. 2021, "How Good is Your Tokenizer?"). Words are q70's
+    * whitespace count, pieces its BPE-ish lexer count; per (lang,
+    * source): exact integer totals, fertility in ppm (`pieces·10⁶ div
+    * words`), and the share of documents whose fertility exceeds 3 —
+    * the "this language is under-served by the vocab" alarm — as an
+    * exact ppm too.
+    *
+    * Scale: two codegen'd counters per row, one keyed combinable
+    * aggregate — fertility over 10⁹ documents is a single pass with
+    * (lang × source) cells of state.
+    */
+  private def q381(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(toks(col("text"))).cast(LongType).as("w"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType).as("p"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("words"), sum(col("p")).as("pieces"),
+        sum(when(expr("p * 1000000 div w") > 3000000L, 1L).otherwise(0L))
+          .as("high_fertility_docs"))
+      .withColumn("fertility_ppm", expr("pieces * 1000000 div words"))
+      .withColumn("high_share_ppm",
+        expr("high_fertility_docs * 1000000 div n_docs"))
+      .orderBy(col("lang"), col("source"))
+
+  private val q381Sql =
+    """WITH t AS (
+      |  SELECT lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      |      AS BIGINT) AS p
+      |  FROM documents)
+      |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(p) AS BIGINT) AS pieces,
+      |  CAST(SUM(CASE WHEN p * 1000000 // w > 3000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS high_fertility_docs,
+      |  CAST(SUM(p) AS BIGINT) * 1000000 // CAST(SUM(w) AS BIGINT)
+      |    AS fertility_ppm,
+      |  CAST(SUM(CASE WHEN p * 1000000 // w > 3000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS high_share_ppm
+      |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   // --------------------------------------------------------------- q376
 
   /** q376: PASS@K — the eval-harness headline number, computed the
@@ -2069,6 +2119,7 @@ object TextOps extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q376_pass_at_k" -> q376,
+    "q381_tokenizer_fertility" -> q381,
     "q377_bootstrap_ci" -> q377,
     "q368_taxonomy_tagging" -> q368,
     "q318_lsh_tuning" -> q318,
@@ -2104,6 +2155,7 @@ object TextOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q376_pass_at_k" -> q376Sql,
+    "q381_tokenizer_fertility" -> q381Sql,
     "q377_bootstrap_ci" -> q377Sql,
     "q368_taxonomy_tagging" -> q368Sql,
     "q318_lsh_tuning" -> q318Sql,
