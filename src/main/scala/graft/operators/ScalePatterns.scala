@@ -1499,6 +1499,102 @@ object ScalePatterns extends QueryModule {
       |  AS t(version, format, operation)
       |ORDER BY version""".stripMargin
 
+  // --------------------------------------------------------------- q382
+
+  /** q382: ATOMIC CTAS/RTAS — `CREATE [OR REPLACE] TABLE … AS SELECT`
+    * through the [[graft.sources.VersionedCatalog]]'s new
+    * `StagingTableCatalog` face: the SELECT's whole output stages under
+    * a writer-unique dir, and ONE manifest rename publishes it
+    * (`StagedVersionedTable`). The estate proves the property that
+    * matters: CTAS lands v1, `CREATE OR REPLACE … AS SELECT` lands v2
+    * re-addressing only its staged dir (v1 stays time-travelable —
+    * REPLACE is a new-table contract, not an erase), and a THIRD replace
+    * whose SELECT fails at runtime (an ANSI cast on real data) commits
+    * NOTHING: Spark drives `abortStagedChanges`, the staging dir is
+    * deleted, and the latest snapshot is still v2 byte-for-byte. The
+    * rollup reads v1 by `VERSION AS OF` and v2 as the current table, and
+    * pins the protocol as oracle columns: latest version 2, zero orphan
+    * `d-rtas-*` staging dirs on disk.
+    *
+    * Scale: atomicity adds no data pass — staging IS the SELECT's own
+    * parquet write; commit is one rename at any table size. This is the
+    * "no half-replaced table" guarantee a nightly full-refresh job needs
+    * before anyone dares point a serving estate at it (Iceberg RTAS /
+    * Delta CREATE OR REPLACE semantics on this format).
+    */
+  private def rtasCatalog(s: SparkSession, d: String): (String, String) = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_rtas_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val cat = "g382_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val src = s"parquet.`$d/documents.parquet`"
+      s.sql(s"CREATE TABLE $cat.tables.rt AS " +
+        s"SELECT doc_id, source, n_chars FROM $src WHERE doc_id % 2 = 0")
+      s.sql(s"CREATE OR REPLACE TABLE $cat.tables.rt AS " +
+        s"SELECT doc_id, source, n_chars + 10 AS n_chars FROM $src")
+      // a replace whose SELECT fails on real rows: ANSI CAST of a
+      // non-numeric source string throws mid-write → abort, not commit
+      val refused =
+        try {
+          s.sql(s"CREATE OR REPLACE TABLE $cat.tables.rt AS " +
+            s"SELECT doc_id, CAST(source AS BIGINT) AS n_chars FROM $src")
+          false
+        } catch { case _: Throwable => true }
+      require(refused, "failing RTAS must abort, not commit")
+      java.nio.file.Files.createFile(done)
+    }
+    (cat, root)
+  }
+
+  private def q382(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cat, root) = rtasCatalog(s, d)
+    val M = graft.sources.VersionedManifest
+    val dir = s"$root/rt"
+    val latest = M.latestCommitted(s, dir).getOrElse(0L)
+    val addressed = (1L to latest)
+      .flatMap(v => M.resolveDataDirs(s, dir, v))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val orphans = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString.split('/').last)
+      .count(n => n.startsWith("d-rtas-") && !addressed.contains(n)).toLong
+    val evidence = Seq((latest, orphans))
+      .toDF("latest_version", "orphan_staging_dirs")
+    s.sql(
+      s"""SELECT v, source, n_docs, total_chars FROM (
+         |  SELECT CAST(1 AS BIGINT) AS v, source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM $cat.tables.rt VERSION AS OF 1 GROUP BY source
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), source, CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(n_chars) AS BIGINT)
+         |  FROM $cat.tables.rt GROUP BY source)
+         |""".stripMargin)
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("v"), col("source"))
+  }
+
+  private val q382Sql =
+    """SELECT v, source, n_docs, total_chars,
+      |  CAST(2 AS BIGINT) AS latest_version,
+      |  CAST(0 AS BIGINT) AS orphan_staging_dirs
+      |FROM (
+      |  SELECT CAST(1 AS BIGINT) AS v, source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), source, CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(n_chars + 10) AS BIGINT)
+      |  FROM documents GROUP BY source)
+      |ORDER BY v, source""".stripMargin
+
   // --------------------------------------------------------------- q332
 
   /** q332: SNAPSHOT DRIFT MONITOR — the distribution-shift check a
@@ -5046,6 +5142,7 @@ object ScalePatterns extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q374_concurrent_merge" -> q374,
+    "q382_atomic_rtas" -> q382,
     "q373_schema_gate" -> q373,
     "q371_versioned_erasure" -> q371,
     "q370_sql_merge_proc" -> q370,
@@ -5125,6 +5222,7 @@ object ScalePatterns extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q374_concurrent_merge" -> q374Sql,
+    "q382_atomic_rtas" -> q382Sql,
     "q373_schema_gate" -> q373Sql,
     "q371_versioned_erasure" -> q371Sql,
     "q370_sql_merge_proc" -> q370Sql,

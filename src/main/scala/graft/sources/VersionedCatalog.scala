@@ -48,6 +48,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `epoch=` marker in committed history and lands nothing.
   */
 class VersionedCatalog extends CatalogPlugin with TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import VersionedCatalog._
 
@@ -199,6 +200,50 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
     new VersionedTable(s"$catName.$TableNs.${ident.name}", dirOf(ident), None)
   }
 
+  /** ATOMIC CTAS / RTAS — the [[org.apache.spark.sql.connector.catalog
+    * .StagingTableCatalog]] face: `CREATE [OR REPLACE] TABLE … AS
+    * SELECT` stages its whole output under a writer-unique data dir and
+    * only [[StagedVersionedTable.commitStagedChanges]] — one manifest
+    * rename — makes it a version. The property Spark's non-atomic CTAS
+    * path cannot give: a failed SELECT (Spark calls
+    * `abortStagedChanges`) leaves the previous snapshot byte-identical
+    * and the staging reclaimed; readers can never observe a
+    * half-replaced table. REPLACE is a NEW table contract: the manifest
+    * re-addresses ONLY the staged dir (prior versions stay
+    * time-travelable) and the declared `_schema` is rewritten to the
+    * query's schema — the one DDL path that may retype, because nothing
+    * of the old data survives into the new snapshot (contrast the
+    * append-side evolution gate, q373).
+    */
+  override def stageCreate(ident: Identifier, info: TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    checkNs(ident)
+    if (exists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    stage(ident, info)
+  }
+  override def stageReplace(ident: Identifier, info: TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    checkNs(ident)
+    if (!exists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info)
+  }
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    checkNs(ident)
+    stage(ident, info)
+  }
+  private def stage(ident: Identifier, info: TableInfo): StagedVersionedTable = {
+    if (info.partitions().nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$catName tables version whole directories; partition transforms " +
+          "are not supported")
+    val schema = StructType(info.columns().map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    new StagedVersionedTable(s"$catName.$TableNs.${ident.name}",
+      dirOf(ident), schema)
+  }
+
   private def managed: Nothing = throw new UnsupportedOperationException(
     s"$catName manages versions through the manifest: append via the " +
       "streaming write, reclaim via vacuum; there is no ALTER/DROP surface")
@@ -237,6 +282,73 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
 private[sources] object VersionedCatalog {
   val TableNs = "tables"
   val ProcNs = "sys"
+}
+
+/** The staged side of an atomic CTAS/RTAS: rows land under a
+  * writer-unique `d-rtas-<token>` dir via the V1 batch-write fallback
+  * (the executor write is Spark's own parquet path — no bespoke row
+  * writer), and the version becomes visible ONLY in
+  * [[commitStagedChanges]]: `_schema` rewritten to the query's schema,
+  * then one [[VersionedManifest.tryCommit]] addressing exactly the
+  * staged dir. A lost commit race surfaces as
+  * `ConcurrentModificationException` (the q284/q374 OCC contract);
+  * [[abortStagedChanges]] deletes the staging so a failed query leaves
+  * neither a version nor an orphan.
+  *
+  * Scale: staging cost is the SELECT's own write; commit is one rename
+  * regardless of size — the atomicity does not add a data pass.
+  */
+private[sources] class StagedVersionedTable(qualName: String, dir: String,
+    declared: StructType)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  private def spark = SparkSession.active
+  private val sub = s"d-rtas-${java.util.UUID.randomUUID.toString.take(8)}"
+  @volatile private var written = false
+
+  override def name(): String = qualName
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // RTAS plans an overwrite of the (empty) staged table — accepting
+    // truncate/overwrite-by-true is a no-op on a fresh staging dir
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      override def truncate(): WriteBuilder = this
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = this
+      override def build(): Write = new org.apache.spark.sql.connector.write.V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          new org.apache.spark.sql.sources.InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              data.write.mode("overwrite").parquet(s"$dir/$sub")
+              written = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (!written) throw new IllegalStateException(
+      s"staged table $qualName committed before its query wrote")
+    VersionedManifest.writeSchema(spark, dir, declared)
+    val n = VersionedManifest.latestCommitted(spark, dir).getOrElse(0L) + 1
+    val head = if (n == 1) "create table as select" else "replace table as select"
+    if (!VersionedManifest.tryCommit(spark, dir, n, s"$head\ndata=$dir/$sub"))
+      throw new java.util.ConcurrentModificationException(
+        s"version $n at $dir was committed concurrently — staged $sub aborted")
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val p = new Path(s"$dir/$sub")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }
 
 /** `CALL <cat>.sys.rollback(table STRING, version BIGINT)` — commit a

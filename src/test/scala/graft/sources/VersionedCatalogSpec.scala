@@ -417,4 +417,38 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(VersionedManifest.vacuum(spark, dir) == Seq(2L))
     assert(VersionedManifest.readLatest(spark, dir).count() == 2)
   }
+
+  test("atomic CTAS/RTAS: abort leaves the prior snapshot and no staging") {
+    val root = freshDir("rtas")
+    val cat = "g_rtas_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.tables.t AS SELECT 1L AS k, 'a' AS tag")
+    // CTAS on an existing table refuses at analysis time
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.tables.t AS SELECT 2L AS k, 'b' AS tag")
+    }
+    // REPLACE of a missing table refuses
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $cat.tables.nope AS SELECT 1L AS k")
+    }
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.tables.t " +
+      "AS SELECT 2L AS k, 'b' AS tag")
+    // failing replace: ANSI cast throws on the executor mid-write
+    intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.tables.t " +
+        "AS SELECT CAST(tag AS BIGINT) AS k, tag FROM " +
+        s"$cat.tables.t")
+    }
+    // latest is STILL v2's content; v1 remains time-travelable
+    val cur = spark.sql(s"SELECT k, tag FROM $cat.tables.t").collect()
+    assert(cur.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "b")))
+    val v1 = spark.sql(s"SELECT k FROM $cat.tables.t VERSION AS OF 1").collect()
+    assert(v1.map(_.getLong(0)).toSeq == Seq(1L))
+    // the aborted staging dir was deleted
+    val staged = new java.io.File(s"$root/t").listFiles()
+      .map(_.getName).filter(_.startsWith("d-rtas-"))
+    assert(staged.length == 2, staged.mkString(","))
+  }
 }
