@@ -1595,6 +1595,83 @@ object ScalePatterns extends QueryModule {
       |  FROM documents GROUP BY source)
       |ORDER BY v, source""".stripMargin
 
+  // --------------------------------------------------------------- q384
+
+  /** q384: SQL DELETE on the versioned table — q256's copy-on-write
+    * delete with no Scala in sight: `DELETE FROM <cat>.tables.dl WHERE
+    * n_chars < 200` resolves through the new `SupportsDelete` face on
+    * [[graft.sources.VersionedCatalog]]'s table, Spark hands the WHERE
+    * down as V1 filters, and the manifest machinery rewrites ONLY the
+    * dirs containing matching rows. The estate makes the selectivity
+    * provable: v1 (an atomic CTAS, q382's face) holds only large docs,
+    * v2 appends a small-doc dir — so the delete's matched files all live
+    * in the appended dir, the CTAS dir must re-address BYTE-UNTOUCHED
+    * into v3 (evidence: the v3∩v2 dir intersection), and the delete is a
+    * new version with the full history time-travelable behind it.
+    *
+    * Scale: the WHERE travels to the scan that FINDS matching files
+    * (predicate pushdown at discovery) and the rewrite pays O(affected
+    * dirs + survivors) — a retention sweep on a 100 TB estate whose
+    * expired rows cluster in old dirs rewrites those dirs, not the
+    * table. Unsupported WHERE shapes refuse at analysis time
+    * (`canDeleteWhere`), never delete wrong.
+    */
+  private def sqlDeleteCatalog(s: SparkSession, d: String): (String, String) = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqldel_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val cat = "g384_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val M = graft.sources.VersionedManifest
+      val dir = s"$root/dl"
+      val src = s"parquet.`$d/documents.parquet`"
+      s.sql(s"CREATE TABLE $cat.tables.dl AS SELECT doc_id, source, " +
+        s"n_chars FROM $src WHERE n_chars >= 200")
+      Tables.documents(s, d).filter(col("n_chars") < 200)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/d-b")
+      M.commit(s, dir, 2,
+        (M.resolveDataDirs(s, dir, 1) :+ s"$dir/d-b")
+          .map(p => s"data=$p").mkString("\n") + "\nappend small docs")
+      s.sql(s"DELETE FROM $cat.tables.dl WHERE n_chars < 200")
+      require(M.latestCommitted(s, dir).contains(3L),
+        "SQL DELETE must publish version 3")
+      java.nio.file.Files.createFile(done)
+    }
+    (cat, root)
+  }
+
+  private def q384(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cat, root) = sqlDeleteCatalog(s, d)
+    val M = graft.sources.VersionedManifest
+    val dir = s"$root/dl"
+    val untouched = M.resolveDataDirs(s, dir, 3).toSet
+      .intersect(M.resolveDataDirs(s, dir, 2).toSet)
+    val deleted = M.readAt(s, dir, 2).count() - M.readAt(s, dir, 3).count()
+    val evidence = Seq((3L, untouched.size.toLong, deleted))
+      .toDF("latest_version", "n_untouched_dirs", "deleted_rows")
+    s.sql(s"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        s"FROM $cat.tables.dl GROUP BY source")
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q384Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS latest_version,
+      |  CAST(1 AS BIGINT) AS n_untouched_dirs,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE n_chars < 200)
+      |    AS BIGINT) AS deleted_rows
+      |FROM documents WHERE n_chars >= 200
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q332
 
   /** q332: SNAPSHOT DRIFT MONITOR — the distribution-shift check a
@@ -5143,6 +5220,7 @@ object ScalePatterns extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q374_concurrent_merge" -> q374,
     "q382_atomic_rtas" -> q382,
+    "q384_sql_cow_delete" -> q384,
     "q373_schema_gate" -> q373,
     "q371_versioned_erasure" -> q371,
     "q370_sql_merge_proc" -> q370,
@@ -5223,6 +5301,7 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q374_concurrent_merge" -> q374Sql,
     "q382_atomic_rtas" -> q382Sql,
+    "q384_sql_cow_delete" -> q384Sql,
     "q373_schema_gate" -> q373Sql,
     "q371_versioned_erasure" -> q371Sql,
     "q370_sql_merge_proc" -> q370Sql,

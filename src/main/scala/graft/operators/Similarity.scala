@@ -2326,7 +2326,102 @@ object Similarity extends QueryModule {
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
   }
 
+  // --------------------------------------------------------------- q383
+
+  /** q383: FILTERED VECTOR SEARCH — pre-filter vs post-filter, the design
+    * decision every metadata-constrained ANN deployment makes ("top-5
+    * *among label-even docs*"). PRE-FILTERING pushes the predicate below
+    * the probe: the corpus scan itself drops non-matching rows (a
+    * parquet-pushable filter at 100 TB), and the ranking is exact over
+    * the eligible set. POST-FILTERING — what a filter-blind index forces
+    * — ranks the FULL corpus, keeps a fixed shortlist (20 here), and
+    * filters afterward: when eligible neighbors sit beyond the
+    * shortlist, they are unrecoverable. The query measures exactly that
+    * loss: per query, the post-filter survivors' overlap with the true
+    * filtered top-5 as `recall_ppm`, plus how many of the 20 survived
+    * the predicate at all — the number that tells an estate whether its
+    * shortlist multiplier covers its filter selectivity (the pre/post
+    * trade-off documented across vector-search engines).
+    *
+    * Scale: both arms broadcast the 10-query side and stream the corpus
+    * partition-local (q80's geometry); pre-filtering READS LESS (the
+    * predicate prunes at the scan), post-filtering pays the full probe
+    * and then discards — the measured recall gap is the price of not
+    * pushing the filter down.
+    */
+  private def q383(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("v"))
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def scored(c: DataFrame): DataFrame = c
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dotExpr("qv", "nv").cast(DoubleType) /
+        (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv"))))
+    val byQ = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    // pre-filter arm: predicate below the probe, exact top-5 of eligible
+    val trueTop = scored(vecs.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("nid"), col("v").as("nv")))
+      .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 5)
+      .select(col("qid"), col("nid"))
+    // post-filter arm: filter-blind top-20 shortlist, then the predicate
+    val post = scored(vecs.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"), col("v").as("nv")))
+      .withColumn("rk", row_number().over(byQ)).filter(col("rk") <= 20)
+      .filter(col("nlabel") % 2 === 0)
+      .withColumn("rk2", row_number().over(byQ)).filter(col("rk2") <= 5)
+      .select(col("qid"), col("nid").as("pnid"))
+    trueTop
+      .join(post, trueTop("qid") === post("qid") &&
+        col("nid") === col("pnid"), "left")
+      .groupBy(trueTop("qid").as("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("pnid").isNotNull.cast(LongType)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div n_true"))
+      .orderBy(col("qid"))
+  }
+
+  private val q383Sql =
+    """WITH vecs AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id AS nid, c.label AS nlabel,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+      |        i -> q.qv[i]*c.v[i])) AS DOUBLE)
+      |      / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+      |         * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+      |  FROM vecs c JOIN q ON q.qid <> c.vec_id),
+      |tru AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |    FROM scored WHERE nlabel % 2 = 0) WHERE rk <= 5),
+      |short AS (
+      |  SELECT qid, nid, cos FROM (
+      |    SELECT qid, nid, cos, nlabel,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |    FROM scored) WHERE rk <= 20 AND nlabel % 2 = 0),
+      |post AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk2
+      |    FROM short) WHERE rk2 <= 5)
+      |SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+      |  CAST(SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits,
+      |  CAST(SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(*) AS BIGINT) AS recall_ppm
+      |FROM tru t LEFT JOIN post p ON t.qid = p.qid AND t.nid = p.nid
+      |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_filtered_ann" -> q383,
     "q364_sq8_recall" -> q364,
     "q359_truncated_rerank" -> q359,
     "q352_centroid_classifier" -> q352,
@@ -2356,6 +2451,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q383_filtered_ann" -> q383Sql,
     "q364_sq8_recall" -> q364Sql,
     "q359_truncated_rerank" -> q359Sql,
     "q352_centroid_classifier" -> q352Sql,

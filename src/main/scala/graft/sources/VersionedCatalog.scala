@@ -600,11 +600,76 @@ private[sources] class ExpireSnapshotsProcedure(root: String) extends EstateProc
   */
 private[sources] class VersionedTable(qualName: String, dir: String,
                                       pinned: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark = SparkSession.active
   private val resolved: Option[Long] =
     pinned.orElse(VersionedManifest.latestCommitted(spark, dir))
+
+  /** SQL `DELETE FROM <cat>.tables.<t> WHERE …` — q256's copy-on-write
+    * delete ([[VersionedManifest.deleteWhere]]) reached without Scala:
+    * only the data dirs containing matching rows rewrite, every other
+    * dir re-addresses untouched, and the delete is a NEW VERSION (prior
+    * snapshots stay time-travelable — pair with expire+vacuum for
+    * erasure, q371). Spark hands the WHERE as V1 filters; the supported
+    * subset (comparisons/null-tests on a column vs a literal, AND) is
+    * exactly what translates losslessly to the manifest predicate —
+    * `canDeleteWhere` refuses anything else so Spark reports the
+    * unsupported shape at analysis time instead of a wrong delete.
+    * Deletes address the LATEST snapshot only (a pinned time-travel
+    * table refuses), and only uniform-parquet snapshots qualify (a
+    * stream-landed JSON feed compacts first, q326).
+    */
+  private def filterSql(f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    def litSql(v: Any): Option[String] = v match {
+      case s: String => Some("'" + s.replace("'", "''") + "'")
+      case n @ (_: Int | _: Long | _: Short | _: Byte) => Some(n.toString)
+      case d: Double => Some(d.toString)
+      case f0: Float => Some(f0.toDouble.toString)
+      case b: Boolean => Some(b.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case _ => None // dates/timestamps/binary: refuse, don't guess
+    }
+    def col(a: String): Option[String] =
+      if (a.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(s"`$a`") else None
+    import org.apache.spark.sql.sources._
+    f match {
+      case AlwaysTrue() => Some("true")
+      case EqualTo(a, v) => for (c <- col(a); l <- litSql(v)) yield s"$c = $l"
+      case LessThan(a, v) => for (c <- col(a); l <- litSql(v)) yield s"$c < $l"
+      case LessThanOrEqual(a, v) =>
+        for (c <- col(a); l <- litSql(v)) yield s"$c <= $l"
+      case GreaterThan(a, v) =>
+        for (c <- col(a); l <- litSql(v)) yield s"$c > $l"
+      case GreaterThanOrEqual(a, v) =>
+        for (c <- col(a); l <- litSql(v)) yield s"$c >= $l"
+      case IsNull(a) => col(a).map(c => s"$c IS NULL")
+      case IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
+      case In(a, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(litSql)
+        for (c <- col(a); l <- if (ls.forall(_.isDefined))
+          Some(ls.flatten.mkString(", ")) else None) yield s"$c IN ($l)"
+      case And(l, r) =>
+        for (ls <- filterSql(l); rs <- filterSql(r)) yield s"($ls AND $rs)"
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinned.isEmpty && filters.forall(filterSql(_).isDefined) &&
+      dirsWithFmt.nonEmpty && dirsWithFmt.forall(_._2 == "parquet")
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(canDeleteWhere(filters), s"unsupported DELETE shape: " +
+      filters.mkString(", "))
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(filterSql(_)).mkString(" AND ")
+    VersionedManifest.deleteWhere(spark, dir, pred)
+  }
   private lazy val declared: Option[StructType] =
     VersionedManifest.readSchema(spark, dir)
 

@@ -570,7 +570,7 @@ class Round11Spec extends SparkSpec {
     val procs = procRows
       .map(r => r.get(r.length - 1).toString).sorted.toSeq
     assert(procs == Seq("create_branch", "expire_snapshots", "fast_forward",
-      "rollback"), s"procedure roster drifted: $procs")
+      "merge", "rollback"), s"procedure roster drifted: $procs")
     // duplicate branch creation refuses through the SQL surface too
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.sys.create_branch('corpus', 'main', 3)").collect()
