@@ -2420,7 +2420,115 @@ object Similarity extends QueryModule {
       |FROM tru t LEFT JOIN post p ON t.qid = p.qid AND t.nid = p.nid
       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  // --------------------------------------------------------------- q385
+
+  /** q385: SHORTLIST-MULTIPLIER TUNING — the capacity-planning curve
+    * behind q383's single point: for a filter-blind index serving
+    * filtered queries, how big must the shortlist be before post-
+    * filtering stops losing eligible neighbors? One full exact ranking
+    * is computed ONCE and reused for every operating point m ∈ {5, 10,
+    * 20, 40}: candidates are the unfiltered top-m, survivors pass the
+    * predicate, the best 5 survivors are compared against the true
+    * filtered top-5, and the curve reports mean recall across queries
+    * per m — the exact table an estate reads to pick its shortlist
+    * multiplier for a given filter selectivity (the q318 LSH-tuning
+    * discipline applied to the pre/post-filter trade-off).
+    *
+    * Scale: the expensive thing (the exact ranking) happens once; the
+    * four operating points are WINDOW ARITHMETIC over it — the tuning
+    * sweep costs no additional probe passes at any corpus size.
+    */
+  private def q385(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("v"))
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = vecs.select(col("vec_id").as("nid"),
+        col("label").as("nlabel"), col("v").as("nv"))
+      .join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", dotExpr("qv", "nv").cast(DoubleType) /
+        (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("nv", "nv"))))
+      .select(col("qid"), col("nid"), col("nlabel"), col("cos"))
+    val byQ = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid"))
+    val ranked = scored
+      .withColumn("rk_all", row_number().over(byQ))
+      .withColumn("eligible", (col("nlabel") % 2 === 0).cast(LongType))
+      .withColumn("rk_elig", sum(col("eligible")).over(
+        byQ.rowsBetween(Window.unboundedPreceding, 0)))
+    // true filtered top-5: the 5 best ELIGIBLE rows (rk_elig ranks them)
+    val tru = ranked.filter(col("eligible") === 1 && col("rk_elig") <= 5)
+      .select(col("qid"), col("nid"))
+    val ms = Seq(5, 10, 20, 40)
+    val curve = ranked
+      .withColumn("m", explode(lit(ms.toArray)))
+      .filter(col("rk_all") <= col("m") && col("eligible") === 1)
+      .withColumn("rk_in_m", row_number().over(
+        Window.partitionBy(col("qid"), col("m"))
+          .orderBy(desc("cos"), col("nid"))))
+      .filter(col("rk_in_m") <= 5)
+      .select(col("qid"), col("m"), col("nid").as("pnid"))
+    val truM = tru.withColumn("m", explode(lit(ms.toArray)))
+    truM.join(curve, truM("qid") === curve("qid") &&
+        truM("m") === curve("m") && col("nid") === col("pnid"), "left")
+      .groupBy(truM("m").as("m"))
+      .agg(countDistinct(truM("qid")).as("n_queries"),
+        count(truM("nid")).as("n_true_slots"),
+        sum(col("pnid").isNotNull.cast(LongType)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div n_true_slots"))
+      .orderBy(col("m"))
+  }
+
+  private val q385Sql =
+    """WITH vecs AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, c.vec_id AS nid, c.label AS nlabel,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv)+1),
+      |        i -> q.qv[i]*c.v[i])) AS DOUBLE)
+      |      / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+      |         * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+      |  FROM vecs c JOIN q ON q.qid <> c.vec_id),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |    CASE WHEN nlabel % 2 = 0 THEN 1 ELSE 0 END AS eligible,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+      |      AS rk_all,
+      |    SUM(CASE WHEN nlabel % 2 = 0 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY qid ORDER BY cos DESC, nid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk_elig
+      |  FROM scored),
+      |tru AS (
+      |  SELECT qid, nid FROM ranked WHERE eligible = 1 AND rk_elig <= 5),
+      |curve AS (
+      |  SELECT qid, m, nid FROM (
+      |    SELECT r.qid, m.m, r.nid,
+      |      ROW_NUMBER() OVER (PARTITION BY r.qid, m.m
+      |        ORDER BY r.cos DESC, r.nid) AS rk_in_m
+      |    FROM ranked r
+      |    CROSS JOIN (SELECT unnest([5, 10, 20, 40]) AS m) m
+      |    WHERE r.rk_all <= m.m AND r.eligible = 1)
+      |  WHERE rk_in_m <= 5),
+      |tru_m AS (
+      |  SELECT t.qid, t.nid, m.m
+      |  FROM tru t CROSS JOIN (SELECT unnest([5, 10, 20, 40]) AS m) m)
+      |SELECT t.m, CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
+      |  CAST(COUNT(t.nid) AS BIGINT) AS n_true_slots,
+      |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits,
+      |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // CAST(COUNT(t.nid) AS BIGINT) AS recall_ppm
+      |FROM tru_m t LEFT JOIN curve c
+      |  ON t.qid = c.qid AND t.nid = c.nid AND t.m = c.m
+      |GROUP BY t.m ORDER BY t.m""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
     "q364_sq8_recall" -> q364,
     "q359_truncated_rerank" -> q359,
@@ -2452,6 +2560,7 @@ object Similarity extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "q383_filtered_ann" -> q383Sql,
+    "q385_shortlist_tuning" -> q385Sql,
     "q364_sq8_recall" -> q364Sql,
     "q359_truncated_rerank" -> q359Sql,
     "q352_centroid_classifier" -> q352Sql,
