@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryModule, Tables}
+import graft.{Exact, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2994,7 +2994,93 @@ object CorpusOps extends QueryModule {
       |    AS BIGINT) * 1000000 // n_tokens AS epochs_ppm
       |FROM z ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q388
+
+  /** q388: PRIORITY SAMPLING — weighted sampling for subset-sum estimation
+    * without transcendentals (Duffield, Lund & Thorup, "Priority Sampling
+    * for Estimation of Arbitrary Subset Sums", JACM 2007). Each document
+    * gets priority p = w/u with weight w = n_chars and u a deterministic
+    * md5-derived dyadic rational in (0,1] (h+1)/2^48 — exactly
+    * representable in a double, so p is ONE IEEE multiply + ONE divide,
+    * bit-identical in both engines (where Efraimidis–Espirakis reservoir
+    * keys need pow/log, priority sampling needs only division — the
+    * reason it is the oracle-checkable choice). The k = 64 highest
+    * priorities form the sample; τ = the (k+1)-th priority; each sampled
+    * item estimates its weight as max(w, τ), and per-source subset-sum
+    * estimates Σ max(w, τ) sit beside the exact totals for audit. The
+    * float sum is avoided exactly: Σ max(w,τ) = Σ_{w>τ} w + |{w≤τ}|·τ —
+    * an integer sum plus one multiply plus one add.
+    *
+    * Scale: the top-(k+1) is TakeOrderedAndProject (per-partition heaps,
+    * one O(k) driver merge — no global sort); τ is a 1-row broadcast; the
+    * exact per-source totals are one combinable aggregate. At 100 TB the
+    * full pass computes ONLY (hash, divide, heap-push) per row.
+    */
+  private def q388(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val pri = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("CAST(conv(substring(md5(concat('pri-', CAST(doc_id AS " +
+          "STRING))), 1, 12), 16, 10) AS BIGINT)").as("h"))
+      .withColumn("p",
+        col("n_chars").cast(DoubleType) * lit(281474976710656.0) /
+          (col("h") + 1).cast(DoubleType))
+    val top = pri.orderBy(desc("p"), col("doc_id")).limit(k + 1)
+    val tau = top.agg(min(col("p")).as("tau"))
+    val est = top.orderBy(desc("p"), col("doc_id")).limit(k)
+      .crossJoin(broadcast(tau))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(when(col("n_chars").cast(DoubleType) > col("tau"),
+          col("n_chars")).otherwise(0L)).as("s_gt"),
+        sum(when(col("n_chars").cast(DoubleType) <= col("tau"), 1L)
+          .otherwise(0L)).as("n_le"),
+        min(col("tau")).as("tau"))
+    Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("true_chars"))
+      .join(est, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("true_chars"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(
+          col("s_gt").cast(DoubleType) +
+            col("n_le").cast(DoubleType) * col("tau"),
+          lit(0.0)).as("est_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q388Sql = {
+    val h = Exact.sqlHexToLong("md5('pri-' || doc_id)", 1, 12)
+    s"""WITH pri AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(n_chars AS DOUBLE) * 281474976710656.0 /
+       |      CAST(($h) + 1 AS DOUBLE) AS p
+       |  FROM documents),
+       |topk AS (SELECT * FROM pri ORDER BY p DESC, doc_id LIMIT 65),
+       |tau AS (SELECT MIN(p) AS tau FROM topk),
+       |samp AS (SELECT * FROM topk ORDER BY p DESC, doc_id LIMIT 64),
+       |est AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |    CAST(SUM(CASE WHEN CAST(n_chars AS DOUBLE) > tau
+       |      THEN n_chars ELSE 0 END) AS BIGINT) AS s_gt,
+       |    CAST(COUNT(*) FILTER (WHERE CAST(n_chars AS DOUBLE) <= tau)
+       |      AS BIGINT) AS n_le,
+       |    MIN(tau) AS tau
+       |  FROM samp CROSS JOIN tau GROUP BY source),
+       |tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS true_chars
+       |  FROM documents GROUP BY source)
+       |SELECT t.source, n_docs, true_chars,
+       |  COALESCE(n_sampled, 0) AS n_sampled,
+       |  COALESCE(CAST(s_gt AS DOUBLE) + CAST(n_le AS DOUBLE) * tau, 0.0)
+       |    AS est_chars
+       |FROM tot t LEFT JOIN est ON t.source = est.source
+       |ORDER BY t.source""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_priority_sample" -> q388,
     "q380_temperature_mixture" -> q380,
     "q375_prefix_cache_plan" -> q375,
     "q345_pii_scan" -> q345,
@@ -3044,6 +3130,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q388_priority_sample" -> q388Sql,
     "q380_temperature_mixture" -> q380Sql,
     "q375_prefix_cache_plan" -> q375Sql,
     "q345_pii_scan" -> q345Sql,

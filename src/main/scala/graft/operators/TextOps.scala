@@ -2117,7 +2117,279 @@ object TextOps extends QueryModule {
        |GROUP BY e2.event_type ORDER BY e2.event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- q386
+
+  /** q386: INTRA-DOCUMENT REPETITION RULES — the Gopher quality-filter
+    * family (Rae et al. 2021, "Scaling Language Models: Methods, Analysis
+    * & Insights from Training Gopher", Table A1): reject a document when
+    * its most frequent 2-gram covers > 20% of tokens, its most frequent
+    * 3-gram covers > 18%, or > 15% of its 5-grams are duplicates. Where
+    * q336 strips CROSS-document boilerplate and q71 scores surface
+    * quality, these rules catch WITHIN-document degeneracy (loops,
+    * keyword stuffing, templated spam) — the filter every pretraining
+    * corpus runs before tokenization. Each threshold is evaluated in
+    * integer cross-multiplied form (top2·10 > n ⇔ 2·top2/n > 1/5), so no
+    * float ever exists and the per-source rollup is exact.
+    *
+    * Scale: the two mode computations shuffle (doc_id, gram)-keyed COUNTS
+    * with map-side combine — never text; the 5-gram duplicate fraction is
+    * a pure array expression (zero shuffle); the per-doc joins are 1:1 on
+    * doc_id. Everything downstream is an O(#sources) rollup.
+    */
+  private def q386(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"), col("t"),
+        size(col("t")).cast(LongType).as("n"))
+    def topGram(n: Int, out: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(t) - $n), " +
+            s"i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as(out))
+    docs
+      .withColumn("tot5", col("n") - 4)
+      .withColumn("dist5", size(array_distinct(expr(
+        "transform(sequence(0, size(t) - 5), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 5)))"))).cast(LongType))
+      .join(topGram(2, "top2"), Seq("doc_id"))
+      .join(topGram(3, "top3"), Seq("doc_id"))
+      .select(col("source"),
+        (col("top2") * 10 > col("n")).cast(LongType).as("f2"),
+        (col("top3") * 150 > col("n") * 9).cast(LongType).as("f3"),
+        ((col("tot5") - col("dist5")) * 20 > col("tot5") * 3)
+          .cast(LongType).as("f5"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f2")).as("fail_top2"),
+        sum(col("f3")).as("fail_top3"),
+        sum(col("f5")).as("fail_dup5"),
+        sum(when(col("f2") + col("f3") + col("f5") === 0, 1L)
+          .otherwise(0L)).as("clean"))
+      .orderBy(col("source"))
+  }
+
+  private val q386Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |base AS (
+      |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n,
+      |    CAST(len(t) - 4 AS BIGINT) AS tot5,
+      |    CAST(len(list_distinct([array_to_string(t[i+1:i+5], ' ')
+      |      FOR i IN range(len(t) - 4)])) AS BIGINT) AS dist5
+      |  FROM d),
+      |g2 AS (
+      |  SELECT doc_id, MAX(c) AS top2 FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest([array_to_string(t[i+1:i+2], ' ')
+      |        FOR i IN range(len(t) - 1)]) AS g FROM d)
+      |    GROUP BY doc_id, g) GROUP BY doc_id),
+      |g3 AS (
+      |  SELECT doc_id, MAX(c) AS top3 FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest([array_to_string(t[i+1:i+3], ' ')
+      |        FOR i IN range(len(t) - 2)]) AS g FROM d)
+      |    GROUP BY doc_id, g) GROUP BY doc_id),
+      |per AS (
+      |  SELECT base.source,
+      |    CASE WHEN top2 * 10 > n THEN 1 ELSE 0 END AS f2,
+      |    CASE WHEN top3 * 150 > n * 9 THEN 1 ELSE 0 END AS f3,
+      |    CASE WHEN (tot5 - dist5) * 20 > tot5 * 3 THEN 1 ELSE 0 END AS f5
+      |  FROM base JOIN g2 USING (doc_id) JOIN g3 USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(f2) AS BIGINT) AS fail_top2,
+      |  CAST(SUM(f3) AS BIGINT) AS fail_top3,
+      |  CAST(SUM(f5) AS BIGINT) AS fail_dup5,
+      |  CAST(SUM(CASE WHEN f2 + f3 + f5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS clean
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q387
+
+  /** q387: CORPUS BLEU SUFFICIENT STATISTICS — machine-translation /
+    * generation eval at corpus scale (Papineni et al. 2002, "BLEU: a
+    * Method for Automatic Evaluation of Machine Translation"). The
+    * candidate is a deterministic distortion of the reference (every 7th
+    * token dropped — a fixed, engine-replayable "system output"), and the
+    * query emits BLEU's sufficient statistics per order n ∈ 1..4: clipped
+    * n-gram matches Σ_g min(cnt_cand, cnt_ref), total candidate n-grams,
+    * the modified precision p_n (ONE double division of two exact longs),
+    * and the corpus candidate/reference lengths that feed the brevity
+    * penalty. Emitting the mergeable statistics rather than the final
+    * geometric mean is the 100 TB shape: partial (matches, totals) from
+    * every shard combine exactly; exp/log happen once, driver-side, on
+    * four numbers.
+    *
+    * Scale: gram counting shuffles (doc_id, n, gram)-keyed COUNTS with
+    * map-side combine; the clip join is 1:1 on that same key (no
+    * re-partition — same key, Catalyst reuses the exchange); corpus
+    * totals are O(4) rows. Candidate text never materializes — it is an
+    * index-filtered array view of the reference tokens.
+    */
+  private def q387(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("r"))
+      .withColumn("c", expr("filter(r, (x, i) -> (i + 1) % 7 != 0)"))
+    val byN = docs.select(col("doc_id"), col("c"), col("r"),
+        explode(expr("sequence(1, 4)")).as("n0"))
+      .select(col("doc_id"), col("c"), col("r"),
+        col("n0").cast(LongType).as("n"))
+    def gramCounts(src: String, out: String): DataFrame =
+      byN.filter(size(col(src)) >= col("n"))
+        .select(col("doc_id"), col("n"), explode(expr(
+          s"transform(sequence(0, size($src) - n), " +
+            s"i -> concat_ws(' ', slice($src, i + 1, n)))")).as("g"))
+        .groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as(out))
+    val clipped = gramCounts("c", "cc")
+      .join(gramCounts("r", "cr"), Seq("doc_id", "n", "g"))
+      .groupBy(col("n")).agg(sum(least(col("cc"), col("cr"))).as("clipped"))
+    val totals = byN.groupBy(col("n")).agg(
+      sum(greatest(size(col("c")).cast(LongType) - col("n") + 1, lit(0L)))
+        .as("total"))
+    val lens = docs.agg(
+      sum(size(col("c")).cast(LongType)).as("cand_tokens"),
+      sum(size(col("r")).cast(LongType)).as("ref_tokens"))
+    totals.join(clipped, Seq("n"), "left")
+      .na.fill(0L, Seq("clipped"))
+      .crossJoin(broadcast(lens))
+      .select(col("n"), col("clipped"), col("total"),
+        (col("clipped").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("prec_n"),
+        col("cand_tokens"), col("ref_tokens"))
+      .orderBy(col("n"))
+  }
+
+  private val q387Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS r FROM documents),
+      |cd AS (
+      |  SELECT doc_id, r,
+      |    [r[i+1] FOR i IN range(len(r)) IF (i+1) % 7 <> 0] AS c
+      |  FROM d),
+      |byn AS (
+      |  SELECT doc_id, c, r, CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS n
+      |  FROM cd),
+      |cg AS (
+      |  SELECT doc_id, n,
+      |    unnest([array_to_string(c[i+1:i+CAST(n AS INT)], ' ')
+      |      FOR i IN range(len(c) - CAST(n AS INT) + 1)]) AS g
+      |  FROM byn WHERE len(c) >= n),
+      |rg AS (
+      |  SELECT doc_id, n,
+      |    unnest([array_to_string(r[i+1:i+CAST(n AS INT)], ' ')
+      |      FOR i IN range(len(r) - CAST(n AS INT) + 1)]) AS g
+      |  FROM byn WHERE len(r) >= n),
+      |cc AS (SELECT doc_id, n, g, COUNT(*) AS cc FROM cg GROUP BY 1, 2, 3),
+      |rr AS (SELECT doc_id, n, g, COUNT(*) AS cr FROM rg GROUP BY 1, 2, 3),
+      |clip AS (
+      |  SELECT n, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clipped
+      |  FROM cc JOIN rr USING (doc_id, n, g) GROUP BY n),
+      |tot AS (
+      |  SELECT n, CAST(SUM(GREATEST(len(c) - n + 1, 0)) AS BIGINT) AS total
+      |  FROM byn GROUP BY n),
+      |lens AS (
+      |  SELECT CAST(SUM(len(c)) AS BIGINT) AS cand_tokens,
+      |    CAST(SUM(len(r)) AS BIGINT) AS ref_tokens FROM cd)
+      |SELECT t.n, COALESCE(clipped, 0) AS clipped, total,
+      |  CAST(COALESCE(clipped, 0) AS DOUBLE) / CAST(total AS DOUBLE)
+      |    AS prec_n,
+      |  cand_tokens, ref_tokens
+      |FROM tot t LEFT JOIN clip USING (n) CROSS JOIN lens ORDER BY t.n""".stripMargin
+
+  // --------------------------------------------------------------- q389
+
+  /** q389: KRIPPENDORFF'S ALPHA — the general inter-rater reliability
+    * coefficient (Krippendorff, "Content Analysis", 2004; nominal case),
+    * complementing q342's two-rater Cohen's kappa: alpha handles ANY
+    * number of raters, missing ratings, and per-unit rating counts —
+    * the shape real labeling campaigns produce. Events stand in for the
+    * label log (unit = event_id mod 97, nominal label from value
+    * terciles). All coincidence-matrix mass is exact integers:
+    * per unit u, m_u ratings and within-unit disagreeing ordered pairs
+    * d_u = m_u² − Σ_c n_uc²; α = 1 − (n−1)·S / (n² − Σ_c n_c²) with
+    * S = Σ_u d_u/(m_u−1). The ONLY non-integer, S, is computed as an
+    * explicit left fold over the ≤ |units| distinct (m, Σd) pairs in
+    * ascending-m order (array_sort + aggregate here, list_sort +
+    * list_reduce in the oracle) — identical association order, so the
+    * double matches bit-for-bit.
+    *
+    * Scale: two keyed combinable aggregates (unit×label, then unit);
+    * the fold input is O(distinct m) ≤ O(units mod base) rows collected
+    * AFTER full aggregation — bounded by the unit-key modulus, never by
+    * data volume. A billion ratings cost one (unit,label)-keyed shuffle.
+    */
+  private def q389(s: SparkSession, d: String): DataFrame = {
+    val rated = Tables.events(s, d).select(
+      (col("event_id") % 97).as("unit"),
+      when(col("value") < 150.0, "lo").when(col("value") < 300.0, "mid")
+        .otherwise("hi").as("label"))
+    val uc = rated.groupBy(col("unit"), col("label"))
+      .agg(count(lit(1)).as("nuc"))
+    val units = uc.groupBy(col("unit"))
+      .agg(sum(col("nuc")).as("m"),
+        sum(col("nuc") * col("nuc")).as("s2"))
+      .filter(col("m") >= 2)
+      .withColumn("d", col("m") * col("m") - col("s2"))
+    val sFold = units.groupBy(col("m")).agg(sum(col("d")).as("dm"))
+      .agg(expr("aggregate(" +
+        "array_sort(collect_list(named_struct('m', m, 'dm', dm))), " +
+        "CAST(0.0 AS DOUBLE), " +
+        "(acc, x) -> acc + CAST(x.dm AS DOUBLE) / CAST(x.m - 1 AS DOUBLE))")
+        .as("s_do"))
+    val lab = uc.join(units.select(col("unit")), Seq("unit"))
+      .groupBy(col("label")).agg(sum(col("nuc")).as("nc"))
+    val tot = lab.agg(sum(col("nc")).as("n"),
+      sum(col("nc") * col("nc")).as("sumc2"))
+    val nunits = units.agg(count(lit(1)).as("n_units"))
+    nunits.crossJoin(broadcast(tot)).crossJoin(broadcast(sFold))
+      .select(col("n_units"), col("n").as("n_coincidences"),
+        col("sumc2"), col("s_do"),
+        (lit(1.0) - ((col("n") - 1).cast(DoubleType) * col("s_do")) /
+          (col("n") * col("n") - col("sumc2")).cast(DoubleType))
+          .as("alpha"))
+  }
+
+  private val q389Sql =
+    """WITH rated AS (
+      |  SELECT event_id % 97 AS unit,
+      |    CASE WHEN value < 150.0 THEN 'lo'
+      |         WHEN value < 300.0 THEN 'mid' ELSE 'hi' END AS label
+      |  FROM events),
+      |uc AS (
+      |  SELECT unit, label, CAST(COUNT(*) AS BIGINT) AS nuc
+      |  FROM rated GROUP BY 1, 2),
+      |units AS (
+      |  SELECT unit, CAST(SUM(nuc) AS BIGINT) AS m,
+      |    CAST(SUM(nuc * nuc) AS BIGINT) AS s2
+      |  FROM uc GROUP BY unit HAVING SUM(nuc) >= 2),
+      |ud AS (SELECT unit, m, m * m - s2 AS d FROM units),
+      |perm AS (
+      |  SELECT m, CAST(SUM(d) AS BIGINT) AS dm FROM ud GROUP BY m),
+      |fold AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    [CAST(x.dm AS DOUBLE) / CAST(x.m - 1 AS DOUBLE)
+      |     FOR x IN list_sort(list({'m': m, 'dm': dm}))]),
+      |    (a, b) -> a + b) AS s_do
+      |  FROM perm),
+      |lab AS (
+      |  SELECT label, CAST(SUM(nuc) AS BIGINT) AS nc
+      |  FROM uc JOIN units USING (unit) GROUP BY label),
+      |tot AS (
+      |  SELECT CAST(SUM(nc) AS BIGINT) AS n,
+      |    CAST(SUM(nc * nc) AS BIGINT) AS sumc2 FROM lab),
+      |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units FROM units)
+      |SELECT n_units, n AS n_coincidences, sumc2, s_do,
+      |  1.0 - (CAST(n - 1 AS DOUBLE) * s_do) /
+      |    CAST(n * n - sumc2 AS DOUBLE) AS alpha
+      |FROM nu CROSS JOIN tot CROSS JOIN fold""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_krippendorff_alpha" -> q389,
+    "q386_gopher_repetition" -> q386,
+    "q387_bleu_stats" -> q387,
     "q376_pass_at_k" -> q376,
     "q381_tokenizer_fertility" -> q381,
     "q377_bootstrap_ci" -> q377,
@@ -2154,6 +2426,9 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q389_krippendorff_alpha" -> q389Sql,
+    "q386_gopher_repetition" -> q386Sql,
+    "q387_bleu_stats" -> q387Sql,
     "q376_pass_at_k" -> q376Sql,
     "q381_tokenizer_fertility" -> q381Sql,
     "q377_bootstrap_ci" -> q377Sql,

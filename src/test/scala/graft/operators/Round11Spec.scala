@@ -1045,4 +1045,91 @@ class Round11Spec extends SparkSpec {
       assert(lo <= mean && mean <= hi, r.toString)
     }
   }
+
+  /** Clone sf0.001 into a tmp dir, overriding the named tables. */
+  private def corpusWith(tag: String, over: Map[String,
+      org.apache.spark.sql.DataFrame]): String = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_r11_${tag}_" +
+      spark.sparkContext.applicationId
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings", "documents")) {
+      over.get(t) match {
+        case Some(df) => df.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+        case None =>
+          val src = s"$sf0001/$t.parquet"
+          if (new java.io.File(src).exists)
+            spark.read.parquet(src).limit(0).write.mode("overwrite")
+              .parquet(s"$tmp/$t.parquet")
+      }
+    }
+    tmp
+  }
+
+  test("q386: a degenerate doc trips all three Gopher rules; a clean one none") {
+    import spark.implicits._
+    val spam = (("ab " * 20).trim, "bad")     // top 2-gram covers ~100%
+    val clean = ((0 until 40).map(i => s"w$i").mkString(" "), "good")
+    val docs = Seq(spam, clean).zipWithIndex.map { case ((t, src), i) =>
+      (i.toLong, t, "en", src, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = corpusWith("gopher", Map("documents" -> docs))
+    val r = SparkEntry.queries("q386_gopher_repetition")(spark, tmp)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(("bad", 1L, 1L, 1L, 1L, 0L), ("good", 1L, 0L, 0L, 0L, 1L)),
+      r.toString)
+  }
+
+  test("q387: unigram precision is exactly 1 — the candidate is a subsequence") {
+    val rows = SparkEntry.queries("q387_bleu_stats")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val r1 = rows.head
+    // every candidate token count is <= its reference count, so ALL
+    // unigrams clip to themselves: clipped == total == cand_tokens
+    assert(r1.getLong(1) == r1.getLong(2) && r1.getDouble(3) == 1.0, r1)
+    assert(r1.getLong(2) == r1.getLong(4), r1)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), r.toString)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, r.toString)
+      assert(r.getLong(4) < r.getLong(5), r.toString) // 1/7 of tokens dropped
+    }
+    // bigrams spanning a dropped token are novel: strictly below 1
+    assert(rows(1).getDouble(3) < 1.0, rows(1).toString)
+  }
+
+  test("q388: top-k is heap-based (no global sort) and the estimator tracks truth") {
+    val df = SparkEntry.queries("q388_priority_sample")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(3)).sum == 64L, "sample size must be exactly k")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(1), r.toString))
+    val truth = rows.map(_.getLong(2)).sum.toDouble
+    val est = rows.map(_.getDouble(4)).sum
+    // k=64 of 100 docs: the priority-sampling estimate is tight here
+    assert(math.abs(est - truth) / truth < 0.5, s"est=$est truth=$truth")
+  }
+
+  test("q389: alpha is exactly 1 under perfect agreement, negative under systematic disagreement") {
+    import spark.implicits._
+    def events(vals: Long => Double) =
+      (0L until 388L).map { i =>
+        (i, java.sql.Timestamp.valueOf("2000-01-01 00:00:00"),
+          i % 7, "e", vals(i), "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // 97 units x 4 ratings each; label by unit parity -> d_u = 0, S = 0
+    val agree = corpusWith("kagree", Map("events" ->
+      events(i => if (i % 97 % 2 == 0) 10.0 else 400.0)))
+    val a1 = SparkEntry.queries("q389_krippendorff_alpha")(spark, agree)
+      .collect().head
+    assert(a1.getDouble(4) == 1.0, a1.toString)
+    // every unit split 2 lo / 2 hi -> alpha = 1 - (4U-1)/(3U) < 0
+    val split = corpusWith("ksplit", Map("events" ->
+      events(i => if (i / 97 % 2 == 0) 10.0 else 400.0)))
+    val a2 = SparkEntry.queries("q389_krippendorff_alpha")(spark, split)
+      .collect().head
+    val u = 97.0
+    assert(math.abs(a2.getDouble(4) - (1.0 - (4 * u - 1) / (3 * u))) < 1e-12,
+      a2.toString)
+  }
 }
