@@ -5217,7 +5217,221 @@ object ScalePatterns extends QueryModule {
       |  CAST(1 AS BIGINT) AS orphan_dirs
       |FROM final GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q390
+
+  /** q390: SQL `INSERT INTO` the versioned table — the batch-append face
+    * that completes the table's write matrix (CTAS/RTAS q382, streaming
+    * sink q323, MERGE proc q370, DELETE q384, now the plain INSERT a SQL
+    * user reaches first). The insert travels through
+    * [[graft.sources.VersionedManifest.appendBatch]]: BOTH write-time
+    * gates (schema footer q373 + declared constraints q363) run over the
+    * staged increment and a refusal publishes nothing. The estate makes
+    * cumulativity provable: v1 is an atomic CTAS of the large docs, the
+    * INSERT of the small docs publishes v2 whose manifest re-addresses
+    * the CTAS dir BYTE-UNTOUCHED (evidence: the v2∩v1 dir intersection)
+    * — append is manifest arithmetic, the previous snapshot's bytes
+    * never move.
+    *
+    * Scale: the increment is the only data written or validated
+    * (gates are O(batch), publish is one rename) — INSERT INTO a 100 TB
+    * table costs the batch, never the table.
+    */
+  private def sqlInsertCatalog(s: SparkSession, d: String): (String, String) = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sqlins_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val cat = "g390_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val M = graft.sources.VersionedManifest
+      val src = s"parquet.`$d/documents.parquet`"
+      s.sql(s"CREATE TABLE $cat.tables.ins AS SELECT doc_id, source, " +
+        s"n_chars FROM $src WHERE n_chars >= 200")
+      s.sql(s"INSERT INTO $cat.tables.ins SELECT doc_id, source, " +
+        s"n_chars FROM $src WHERE n_chars < 200")
+      require(M.latestCommitted(s, s"$root/ins").contains(2L),
+        "INSERT INTO must publish version 2")
+      java.nio.file.Files.createFile(done)
+    }
+    (cat, root)
+  }
+
+  private def q390(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cat, root) = sqlInsertCatalog(s, d)
+    val M = graft.sources.VersionedManifest
+    val dir = s"$root/ins"
+    val carried = M.resolveDataDirs(s, dir, 2).toSet
+      .intersect(M.resolveDataDirs(s, dir, 1).toSet)
+    val inserted = M.readAt(s, dir, 2).count() - M.readAt(s, dir, 1).count()
+    val evidence = Seq((2L, carried.size.toLong, inserted))
+      .toDF("latest_version", "n_carried_dirs", "inserted_rows")
+    s.sql(s"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        s"FROM $cat.tables.ins GROUP BY source")
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q390Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(2 AS BIGINT) AS latest_version,
+      |  CAST(1 AS BIGINT) AS n_carried_dirs,
+      |  CAST((SELECT COUNT(*) FROM documents WHERE n_chars < 200)
+      |    AS BIGINT) AS inserted_rows
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q391
+
+  /** q391: PREDICATE-SCOPED OVERWRITE (replaceWhere) — the atomic
+    * partition-reload every estate runs nightly: `df.writeTo(t)
+    * .overwrite(source = 'src1')` replaces EXACTLY the src1 rows with a
+    * corrected batch in ONE version — readers see entirely-old or
+    * entirely-new, never a half-reload. The predicate travels as V1
+    * filters into [[graft.sources.VersionedManifest.overwriteWhere]];
+    * the estate is laid out so the replaced region lives in one dir
+    * (v1 = src0/src1/src2, v2 appends the rest), proving the dir-COW
+    * bound: the big dir re-addresses untouched into v3 while only the
+    * small dir rewrites. Source rows that DON'T match the predicate
+    * refuse before any write (Delta's replaceWhere contract — a stray
+    * row would make replay clobber unrelated data); an untranslatable
+    * predicate refuses at write-build time.
+    *
+    * Scale: cost is O(replaced region + new batch); at 100 TB a
+    * single-partition reload rewrites that partition's dirs, never the
+    * table, and the atomicity is one manifest rename.
+    */
+  private def replaceWhereCatalog(s: SparkSession, d: String)
+      : (String, String) = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_replw_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val cat = "g391_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val M = graft.sources.VersionedManifest
+      val dir = s"$root/rw"
+      val src = s"parquet.`$d/documents.parquet`"
+      val three = "('src0', 'src1', 'src2')"
+      s.sql(s"CREATE TABLE $cat.tables.rw AS SELECT doc_id, source, " +
+        s"n_chars FROM $src WHERE source IN $three")
+      Tables.documents(s, d).filter(!col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/d-b")
+      M.commit(s, dir, 2,
+        (M.resolveDataDirs(s, dir, 1) :+ s"$dir/d-b")
+          .map(p => s"data=$p").mkString("\n") + "\nappend other sources")
+      // the corrected src1 batch: re-measured n_chars (+1000 marker)
+      Tables.documents(s, d).filter(col("source") === "src1")
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .writeTo(s"$cat.tables.rw")
+        .overwrite(col("source") === lit("src1"))
+      require(M.latestCommitted(s, dir).contains(3L),
+        "replaceWhere must publish version 3")
+      java.nio.file.Files.createFile(done)
+    }
+    (cat, root)
+  }
+
+  private def q391(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cat, root) = replaceWhereCatalog(s, d)
+    val M = graft.sources.VersionedManifest
+    val dir = s"$root/rw"
+    val untouched = M.resolveDataDirs(s, dir, 3).toSet
+      .intersect(M.resolveDataDirs(s, dir, 2).toSet)
+    val evidence = Seq((3L, untouched.size.toLong))
+      .toDF("latest_version", "n_untouched_dirs")
+    s.sql(s"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        s"FROM $cat.tables.rw GROUP BY source")
+      .crossJoin(broadcast(evidence))
+      .orderBy(col("source"))
+  }
+
+  private val q391Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN source = 'src1' THEN n_chars + 1000
+      |    ELSE n_chars END) AS BIGINT) AS total_chars,
+      |  CAST(3 AS BIGINT) AS latest_version,
+      |  CAST(1 AS BIGINT) AS n_untouched_dirs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q392
+
+  /** q392: SQL UPDATE — `CALL <cat>.sys.update(table, predicate, column,
+    * value_expr)`, the copy-on-write UPDATE
+    * ([[graft.sources.VersionedManifest.updateWhere]]) completing the
+    * estate's DML trio beside DELETE (q384) and MERGE (q370). The RHS
+    * (`n_chars * 2 + length(source)`) evaluates against the PRE-update
+    * row and casts back to the column's declared type — an UPDATE can
+    * never retype the table past the schema gate. Same two-dir estate
+    * as q391: the updated source lives in the small dir, so the receipt
+    * proves 1 affected / 1 untouched, and non-matching rows — including
+    * rows in the rewritten dir — survive byte-identical.
+    *
+    * Scale: discovery is one predicate-pushed scan to input_file_name
+    * granularity; the rewrite pays O(affected dirs); a no-match UPDATE
+    * publishes nothing (no churn version).
+    */
+  private def sqlUpdateCatalog(s: SparkSession, d: String)
+      : (String, String) = {
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_squpd_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val cat = "g392_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.VersionedCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val M = graft.sources.VersionedManifest
+      val dir = s"$root/upd"
+      val src = s"parquet.`$d/documents.parquet`"
+      s.sql(s"CREATE TABLE $cat.tables.upd AS SELECT doc_id, source, " +
+        s"n_chars FROM $src WHERE source IN ('src0', 'src1', 'src2')")
+      Tables.documents(s, d).filter(!col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/d-b")
+      M.commit(s, dir, 2,
+        (M.resolveDataDirs(s, dir, 1) :+ s"$dir/d-b")
+          .map(p => s"data=$p").mkString("\n") + "\nappend other sources")
+      val receipt = s.sql(s"CALL $cat.sys.update('upd', " +
+        s"'source = ''src2''', 'n_chars', 'n_chars * 2 + length(source)')")
+        .collect().head
+      require(receipt.getLong(1) == 3L && receipt.getLong(2) == 1L &&
+        receipt.getLong(3) == 1L, s"unexpected update receipt: $receipt")
+      java.nio.file.Files.createFile(done)
+    }
+    (cat, root)
+  }
+
+  private def q392(s: SparkSession, d: String): DataFrame = {
+    val (cat, _) = sqlUpdateCatalog(s, d)
+    s.sql(s"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        s"CAST(SUM(n_chars) AS BIGINT) AS total_chars " +
+        s"FROM $cat.tables.upd GROUP BY source ORDER BY source")
+  }
+
+  private val q392Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN source = 'src2'
+      |    THEN n_chars * 2 + length(source) ELSE n_chars END) AS BIGINT)
+      |    AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q390_sql_insert" -> q390,
+    "q391_replace_where" -> q391,
+    "q392_sql_update" -> q392,
     "q374_concurrent_merge" -> q374,
     "q382_atomic_rtas" -> q382,
     "q384_sql_cow_delete" -> q384,
@@ -5301,6 +5515,9 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q374_concurrent_merge" -> q374Sql,
     "q382_atomic_rtas" -> q382Sql,
+    "q390_sql_insert" -> q390Sql,
+    "q391_replace_where" -> q391Sql,
+    "q392_sql_update" -> q392Sql,
     "q384_sql_cow_delete" -> q384Sql,
     "q373_schema_gate" -> q373Sql,
     "q371_versioned_erasure" -> q371Sql,

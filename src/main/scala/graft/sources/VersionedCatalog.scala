@@ -261,7 +261,7 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
     if (!namespace.sameElements(Array(ProcNs)))
       throw new NoSuchNamespaceException(namespace)
     Array("rollback", "create_branch", "fast_forward", "expire_snapshots",
-      "merge").map(Identifier.of(Array(ProcNs), _))
+      "merge", "update").map(Identifier.of(Array(ProcNs), _))
   }
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -273,6 +273,7 @@ class VersionedCatalog extends CatalogPlugin with TableCatalog
       case "fast_forward" => new FastForwardProcedure(root)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(root)
       case "merge" => new MergeProcedure(root)
+      case "update" => new UpdateProcedure(root)
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
@@ -560,6 +561,48 @@ private[sources] class MergeProcedure(root: String) extends EstateProcedure {
   }
 }
 
+/** `CALL <cat>.sys.update(table, predicate, column, value_expr)` — the
+  * copy-on-write UPDATE ([[VersionedManifest.updateWhere]]) as a stored
+  * procedure, completing the estate's SQL DML trio beside DELETE
+  * (SupportsDelete, q384) and merge (q370). The RHS evaluates against
+  * the pre-update row and is cast back to the column's type; only dirs
+  * containing matching rows rewrite. The receipt carries the published
+  * version and the affected/untouched dir split — the same evidence
+  * shape as merge.
+  */
+private[sources] class UpdateProcedure(root: String) extends EstateProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.read.Scan
+
+  override def name(): String = "update"
+  override def description(): String =
+    "update(table STRING, predicate STRING, column STRING, value_expr STRING)"
+  override def bind(inputType: StructType): UpdateProcedure = this
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("predicate", StringType).build(),
+    ProcedureParameter.in("column", StringType).build(),
+    ProcedureParameter.in("value_expr", StringType).build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = checkName(input.getUTF8String(0).toString, "table")
+    val predicate = input.getUTF8String(1).toString
+    val column = checkName(input.getUTF8String(2).toString, "column")
+    val valueExpr = input.getUTF8String(3).toString
+    val (v, affected, untouched) = VersionedManifest.updateWhere(
+      spark, s"$root/$table", predicate, Seq(column -> valueExpr))
+    receipt(
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("n_affected_dirs", LongType, nullable = false),
+        StructField("n_untouched_dirs", LongType, nullable = false))),
+      Array(InternalRow(utf8(table), v,
+        affected.size.toLong, untouched.size.toLong)))
+  }
+}
+
 /** `CALL <cat>.sys.expire_snapshots(table, keep_last)` — q355's retention
   * pass as SQL: one receipt row per expired version (refs pin their
   * targets; only unreachable dirs are reclaimed — the Scala
@@ -706,7 +749,9 @@ private[sources] class VersionedTable(qualName: String, dir: String,
         s"no committed version and no declared schema at $dir"))
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** Batch scans hand back the DELEGATE's ScanBuilder untouched — Spark
     * introspects pushdown interfaces ON THE BUILDER, so wrapping it would
@@ -770,17 +815,63 @@ private[sources] class VersionedTable(qualName: String, dir: String,
     }
   }
 
+  /** The BATCH write face (r11: the table's last missing direction) —
+    * `INSERT INTO` appends through both write-time gates
+    * ([[VersionedManifest.appendBatch]]: schema footer + constraints,
+    * refusal = no manifest), `INSERT OVERWRITE` / DataFrameWriterV2
+    * `.overwrite(cond)` is the predicate-scoped atomic replace
+    * ([[VersionedManifest.overwriteWhere]] — Delta's replaceWhere at
+    * dir granularity; TRUNCATE arrives as the AlwaysTrue filter).
+    * Filters translate through the same `filterSql` subset as SQL
+    * DELETE — an untranslatable predicate refuses at write-build time,
+    * never overwrites wrong. Writes address the LATEST snapshot only:
+    * a pinned time-travel table refuses. Implemented as a V1Write
+    * (the same InsertableRelation fallback the staged CTAS path uses):
+    * the manifest machinery IS the distributed write — rows land via
+    * the stock parquet writer, the commit is one atomic rename.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite = {
-          // stable across restarts when the caller sets it — the epoch
-          // marker's namespace (a queryId changes per run)
-          val tag = Option(info.options.get("writerTag"))
-            .getOrElse(info.queryId)
-          new VersionedStreamingWrite(dir, tag, info.schema)
-        }
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      // None = append; Some(pred) = predicate-scoped overwrite
+      private var pred: Option[String] = None
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        val parts = filters.toSeq.map(filterSql)
+        require(parts.forall(_.isDefined),
+          s"unsupported overwrite predicate: ${filters.mkString(", ")}")
+        pred = Some(if (filters.isEmpty) "true"
+          else parts.flatten.mkString(" AND "))
+        this
       }
+      override def build(): Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toStreaming: StreamingWrite = {
+            // stable across restarts when the caller sets it — the epoch
+            // marker's namespace (a queryId changes per run)
+            val tag = Option(info.options.get("writerTag"))
+              .getOrElse(info.queryId)
+            new VersionedStreamingWrite(dir, tag, info.schema)
+          }
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                require(pinned.isEmpty,
+                  "cannot write to a time-travel snapshot")
+                pred match {
+                  case None =>
+                    VersionedManifest.appendBatch(
+                      SparkSession.active, dir, data, "sql append")
+                  case Some(p) =>
+                    VersionedManifest.overwriteWhere(
+                      SparkSession.active, dir, p, data)
+                }
+              }
+            }
+        }
     }
 }
 

@@ -207,13 +207,34 @@ object VersionedManifest {
       return bad.map { case (nm, c) =>
         s"constraint $nm violated by $c staged rows"
       }
-    val prevData = latestCommitted(s, dir).toSeq
-      .flatMap(v => resolveDataDirs(s, dir, v))
-    val body = (Seq(meta) ++ (prevData :+ s"$dir/v=$n").map(d0 => s"data=$d0") ++
+    val body = (Seq(meta) ++
+      (carriedDataLines(s, dir) :+ s"data=$dir/v=$n") ++
       cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
     commit(s, dir, n, body)
     Nil
   }
+
+  /** Predicate-scoped DML (UPDATE / overwrite-where) scans and rewrites
+    * survivors through the parquet reader — a stream-landed (json) or
+    * mixed snapshot must compact first (q326), the same contract SQL
+    * DELETE enforces via `canDeleteWhere`. */
+  private def requireUniformParquet(s: SparkSession, dir: String,
+                                    latest: Long, op: String): Unit = {
+    val fmts = resolveDataDirsWithFormat(s, dir, latest).map(_._2).distinct
+    require(fmts.isEmpty || fmts == Seq("parquet"),
+      s"$op requires a uniform parquet snapshot (found ${fmts.mkString(",")})" +
+        " — compact first")
+  }
+
+  /** Previous snapshot's `data=` lines with per-dir formats PRESERVED —
+    * an append onto a stream-landed (json) or mixed table must not
+    * silently relabel its history as parquet. */
+  private def carriedDataLines(s: SparkSession, dir: String): Seq[String] =
+    latestCommitted(s, dir).toSeq
+      .flatMap(v => resolveDataDirsWithFormat(s, dir, v))
+      .map { case (d0, fmt) =>
+        if (fmt == "parquet") s"data=$d0" else s"data=$d0;format=$fmt"
+      }
 
   // ------------------------------------------------ schema enforcement
 
@@ -231,23 +252,29 @@ object VersionedManifest {
                       meta: String): Seq[String] = {
     val declared = readSchema(s, dir).getOrElse(
       throw new IllegalStateException(s"no declared schema at $dir"))
-    val staged = s.read.parquet(s"$dir/v=$n").schema
+    val problems =
+      conformProblems(declared, s.read.parquet(s"$dir/v=$n").schema)
+    if (problems.nonEmpty) return problems
+    commit(s, dir, n, (Seq(meta) ++
+      (carriedDataLines(s, dir) :+ s"data=$dir/v=$n")).mkString("\n"))
+    Nil
+  }
+
+  /** Order-free, nullability-free (name → type) schema diff shared by
+    * the footer gate ([[commitConformed]]) and the batch-append gate
+    * ([[appendBatch]]). */
+  private def conformProblems(declared: org.apache.spark.sql.types.StructType,
+                              staged: org.apache.spark.sql.types.StructType)
+      : Seq[String] = {
     def m(st: org.apache.spark.sql.types.StructType) =
       st.fields.map(f => f.name -> f.dataType.catalogString).toMap
     val (dm, sm) = (m(declared), m(staged))
-    val problems =
-      (dm.keySet -- sm.keySet).toSeq.sorted.map(c => s"missing column $c") ++
-        (sm.keySet -- dm.keySet).toSeq.sorted
-          .map(c => s"undeclared column $c") ++
-        dm.keySet.intersect(sm.keySet).toSeq.sorted
-          .filter(k => dm(k) != sm(k))
-          .map(k => s"column $k is ${sm(k)}, declared ${dm(k)}")
-    if (problems.nonEmpty) return problems
-    val prevData = latestCommitted(s, dir).toSeq
-      .flatMap(v => resolveDataDirs(s, dir, v))
-    commit(s, dir, n, (Seq(meta) ++
-      (prevData :+ s"$dir/v=$n").map(d0 => s"data=$d0")).mkString("\n"))
-    Nil
+    (dm.keySet -- sm.keySet).toSeq.sorted.map(c => s"missing column $c") ++
+      (sm.keySet -- dm.keySet).toSeq.sorted
+        .map(c => s"undeclared column $c") ++
+      dm.keySet.intersect(sm.keySet).toSeq.sorted
+        .filter(k => dm(k) != sm(k))
+        .map(k => s"column $k is ${sm(k)}, declared ${dm(k)}")
   }
 
   /** EXPLICIT ADDITIVE schema evolution: the new declared schema must
@@ -390,6 +417,139 @@ object VersionedManifest {
     publishCow(s, dir, latest, n, untouched, newSub,
       s"delete where $predicate")
     (n, affected, untouched)
+  }
+
+  /** COPY-ON-WRITE UPDATE — [[deleteWhere]]'s non-destructive sibling
+    * and the last of the DML trio (merge q366, delete q256/q384): rows
+    * where `predicate` is TRUE get `sets` (column → SQL expression)
+    * applied, every other row — including UNKNOWN/NULL predicate rows,
+    * SQL UPDATE semantics — survives byte-identical. Assignment RHSes
+    * all evaluate against the PRE-update row (one SELECT, not chained
+    * withColumn — `SET a = b, b = a` swaps, as the standard requires)
+    * and are cast back to the column's declared type so an update can
+    * never retype the table out from under the schema gate (q373).
+    * Only dirs CONTAINING matching rows rewrite; a predicate matching
+    * nothing publishes nothing. Constraint validation and OCC publish
+    * are [[publishCow]]'s.
+    */
+  def updateWhere(s: SparkSession, dir: String, predicate: String,
+                  sets: Seq[(String, String)])
+      : (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    requireUniformParquet(s, dir, latest, "UPDATE")
+    val dirs = resolveDataDirs(s, dir, latest)
+    val matchedFiles = s.read.parquet(dirs: _*)
+      .filter(expr(predicate))
+      .select(input_file_name().as("_gfile")).distinct()
+      .collect().map(_.getString(0))
+    if (matchedFiles.isEmpty) return (latest, Nil, dirs)
+    val affectedSet = matchedFiles
+      .map(f => new Path(f).getParent.toUri.getPath).toSet
+    val (affected, untouched) = dirs.partition(d0 =>
+      affectedSet.contains(new Path(d0).toUri.getPath))
+    val old = s.read.parquet(affected: _*)
+    val setMap = sets.toMap
+    require(setMap.size == sets.size, "duplicate assignment target")
+    sets.foreach { case (c, _) =>
+      require(old.columns.contains(c), s"unknown column $c") }
+    val hit = coalesce(expr(predicate), lit(false))
+    val out = old.select(old.schema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) =>
+          when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name))
+            .as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    val n = latest + 1
+    val newSub = s"d-u$n"
+    out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    publishCow(s, dir, latest, n, untouched, newSub,
+      s"update where $predicate")
+    (n, affected, untouched)
+  }
+
+  /** PREDICATE-SCOPED OVERWRITE — Delta's `replaceWhere` / SQL
+    * `INSERT OVERWRITE`: one atomic version in which rows matching
+    * `predicate` are REPLACED by `source` and everything else survives.
+    * `predicate = "true"` is the full truncate-and-load (no discovery
+    * scan — every dir is affected by definition). Source rows must
+    * themselves satisfy the predicate (Delta's replaceWhere contract:
+    * a row OUTSIDE the replaced region would make the operation
+    * non-idempotent and silently clobber unrelated data on replay) —
+    * strays refuse before any write. Affected-dir discovery, COW
+    * rewrite of survivors, constraint validation, and OCC publish all
+    * follow [[deleteWhere]]/[[merge]]: untouched dirs re-address
+    * byte-identically, so a partition-scoped reload of a 100 TB estate
+    * costs O(replaced region + new data), never O(table).
+    */
+  def overwriteWhere(s: SparkSession, dir: String, predicate: String,
+                     source: DataFrame): (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, not}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    // truncate never reads the old snapshot, so ANY format truncates;
+    // a predicate-scoped overwrite must scan survivors — parquet only
+    if (predicate != "true") requireUniformParquet(s, dir, latest, "overwrite")
+    val dirs = resolveDataDirs(s, dir, latest)
+    val (affected, untouched) =
+      if (predicate == "true") (dirs, Seq.empty[String])
+      else {
+        val matchedFiles = s.read.parquet(dirs: _*)
+          .filter(expr(predicate))
+          .select(input_file_name().as("_gfile")).distinct()
+          .collect().map(_.getString(0))
+        val affectedSet = matchedFiles
+          .map(f => new Path(f).getParent.toUri.getPath).toSet
+        dirs.partition(d0 =>
+          affectedSet.contains(new Path(d0).toUri.getPath))
+      }
+    if (predicate != "true") {
+      val stray = source
+        .filter(not(coalesce(expr(predicate), lit(false))))
+        .limit(1).count()
+      require(stray == 0,
+        s"overwrite source contains rows not matching: $predicate")
+    }
+    val kept =
+      if (affected.isEmpty || predicate == "true") source.limit(0)
+      else s.read.parquet(affected: _*)
+        .filter(not(coalesce(expr(predicate), lit(false))))
+    val out = kept.unionByName(source.select(kept.columns.map(col): _*))
+    val n = latest + 1
+    val newSub = s"d-o$n"
+    out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    publishCow(s, dir, latest, n, untouched, newSub,
+      s"overwrite where $predicate")
+    (n, affected, untouched)
+  }
+
+  /** GATED BATCH APPEND — the SQL `INSERT INTO` path: the increment
+    * stages under `v=<n>`, must pass BOTH write-time gates — the schema
+    * gate (q373, one footer read) and every declared constraint (q363,
+    * one aggregate pass over the increment) — and only then publishes
+    * cumulatively. A refusal throws with every problem named and leaves
+    * NO manifest: readers keep the previous snapshot and the staged dir
+    * is a vacuumable orphan. An INSERT into an empty declared table
+    * publishes version 1.
+    */
+  def appendBatch(s: SparkSession, dir: String, source: DataFrame,
+                  meta: String): Long = {
+    val n = latestCommitted(s, dir).getOrElse(0L) + 1
+    source.write.mode("overwrite").parquet(s"$dir/v=$n")
+    val schemaProblems = readSchema(s, dir) match {
+      case None => Nil // no declared contract: footer gate inactive
+      case Some(declared) =>
+        conformProblems(declared, s.read.parquet(s"$dir/v=$n").schema)
+    }
+    if (schemaProblems.nonEmpty) throw new IllegalStateException(
+      s"append refused: ${schemaProblems.mkString("; ")}")
+    val constraintProblems = commitConstrained(s, dir, n, meta)
+    if (constraintProblems.nonEmpty) throw new IllegalStateException(
+      s"append refused: ${constraintProblems.mkString("; ")}")
+    n
   }
 
   /** LAST-WRITER-WINS merge — the CDC-apply flavor of [[merge]]: a

@@ -396,6 +396,117 @@ class VersionedCatalogSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("batch write face: INSERT INTO appends; a constraint violation refuses and publishes nothing") {
+    val root = freshDir("vins")
+    val dir = s"$root/t"
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "seed", schema)
+    w.commit(0, Array(stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))))
+    VersionedManifest.addConstraint(spark, dir, "k_pos", "k > 0")
+    spark.conf.set("spark.sql.catalog.vins11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vins11.root", root)
+    spark.sql("INSERT INTO vins11.tables.t SELECT 3L AS k, 'c' AS tag")
+    assert(spark.sql("SELECT COUNT(*) FROM vins11.tables.t")
+      .head.getLong(0) == 3)
+    val before = VersionedManifest.latestCommitted(spark, dir)
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO vins11.tables.t SELECT -7L AS k, 'bad' AS tag"))
+    assert(e.getMessage.contains("append refused") ||
+      Option(e.getCause).exists(_.getMessage.contains("append refused")),
+      e.toString)
+    // refusal published NOTHING: same version, same rows
+    assert(VersionedManifest.latestCommitted(spark, dir) == before)
+    assert(spark.sql("SELECT COUNT(*) FROM vins11.tables.t")
+      .head.getLong(0) == 3)
+  }
+
+  test("INSERT OVERWRITE truncates atomically; earlier versions still travel") {
+    val root = freshDir("vtrunc")
+    val dir = s"$root/t"
+    VersionedManifest.writeSchema(spark, dir, schema)
+    val w = new VersionedStreamingWrite(dir, "seed", schema)
+    w.commit(0, Array(stageEpoch(w, 0, Seq(1L -> "a", 2L -> "b"))))
+    spark.conf.set("spark.sql.catalog.vtr11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vtr11.root", root)
+    spark.sql("INSERT OVERWRITE vtr11.tables.t SELECT 9L AS k, 'z' AS tag")
+    assert(spark.sql("SELECT k FROM vtr11.tables.t")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.sql("SELECT COUNT(*) FROM vtr11.tables.t VERSION AS OF 1")
+      .head.getLong(0) == 2)
+  }
+
+  test("replaceWhere: stray source rows refuse; the out-of-scope dir re-addresses untouched") {
+    import spark.implicits._
+    val root = freshDir("vrepl")
+    val dir = s"$root/t"
+    VersionedManifest.writeSchema(spark, dir, schema)
+    // two dirs: tag 'a' rows and tag 'b' rows
+    Seq((1L, "a"), (2L, "a")).toDF("k", "tag")
+      .write.parquet(s"$dir/d-1")
+    VersionedManifest.commit(spark, dir, 1, s"data=$dir/d-1\nseed a")
+    Seq((10L, "b")).toDF("k", "tag").write.parquet(s"$dir/d-2")
+    VersionedManifest.commit(spark, dir, 2,
+      s"data=$dir/d-1\ndata=$dir/d-2\nseed b")
+    spark.conf.set("spark.sql.catalog.vrp11",
+      classOf[VersionedCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vrp11.root", root)
+    // a source row with tag 'b' does NOT match the predicate — refuse
+    val stray = intercept[Exception] {
+      Seq((5L, "a"), (6L, "b")).toDF("k", "tag")
+        .writeTo("vrp11.tables.t")
+        .overwrite(org.apache.spark.sql.functions.col("tag") ===
+          org.apache.spark.sql.functions.lit("a"))
+    }
+    assert(stray.getMessage.contains("not matching") ||
+      Option(stray.getCause).exists(_.getMessage.contains("not matching")),
+      stray.toString)
+    assert(VersionedManifest.latestCommitted(spark, dir).contains(2L))
+    // the clean replace: only the 'a' dir rewrites, d-2 re-addresses
+    Seq((5L, "a")).toDF("k", "tag")
+      .writeTo("vrp11.tables.t")
+      .overwrite(org.apache.spark.sql.functions.col("tag") ===
+        org.apache.spark.sql.functions.lit("a"))
+    assert(VersionedManifest.latestCommitted(spark, dir).contains(3L))
+    val v3 = VersionedManifest.resolveDataDirs(spark, dir, 3).toSet
+    assert(v3.contains(s"$dir/d-2"), v3.toString)
+    assert(!v3.contains(s"$dir/d-1"), v3.toString)
+    assert(spark.sql("SELECT k FROM vrp11.tables.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L, 10L))
+    // an untranslatable predicate refuses loudly: Spark can't express
+    // `k % 2 = 0` as V1 filters, so the overwrite never reaches the
+    // manifest (and certainly never overwrites wrong)
+    val bad = intercept[Exception] {
+      Seq((7L, "a")).toDF("k", "tag")
+        .writeTo("vrp11.tables.t")
+        .overwrite(org.apache.spark.sql.functions.expr("k % 2 = 0"))
+    }
+    assert(bad.getMessage.contains("does not support overwrite by expression"),
+      bad.toString)
+    assert(VersionedManifest.latestCommitted(spark, dir).contains(3L))
+  }
+
+  test("updateWhere: assignments see the PRE-update row (swap); no-match publishes nothing") {
+    import spark.implicits._
+    val root = freshDir("vupd")
+    val dir = s"$root/t"
+    Seq((1L, 100L), (5L, 500L)).toDF("a", "b").write.parquet(s"$dir/d-1")
+    VersionedManifest.commit(spark, dir, 1, s"data=$dir/d-1\nseed")
+    val (v, aff, unt) = VersionedManifest.updateWhere(spark, dir,
+      "a > 1", Seq("a" -> "b", "b" -> "a"))
+    assert(v == 2L && aff.size == 1 && unt.isEmpty)
+    val rows = VersionedManifest.readAt(spark, dir, 2)
+      .orderBy("a").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // (5,500) swapped to (500,5) — both RHSes read the old row
+    assert(rows == Seq((1L, 100L), (500L, 5L)), rows.toString)
+    // a predicate matching nothing publishes NO churn version
+    val (v2, aff2, _) = VersionedManifest.updateWhere(spark, dir,
+      "a > 99999", Seq("a" -> "0"))
+    assert(v2 == 2L && aff2.isEmpty)
+    assert(VersionedManifest.latestCommitted(spark, dir).contains(2L))
+  }
+
   test("commitAudited refuses the poisoned batch: no manifest, orphan is vacuumable") {
     val dir = freshDir("wap")
     import spark.implicits._
