@@ -206,15 +206,112 @@ object Graphs extends QueryModule {
       |JOIN sup sb ON sb.item = d.b
       |ORDER BY lift_ppm DESC, antecedent, consequent LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q395
+
+  /** q395: LINK PREDICTION by common neighbors + Jaccard (Liben-Nowell &
+    * Kleinberg 2003, "The Link Prediction Problem for Social Networks")
+    * over the customer co-purchase graph — the collaborative-filtering
+    * primitive: customers are ADJACENT when they share ≥ 2 distinct
+    * purchased parts (the bipartite customer–part projection, threshold
+    * sparsifying noise edges); for every NON-adjacent pair sharing at
+    * least one graph neighbor, common = |Γ(u)∩Γ(v)| (exact BIGINT) and
+    * Jaccard = common/(deg_u + deg_v − common) (ONE double division of
+    * exact integers), top-20 by (common DESC, pair). The token
+    * co-occurrence graph can't host this query — its 31-token vocabulary
+    * is near-complete, so no non-adjacent wedge exists; the customer
+    * graph is the natural sparse instance.
+    *
+    * Scale: the bipartite projection fans out pairs PER PART, and
+    * buyers-per-part is scale-invariant in this data model (customers
+    * and parts both grow with SF) — projection cost is O(parts ·
+    * buyers²), linear in data. Wedge generation joins the symmetrized
+    * adjacency with itself THROUGH the shared middle node (one shuffle
+    * keyed by the middle); middles above degree 64 drop first (the
+    * df-cap idiom q74's shingles use) so a hub's h²/2 fan-out is
+    * bounded at 2016 wedges, while FULL endpoint degrees still enter
+    * the Jaccard denominator. The existing-edge subtraction is a keyed
+    * left-anti; the final top-20 is TakeOrdered, no global sort.
+    */
+  private def q395(s: SparkSession, d: String): DataFrame = {
+    val cp = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = cp.as("a").join(cp.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("ca"), col("b.c").as("cb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .select(col("ca"), col("cb"))
+    val adj = edges.select(col("ca").as("src"), col("cb").as("dst"))
+      .union(edges.select(col("cb").as("src"), col("ca").as("dst")))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val mid = adj.select(col("src").as("n"), col("dst").as("u"))
+      .join(deg.select(col("src").as("n"), col("deg").as("dn")), Seq("n"))
+      .filter(col("dn") <= 64)
+      .select(col("n"), col("u"))
+    val wedges = mid
+      .join(mid.select(col("n"), col("u").as("v")), Seq("n"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    wedges
+      .join(edges.select(col("ca").as("u"), col("cb").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(deg.select(col("src").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"), col("du"), col("dv"),
+        (col("common").cast("double") /
+          (col("du") + col("dv") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(desc("common"), col("u"), col("v")).limit(20)
+  }
+
+  private val q395Sql =
+    """WITH cp AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (
+      |  SELECT ca, cb FROM (
+      |    SELECT a.c AS ca, b.c AS cb, COUNT(*) AS shared
+      |    FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      |    GROUP BY 1, 2)
+      |  WHERE shared >= 2),
+      |adj AS (
+      |  SELECT ca AS src, cb AS dst FROM edges
+      |  UNION ALL SELECT cb AS src, ca AS dst FROM edges),
+      |deg AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      |mid AS (
+      |  SELECT a.src AS n, a.dst AS u FROM adj a
+      |  JOIN deg ON deg.src = a.src WHERE deg.deg <= 64),
+      |wedges AS (
+      |  SELECT m1.u AS u, m2.u AS v, CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM mid m1 JOIN mid m2 ON m1.n = m2.n AND m1.u < m2.u
+      |  GROUP BY 1, 2),
+      |nonadj AS (
+      |  SELECT w.* FROM wedges w
+      |  LEFT JOIN edges e ON e.ca = w.u AND e.cb = w.v
+      |  WHERE e.ca IS NULL)
+      |SELECT n2.u, n2.v, n2.common, d1.deg AS du, d2.deg AS dv,
+      |  CAST(n2.common AS DOUBLE) /
+      |    CAST(d1.deg + d2.deg - n2.common AS DOUBLE) AS jaccard
+      |FROM nonadj n2
+      |JOIN deg d1 ON d1.src = n2.u JOIN deg d2 ON d2.src = n2.v
+      |ORDER BY common DESC, u, v LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pagerank" -> q138,
     "q152_pmi_collocations" -> q152,
-    "q162_market_basket" -> q162
+    "q162_market_basket" -> q162,
+    "q395_link_prediction" -> q395
   )
 
   override def oracles: Map[String, String] = Map(
     "q138_pagerank" -> q138Sql,
     "q152_pmi_collocations" -> q152Sql,
-    "q162_market_basket" -> q162Sql
+    "q162_market_basket" -> q162Sql,
+    "q395_link_prediction" -> q395Sql
   )
 }

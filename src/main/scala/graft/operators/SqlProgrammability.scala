@@ -265,7 +265,48 @@ object SqlProgrammability extends QueryModule {
       |  AS t(plan, out_col, src_table, src_col)
       |ORDER BY plan, out_col, src_table, src_col""".stripMargin
 
+  // --------------------------------------------------------------- q394
+
+  /** q394: UNPIVOT + GROUP BY ALL + ORDER BY ALL — the modern relational
+    * SQL surface (SQL:2016 / Spark 3.4+) a metrics pipeline leans on:
+    * a wide per-source aggregate reshaped into the tall (source, metric,
+    * value) form every observability store ingests, authored entirely in
+    * SQL. UNPIVOT is the INVERSE of q29's pivot — together they close
+    * the reshape pair. GROUP BY ALL infers the grouping key from the
+    * non-aggregate select list; ORDER BY ALL totals the ordering — both
+    * exercised here from the SQL front door, not the DataFrame API.
+    *
+    * Scale: UNPIVOT is a per-row expand of an ALREADY-AGGREGATED
+    * relation (|sources| rows → 3·|sources|) — the widening happens
+    * after the one combinable shuffle, so the reshape is free at any
+    * corpus size.
+    */
+  private def q394(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""WITH wide AS (
+         |  SELECT source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         |  FROM parquet.`$d/documents.parquet`
+         |  GROUP BY ALL)
+         |SELECT source, metric, value
+         |FROM wide UNPIVOT (value FOR metric IN (n_docs, sum_chars, max_chars))
+         |ORDER BY ALL""".stripMargin)
+
+  private val q394Sql =
+    """WITH wide AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |  FROM documents GROUP BY source)
+      |SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+      |UNION ALL SELECT source, 'sum_chars', sum_chars FROM wide
+      |UNION ALL SELECT source, 'max_chars', max_chars FROM wide
+      |ORDER BY 1, 2, 3""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q394_sql_unpivot" -> q394,
     "q365_column_lineage" -> q365,
     "q362_parameterized_sql" -> q362,
     "q271_sql_udf" -> q271,
@@ -274,6 +315,7 @@ object SqlProgrammability extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q394_sql_unpivot" -> q394Sql,
     "q365_column_lineage" -> q365Sql,
     "q362_parameterized_sql" -> q362Sql,
     "q271_sql_udf" -> q271Sql,

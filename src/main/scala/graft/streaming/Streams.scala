@@ -2024,7 +2024,68 @@ object Streams extends QueryModule {
       |       MIN(fp) AS first_key, MAX(fp) AS last_key
       |FROM f""".stripMargin
 
+  // --------------------------------------------------------------- q393
+
+  /** q393: ROCKSDB STATE STORE — the same streaming semantics on the
+    * state backend a PRODUCTION deployment runs: the default HDFS-backed
+    * provider keeps every key on the executor heap (state must fit in
+    * memory — a non-starter for billion-key dedup at 100 TB), while
+    * RocksDB spills to local disk with incremental checkpointing. The
+    * query deduplicates a DOUBLED event stream (the file source unioned
+    * with itself — every event arrives exactly twice) by event_id under
+    * a watermark, so the state store does real work: one state row per
+    * distinct event, hit once as `first` and once as `dup`. The per-type
+    * tallies hash-match the batch oracle (dedup output is arrival-order
+    * free — either copy dropping yields the same set), and the result
+    * carries in-band evidence that RocksDB actually served the state:
+    * the query progress's per-operator custom metrics are rocksdb-only
+    * counters (`rocksdbGetCount` etc.), absent under the default
+    * provider (pinned both ways in StreamsSpec).
+    *
+    * Scale: state is (event_id)-keyed — 8 bytes of key per distinct
+    * event, shuffled once; the provider swap changes WHERE state lives
+    * (heap → local SST files), not the plan, which is exactly why it is
+    * a config, not a rewrite.
+    */
+  private def q393(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val ev = streamEvents(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val doubled = ev.unionByName(streamEvents(s, d)
+        .select(col("event_id"), col("ts"), col("event_type")))
+      val dedup = doubled
+        .withWatermark("ts", "24 hours")
+        .dropDuplicates("event_id")
+      s.catalog.dropTempView("q393_sink")
+      val q = dedup.writeStream.format("memory").queryName("q393_sink")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val rocksdbServed = q.recentProgress.exists(p =>
+        Option(p.stateOperators).exists(_.exists(op =>
+          op.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))))
+      s.table("q393_sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct"))
+        .withColumn("rocksdb_state", lit(rocksdbServed))
+        .orderBy(col("event_type"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private val q393Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  true AS rocksdb_state
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q393_rocksdb_state" -> q393,
     "q270_state_introspection" -> q270,
     "q279_version_feed" -> q279,
     "q252_stream_versioned_ingest" -> q252,
@@ -2059,6 +2120,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q393_rocksdb_state" -> q393Sql,
     "q270_state_introspection" -> q270Sql,
     "q279_version_feed" -> q279Sql,
     "q252_stream_versioned_ingest" -> q252Sql,

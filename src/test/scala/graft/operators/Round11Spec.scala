@@ -1110,6 +1110,78 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(est - truth) / truth < 0.5, s"est=$est truth=$truth")
   }
 
+  test("q393: rocksdb serves the state; the default provider exposes no rocksdb metrics") {
+    val rows = SparkEntry.queries("q393_rocksdb_state")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), "rocksdb metrics were absent"))
+    // the provider conf was restored after the run
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+    // control arm: the same dedup under the DEFAULT provider reports no
+    // rocksdb counters — the evidence column measures the backend, not
+    // a constant
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    in.addData(1L, 2L, 1L)
+    spark.catalog.dropTempView("r11_rocks_ctl")
+    val q = in.toDF.select(col("value").as("event_id"),
+        lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")).as("ts"))
+      .withWatermark("ts", "1 hour").dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("r11_rocks_ctl")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val anyRocks = q.recentProgress.exists(p =>
+      Option(p.stateOperators).exists(_.exists(op =>
+        op.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))))
+    assert(!anyRocks, "default provider leaked rocksdb metrics")
+  }
+
+  test("q394: unpivot emits exactly the wide row count times three metrics") {
+    val rows = SparkEntry.queries("q394_sql_unpivot")(spark, sf0001).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length == 3), "3 metrics per source")
+    val metrics = rows.map(_.getString(1)).distinct.sorted.toSeq
+    assert(metrics == Seq("max_chars", "n_docs", "sum_chars"), metrics)
+    val totalDocs = rows.filter(_.getString(1) == "n_docs")
+      .map(_.getLong(2)).sum
+    assert(totalDocs == graft.Tables.documents(spark, sf0001).count())
+  }
+
+  test("q395: predicted links are non-adjacent wedges; path graph predicts its endpoints") {
+    val rows = SparkEntry.queries("q395_link_prediction")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (u, v, c, du, dv, j) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(u < v && c >= 1L && c <= math.min(du, dv), r.toString)
+      assert(j > 0.0 && j <= 1.0, r.toString)
+    }
+    // hand graph: c1-{p1,p2}, c2-{p1,p2,p3,p4}, c3-{p3,p4} =>
+    // edges (c1,c2),(c2,c3); the ONLY prediction is (c1,c3) via c2
+    import spark.implicits._
+    // one order per (cust, part): orderkey encodes both
+    val liFull = Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (2L, 103L), (2L, 104L), (3L, 103L), (3L, 104L)).map { case (c, p) =>
+      (c * 1000 + p, p)
+    }.toDF("l_orderkey", "l_partkey")
+    val ordFull = Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (2L, 103L), (2L, 104L), (3L, 103L), (3L, 104L)).map { case (c, p) =>
+      (c * 1000 + p, c)
+    }.toDF("o_orderkey", "o_custkey")
+    val tmp = corpusWith("linkpred", Map(
+      "lineitem" -> liFull, "orders" -> ordFull))
+    val r = SparkEntry.queries("q395_link_prediction")(spark, tmp)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(5))).toSeq
+    // common neighbor = c2; deg(c1) = deg(c3) = 1 -> jaccard = 1/(1+1-1)
+    assert(r == Seq((1L, 3L, 1L, 1.0)), r.toString)
+  }
+
   test("q389: alpha is exactly 1 under perfect agreement, negative under systematic disagreement") {
     import spark.implicits._
     def events(vals: Long => Double) =
