@@ -3079,7 +3079,101 @@ object CorpusOps extends QueryModule {
        |ORDER BY t.source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q398
+
+  /** q398: INCREMENTAL NEAR-DUP CLUSTERING — the daily-arrival shape of
+    * q85: yesterday's corpus (doc_id % 3 ≠ 0) is already clustered; a new
+    * batch lands and the clustering is MAINTAINED, not recomputed.
+    * Stage 1 labels the old graph alone (the state a production pipeline
+    * carries between runs); stage 2 computes ONLY the delta edges —
+    * shingle-posting pairs touching at least one new doc; stage 3
+    * re-runs the component fixpoint on the AFFECTED subgraph (old
+    * components adjacent to a delta edge, plus the new docs) and splices
+    * the result over the untouched labels. The output — per component:
+    * size and new-member count — hash-matches the FULL-batch recursive
+    * oracle, which is the incremental-maintenance claim stated as an
+    * equation: splice(old, delta) ≡ recompute(all). Two old components
+    * bridged by a new doc merge through the subgraph fixpoint.
+    *
+    * The stop-shingle df cap is computed over the FULL corpus on both
+    * paths (it is one mergeable count per shingle — the statistic a real
+    * system maintains incrementally); computing it per-batch would let
+    * the incremental and batch edge sets drift.
+    *
+    * Scale: the old corpus contributes its postings ONCE to the delta
+    * join (new-side × full-side, keyed by shingle — O(delta postings ·
+    * df)); the fixpoint re-runs on O(affected components), a sliver of
+    * the graph. Unaffected labels never leave their table. That is the
+    * difference between O(batch) and O(corpus) per day at 100 TB.
+    */
+  private def q398(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> xxhash64(t[i], t[i+1], t[i+2]))"))
+        .as("shingles"))
+      .cache()
+    val postings = sh.select(col("doc_id").as("id"),
+      explode(col("shingles")).as("e"))
+    val sizes = sh.select(col("doc_id").as("id"), size(col("shingles")).as("sz"))
+    val colds = postings.groupBy(col("e")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Jaccard.StopShingleDf).select(col("e"))
+    val base = postings.join(colds, Seq("e"), "left_semi")
+    val baseOld = base.filter(col("id") % 3 =!= 0)
+    val baseNew = base.filter(col("id") % 3 === 0)
+    def dress(inter: DataFrame): DataFrame = inter
+      .join(sizes.select(col("id").as("ida"), col("sz").as("sza")), "ida")
+      .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), "idb")
+      .filter(col("inter").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter")) >= 0.3)
+      .select(col("ida").as("da"), col("idb").as("db"))
+    // yesterday's state: old-old pairs only
+    val edgesOld = dress(
+      baseOld.as("a").join(baseOld.as("b"),
+          col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+        .agg(count(lit(1)).as("inter"))).localCheckpoint()
+    val labelsOld = components(s, edgesOld).localCheckpoint()
+    // today's delta: pairs with >= 1 new endpoint
+    val nn = baseNew.as("a").join(baseNew.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+    val no = baseNew.as("a").join(baseOld.as("b"), col("a.e") === col("b.e"))
+      .select(least(col("a.id"), col("b.id")).as("ida"),
+        greatest(col("a.id"), col("b.id")).as("idb"))
+    val edgesNew = dress(nn.union(no).groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("inter"))).localCheckpoint()
+    sh.unpersist()
+    // affected = old components touching a delta edge
+    val deltaEnds = edgesNew.select(col("da").as("id"))
+      .union(edgesNew.select(col("db").as("id"))).distinct()
+    val touched = labelsOld.join(deltaEnds, Seq("id"))
+      .select(col("comp")).distinct()
+    val affectedOld = labelsOld.join(touched, Seq("comp"))
+      .select(col("id"))
+    // components are edge-closed: an edge with one affected endpoint has
+    // both in the same (affected) component, so a one-sided semi suffices
+    val subEdgesOld = edgesOld.join(
+      affectedOld.withColumnRenamed("id", "da"), Seq("da"), "left_semi")
+    val subLabels = components(s,
+      subEdgesOld.union(edgesNew).localCheckpoint())
+    val untouched = labelsOld.join(touched, Seq("comp"), "left_anti")
+    untouched.select(col("id"), col("comp")).union(subLabels)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"),
+        sum((col("id") % 3 === 0).cast(LongType)).as("n_new"))
+      .orderBy(col("comp"))
+  }
+
+  private val q398Sql =
+    s"""WITH RECURSIVE $componentsCteSql
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS sz,
+       |  CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_new
+       |FROM comp GROUP BY comp ORDER BY comp""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_incremental_components" -> q398,
     "q388_priority_sample" -> q388,
     "q380_temperature_mixture" -> q380,
     "q375_prefix_cache_plan" -> q375,
@@ -3130,6 +3224,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q398_incremental_components" -> q398Sql,
     "q388_priority_sample" -> q388Sql,
     "q380_temperature_mixture" -> q380Sql,
     "q375_prefix_cache_plan" -> q375Sql,

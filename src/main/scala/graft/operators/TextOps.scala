@@ -2386,7 +2386,164 @@ object TextOps extends QueryModule {
       |    CAST(n * n - sumc2 AS DOUBLE) AS alpha
       |FROM nu CROSS JOIN tot CROSS JOIN fold""".stripMargin
 
+  // --------------------------------------------------------------- q396
+
+  /** Shared CUPED/z-test formula texts — interpolated verbatim into BOTH
+    * the Spark `selectExpr` and the DuckDB oracle, so the double
+    * arithmetic cannot drift between engines by construction. */
+  private val cupedFormulas = Seq(
+    "CAST(n AS BIGINT) AS n_users",
+    "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - " +
+      "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_x",
+    "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - " +
+      "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS var_y",
+    "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - " +
+      "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov_xy")
+  private val cupedDerived = Seq(
+    "n_users", "var_x", "var_y", "cov_xy",
+    // a degenerate period (zero-variance metric) leaves the adjustment
+    // undefined: NULL, not a divide-by-zero crash
+    "CASE WHEN var_x = 0.0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE cov_xy / var_x END AS theta",
+    "CASE WHEN var_x = 0.0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE var_y - (cov_xy * cov_xy) / var_x END AS var_cuped",
+    "CASE WHEN var_x = 0.0 OR var_y = 0.0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE (cov_xy * cov_xy) / (var_x * var_y) END AS rho2")
+
+  /** q396: CUPED VARIANCE REDUCTION — the pre-experiment-data adjustment
+    * every large experimentation platform applies before reading an A/B
+    * test (Deng, Xu, Kohavi & Walker 2013, "Improving the Sensitivity of
+    * Online Controlled Experiments"): with X a user's PRE-period metric
+    * and Y the in-experiment metric, Y_cv = Y − θ(X − E[X]) with
+    * θ = Cov(X,Y)/Var(X) has variance Var(Y)·(1 − ρ²) — the experiment
+    * needs (1 − ρ²)× the traffic for the same power. Metrics are
+    * engagement COUNTS (events with value > 30, day-of-month ≤ 15 =
+    * pre), so every moment — n, Σx, Σy, Σx², Σy², Σxy — is an exact
+    * BIGINT from one combinable aggregate, and θ, Var(Y_cv), ρ² are a
+    * handful of double ops over those six integers, in formula text
+    * SHARED with the oracle so association order is identical by
+    * construction.
+    *
+    * Scale: two keyed shuffles (events→user, user→scalar), six integers
+    * of state per partial — CUPED over a billion users ships six numbers
+    * per task. The count metric keeps Σx² within 2^53 at any realistic
+    * SF (a revenue-sum variant would lift to DECIMAL partials first).
+    */
+  private def q396(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"),
+        (dayofmonth(col("ts")) <= 15 && col("value") > 30.0)
+          .cast(LongType).as("px"),
+        (dayofmonth(col("ts")) > 15 && col("value") > 30.0)
+          .cast(LongType).as("py"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("px")).as("x"), sum(col("py")).as("y"))
+    perUser.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr(cupedFormulas: _*)
+      .selectExpr(cupedDerived: _*)
+  }
+
+  private val q396Sql =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(COUNT(*) FILTER (WHERE day(ts) <= 15 AND value > 30.0)
+       |      AS BIGINT) AS x,
+       |    CAST(COUNT(*) FILTER (WHERE day(ts) > 15 AND value > 30.0)
+       |      AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       |  FROM pu),
+       |f AS (SELECT ${cupedFormulas.mkString(", ")} FROM m)
+       |SELECT ${cupedDerived.mkString(", ")} FROM f""".stripMargin
+
+  // --------------------------------------------------------------- q397
+
+  private val zFormulas = Seq(
+    "event_type", "na", "nb", "xa", "xb",
+    // degenerate cells (empty arm, all-convert, none-convert) have a
+    // zero pooled variance: the test is undefined -> NULL, not a crash
+    "CASE WHEN na = 0 OR nb = 0 OR xa + xb = 0 OR xa + xb = na + nb " +
+      "THEN CAST(NULL AS DOUBLE) ELSE " +
+      "(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) - " +
+      "CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+      "sqrt((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * " +
+      "(1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * " +
+      "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END AS z")
+
+  /** q397: TWO-PROPORTION Z-TEST — the A/B readout itself: users hash
+    * deterministically into arms (md5 parity — the real randomization
+    * unit assignment, reproducible across engines and reruns), convert
+    * when any event of the type exceeds 400, and per event_type the
+    * pooled two-proportion z statistic decides significance at the 1.96
+    * bar. All counts are exact integers; z is division/multiplication
+    * plus ONE sqrt — IEEE 754 requires sqrt correctly rounded, so it is
+    * the one libm function both engines compute bit-identically (ln/exp
+    * are not, which is why q332/q201 use integer ppm instead). The
+    * formula text is shared with the oracle verbatim. The significance
+    * flag compares z², avoiding an abs() spelling difference.
+    *
+    * Scale: one (user, type)-keyed combinable aggregate then an
+    * O(types × 2) rollup — the z-test over a billion users ships four
+    * counters per (type, arm).
+    */
+  private val zSigFormula =
+    "CAST(CASE WHEN z IS NULL THEN NULL WHEN z * z > 1.96 * 1.96 " +
+      "THEN 1 ELSE 0 END AS BIGINT) AS significant"
+
+  private def q397(s: SparkSession, d: String): DataFrame = {
+    val perUserType = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        (col("value") > 480.0).cast(LongType).as("hit"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("hit")).as("converted"))
+      .withColumn("arm",
+        expr("CAST(conv(substring(md5(concat('ab-', CAST(user_id AS " +
+          "STRING))), 1, 7), 16, 10) AS BIGINT) % 2"))
+    perUserType.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("xb"))
+      .selectExpr(zFormulas: _*)
+      .selectExpr("*", zSigFormula)
+      .orderBy(col("event_type"))
+  }
+
+  private val q397Sql = {
+    val h = Exact.sqlHexToLong("md5('ab-' || user_id)", 1, 7)
+    s"""WITH put0 AS (
+       |  SELECT user_id, event_type,
+       |    MAX(CASE WHEN value > 480.0 THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY user_id, event_type),
+       |put AS (SELECT *, ($h) % 2 AS arm FROM put0),
+       |g AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS na,
+       |    CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS xa,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS xb
+       |  FROM put GROUP BY event_type),
+       |f AS (SELECT ${zFormulas.mkString(", ")} FROM g)
+       |SELECT f.*, $zSigFormula
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q396_cuped" -> q396,
+    "q397_ab_ztest" -> q397,
     "q389_krippendorff_alpha" -> q389,
     "q386_gopher_repetition" -> q386,
     "q387_bleu_stats" -> q387,
@@ -2426,6 +2583,8 @@ object TextOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q396_cuped" -> q396Sql,
+    "q397_ab_ztest" -> q397Sql,
     "q389_krippendorff_alpha" -> q389Sql,
     "q386_gopher_repetition" -> q386Sql,
     "q387_bleu_stats" -> q387Sql,

@@ -570,7 +570,7 @@ class Round11Spec extends SparkSpec {
     val procs = procRows
       .map(r => r.get(r.length - 1).toString).sorted.toSeq
     assert(procs == Seq("create_branch", "expire_snapshots", "fast_forward",
-      "merge", "rollback"), s"procedure roster drifted: $procs")
+      "merge", "rollback", "update"), s"procedure roster drifted: $procs")
     // duplicate branch creation refuses through the SQL surface too
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.sys.create_branch('corpus', 'main', 3)").collect()
@@ -1180,6 +1180,52 @@ class Round11Spec extends SparkSpec {
         x.getDouble(5))).toSeq
     // common neighbor = c2; deg(c1) = deg(c3) = 1 -> jaccard = 1/(1+1-1)
     assert(r == Seq((1L, 3L, 1L, 1.0)), r.toString)
+  }
+
+  test("q396: CUPED identity var_cv = var_y(1-rho2); reduction bounded") {
+    val r = SparkEntry.queries("q396_cuped")(spark, sf0001).collect().head
+    val (varX, varY, cov) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val (theta, varCv, rho2) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(varX > 0 && varY > 0)
+    assert(rho2 >= 0.0 && rho2 <= 1.0, r.toString)
+    assert(varCv >= 0.0 && varCv <= varY, r.toString)
+    assert(math.abs(varCv - varY * (1.0 - rho2)) < 1e-9 * varY, r.toString)
+    assert(math.abs(theta - cov / varX) < 1e-12 * math.abs(theta).max(1.0))
+  }
+
+  test("q397: arm sizes partition the exposed users; significance tracks |z|") {
+    val rows = SparkEntry.queries("q397_ab_ztest")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, na, nb, xa, xb) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val exposed = graft.Tables.events(spark, sf0001)
+        .filter(col("event_type") === t)
+        .select(col("user_id")).distinct().count()
+      assert(na + nb == exposed, s"$t: ${na + nb} vs $exposed")
+      assert(xa <= na && xb <= nb, r.toString)
+      if (!r.isNullAt(5)) {
+        val z = r.getDouble(5)
+        assert((math.abs(z) > 1.96) == (r.getLong(6) == 1L), r.toString)
+      } else assert(r.isNullAt(6), r.toString)
+    }
+  }
+
+  test("q398: a new doc MERGES two old components; untouched clusters splice through") {
+    import spark.implicits._
+    val x = "a b c d e f"; val y = "g h i j k l"; val w = "m n o p q r"
+    val bridge = "a b c d e g h i j k" // j = 3/9 vs both x and y
+    val docs = Seq(
+      (1L, x), (2L, x), (4L, y), (5L, y), // old: two clusters
+      (3L, bridge),                       // new (3 % 3 == 0): the bridge
+      (7L, w), (8L, w))                   // old: untouched control
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = corpusWith("inccomp", Map("documents" -> docs))
+    val r = SparkEntry.queries("q398_incremental_components")(spark, tmp)
+      .collect().map(x0 => (x0.getLong(0), x0.getLong(1), x0.getLong(2)))
+      .toSeq
+    assert(r == Seq((1L, 5L, 1L), (7L, 2L, 0L)), r.toString)
   }
 
   test("q389: alpha is exactly 1 under perfect agreement, negative under systematic disagreement") {
