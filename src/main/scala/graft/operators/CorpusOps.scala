@@ -3172,7 +3172,75 @@ object CorpusOps extends QueryModule {
        |  CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_new
        |FROM comp GROUP BY comp ORDER BY comp""".stripMargin
 
+  // --------------------------------------------------------------- q399
+
+  /** q399: EPOCH SHUFFLE + OFFSET RESUME — the training data-loader's two
+    * primitives, neither of which may cost a global sort: (a) each epoch
+    * e reads the corpus in the deterministic pseudo-random order
+    * md5(epoch, doc_id) — reshuffled BETWEEN epochs, identical across
+    * reruns/engines/cluster sizes (Spark's randomSplit/shuffle are
+    * neither); (b) a job killed at global offset k resumes at position
+    * k+1 WITHOUT sorting the corpus: keys bucket by their top 4 bits (16
+    * range-ordered buckets), one combinable count per bucket + a
+    * 16-row cumulative gives each bucket's global base, and only the
+    * bucket(s) overlapping [k+1, k+4] rank internally (a window
+    * PARTITIONED by bucket — 1/16th of the corpus, and 1/2^b of it with
+    * more bucket bits at scale). The emitted rows — each epoch's first 8
+    * and its resume window — carry their GLOBAL positions, verified
+    * against the oracle's full row_number.
+    *
+    * Scale: the epoch head is TakeOrdered (per-partition heaps); the
+    * resume path's only driver-sized object is the 16-row bucket census;
+    * the corpus is never globally sorted, and at 100 TB the bucket count
+    * grows with the key prefix width, keeping the ranked slice constant.
+    */
+  private def q399(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20L // resume offset: positions k+1 .. k+4
+    def epochFrame(e: Int): DataFrame = {
+      val keyed = Tables.documents(s, d).select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(concat('ep$e-', " +
+          s"CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)").as("key"))
+      val head = keyed.orderBy(col("key"), col("doc_id")).limit(8)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(col("key"), col("doc_id"))).cast(LongType))
+        .select(lit(e.toLong).as("epoch"), col("pos"), col("doc_id"))
+      val bucketed = keyed.withColumn("b", expr(s"key div ${1L << 44}"))
+      val counts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val cum = counts.withColumn("before",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val sel = cum.filter(col("before") <= k + 3 &&
+        col("before") + col("cnt") > k)
+      val resume = bucketed.join(broadcast(sel), Seq("b"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("b")).orderBy(col("key"), col("doc_id"))))
+        .withColumn("pos", (col("before") + col("rn")).cast(LongType))
+        .filter(col("pos") >= k + 1 && col("pos") <= k + 4)
+        .select(lit(e.toLong).as("epoch"), col("pos"), col("doc_id"))
+      head.unionByName(resume)
+    }
+    (1 to 3).map(epochFrame).reduce(_.unionByName(_))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  private val q399Sql = {
+    val h = Exact.sqlHexToLong("md5('ep' || epoch || '-' || doc_id)", 1, 12)
+    s"""WITH e AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS epoch),
+       |keyed AS (
+       |  SELECT epoch, doc_id, CAST($h AS BIGINT) AS key
+       |  FROM documents CROSS JOIN e),
+       |ranked AS (
+       |  SELECT epoch, doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY epoch ORDER BY key, doc_id) AS pos
+       |  FROM keyed)
+       |SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id FROM ranked
+       |WHERE pos <= 8 OR pos BETWEEN 21 AND 24
+       |ORDER BY epoch, pos""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_epoch_shuffle" -> q399,
     "q398_incremental_components" -> q398,
     "q388_priority_sample" -> q388,
     "q380_temperature_mixture" -> q380,
@@ -3224,6 +3292,7 @@ object CorpusOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q399_epoch_shuffle" -> q399Sql,
     "q398_incremental_components" -> q398Sql,
     "q388_priority_sample" -> q388Sql,
     "q380_temperature_mixture" -> q380Sql,

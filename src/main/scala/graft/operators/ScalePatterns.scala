@@ -5428,7 +5428,83 @@ object ScalePatterns extends QueryModule {
       |    AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q400
+
+  /** q400: COLUMN DROP + RE-ADD WITHOUT RESURRECTION — the second half
+    * of column mapping (q300 renames; this DROPS): dropping `source` is
+    * ONE metadata-only manifest (the logical field list shrinks; not a
+    * byte rewrites), and RE-ADDING a column of the same name binds a
+    * FRESH physical name (`source_2`), so the bytes still sitting in the
+    * old generation's files under physical `source` can NEVER leak back
+    * into the logical column — Delta/Iceberg's field-id indirection
+    * essence, the property that makes a drop safe to ever re-use a name
+    * after. The estate: v1 loads evens (physical `source` populated!),
+    * v2 drops the column, v3 re-adds it and appends odds (physical
+    * `source_2`). Reading v3, every even row's `source` is NULL — the
+    * hash-checked no-resurrection claim — while time travel to v1 still
+    * shows the original values (the drop is versioned, not destructive;
+    * pinned in Round11Spec).
+    *
+    * Scale: drop and re-add are one manifest line each on a 100 TB
+    * table; the read-side NULL-fill is a per-generation projection
+    * alias, free under codegen. The alternative — rewriting the table
+    * to physically remove a column — is exactly what this exists to
+    * avoid.
+    */
+  private def q400(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{VersionedManifest => VM}
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_coldrop_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val done = java.nio.file.Paths.get(dir, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      VM.commit(s, dir, 1, Seq("initial load (evens)",
+        "field=doc_id:doc_id", "field=source:source",
+        "field=n_chars:n_chars").mkString("\n"))
+      VM.commit(s, dir, 2, Seq("drop column source", "dataChange=false",
+        s"data=$dir/v=1",
+        "field=doc_id:doc_id", "field=n_chars:n_chars").mkString("\n"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("source", "source_2")
+        .write.mode("overwrite").parquet(s"$dir/v=3")
+      VM.commit(s, dir, 3, Seq("re-add column source (fresh field)",
+        s"data=$dir/v=1", s"data=$dir/v=3",
+        "field=doc_id:doc_id", "field=n_chars:n_chars",
+        "field=source:source_2").mkString("\n"))
+      java.nio.file.Files.createFile(done)
+    }
+    // the mapped reader: per data dir, each logical field resolves to
+    // its physical name when the dir's footer carries it, else NULL —
+    // old generations can never serve a re-added field
+    val fields = VM.describe(s, dir, 3).linesIterator
+      .filter(_.startsWith("field=")).map(_.stripPrefix("field="))
+      .map { kv => val Array(lg, ph) = kv.split(":", 2); lg -> ph }.toSeq
+    val snapshot = VM.resolveDataDirs(s, dir, 3).map { d0 =>
+      val g = s.read.parquet(d0)
+      g.select(fields.map { case (lg, ph) =>
+        if (g.columns.contains(ph)) col(ph).as(lg)
+        else lit(null).cast("string").as(lg)
+      }: _*)
+    }.reduce(_.unionByName(_))
+    snapshot.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(coalesce(col("source"), lit("")))
+  }
+
+  private val q400Sql =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END
+      |        AS source, n_chars FROM documents)
+      |GROUP BY source ORDER BY COALESCE(source, '')""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q400_column_drop" -> q400,
     "q390_sql_insert" -> q390,
     "q391_replace_where" -> q391,
     "q392_sql_update" -> q392,
@@ -5515,6 +5591,7 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q374_concurrent_merge" -> q374Sql,
     "q382_atomic_rtas" -> q382Sql,
+    "q400_column_drop" -> q400Sql,
     "q390_sql_insert" -> q390Sql,
     "q391_replace_where" -> q391Sql,
     "q392_sql_update" -> q392Sql,

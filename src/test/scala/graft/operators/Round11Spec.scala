@@ -1228,6 +1228,49 @@ class Round11Spec extends SparkSpec {
     assert(r == Seq((1L, 5L, 1L), (7L, 2L, 0L)), r.toString)
   }
 
+  test("q399: epochs reshuffle; resume positions match the full-sort truth") {
+    val rows = SparkEntry.queries("q399_epoch_shuffle")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    byEpoch.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq ==
+        ((1L to 8L) ++ (21L to 24L)).toSeq, rs.mkString(","))
+    }
+    // between-epoch reshuffle: the heads must not repeat in order
+    val heads = (1L to 3L).map(e =>
+      byEpoch(e).sortBy(_._2).take(8).map(_._3).toSeq)
+    assert(heads.distinct.size == 3, heads.toString)
+    // the resume window equals a literal full sort of epoch 1's keys
+    val truth = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id",
+        "CAST(conv(substring(md5(concat('ep1-', CAST(doc_id AS STRING))), " +
+          "1, 12), 16, 10) AS BIGINT) AS key")
+      .orderBy(col("key"), col("doc_id")).collect().map(_.getLong(0))
+    val resume1 = byEpoch(1L).sortBy(_._2).drop(8).map(_._3).toSeq
+    assert(resume1 == truth.slice(20, 24).toSeq, resume1.toString)
+  }
+
+  test("q400: dropped bytes never resurrect; time travel still serves them") {
+    SparkEntry.queries("q400_column_drop")(spark, sf0001).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_coldrop_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val M = graft.sources.VersionedManifest
+    // v1 files still carry the physical column with real values
+    val v1 = spark.read.parquet(
+      M.resolveDataDirs(spark, dir, 1).head)
+    assert(v1.columns.contains("source"))
+    assert(v1.filter(col("source").isNotNull).count() == v1.count())
+    // yet at v3 every even row's LOGICAL source is NULL (fresh field)
+    val r = SparkEntry.queries("q400_column_drop")(spark, sf0001).collect()
+    val nullGroup = r.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    assert(nullGroup == v1.count(), s"$nullGroup vs ${v1.count()}")
+    // and the drop itself was metadata-only: v2 addresses v1's dir
+    assert(M.resolveDataDirs(spark, dir, 2) ==
+      M.resolveDataDirs(spark, dir, 1))
+  }
+
   test("q389: alpha is exactly 1 under perfect agreement, negative under systematic disagreement") {
     import spark.implicits._
     def events(vals: Long => Double) =
