@@ -154,7 +154,31 @@ object Bench {
     "q334_neardup_leakage", "q335_bloom_skipping", "q336_boilerplate_strip",
     "q337_url_canonical_dedup", "q338_mixed_format_feed",
     "q339_release_tags", "q340_span_corruption", "q341_politeness_schedule",
-    "q342_label_agreement", "q343_preference_pairs", "q344_cluster_rewrite"
+    "q342_label_agreement", "q343_preference_pairs", "q344_cluster_rewrite",
+    // round 11d/e/f additions (decade gauges live in BASELINE.md; the
+    // quiet-run quotes join the roster here from round 11g on)
+    "q345_pii_scan", "q346_chat_assembly", "q347_bitext_margin",
+    "q348_row_tracking", "q349_branch_publish", "q350_bitemporal_asof",
+    "q351_branch_subscriber", "q352_centroid_classifier",
+    "q353_salted_agg_plan", "q354_sql_branch_read", "q355_snapshot_expiry",
+    "q356_phash_dedup", "q357_soft_dedup_weights", "q358_sql_estate_procs",
+    "q359_truncated_rerank", "q360_stream_union_lagged",
+    "q361_bradley_terry", "q362_parameterized_sql", "q363_table_constraints",
+    "q364_sq8_recall", "q365_column_lineage", "q366_versioned_merge",
+    "q367_stream_lww_upsert", "q368_taxonomy_tagging",
+    "q369_zorder_clustering", "q370_sql_merge_proc",
+    "q371_versioned_erasure", "q372_late_deadletter", "q373_schema_gate",
+    "q374_concurrent_merge", "q375_prefix_cache_plan", "q376_pass_at_k",
+    "q377_bootstrap_ci", "q378_stream_semi_join", "q379_freshness_decay",
+    "q380_temperature_mixture", "q381_tokenizer_fertility",
+    "q382_atomic_rtas", "q383_filtered_ann", "q384_sql_cow_delete",
+    "q385_shortlist_tuning",
+    // round 11g additions
+    "q386_gopher_repetition", "q387_bleu_stats", "q388_priority_sample",
+    "q389_krippendorff_alpha", "q390_sql_insert", "q391_replace_where",
+    "q392_sql_update", "q393_rocksdb_state", "q394_sql_unpivot",
+    "q395_link_prediction", "q396_cuped", "q397_ab_ztest",
+    "q398_incremental_components", "q399_epoch_shuffle", "q400_column_drop"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */
