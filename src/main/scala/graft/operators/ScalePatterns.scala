@@ -5519,7 +5519,74 @@ object ScalePatterns extends QueryModule {
       |        AS source, n_chars FROM documents)
       |GROUP BY source ORDER BY COALESCE(source, '')""".stripMargin
 
+  // --------------------------------------------------------------- q401
+
+  /** q401: PERSISTED INFORMATIONAL FOREIGN KEYS — q281's join
+    * elimination, but the constraint lives in the TABLE, not the
+    * session: `VersionedManifest.declareForeignKey` audits the pair
+    * (null FKs, dangling FKs, dim-key uniqueness — the q281 protocol),
+    * refuses with evidence when violated, and lands `fk=` metadata as a
+    * metadata-only version PINNING the dim's current snapshot. Any new
+    * session calls `registerDeclaredForeignKeys` — O(#fk lines), no data
+    * scan — and unused-dimension joins vanish from its plans; a dim that
+    * moved on invalidates the pin (liveForeignKeys skips it), so a stale
+    * declaration degrades to a real join, never to a wrong answer
+    * (Round11Spec pins the eliminated plan, the staleness fallback, and
+    * the audit refusal). This is the warehouse RELY pattern: unenforced
+    * constraints as persisted, versioned optimizer fuel.
+    *
+    * Scale: declaration costs three key-column passes ONCE; every query
+    * the wide view serves thereafter saves a dimension scan + shuffle.
+    * Liveness is manifest arithmetic per session, not a data audit.
+    */
+  private def q401(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val M = graft.sources.VersionedManifest
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_fkdecl_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+    val (factDir, dimDir) = (s"$root/orders", s"$root/customers")
+    val done = java.nio.file.Paths.get(root, "_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$factDir/v=1")
+      M.commit(s, factDir, 1, "load orders")
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"))
+        .write.mode("overwrite").parquet(s"$dimDir/v=1")
+      M.commit(s, dimDir, 1, "load customers")
+      val r = M.declareForeignKey(s, factDir, "o_custkey", dimDir,
+        "c_custkey")
+      require(r == Right(2L), s"FK declaration failed: $r")
+      java.nio.file.Files.createFile(done)
+    }
+    val nLive = M.registerDeclaredForeignKeys(s, factDir).toLong
+    val prev = s.conf.getOption("spark.graft.ri.eliminate").getOrElse("false")
+    s.conf.set("spark.graft.ri.eliminate", "true")
+    try {
+      val fact = M.readAt(s, factDir, 2)
+      val dim = M.readAt(s, dimDir, 1)
+      val out = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.sumMoney(col("o_totalprice")).as("revenue"))
+        .crossJoin(broadcast(Seq(nLive).toDF("n_live_fks")))
+        .orderBy(col("o_orderpriority"))
+      // freeze the eliminated plan while the conf is in scope
+      out.localCheckpoint()
+    } finally s.conf.set("spark.graft.ri.eliminate", prev)
+  }
+
+  private val q401Sql =
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${graft.Exact.sqlSumMoney("o_totalprice")} AS revenue,
+       |  CAST(1 AS BIGINT) AS n_live_fks
+       |FROM orders GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_fk_catalog" -> q401,
     "q400_column_drop" -> q400,
     "q390_sql_insert" -> q390,
     "q391_replace_where" -> q391,
@@ -5607,6 +5674,7 @@ object ScalePatterns extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q374_concurrent_merge" -> q374Sql,
     "q382_atomic_rtas" -> q382Sql,
+    "q401_fk_catalog" -> q401Sql,
     "q400_column_drop" -> q400Sql,
     "q390_sql_insert" -> q390Sql,
     "q391_replace_where" -> q391Sql,

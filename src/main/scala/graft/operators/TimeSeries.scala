@@ -771,7 +771,90 @@ object TimeSeries extends QueryModule {
        |FROM g ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- q402
+
+  /** q402: ROW-PATTERN MATCHING (MATCH_RECOGNIZE essence) — SQL:2016's
+    * one-pass DFA over ordered rows, which Spark lacks as a statement:
+    * per user, events ordered by (ts, event_id) are reduced to delta
+    * signs and a 4-state machine counts NON-OVERLAPPING V-shapes
+    * (PATTERN (D D+ U U+): two-or-more falls then two-or-more rises —
+    * the dip-and-recovery motif behind churn saves and incident
+    * postmortems). The DFA is an explicit left fold (`aggregate` here,
+    * a struct-typed `list_reduce` in the oracle) — same transitions,
+    * same order, integer state only — so the match counts hash-match; a
+    * plateau (delta 0) resets, a fall after the first rise starts the
+    * next candidate (greedy, consuming — the standard AFTER MATCH SKIP
+    * PAST LAST ROW).
+    *
+    * Scale: the per-user sequence is collected AFTER a keyed combinable
+    * shuffle and is bounded by events-per-user (scale-invariant in this
+    * data model — users grow with volume); the fold is O(sequence) with
+    * O(1) state. A billion users cost one (user)-keyed exchange, the
+    * same shape as sessionization.
+    */
+  private def q402(s: SparkSession, d: String): DataFrame = {
+    val dfa =
+      "CASE WHEN x.d = 0 THEN named_struct('st', 0, 'cnt', a.cnt) " +
+        "WHEN x.d < 0 THEN named_struct('st', " +
+        "CASE WHEN a.st = 1 OR a.st = 2 THEN 2 ELSE 1 END, 'cnt', a.cnt) " +
+        "WHEN a.st = 3 THEN named_struct('st', 0, 'cnt', a.cnt + CAST(1 AS BIGINT)) " +
+        "WHEN a.st = 2 THEN named_struct('st', 3, 'cnt', a.cnt) " +
+        "ELSE named_struct('st', 0, 'cnt', a.cnt) END"
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("value")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .withColumn("deltas", expr(
+        "transform(sequence(1, size(es) - 1), i -> named_struct('d', " +
+          "CASE WHEN es[i].value > es[i-1].value THEN 1 " +
+          "WHEN es[i].value < es[i-1].value THEN -1 ELSE 0 END))"))
+      .withColumn("matches", expr(
+        "aggregate(deltas, named_struct('st', 0, 'cnt', " +
+          s"CAST(0 AS BIGINT)), (a, x) -> $dfa).cnt"))
+      .groupBy((col("user_id") % 4).as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("matches") > 0, 1L).otherwise(0L))
+          .as("users_with_match"),
+        sum(col("matches")).as("total_matches"),
+        max(col("matches")).as("max_matches"))
+      .orderBy(col("cohort"))
+  }
+
+  private val q402Sql =
+    """WITH pu AS (
+      |  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      |  FROM events GROUP BY user_id),
+      |dl AS (
+      |  SELECT user_id,
+      |    [{'st': 0, 'cnt': CAST(0 AS BIGINT),
+      |      'd': CASE WHEN vs[i+1] > vs[i] THEN 1
+      |                WHEN vs[i+1] < vs[i] THEN -1 ELSE 0 END}
+      |     FOR i IN range(1, len(vs))] AS deltas
+      |  FROM pu),
+      |m AS (
+      |  SELECT user_id,
+      |    list_reduce(
+      |      list_prepend({'st': 0, 'cnt': CAST(0 AS BIGINT), 'd': 0},
+      |        deltas),
+      |      (a, x) -> CASE
+      |        WHEN x.d = 0 THEN {'st': 0, 'cnt': a.cnt, 'd': 0}
+      |        WHEN x.d < 0 THEN {'st': CASE WHEN a.st = 1 OR a.st = 2
+      |          THEN 2 ELSE 1 END, 'cnt': a.cnt, 'd': 0}
+      |        WHEN a.st = 3 THEN
+      |          {'st': 0, 'cnt': a.cnt + CAST(1 AS BIGINT), 'd': 0}
+      |        WHEN a.st = 2 THEN {'st': 3, 'cnt': a.cnt, 'd': 0}
+      |        ELSE {'st': 0, 'cnt': a.cnt, 'd': 0} END).cnt AS matches
+      |  FROM dl)
+      |SELECT user_id % 4 AS cohort, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS users_with_match,
+      |  CAST(SUM(matches) AS BIGINT) AS total_matches,
+      |  CAST(MAX(matches) AS BIGINT) AS max_matches
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_match_recognize" -> q402,
     "q379_freshness_decay" -> q379,
     "q241_max_concurrency" -> q241,
     "q181_sax_motifs" -> q181,
@@ -789,6 +872,7 @@ object TimeSeries extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q402_match_recognize" -> q402Sql,
     "q379_freshness_decay" -> q379Sql,
     "q241_max_concurrency" -> q241Sql,
     "q181_sax_motifs" -> q181Sql,

@@ -236,6 +236,99 @@ object VersionedManifest {
         if (fmt == "parquet") s"data=$d0" else s"data=$d0;format=$fmt"
       }
 
+  // ------------------------------------ informational foreign keys (q401)
+
+  /** DECLARE an informational FK (fact.`factCol` → dim.`dimKey`) on the
+    * FACT table's metadata — the warehouse pattern where unenforced
+    * constraints still power optimization (Oracle/Snowflake RELY,
+    * Databricks informational PK/FK): the declaration is AUDITED first
+    * (the q281 protocol — null FKs, dangling FKs via one anti join,
+    * dim-key uniqueness), refuses with evidence if violated, and on
+    * success lands as a metadata-only version carrying
+    * `fk=<factCol>:<dimKey>:<dimVersion>:<dimDir>`. The dim's CURRENT
+    * version is PINNED into the line: the declaration is a statement
+    * about two specific snapshots, so any later dim commit makes it
+    * STALE (see [[liveForeignKeys]]) rather than silently wrong — the
+    * version-pinned form of constraint invalidation.
+    */
+  def declareForeignKey(s: SparkSession, dir: String, factCol: String,
+                        dimDir: String, dimKey: String)
+      : Either[Seq[String], Long] = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum, when}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val dimLatest = latestCommitted(s, dimDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dimDir"))
+    val fact = readAt(s, dir, latest)
+    val dim = readAt(s, dimDir, dimLatest)
+    val nullFks = fact.filter(col(factCol).isNull).limit(1).count()
+    val dimDup = dim.agg(
+        (count(lit(1)) - countDistinct(col(dimKey))).as("d"))
+      .head().getLong(0)
+    val dangling = fact.select(col(factCol).as(dimKey))
+      .join(dim.select(col(dimKey)), Seq(dimKey), "left_anti")
+      .limit(1).count()
+    val problems =
+      (if (nullFks > 0) Seq(s"fact $factCol has NULLs") else Nil) ++
+        (if (dimDup > 0) Seq(s"dim $dimKey is not unique") else Nil) ++
+        (if (dangling > 0) Seq(s"fact $factCol has dangling values") else Nil)
+    if (problems.nonEmpty) return Left(problems)
+    val prior = manifestBody(fs(dir, s), dir, latest).linesIterator.toSeq
+      .filter(_.startsWith("fk="))
+    val line = s"fk=$factCol:$dimKey:$dimLatest:$dimDir"
+    val v = latest + 1
+    commit(s, dir, v,
+      (Seq(s"declare fk $factCol -> $dimKey", "dataChange=false") ++
+        carriedDataLines(s, dir) ++ (prior :+ line).distinct).mkString("\n"))
+    Right(v)
+  }
+
+  /** FKs declared on the fact table that are still LIVE: the pinned dim
+    * version must equal the dim's CURRENT latest — a dim that moved on
+    * invalidates every declaration pinned to its old snapshot (the
+    * conservative reading; production re-audits and re-declares).
+    * Returns (factCol, dimKey, dimDir) triples. O(#fk lines) manifest
+    * reads, no data scan.
+    */
+  def liveForeignKeys(s: SparkSession, dir: String)
+      : Seq[(String, String, String)] = {
+    val latest = latestCommitted(s, dir).getOrElse(return Nil)
+    manifestBody(fs(dir, s), dir, latest).linesIterator.toSeq
+      .filter(_.startsWith("fk="))
+      .map(_.stripPrefix("fk=").split(":", 4))
+      .collect { case Array(factCol, dimKey, pinned, dimDir)
+        if latestCommitted(s, dimDir).contains(pinned.toLong) =>
+        (factCol, dimKey, dimDir)
+      }
+  }
+
+  /** Load the fact table's LIVE FK declarations into the optimizer's
+    * [[graft.plans.DeclaredConstraints]] registry (path-identified via
+    * the dim snapshot's resolved data dirs), so `spark.graft.ri.eliminate`
+    * can drop unused dimension joins for catalog-declared estates the
+    * same way q281 does for session-registered ones. Stale declarations
+    * are skipped — a moved dim never powers an elimination.
+    */
+  def registerDeclaredForeignKeys(s: SparkSession, dir: String): Int = {
+    val live = liveForeignKeys(s, dir)
+    val registered = live.filter { case (factCol, dimKey, dimDir) =>
+      val dimLatest = latestCommitted(s, dimDir).get
+      val dims = resolveDataDirs(s, dimDir, dimLatest)
+      // the rule's scan identity is exact single-path equality — a
+      // multi-dir dim snapshot compacts (q245) before its FK can power
+      // eliminations; registering a partial path would be UNSOUND (the
+      // scan would not be THE registered dimension)
+      dims.size == 1 && {
+        val dimCols = readAt(s, dimDir, dimLatest).columns.toSet
+        graft.plans.DeclaredConstraints.register(
+          graft.plans.DeclaredConstraints.FkPk(factCol, dimCols, dimKey,
+            graft.plans.ScanIdentity.normalize(dims.head)))
+        true
+      }
+    }
+    registered.size
+  }
+
   // ------------------------------------------------ schema enforcement
 
   /** SCHEMA-ENFORCING append publish (Delta's write-time schema
@@ -523,6 +616,74 @@ object VersionedManifest {
     out.write.mode("overwrite").parquet(s"$dir/$newSub")
     publishCow(s, dir, latest, n, untouched, newSub,
       s"overwrite where $predicate")
+    (n, affected, untouched)
+  }
+
+  /** SCD2 APPLY — the type-2 upsert a CDC stream drives into a slowly
+    * changing dimension (Kimball's SCD2, the warehouse pattern q176/q350
+    * READ): each arriving (key, attrs, ts) change CLOSES the key's open
+    * row (end_ts := first arriving ts) and appends one interval row per
+    * change, chained in (ts, tiebreak) order with the last left open
+    * (end_ts NULL). Semantics are append-monotonic: a batch carrying a
+    * change at-or-before an existing interval's start for its key
+    * REFUSES before any write (the late-data dead-letter contract,
+    * q372 — SCD2 history is order-derived, silently splicing a late
+    * change would rewrite history). Rewrite granularity, affected-dir
+    * discovery, constraint validation, and OCC publish follow
+    * [[merge]]; `head` lands verbatim (streaming callers put their
+    * `epoch=` idempotence marker there, the q252/q367 convention).
+    *
+    * Scale: per batch — one semi-join discovery pass, O(affected dirs +
+    * batch) rewrite; the interval chaining is a window PARTITIONED BY
+    * key over the batch only, never over the dimension.
+    */
+  def applyScd2(s: SparkSession, dir: String, batch: DataFrame, key: String,
+                tsCol: String, tieCol: String, head: String)
+      : (Long, Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lead, min}
+    val latest = latestCommitted(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    requireUniformParquet(s, dir, latest, "SCD2 apply")
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    val iv = batch
+      .withColumn("start_ts", col(tsCol))
+      .withColumn("end_ts", lead(col(tsCol), 1).over(w))
+      .drop(tsCol, tieCol)
+    val firstNew = batch.groupBy(col(key))
+      .agg(min(col(tsCol)).as("_first"))
+    val dirs = resolveDataDirs(s, dir, latest)
+    val matchedFiles =
+      if (dirs.isEmpty) Array.empty[String]
+      else s.read.parquet(dirs: _*)
+        .select(col(key), input_file_name().as("_gfile"))
+        .join(firstNew.select(col(key)), Seq(key), "left_semi")
+        .select(col("_gfile")).distinct().collect().map(_.getString(0))
+    val affectedSet = matchedFiles
+      .map(f => new Path(f).getParent.toUri.getPath).toSet
+    val (affected, untouched) = dirs.partition(d0 =>
+      affectedSet.contains(new Path(d0).toUri.getPath))
+    val closed =
+      if (affected.isEmpty) iv.limit(0)
+      else {
+        val aff = s.read.parquet(affected: _*)
+        val late = aff.join(broadcast(firstNew), Seq(key))
+          .filter(col("start_ts") >= col("_first")).limit(1).count()
+        require(late == 0,
+          s"SCD2 apply carries changes at-or-before existing history " +
+            s"for some $key — route to the dead letter, never splice")
+        aff.join(broadcast(firstNew), Seq(key), "left")
+          .withColumn("end_ts",
+            org.apache.spark.sql.functions.when(
+              col("_first").isNotNull && col("end_ts").isNull,
+              col("_first")).otherwise(col("end_ts")))
+          .drop("_first")
+      }
+    val out = closed.unionByName(iv.select(closed.columns.map(col): _*))
+    val n = latest + 1
+    val newSub = s"d-s$n"
+    out.write.mode("overwrite").parquet(s"$dir/$newSub")
+    publishCow(s, dir, latest, n, untouched, newSub, head)
     (n, affected, untouched)
   }
 

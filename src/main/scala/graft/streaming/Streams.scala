@@ -2084,7 +2084,92 @@ object Streams extends QueryModule {
       |  true AS rocksdb_state
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q403
+
+  private val q403Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q403: STREAMING SCD2 APPLY — the third CDC-into-the-table pattern,
+    * completing the trio: q252 APPENDS each epoch, q367 keeps ONE live
+    * row per key (type-1), THIS builds the full TYPE-2 HISTORY
+    * ([[graft.sources.VersionedManifest.applyScd2]]): every change
+    * closes its key's open interval and opens a new one, so the
+    * dimension q176/q286/q350 JOIN against is now also PRODUCED by the
+    * engine, from a stream, exactly once (epoch markers in the manifest
+    * body — a replayed epoch lands nothing; StreamsSpec drives replay
+    * and the late-change refusal). The rollup — intervals, open rows,
+    * and the CLOSED-interval span in exact microseconds (end−start
+    * differences are timezone-offset-immune) — hash-matches the batch
+    * oracle's lead() replay over all events, which fails on any lost,
+    * doubled, or mis-chained interval.
+    *
+    * Scale: per epoch — one semi-join discovery, O(affected dirs +
+    * batch) rewrite, interval chaining windowed by KEY over the batch
+    * only. History grows append-only; the dimension never rewrites
+    * whole.
+    */
+  private def q403(s: SparkSession, d: String): DataFrame = {
+    val M = graft.sources.VersionedManifest
+    val run = q403Runs.incrementAndGet()
+    val dir = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scd2a_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val ckpt = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scd2a_ckpt_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    if (M.latestCommitted(s, dir).isEmpty) {
+      streamEventsSchemaFrame(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("ts").as("start_ts"), col("ts").as("end_ts"))
+        .limit(0)
+        .write.mode("overwrite").parquet(s"$dir/v=1")
+      M.commit(s, dir, 1, "bootstrap empty dimension")
+    }
+    val applyBatch: (DataFrame, Long) => Unit = (batch, epoch) => {
+      val marker = s"epoch=$epoch"
+      val seen = M.committedVersions(s, dir).exists(v =>
+        M.describe(s, dir, v).linesIterator.exists(_.trim == marker))
+      if (!seen && !batch.isEmpty)
+        M.applyScd2(s, dir,
+          batch.select(col("user_id"), col("event_type"), col("value"),
+            col("ts"), col("event_id")),
+          "user_id", "ts", "event_id", marker)
+    }
+    val q = streamEvents(s, d).writeStream
+      .foreachBatch(applyBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    M.readLatest(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("end_ts").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("end_ts").isNull, 0L).otherwise(
+          unix_micros(col("end_ts")) - unix_micros(col("start_ts"))))
+          .as("closed_span_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A zero-row frame carrying the normalized events schema (for
+    * bootstrap writes that must agree with what the stream lands). */
+  private def streamEventsSchemaFrame(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+
+  private val q403Sql =
+    """WITH iv AS (
+      |  SELECT user_id, event_type, value, ts AS start_ts,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS end_ts
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(COUNT(*) FILTER (WHERE end_ts IS NULL) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN end_ts IS NULL THEN 0
+      |    ELSE epoch_us(end_ts) - epoch_us(start_ts) END) AS BIGINT)
+      |    AS closed_span_us
+      |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q403_scd2_apply" -> q403,
     "q393_rocksdb_state" -> q393,
     "q270_state_introspection" -> q270,
     "q279_version_feed" -> q279,
@@ -2120,6 +2205,7 @@ object Streams extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q403_scd2_apply" -> q403Sql,
     "q393_rocksdb_state" -> q393Sql,
     "q270_state_introspection" -> q270Sql,
     "q279_version_feed" -> q279Sql,

@@ -1271,6 +1271,88 @@ class Round11Spec extends SparkSpec {
       M.resolveDataDirs(spark, dir, 1))
   }
 
+  test("q401: declared FK eliminates the dim scan; a moved dim degrades to a real join") {
+    val M = graft.sources.VersionedManifest
+    val df = SparkEntry.queries("q401_fk_catalog")(spark, sf0001)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_fkdecl_" +
+      s"${spark.sparkContext.applicationId}_" +
+      sf0001.replaceAll("[^A-Za-z0-9.-]", "_")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("customers"), s"dim scan survived:\n$plan")
+    assert(df.collect().forall(_.getLong(3) == 1L), "one live FK expected")
+    // dim moves on -> the pinned declaration is STALE: no registration,
+    // and the join must come back (correctness over speed)
+    import spark.implicits._
+    Seq((999999L, "new customer", 0L))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$root/customers/v=2")
+    M.commit(spark, s"$root/customers", 2,
+      s"data=$root/customers/v=1\ndata=$root/customers/v=2\nappend")
+    assert(M.registerDeclaredForeignKeys(spark, s"$root/orders") == 0)
+    // audit refusal: a dangling FK pair can never be declared
+    val bad = M.declareForeignKey(spark, s"$root/orders", "o_orderkey",
+      s"$root/customers", "c_custkey")
+    assert(bad.isLeft && bad.left.exists(_.exists(_.contains("dangling"))),
+      bad.toString)
+  }
+
+  test("q402: the V-shape DFA on hand-built sequences") {
+    import spark.implicits._
+    def mk(user: Long, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) =>
+        (user * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2000-01-01 00:${i}%02d:00"), user, "e", v, "{}")
+    }
+    val events = (
+      mk(0L, Seq(5, 4, 3, 4, 5)) ++          // one V
+        mk(1L, Seq(5, 4, 5, 4, 5)) ++        // single-step falls: none
+        mk(2L, Seq(9, 8, 7, 6, 7, 8, 7, 6, 5, 6, 7)) ++ // two Vs
+        mk(3L, Seq(5, 4, 3, 3, 4, 5))        // plateau resets: none
+      ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = corpusWith("matchrec", Map("events" -> events))
+    val r = SparkEntry.queries("q402_match_recognize")(spark, tmp)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // cohort = user_id % 4 = user here; (cohort, users_with_match, total)
+    assert(r == Seq((0L, 1L, 1L), (1L, 0L, 0L), (2L, 1L, 2L),
+      (3L, 0L, 0L)), r.toString)
+  }
+
+  test("q403: applyScd2 chains intervals, refuses late changes, leaves others untouched") {
+    import spark.implicits._
+    val M = graft.sources.VersionedManifest
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_r11_scd2m_" +
+      spark.sparkContext.applicationId
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2000-01-01 00:$m%02d:00")
+    def batch(rows: (Long, Double, Int, Long)*) = rows.map {
+      case (u, v, m, e) => (u, "e", v, ts(m), e)
+    }.toDF("user_id", "event_type", "value", "ts", "event_id")
+    batch().limit(0)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").as("start_ts"), col("ts").as("end_ts"))
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    M.commit(spark, dir, 1, "bootstrap")
+    M.applyScd2(spark, dir, batch((1L, 10.0, 1, 100L)),
+      "user_id", "ts", "event_id", "b1")
+    M.applyScd2(spark, dir, batch((1L, 20.0, 3, 200L), (2L, 5.0, 3, 201L)),
+      "user_id", "ts", "event_id", "b2")
+    val rows = M.readLatest(spark, dir)
+      .orderBy(col("user_id"), col("start_ts"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)))).toSeq
+    assert(rows == Seq(
+      (1L, 10.0, ts(1), Some(ts(3))),  // closed by the change at :03
+      (1L, 20.0, ts(3), None),
+      (2L, 5.0, ts(3), None)), rows.toString)
+    // a change at-or-before existing history refuses loudly
+    val late = intercept[IllegalArgumentException] {
+      M.applyScd2(spark, dir, batch((1L, 99.0, 2, 300L)),
+        "user_id", "ts", "event_id", "b3")
+    }
+    assert(late.getMessage.contains("dead letter"), late.getMessage)
+    assert(M.latestCommitted(spark, dir).contains(3L))
+  }
+
   test("q389: alpha is exactly 1 under perfect agreement, negative under systematic disagreement") {
     import spark.implicits._
     def events(vals: Long => Double) =
