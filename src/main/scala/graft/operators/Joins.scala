@@ -1219,7 +1219,71 @@ object Joins extends QueryModule {
        |  ${Exact.sqlSumMoney("l_extendedprice")} AS gross
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q405
+
+  /** q405: NULL-SAFE EQUI-JOIN (`<=>` / IS NOT DISTINCT FROM) — the join
+    * semantics data integration actually needs: two extracts keyed by a
+    * NULLABLE natural key (here a bucketed value, NULL when the reading
+    * is below the instrument floor) must pair their unknown-key rows
+    * too, which strict `=` silently drops — the classic
+    * reconciliation-count mystery. Both sides pre-aggregate to per-key
+    * counts (pairs = Σ cntA·cntB — the join result is computed on ≤
+    * |buckets| rows, never materialized row-by-row), then ONE result row
+    * carries strict vs null-safe pair totals and both sides' NULL-key
+    * masses: nullsafe − strict = nullA·nullB, an identity the oracle
+    * hash-checks.
+    *
+    * Scale: the pre-aggregation makes the pairing O(distinct keys)
+    * regardless of row count — the fix for every many-to-many
+    * reconciliation blow-up; the `<=>` condition itself stays a hash
+    * join (Spark rewrites null-safe equality into a hashable key).
+    */
+  private def q405(s: SparkSession, d: String): DataFrame = {
+    def side(parity: Int): DataFrame = Tables.events(s, d)
+      .filter(col("event_id") % 2 === parity)
+      .select(when(col("value") < 50.0, lit(null))
+        .otherwise((expr("CAST(FLOOR(value) AS BIGINT)") % 100)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as(s"cnt$parity"))
+    val a = side(0)
+    val b = side(1)
+    val strict = a.join(b, a("k") === b("k"))
+      .agg(coalesce(sum(col("cnt0") * col("cnt1")), lit(0L))
+        .as("strict_pairs"))
+    val nullsafe = a.join(b, a("k") <=> b("k"))
+      .agg(coalesce(sum(col("cnt0") * col("cnt1")), lit(0L))
+        .as("nullsafe_pairs"))
+    val nulls = Tables.events(s, d)
+      .agg(
+        sum(when(col("event_id") % 2 === 0 && col("value") < 50.0, 1L)
+          .otherwise(0L)).as("null_a"),
+        sum(when(col("event_id") % 2 === 1 && col("value") < 50.0, 1L)
+          .otherwise(0L)).as("null_b"))
+    strict.crossJoin(nullsafe).crossJoin(nulls)
+  }
+
+  private val q405Sql =
+    """WITH a AS (
+      |  SELECT CASE WHEN value < 50.0 THEN NULL
+      |    ELSE CAST(FLOOR(value) AS BIGINT) % 100 END AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt0
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      |b AS (
+      |  SELECT CASE WHEN value < 50.0 THEN NULL
+      |    ELSE CAST(FLOOR(value) AS BIGINT) % 100 END AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt1
+      |  FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+      |SELECT
+      |  (SELECT CAST(COALESCE(SUM(cnt0 * cnt1), 0) AS BIGINT)
+      |   FROM a JOIN b ON a.k = b.k) AS strict_pairs,
+      |  (SELECT CAST(COALESCE(SUM(cnt0 * cnt1), 0) AS BIGINT)
+      |   FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k) AS nullsafe_pairs,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+      |   WHERE event_id % 2 = 0 AND value < 50.0) AS null_a,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+      |   WHERE event_id % 2 = 1 AND value < 50.0) AS null_b""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q405_null_safe_join" -> q405,
     "q281_join_elimination" -> q281,
     "q275_fifo_matching" -> q275,
     "q207_shipping_priority" -> q207,
@@ -1253,6 +1317,7 @@ object Joins extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q405_null_safe_join" -> q405Sql,
     "q281_join_elimination" -> q281Sql,
     "q275_fifo_matching" -> q275Sql,
     "q207_shipping_priority" -> q207Sql,

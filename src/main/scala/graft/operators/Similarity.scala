@@ -2527,7 +2527,99 @@ object Similarity extends QueryModule {
       |  ON t.qid = c.qid AND t.nid = c.nid AND t.m = c.m
       |GROUP BY t.m ORDER BY t.m""".stripMargin
 
+  // --------------------------------------------------------------- q406
+
+  /** q406: K-MEANS REFINEMENT AUDIT — one exact Lloyd iteration over the
+    * quantized corpus (Lloyd 1982; the IVF coarse quantizer's training
+    * step, q83/q221): assign every vector to its nearest of k = 8 seed
+    * centroids (integer L2², two-step argmin with a min-cid tie-break —
+    * no struct-ordering dependence), re-estimate per-cluster dim sums,
+    * and report per cluster: size, corpus share in exact ppm, and the
+    * CENTROID DRIFT — Σ_d ((Σx_d − n·c_d)² div n²), the squared
+    * seed-to-mean displacement in quantized units, all in BIGINT
+    * arithmetic (the per-dim square stays under 2⁶³ because it divides
+    * by n² before the dim sum). Large drift on a big cluster is the
+    * retrain signal q309's monitor alarms on — this query computes the
+    * signal exactly rather than estimating it.
+    *
+    * Scale: assignment is a broadcast of k centroids against one corpus
+    * scan (k·d integers); dim re-estimation is one (cid, dim)-keyed
+    * combinable shuffle of 64·k cells. A billion vectors cost one scan
+    * + one tiny shuffle — the same shape production IVF training uses
+    * per iteration.
+    */
+  private def q406(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) " +
+        "* 1000) AS BIGINT))").as("v"))
+    val cents = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val dists = vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (a, e) -> a + e)"))
+    val md = dists.groupBy(col("vec_id")).agg(min(col("dist")).as("mind"))
+    val asg = dists.join(md, Seq("vec_id"))
+      .filter(col("dist") === col("mind"))
+      .groupBy(col("vec_id")).agg(min(col("cid")).as("cid"))
+      .join(vecs, Seq("vec_id"))
+    val dimSums = asg
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(sum(col("x")).as("sx"))
+    val sizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val cdim = cents
+      .select(col("cid"), posexplode(col("c")).as(Seq("dim", "cd")))
+    val drift = dimSums.join(cdim, Seq("cid", "dim"))
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("cid"), col("n"), expr(
+        "((sx - n * cd) * (sx - n * cd)) div (n * n)").as("dd"))
+      .groupBy(col("cid"), col("n")).agg(sum(col("dd")).as("drift_sq"))
+    drift.crossJoin(broadcast(sizes.agg(sum(col("n")).as("t"))))
+      .select(col("cid"), col("n"),
+        expr("n * 1000000 div t").as("share_ppm"), col("drift_sq"))
+      .orderBy(col("cid"))
+  }
+
+  private val q406Sql =
+    """WITH vecs AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 8),
+      |dists AS (
+      |  SELECT vec_id, cid,
+      |    list_sum(list_transform(range(len(v)),
+      |      i -> (v[i+1] - c[i+1]) * (v[i+1] - c[i+1]))) AS dist
+      |  FROM vecs CROSS JOIN cents),
+      |md AS (SELECT vec_id, MIN(dist) AS mind FROM dists GROUP BY 1),
+      |asg AS (
+      |  SELECT d.vec_id, MIN(d.cid) AS cid
+      |  FROM dists d JOIN md ON d.vec_id = md.vec_id AND d.dist = md.mind
+      |  GROUP BY 1),
+      |av AS (SELECT asg.cid, vecs.v FROM asg JOIN vecs USING (vec_id)),
+      |dimsums AS (
+      |  SELECT cid, i AS dim, CAST(SUM(v[i+1]) AS BIGINT) AS sx
+      |  FROM av CROSS JOIN (SELECT unnest(range(64)) AS i)
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM av GROUP BY 1),
+      |cdim AS (
+      |  SELECT cid, i AS dim, c[i+1] AS cd
+      |  FROM cents CROSS JOIN (SELECT unnest(range(64)) AS i)),
+      |drift AS (
+      |  SELECT ds.cid, n,
+      |    CAST(SUM(((sx - n * cd) * (sx - n * cd)) // (n * n)) AS BIGINT)
+      |      AS drift_sq
+      |  FROM dimsums ds JOIN cdim ON ds.cid = cdim.cid AND ds.dim = cdim.dim
+      |  JOIN sizes ON ds.cid = sizes.cid
+      |  GROUP BY 1, 2)
+      |SELECT cid, n,
+      |  CAST(n * 1000000 // (SELECT SUM(n) FROM sizes) AS BIGINT)
+      |    AS share_ppm,
+      |  drift_sq
+      |FROM drift ORDER BY cid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
     "q364_sq8_recall" -> q364,
@@ -2559,6 +2651,7 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,
     "q364_sq8_recall" -> q364Sql,

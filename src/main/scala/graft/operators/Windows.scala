@@ -711,7 +711,66 @@ object Windows extends QueryModule {
       |FROM seq WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n_walks DESC, path LIMIT 10""".stripMargin
 
+  // --------------------------------------------------------------- q404
+
+  /** q404: NATIVE SESSION WINDOWS IN BATCH — `session_window(ts, gap)`
+    * as a grouping key, the dedicated sessionization operator
+    * (UpdatingSessions + merging-session aggregation) rather than q37's
+    * lag/cumsum composition: sessions build and MERGE inside the
+    * aggregation, so a user's events gap-chain into one session without
+    * a window pass over the whole partition first. Session semantics
+    * pinned by the oracle AND a boundary spec case:
+    * an event exactly `gap` after its predecessor MERGES (Spark's
+    * sessions are adjacency-inclusive), so the replay breaks only on
+    * `diff > gap`. Per-cohort rollup: users,
+    * sessions, events, and the exact-decimal value total.
+    *
+    * Scale: one (user)-keyed shuffle with in-agg session merging —
+    * state per open session, not per event; the cohort rollup is
+    * O(cohorts). Identical plan shape streaming session windows use,
+    * here exercised on the batch side.
+    */
+  private def q404(s: SparkSession, d: String): DataFrame = {
+    val sessions = Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(Exact.money(col("value"))).as("val"))
+    sessions
+      .groupBy((col("user_id") % 16).as("cohort"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("val")).cast("double").as("total_value"))
+      .orderBy(col("cohort"))
+  }
+
+  private val q404Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |se AS (
+      |  SELECT user_id, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |per AS (
+      |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS val
+      |  FROM se GROUP BY 1, 2)
+      |SELECT user_id % 16 AS cohort,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(SUM(val) AS DOUBLE) AS total_value
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q404_session_window" -> q404,
     "q184_session_conversion" -> q184,
     "q180_clamped_stock" -> q180,
     "q179_path_mining" -> q179,
@@ -732,6 +791,7 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q404_session_window" -> q404Sql,
     "q184_session_conversion" -> q184Sql,
     "q180_clamped_stock" -> q180Sql,
     "q179_path_mining" -> q179Sql,

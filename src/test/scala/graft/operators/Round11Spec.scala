@@ -1353,6 +1353,64 @@ class Round11Spec extends SparkSpec {
     assert(M.latestCommitted(spark, dir).contains(3L))
   }
 
+  test("q404: native session operator in the plan; exact-gap adjacency merges") {
+    val df = SparkEntry.queries("q404_session_window")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Session"), s"no session operator:\n$plan")
+    assert(df.collect().nonEmpty)
+    // boundary semantics: exactly-gap spacing MERGES (adjacency is
+    // inclusive); one second beyond the gap splits
+    import spark.implicits._
+    def ev(id: Long, m: Int, sec: Int) = (id,
+      java.sql.Timestamp.valueOf(f"2000-01-01 00:$m%02d:$sec%02d"),
+      1L, "e", 1.0, "{}")
+    val events = Seq(ev(1, 0, 0), ev(2, 10, 0), // exactly 10 min: merges
+      ev(3, 20, 1))                             // 10:01 later: splits
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = corpusWith("sesswin", Map("events" -> events))
+    val r = SparkEntry.queries("q404_session_window")(spark, tmp)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSeq
+    // one user, TWO sessions ([0:00,10:00] merged; [20:01]), three events
+    assert(r == Seq((1L, 2L, 3L)), r.toString)
+  }
+
+  test("q405: nullsafe minus strict equals the null-mass product; hash join throughout") {
+    val df = SparkEntry.queries("q405_null_safe_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the two KEYED joins (strict, null-safe) must both be hash joins —
+    // the 1-row evidence combiners are legitimately nested-loop cross
+    // joins and don't count
+    val hashJoins = "BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin".r
+      .findAllIn(plan).size
+    assert(hashJoins >= 2,
+      s"null-safe equality fell off the hash path:\n$plan")
+    val r = df.collect().head
+    val (strict, nullsafe, na, nb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nullsafe - strict == na * nb, r.toString)
+    assert(na > 0 && nb > 0, "the null arm must be exercised")
+  }
+
+  test("q406: self-seeded clusters have zero drift; shares sum to the corpus") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q406_kmeans_refine")(spark, sf0001)
+      .collect()
+    val total = graft.Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(2)).sum <= 1000000L)
+    rows.foreach(r => assert(r.getLong(3) >= 0L))
+    // hand corpus: duplicates of two seeds -> every cluster mean == seed
+    val base = (0 until 8).map(i =>
+      (i.toLong, Array.fill(4)(i.toFloat), i))
+    val dups = Seq((8L, Array.fill(4)(0.0f), 0), (9L, Array.fill(4)(1.0f), 1))
+    val emb = (base ++ dups).toDF("vec_id", "embedding", "label")
+    val tmp = corpusWith("kmref", Map("embeddings" -> emb))
+    val r = SparkEntry.queries("q406_kmeans_refine")(spark, tmp)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSeq
+    assert(r == (0L to 7L).map(c =>
+      (c, if (c <= 1) 2L else 1L, 0L)).toSeq, r.toString)
+  }
+
   test("q389: alpha is exactly 1 under perfect agreement, negative under systematic disagreement") {
     import spark.implicits._
     def events(vals: Long => Double) =
