@@ -179,7 +179,8 @@ object Bench {
     "q392_sql_update", "q393_rocksdb_state", "q394_sql_unpivot",
     "q395_link_prediction", "q396_cuped", "q397_ab_ztest",
     "q398_incremental_components", "q399_epoch_shuffle", "q400_column_drop",
-    "q401_fk_catalog", "q402_match_recognize", "q403_scd2_apply"
+    "q401_fk_catalog", "q402_match_recognize", "q403_scd2_apply",
+    "q404_session_window", "q405_null_safe_join", "q406_kmeans_refine"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */
