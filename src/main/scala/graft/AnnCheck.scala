@@ -1,0 +1,43 @@
+package graft
+
+/** Decade gauge for the persisted ANN index (r11 verdict "What's missing"
+  * #1): per dataset dir, times (a) the ONE-TIME train+commit of the IVF
+  * index artifact ([[operators.Similarity.buildIvfIndex]]) and (b) warm
+  * min-of-2 SERVING from the committed version
+  * ([[operators.Similarity.serveFromIvfIndex]]) — the claim under test is
+  * that query cost is independent of train cost: serving never re-runs
+  * the Lloyd superstep, it reads centroids + probe budget + inverted
+  * lists from the committed artifact and scans ~nprobe/nlist of the
+  * corpus.
+  *
+  * Usage: runMain graft.AnnCheck <dirA> [dirB ...]
+  */
+object AnnCheck {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get(GraftSession.cpus("32"))
+    require(args.nonEmpty, "usage: AnnCheck <dir> [dir ...]")
+    args.foreach { d =>
+      val tag = d.replaceAll("[^A-Za-z0-9.-]", "_")
+      val root = StagingDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_anncheck_" +
+          s"${spark.sparkContext.applicationId}_$tag")
+      val t0 = System.nanoTime()
+      operators.Similarity.buildIvfIndex(spark, d, root, baseOnly = false)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // warm once untimed, then min-of-2 (the ScaleCheck protocol)
+      operators.Similarity.serveFromIvfIndex(spark, d, root)
+        .write.format("noop").mode("overwrite").save()
+      val tServe = (1 to 2).map { _ =>
+        val t1 = System.nanoTime()
+        operators.Similarity.serveFromIvfIndex(spark, d, root)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      println(f"[ann] $d build+commit=$tBuild%.2f s serve=$tServe%.2f s " +
+        f"(serve/build=${tServe / tBuild}%.3f)")
+      CacheHygiene.release(spark)
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,22 @@ object ScaleGen {
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key)).cast("long")).head().getLong(0) + 1L
 
+  /** Zipf(1.0) key over [0, n): the inverse CDF under the H_N ≈ ln N
+    * approximation is rank = ⌈n^u⌉ with u uniform on (0,1) — here
+    * u = (pmod(xxhash64(seed), 2^20) + 0.5) / 2^20, so the
+    * redistribution is DETERMINISTIC and seed-free (r11 verdict missing
+    * #2: every gauge decade inherited TPC-H's uniform key geometry; real
+    * corpora are head-heavy, and the df-caps/salting/projection caps
+    * deserve a dataset where the head actually exists). Rank 1 (the
+    * hottest key) receives ~1/ln(n) of ALL references. */
+  private def zipfKey(n: Long, seed: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val u = (pmod(xxhash64(seed), lit(1048576L)).cast("double") + lit(0.5)) /
+      lit(1048576.0)
+    least(lit(n), greatest(lit(1L),
+      ceil(pow(lit(n.toDouble), u)).cast("long"))) - lit(1L)
+  }
+
   /** Shift `keys` (column → stride) in copy i, preserving column types. */
   private def shifted(df: DataFrame, keys: Map[String, Long], i: Int): DataFrame =
     keys.foldLeft(df) { case (d, (k, s)) =>
@@ -38,10 +54,13 @@ object ScaleGen {
     // optional 4th arg: comma-separated table subset — the second decade
     // (sf1 → sf10) only needs the tables its query set reads, and the
     // disk ceiling is real at 100× (r8 verdict #2)
-    val only: Set[String] = args.lift(3)
+    val only: Set[String] = args.lift(3).filter(_ != "-")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     def wanted(n: String) = only.isEmpty || only(n)
+    // optional 5th arg "zipf": redistribute the hot foreign keys and the
+    // document duplicate-cluster sizes Zipf(1.0) — see [[zipfKey]]
+    val zipf = args.lift(4).contains("zipf")
     val spark = GraftSession.get(GraftSession.cpus("32"))
 
     def load(n: String) = Tables(spark, src, n)
@@ -66,11 +85,35 @@ object ScaleGen {
 
     plans.filter(p => wanted(p._1)).foreach { case (name, keys) =>
       val base = load(name)
-      val out =
+      val out0 =
         if (keys.isEmpty) base
         else (0 until copies).map(shifted(base, keys, _)).reduce(_.unionAll(_))
+      // zipf mode: redistribute references AFTER replication so the head
+      // spans the whole scaled key domain. orders→customer and
+      // lineitem→part get hot dimension keys (salting/AQE/projection-cap
+      // stress); documents get Zipf-sized verbatim-duplicate clusters
+      // (df-cap / component-fixpoint stress)
+      val out = if (!zipf) out0 else name match {
+        case "orders" =>
+          val t = out0.schema("o_custkey").dataType
+          out0.withColumn("o_custkey",
+            zipfKey(sCust * copies, col("o_orderkey")).cast(t))
+        case "lineitem" =>
+          val t = out0.schema("l_partkey").dataType
+          out0.withColumn("l_partkey",
+            zipfKey(sPart * copies,
+              xxhash64(col("l_orderkey"), col("l_linenumber"))).cast(t))
+        case "documents" =>
+          val rep = out0.withColumn("_rep", zipfKey(sDoc * copies, col("doc_id")))
+          val txt = out0.select(col("doc_id").as("_rep"), col("text").as("_rtext"))
+          rep.join(txt, "_rep")
+            .withColumn("text", col("_rtext"))
+            .select(out0.columns.map(col): _*)
+        case _ => out0
+      }
       out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scalegen] $name: ${out.count()} rows -> $dst/$name.parquet")
+      println(s"[scalegen] $name: ${out.count()} rows -> $dst/$name.parquet" +
+        (if (zipf) " (zipf)" else ""))
     }
     // events scales like the facts — copies shift event_id (and user_id,
     // which some stateful queries key on) but keep TIMESTAMPS as-is, so
@@ -81,11 +124,18 @@ object ScaleGen {
     val ev = load("events")
     val sEvt = stride(ev, "event_id")
     val sUsr = stride(ev, "user_id")
-    val evOut = (0 until copies)
+    val evOut0 = (0 until copies)
       .map(shifted(ev, Map("event_id" -> sEvt, "user_id" -> sUsr), _))
       .reduce(_.unionAll(_))
+    // zipf mode: hot users — the per-key state / sessionize stressor
+    val evOut =
+      if (!zipf) evOut0
+      else evOut0.withColumn("user_id",
+        zipfKey(sUsr * copies, col("event_id"))
+          .cast(evOut0.schema("user_id").dataType))
     evOut.write.mode("overwrite").parquet(s"$dst/events.parquet")
-    println(s"[scalegen] events: ${evOut.count()} rows -> $dst/events.parquet")
+    println(s"[scalegen] events: ${evOut.count()} rows -> $dst/events.parquet" +
+      (if (zipf) " (zipf)" else ""))
     }
     spark.stop()
   }

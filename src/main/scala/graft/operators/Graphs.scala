@@ -221,17 +221,51 @@ object Graphs extends QueryModule {
     * is near-complete, so no non-adjacent wedge exists; the customer
     * graph is the natural sparse instance.
     *
-    * Scale: the bipartite projection fans out pairs PER PART, and
-    * buyers-per-part is scale-invariant in this data model (customers
-    * and parts both grow with SF) — projection cost is O(parts ·
-    * buyers²), linear in data. Wedge generation joins the symmetrized
-    * adjacency with itself THROUGH the shared middle node (one shuffle
-    * keyed by the middle); middles above degree 64 drop first (the
-    * df-cap idiom q74's shingles use) so a hub's h²/2 fan-out is
-    * bounded at 2016 wedges, while FULL endpoint degrees still enter
-    * the Jaccard denominator. The existing-edge subtraction is a keyed
-    * left-anti; the final top-20 is TakeOrdered, no global sort.
+    * Scale: the bipartite projection is CAPPED — parts with more than
+    * [[PartCap]] distinct buyers drop BEFORE pairing ([[copurchasePairs]]
+    * — the q74 stop-shingle argument applied to parts: a part bought by
+    * everyone separates nobody, and its h²/2 fan-out is the one place
+    * this plan could go quadratic on a real Zipfian catalog, r11 verdict
+    * #1), so per-part fan-out is ≤ C(64,2) = 2016 pair rows by
+    * CONSTRUCTION, not by data-model luck. Wedge generation joins the
+    * symmetrized adjacency with itself THROUGH the shared middle node
+    * (one shuffle keyed by the middle); middles above degree 64 drop
+    * first (the same idiom) so a hub's fan-out is bounded at 2016
+    * wedges, while FULL endpoint degrees still enter the Jaccard
+    * denominator. The existing-edge subtraction is a keyed left-anti;
+    * the final top-20 is TakeOrdered, no global sort.
     */
+  /** Distinct-buyers-per-part cap for the co-purchase projection —
+    * parts hotter than this carry almost no link-prediction signal
+    * (everyone shares them) and are dropped before pairing, exactly the
+    * stop-shingle rule q74 applies at df > 256. 64 sits ~6σ above the
+    * data model's scale-invariant ~30 buyers/part, so the uniform gauge
+    * keeps every part while a Zipfian head is bounded. */
+  private[operators] val PartCap = 64
+
+  /** Buyer-pair generation for the co-purchase projection, capped and
+    * join-free: parts keep at most [[PartCap]] distinct buyers' pairs —
+    * hotter parts are DROPPED before pairing (r11 verdict #1: the old
+    * `cp ⋈ cp ON p` self-join fanned out buyers² per part with no bound
+    * but the data model's geometry). Pairs come from each surviving
+    * part's SORTED buyer array via codegen'd array HOFs — one
+    * groupBy(part) shuffle total, pairs materialize map-side straight
+    * into the downstream partial agg, where the self-join spelling
+    * shuffled the projection twice and pushed every pair through a join.
+    * Per-part fan-out is ≤ C(cap, 2) = 2016 rows by construction
+    * (Round12Spec pins the bound on an adversarial hot-part fixture).
+    * Output: one (ca, cb) row per unordered buyer pair per surviving
+    * part, ca < cb.
+    */
+  private[operators] def copurchasePairs(cp: DataFrame, cap: Int): DataFrame =
+    cp.groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
+      .filter(size(col("cs")).between(2, cap))
+      .select(explode(expr(
+        "flatten(transform(cs, (x, i) -> " +
+          "transform(slice(cs, i + 2, size(cs)), " +
+          "y -> named_struct('ca', x, 'cb', y))))")).as("pr"))
+      .select(col("pr.ca").as("ca"), col("pr.cb").as("cb"))
+
   private def q395(s: SparkSession, d: String): DataFrame = {
     val cp = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
@@ -239,9 +273,8 @@ object Graphs extends QueryModule {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-    val edges = cp.as("a").join(cp.as("b"),
-        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-      .groupBy(col("a.c").as("ca"), col("b.c").as("cb"))
+    val edges = copurchasePairs(cp, PartCap)
+      .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)
       .select(col("ca"), col("cb"))
@@ -269,9 +302,12 @@ object Graphs extends QueryModule {
   }
 
   private val q395Sql =
-    """WITH cp AS (
+    """WITH cp0 AS (
       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |keep AS (
+      |  SELECT p FROM cp0 GROUP BY p HAVING COUNT(*) BETWEEN 2 AND 64),
+      |cp AS (SELECT c, p FROM cp0 WHERE p IN (SELECT p FROM keep)),
       |edges AS (
       |  SELECT ca, cb FROM (
       |    SELECT a.c AS ca, b.c AS cb, COUNT(*) AS shared

@@ -5499,11 +5499,19 @@ object ScalePatterns extends QueryModule {
     val fields = VM.describe(s, dir, 3).linesIterator
       .filter(_.startsWith("field=")).map(_.stripPrefix("field="))
       .map { kv => val Array(lg, ph) = kv.split(":", 2); lg -> ph }.toSeq
-    val snapshot = VM.resolveDataDirs(s, dir, 3).map { d0 =>
-      val g = s.read.parquet(d0)
+    val gens = VM.resolveDataDirs(s, dir, 3).map(d0 => s.read.parquet(d0))
+    // a logical field's type comes from the generation footers that
+    // CARRY its physical name — never assumed (r11 advice: a hard-coded
+    // string cast would mistype a non-string drop/re-add)
+    val declaredType = gens.flatMap(_.schema.fields.map(f =>
+      f.name -> f.dataType)).toMap
+    val snapshot = gens.map { g =>
       g.select(fields.map { case (lg, ph) =>
         if (g.columns.contains(ph)) col(ph).as(lg)
-        else lit(null).cast("string").as(lg)
+        else lit(null).cast(declaredType.getOrElse(ph,
+          throw new IllegalStateException(
+            s"mapped field $lg -> $ph exists in no generation footer")))
+          .as(lg)
       }: _*)
     }.reduce(_.unionByName(_))
     snapshot.groupBy(col("source"))

@@ -2618,7 +2618,195 @@ object Similarity extends QueryModule {
       |  drift_sq
       |FROM drift ORDER BY cid""".stripMargin
 
+  // --------------------------------------------------- q407/q408: the
+  // persisted-index lifecycle (r11 verdict "What's missing" #1)
+
+  /** Staging root for a committed IVF index artifact, keyed like q216's
+    * published fingerprint set (applicationId + sanitized dataset path,
+    * the non-racing q203 scheme) so bench re-quotes and Verify reuse the
+    * committed index instead of re-landing it. */
+  private def ivfIndexRoot(s: SparkSession, d: String, tag: String): String =
+    graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${tag}_" +
+        s"${s.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}")
+
+  /** TRAIN-ONCE-COMMIT-ONCE: land the IVF index as a VERSIONED artifact —
+    * `cents` (cid, cv) and `lists` (cid, vec_id, v: the corpus
+    * re-partitioned BY inverted list, which IS the IVF layout) — via
+    * [[graft.sources.VersionedManifest]], the same commit protocol the
+    * data estate uses (q321's time travel, q322's WAP, q284's OCC all
+    * apply to the index for free). The probe budget `npr` rides the
+    * centroid manifest body, so SERVING NEVER RE-DERIVES GEOMETRY — a
+    * reader of the committed index needs zero passes over the corpus.
+    * Idempotent per (app, dataset): a committed index is never retrained
+    * (Round12Spec pins version 1 across re-runs).
+    *
+    * Scale: training costs one Lloyd superstep over the corpus (the q83
+    * machinery) ONCE; every query/session after that reads the committed
+    * artifact — the separation q309/q324 always assumed and the estate
+    * now enforces. The 1-row geometry collect is build-time only.
+    */
+  private[graft] def buildIvfIndex(s: SparkSession, d: String,
+                                       root: String,
+                                       baseOnly: Boolean): Unit = {
+    val M = graft.sources.VersionedManifest
+    if (M.latestCommitted(s, s"$root/lists").nonEmpty) return
+    val all = quantized(s, d)
+    val base = if (baseOnly) all.filter(col("vec_id") % 5 =!= 4) else all
+    val cents = lloydCents(base, seedCentsScaled(base))
+    val npr = ivfGeom(base).head().getLong(1)
+    cents.write.mode("overwrite").parquet(s"$root/cents/v=1")
+    M.commit(s, s"$root/cents", 1, s"ivf coarse quantizer\nnpr=$npr")
+    assignTo(base, cents).join(base, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"))
+      .write.mode("overwrite").parquet(s"$root/lists/v=1")
+    M.commit(s, s"$root/lists", 1, "ivf inverted lists (cid, vec_id, v)")
+  }
+
+  /** FROZEN-QUANTIZER APPEND into the committed index — q309's
+    * maintenance discipline landing as an estate operation: arrivals
+    * (vec_id % 5 = 4) assign against the COMMITTED centroids (no
+    * retrain) and publish as lists version 2 through
+    * [[graft.sources.VersionedManifest.appendBatch]] — the OCC append
+    * path, so a racing maintainer rebases instead of corrupting the
+    * index, and v1 re-addresses byte-untouched (append is manifest
+    * arithmetic, never an index rebuild). */
+  private[graft] def appendToIvfIndex(s: SparkSession, d: String,
+                                          root: String): Unit = {
+    val M = graft.sources.VersionedManifest
+    if (M.latestCommitted(s, s"$root/lists").exists(_ >= 2L)) return
+    val cents = M.readAt(s, s"$root/cents", 1)
+    val arrivals = quantized(s, d).filter(col("vec_id") % 5 === 4)
+    M.appendBatch(s, s"$root/lists",
+      assignTo(arrivals, cents).join(arrivals, "vec_id")
+        .select(col("cid"), col("vec_id"), col("v")),
+      "frozen-quantizer append (q309 discipline)")
+  }
+
+  /** Serve top-5 cosine neighbors for the standard query set (vec_id <
+    * 10) from a COMMITTED index version: centroids, probe budget, and
+    * inverted lists all come from the artifact — by construction this
+    * path CANNOT train (it references no Lloyd machinery; Round12Spec
+    * pins the plan free of the training superstep's PosExplode). Probes
+    * rank the ≤1024 committed centroids broadcast-side; candidates are
+    * the probed lists only (~nprobe/nlist of the corpus); re-scoring is
+    * exact. Same output shape as q83, deliberately — the oracle replays
+    * train+serve from the base tables, and the bit-exact integer
+    * training is what makes "serve from the committed artifact" and
+    * "replay" provably identical. */
+  private[graft] def serveFromIvfIndex(s: SparkSession, d: String,
+                                           root: String): DataFrame = {
+    val M = graft.sources.VersionedManifest
+    val cv = M.latestCommitted(s, s"$root/cents").getOrElse(
+      throw new IllegalStateException(s"no committed index at $root"))
+    val lv = M.latestCommitted(s, s"$root/lists").getOrElse(
+      throw new IllegalStateException(s"no committed lists at $root"))
+    val npr = M.describe(s, s"$root/cents", cv).linesIterator
+      .find(_.startsWith("npr=")).map(_.stripPrefix("npr=").toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"committed index at $root carries no npr"))
+    val cents = M.readAt(s, s"$root/cents", cv)
+    val lists = M.readAt(s, s"$root/lists", lv)
+    val queries = quantized(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probes = queries.join(broadcast(cents))
+      .select(col("qid"), col("qv"), col("cid"),
+        (dotExpr("qv", "qv") + dotExpr("cv", "cv")
+          - lit(2L) * dotExpr("qv", "cv")).as("d2"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= npr)
+      .select(col("qid"), col("qv"), col("cid"))
+    probes.join(lists, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dotExpr("qv", "v").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("v", "v")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid")))
+        .cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** q407: PERSISTED ANN INDEX — train once, COMMIT the index (centroids
+    * + inverted lists) as a versioned-table artifact, serve every query
+    * from the committed version ([[buildIvfIndex]]/[[serveFromIvfIndex]]
+    * — r11 verdict "What's missing" #1: every prior ANN query trained
+    * in-plan per run; a serving estate trains once and readers never pay
+    * training again). Results are q83's exactly, and the oracle replays
+    * train+serve from base tables — bit-exact integer training is the
+    * proof the committed artifact equals the replay. */
+  private def q407(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "full")
+    buildIvfIndex(s, d, root, baseOnly = false)
+    serveFromIvfIndex(s, d, root)
+  }
+
+  private val q407Sql = q83Sql
+
+  /** q408: COMMITTED-INDEX MAINTENANCE — the full lifecycle on one
+    * estate: v1 = index trained on the BASE corpus (vec_id % 5 ≠ 4,
+    * q309's split), v2 = arrivals appended under the FROZEN committed
+    * quantizer through the OCC append path, serving reads v2. The oracle
+    * replays: centroids from base, the whole corpus assigned against
+    * them, base-geometry probe budget — exactly what the two committed
+    * versions address. */
+  private def q408(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "base")
+    buildIvfIndex(s, d, root, baseOnly = true)
+    appendToIvfIndex(s, d, root)
+    serveFromIvfIndex(s, d, root)
+  }
+
+  private val q408Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings WHERE vec_id % 5 <> 4),
+       |qall AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM qall CROSS JOIN cents GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM qall a CROSS JOIN cents c WHERE a.vec_id < 10)
+       |  WHERE pr <= (SELECT npr FROM geom)),
+       |scored AS (
+       |  SELECT p.qid, m.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(1, len(qq.v)+1), i -> qq.v[i]*vv.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qq.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(vv.v, x -> x*x)))) AS cos
+       |  FROM probes p
+       |  JOIN assigned m ON p.cid = m.cid
+       |  JOIN qall qq ON qq.vec_id = p.qid
+       |  JOIN qall vv ON vv.vec_id = m.vec_id
+       |  WHERE p.qid <> m.vec_id)
+       |SELECT qid, rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q407_ann_index_commit" -> q407,
+    "q408_ann_index_append" -> q408,
     "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
@@ -2651,6 +2839,8 @@ object Similarity extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q407_ann_index_commit" -> q407Sql,
+    "q408_ann_index_append" -> q408Sql,
     "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,

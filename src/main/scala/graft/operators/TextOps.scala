@@ -2483,7 +2483,7 @@ object TextOps extends QueryModule {
   /** q397: TWO-PROPORTION Z-TEST — the A/B readout itself: users hash
     * deterministically into arms (md5 parity — the real randomization
     * unit assignment, reproducible across engines and reruns), convert
-    * when any event of the type exceeds 400, and per event_type the
+    * when any event of the type exceeds 480, and per event_type the
     * pooled two-proportion z statistic decides significance at the 1.96
     * bar. All counts are exact integers; z is division/multiplication
     * plus ONE sqrt — IEEE 754 requires sqrt correctly rounded, so it is

@@ -779,39 +779,47 @@ object TimeSeries extends QueryModule {
     * signs and a 4-state machine counts NON-OVERLAPPING V-shapes
     * (PATTERN (D D+ U U+): two-or-more falls then two-or-more rises —
     * the dip-and-recovery motif behind churn saves and incident
-    * postmortems). The DFA is an explicit left fold (`aggregate` here,
-    * a struct-typed `list_reduce` in the oracle) — same transitions,
-    * same order, integer state only — so the match counts hash-match; a
-    * plateau (delta 0) resets, a fall after the first rise starts the
-    * next candidate (greedy, consuming — the standard AFTER MATCH SKIP
-    * PAST LAST ROW).
+    * postmortems). The DFA is an explicit left fold over the group's
+    * SORTED ITERATOR (`flatMapSortedGroups`, the q130/q180 rung:
+    * Spark's shuffle sorts (ts, event_id) within partitions and hands
+    * the function an ordered stream — a struct-typed `list_reduce` in
+    * the oracle) — same transitions, same order, integer state only —
+    * so the match counts hash-match; a plateau (delta 0) resets, a fall
+    * after the first rise starts the next candidate (greedy, consuming
+    * — the standard AFTER MATCH SKIP PAST LAST ROW).
     *
-    * Scale: the per-user sequence is collected AFTER a keyed combinable
-    * shuffle and is bounded by events-per-user (scale-invariant in this
-    * data model — users grow with volume); the fold is O(sequence) with
-    * O(1) state. A billion users cost one (user)-keyed exchange, the
-    * same shape as sessionization.
+    * Scale: O(1) state per user — NOTHING is collected (r11 verdict #4
+    * retired the `collect_list` spelling, which was bounded only by the
+    * data model's events-per-user invariance; Round12Spec pins
+    * CollectList out of the plan). A billion users cost one
+    * (user)-keyed exchange with sort-within-partitions, the same shape
+    * as sessionization; a single user with a billion events streams
+    * through the fold without materializing.
     */
   private def q402(s: SparkSession, d: String): DataFrame = {
-    val dfa =
-      "CASE WHEN x.d = 0 THEN named_struct('st', 0, 'cnt', a.cnt) " +
-        "WHEN x.d < 0 THEN named_struct('st', " +
-        "CASE WHEN a.st = 1 OR a.st = 2 THEN 2 ELSE 1 END, 'cnt', a.cnt) " +
-        "WHEN a.st = 3 THEN named_struct('st', 0, 'cnt', a.cnt + CAST(1 AS BIGINT)) " +
-        "WHEN a.st = 2 THEN named_struct('st', 3, 'cnt', a.cnt) " +
-        "ELSE named_struct('st', 0, 'cnt', a.cnt) END"
+    import s.implicits._
     Tables.events(s, d)
-      .select(col("user_id"),
-        struct(col("ts"), col("event_id"), col("value")).as("e"))
-      .groupBy(col("user_id"))
-      .agg(array_sort(collect_list(col("e"))).as("es"))
-      .withColumn("deltas", expr(
-        "transform(sequence(1, size(es) - 1), i -> named_struct('d', " +
-          "CASE WHEN es[i].value > es[i-1].value THEN 1 " +
-          "WHEN es[i].value < es[i-1].value THEN -1 ELSE 0 END))"))
-      .withColumn("matches", expr(
-        "aggregate(deltas, named_struct('st', 0, 'cnt', " +
-          s"CAST(0 AS BIGINT)), (a, x) -> $dfa).cnt"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (uid, it) =>
+        // states: 0 start/reset, 1 one fall, 2 ≥2 falls, 3 ≥2 falls + 1
+        // rise; a rise at 3 completes PATTERN (D D+ U U+) — count, reset
+        var st = 0; var cnt = 0L; var prev = 0.0; var seen = false
+        it.foreach { case (_, _, _, v) =>
+          if (seen) {
+            if (v == prev) st = 0
+            else if (v < prev) st = if (st == 1 || st == 2) 2 else 1
+            else if (st == 3) { st = 0; cnt += 1L }
+            else if (st == 2) st = 3
+            else st = 0
+          }
+          prev = v; seen = true
+        }
+        Iterator.single((uid, cnt))
+      }
+      .toDF("user_id", "matches")
       .groupBy((col("user_id") % 4).as("cohort"))
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("matches") > 0, 1L).otherwise(0L))

@@ -79,13 +79,33 @@ object VersionedManifest {
     val commits = new Path(dir, "_commits")
     f.mkdirs(commits)
     val dst = new Path(commits, n.toString)
-    val out =
-      try f.create(dst, false)
-      catch { case e: java.io.IOException =>
-        if (f.exists(dst)) return false else throw e
-      }
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
-    true
+    val scheme = dst.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // RawLocalFileSystem.create(overwrite = false) is CHECK-THEN-ACT —
+      // two same-JVM threads (or two local processes) racing one slot can
+      // BOTH "win" and silently overwrite each other (found by the
+      // Round12Spec N-writer property test). POSIX O_CREAT|O_EXCL is the
+      // local equivalent of HDFS's namenode-atomic exclusive create, so
+      // the local binding goes through NIO's CREATE_NEW.
+      val out =
+        try java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => return false
+        }
+      try out.write(meta.getBytes("UTF-8")) finally out.close()
+      true
+    } else {
+      val out =
+        try f.create(dst, false)
+        catch { case e: java.io.IOException =>
+          if (f.exists(dst)) return false else throw e
+        }
+      try out.write(meta.getBytes("UTF-8")) finally out.close()
+      true
+    }
   }
 
   /** WRITE-AUDIT-PUBLISH: the commit-refusing gate (r10 verdict #3).
@@ -424,6 +444,24 @@ object VersionedManifest {
     *
     * Returns (new version, affected dirs, untouched dirs).
     */
+  /** Partition a snapshot's data dirs into (affected, untouched) given
+    * the file paths a DML discovery scan matched. Matching is by PATH
+    * PREFIX — a matched file anywhere UNDER a registered dir marks that
+    * dir affected — not immediate-parent equality, so a nested layout
+    * (e.g. a partitionBy write inside a data dir) can never classify as
+    * untouched and let supposedly-replaced rows survive (r11 advice).
+    * Driver-side over O(#dirs × #matched files) short lists.
+    */
+  private def splitAffected(dirs: Seq[String], matchedFiles: Seq[String])
+      : (Seq[String], Seq[String]) = {
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val files = matchedFiles.map(norm)
+    dirs.partition { d0 =>
+      val dp = norm(d0)
+      files.exists(f => f == dp || f.startsWith(dp + "/"))
+    }
+  }
+
   def merge(s: SparkSession, dir: String, source: DataFrame,
             key: String): (Long, Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
@@ -439,11 +477,7 @@ object VersionedManifest {
       .select(col(key), input_file_name().as("_gfile"))
       .join(keys, Seq(key), "left_semi")
       .select(col("_gfile")).distinct().collect().map(_.getString(0))
-    def dirOfFile(f: String): String =
-      new Path(f).getParent.toUri.getPath
-    val affectedSet = matchedFiles.map(dirOfFile).toSet
-    val (affected, untouched) = dirs.partition(d0 =>
-      affectedSet.contains(new Path(d0).toUri.getPath))
+    val (affected, untouched) = splitAffected(dirs, matchedFiles.toSeq)
     val kept =
       if (affected.isEmpty) source.limit(0)
       else s.read.parquet(affected: _*).join(keys, Seq(key), "left_anti")
@@ -467,8 +501,10 @@ object VersionedManifest {
     val cs = constraintsAt(s, dir, latest)
     val bad = violationCounts(s.read.parquet(s"$dir/$newSub"), cs)
       .filter(_._2 > 0)
+    // the refusal names the actual operation (`head` carries it: merge,
+    // delete, update, overwrite, SCD2 apply) — r11 advice
     if (bad.nonEmpty) throw new IllegalStateException(
-      s"merge output violates ${bad.map(_._1).mkString(", ")} — not published")
+      s"$head: output violates ${bad.map(_._1).mkString(", ")} — not published")
     val body = (Seq(head) ++
       (untouched :+ s"$dir/$newSub").map(d0 => s"data=$d0") ++
       cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
@@ -498,10 +534,7 @@ object VersionedManifest {
       .select(input_file_name().as("_gfile")).distinct()
       .collect().map(_.getString(0))
     if (matchedFiles.isEmpty) return (latest, Nil, dirs)
-    val affectedSet = matchedFiles
-      .map(f => new Path(f).getParent.toUri.getPath).toSet
-    val (affected, untouched) = dirs.partition(d0 =>
-      affectedSet.contains(new Path(d0).toUri.getPath))
+    val (affected, untouched) = splitAffected(dirs, matchedFiles.toSeq)
     val n = latest + 1
     val newSub = s"d-d$n"
     s.read.parquet(affected: _*)
@@ -538,10 +571,7 @@ object VersionedManifest {
       .select(input_file_name().as("_gfile")).distinct()
       .collect().map(_.getString(0))
     if (matchedFiles.isEmpty) return (latest, Nil, dirs)
-    val affectedSet = matchedFiles
-      .map(f => new Path(f).getParent.toUri.getPath).toSet
-    val (affected, untouched) = dirs.partition(d0 =>
-      affectedSet.contains(new Path(d0).toUri.getPath))
+    val (affected, untouched) = splitAffected(dirs, matchedFiles.toSeq)
     val old = s.read.parquet(affected: _*)
     val setMap = sets.toMap
     require(setMap.size == sets.size, "duplicate assignment target")
@@ -594,10 +624,7 @@ object VersionedManifest {
           .filter(expr(predicate))
           .select(input_file_name().as("_gfile")).distinct()
           .collect().map(_.getString(0))
-        val affectedSet = matchedFiles
-          .map(f => new Path(f).getParent.toUri.getPath).toSet
-        dirs.partition(d0 =>
-          affectedSet.contains(new Path(d0).toUri.getPath))
+        splitAffected(dirs, matchedFiles.toSeq)
       }
     if (predicate != "true") {
       val stray = source
@@ -659,10 +686,7 @@ object VersionedManifest {
         .select(col(key), input_file_name().as("_gfile"))
         .join(firstNew.select(col(key)), Seq(key), "left_semi")
         .select(col("_gfile")).distinct().collect().map(_.getString(0))
-    val affectedSet = matchedFiles
-      .map(f => new Path(f).getParent.toUri.getPath).toSet
-    val (affected, untouched) = dirs.partition(d0 =>
-      affectedSet.contains(new Path(d0).toUri.getPath))
+    val (affected, untouched) = splitAffected(dirs, matchedFiles.toSeq)
     val closed =
       if (affected.isEmpty) iv.limit(0)
       else {
@@ -688,29 +712,53 @@ object VersionedManifest {
   }
 
   /** GATED BATCH APPEND — the SQL `INSERT INTO` path: the increment
-    * stages under `v=<n>`, must pass BOTH write-time gates — the schema
-    * gate (q373, one footer read) and every declared constraint (q363,
-    * one aggregate pass over the increment) — and only then publishes
-    * cumulatively. A refusal throws with every problem named and leaves
-    * NO manifest: readers keep the previous snapshot and the staged dir
-    * is a vacuumable orphan. An INSERT into an empty declared table
-    * publishes version 1.
+    * stages under a WRITER-UNIQUE `v=<n>-<token>` dir (two racing
+    * INSERTs can never interleave parquet files into one staged dir —
+    * r11 advice), must pass BOTH write-time gates — the schema gate
+    * (q373, one footer read) and every declared constraint (q363, one
+    * aggregate pass over the increment) — and publishes through
+    * [[tryCommit]]. Appends are COMMUTATIVE, so a lost race REBASES
+    * instead of failing: the staged dir is reused verbatim (no I/O on
+    * retry), the body re-addresses the new latest snapshot, the
+    * constraint set re-reads in case a concurrent ALTER tightened it,
+    * and the next version slot is attempted — bounded by `maxRebases`,
+    * after which [[java.util.ConcurrentModificationException]] surfaces
+    * (the q284 contract). A gate refusal throws with every problem
+    * named and leaves NO manifest: readers keep the previous snapshot
+    * and the staged dir is a vacuumable orphan. An INSERT into an empty
+    * declared table publishes version 1.
     */
   def appendBatch(s: SparkSession, dir: String, source: DataFrame,
-                  meta: String): Long = {
-    val n = latestCommitted(s, dir).getOrElse(0L) + 1
-    source.write.mode("overwrite").parquet(s"$dir/v=$n")
+                  meta: String, maxRebases: Int = 16): Long = {
+    val sub = s"v=${latestCommitted(s, dir).getOrElse(0L) + 1}-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    source.write.mode("overwrite").parquet(s"$dir/$sub")
+    val staged = s.read.parquet(s"$dir/$sub")
     val schemaProblems = readSchema(s, dir) match {
       case None => Nil // no declared contract: footer gate inactive
-      case Some(declared) =>
-        conformProblems(declared, s.read.parquet(s"$dir/v=$n").schema)
+      case Some(declared) => conformProblems(declared, staged.schema)
     }
     if (schemaProblems.nonEmpty) throw new IllegalStateException(
       s"append refused: ${schemaProblems.mkString("; ")}")
-    val constraintProblems = commitConstrained(s, dir, n, meta)
-    if (constraintProblems.nonEmpty) throw new IllegalStateException(
-      s"append refused: ${constraintProblems.mkString("; ")}")
-    n
+    var rebases = 0
+    while (true) {
+      val n = latestCommitted(s, dir).getOrElse(0L) + 1
+      val cs = constraints(s, dir)
+      val bad = violationCounts(staged, cs).filter(_._2 > 0)
+      if (bad.nonEmpty) throw new IllegalStateException(
+        "append refused: " + bad.map { case (nm, c) =>
+          s"constraint $nm violated by $c staged rows" }.mkString("; "))
+      val body = (Seq(meta) ++
+        (carriedDataLines(s, dir) :+ s"data=$dir/$sub") ++
+        cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
+      if (tryCommit(s, dir, n, body)) return n
+      rebases += 1
+      if (rebases > maxRebases)
+        throw new java.util.ConcurrentModificationException(
+          s"append at $dir lost $rebases commit races — " +
+            s"staged $sub left for vacuum")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** LAST-WRITER-WINS merge — the CDC-apply flavor of [[merge]]: a
@@ -743,10 +791,7 @@ object VersionedManifest {
       .select(col(key), input_file_name().as("_gfile"))
       .join(src.select(col(key)), Seq(key), "left_semi")
       .select(col("_gfile")).distinct().collect().map(_.getString(0))
-    val affectedSet = matchedFiles
-      .map(f => new Path(f).getParent.toUri.getPath).toSet
-    val (affected, untouched) = dirs.partition(d0 =>
-      affectedSet.contains(new Path(d0).toUri.getPath))
+    val (affected, untouched) = splitAffected(dirs, matchedFiles.toSeq)
     val aff =
       if (affected.isEmpty) pack(source.limit(0), "_t")
       else pack(s.read.parquet(affected: _*), "_t")
@@ -810,8 +855,8 @@ object VersionedManifest {
       .select(col(key), input_file_name().as("_gfile"))
       .join(keys, Seq(key), "left_semi")
       .select(col("_gfile")).distinct().collect().map(_.getString(0))
-    val affNorm = matchedFiles.map(f => norm(new Path(f).getParent.toString)).toSet
-    val affected = baseDirs.filter(d0 => affNorm.contains(norm(d0)))
+    val (affected, _) = splitAffected(baseDirs, matchedFiles.toSeq)
+    val affNorm = affected.map(norm).toSet
     val kept =
       if (affected.isEmpty) source.limit(0)
       else s.read.parquet(affected: _*).join(keys, Seq(key), "left_anti")
@@ -1428,7 +1473,14 @@ object VersionedManifest {
         .filter(_.startsWith(s"$dir/"))
         .map(_.stripPrefix(dir).stripPrefix("/").split('/').head))
     entries
-      .filter(p => p.getName.startsWith("d-") && !referenced(p.getName))
+      .filter { p =>
+        val nm = p.getName
+        // writer-unique append stages (`v=<n>-<token>`, [[appendBatch]])
+        // are reclaimed by the same referenced-set rule as `d-*`
+        (nm.startsWith("d-") ||
+          (nm.startsWith("v=") &&
+            !nm.stripPrefix("v=").matches("[0-9]+"))) && !referenced(nm)
+      }
       .foreach(p => f.delete(p, true))
     orphans.map(_._1).sorted
   }
