@@ -222,18 +222,19 @@ object Graphs extends QueryModule {
     * graph is the natural sparse instance.
     *
     * Scale: the bipartite projection is CAPPED — parts with more than
-    * [[PartCap]] distinct buyers drop BEFORE pairing ([[copurchasePairs]]
+    * [[PartCap]] distinct buyers drop BEFORE pairing ([[copurchasePairCounts]]
     * — the q74 stop-shingle argument applied to parts: a part bought by
     * everyone separates nobody, and its h²/2 fan-out is the one place
     * this plan could go quadratic on a real Zipfian catalog, r11 verdict
     * #1), so per-part fan-out is ≤ C(64,2) = 2016 pair rows by
-    * CONSTRUCTION, not by data-model luck. Wedge generation joins the
-    * symmetrized adjacency with itself THROUGH the shared middle node
-    * (one shuffle keyed by the middle); middles above degree 64 drop
-    * first (the same idiom) so a hub's fan-out is bounded at 2016
-    * wedges, while FULL endpoint degrees still enter the Jaccard
-    * denominator. The existing-edge subtraction is a keyed left-anti;
-    * the final top-20 is TakeOrdered, no global sort.
+    * CONSTRUCTION, not by data-model luck. Wedge generation reuses the
+    * same capped array pair-expansion keyed by the middle node (one
+    * groupBy shuffle — no adjacency self-join); middles above degree 64
+    * drop inside the cap (the same idiom) so a hub's fan-out is bounded
+    * at 2016 wedges, while FULL endpoint degrees still enter the
+    * Jaccard denominator. The 401k-edge graph localCheckpoints once and
+    * feeds its three consumers. The existing-edge subtraction is a
+    * keyed left-anti; the final top-20 is TakeOrdered, no global sort.
     */
   /** Distinct-buyers-per-part cap for the co-purchase projection —
     * parts hotter than this carry almost no link-prediction signal
@@ -241,30 +242,33 @@ object Graphs extends QueryModule {
     * stop-shingle rule q74 applies at df > 256. 64 sits ~6σ above the
     * data model's scale-invariant ~30 buyers/part, so the uniform gauge
     * keeps every part while a Zipfian head is bounded. */
-  private[operators] val PartCap = 64
+  private[graft] val PartCap = 64
 
-  /** Buyer-pair generation for the co-purchase projection, capped and
-    * join-free: parts keep at most [[PartCap]] distinct buyers' pairs —
-    * hotter parts are DROPPED before pairing (r11 verdict #1: the old
-    * `cp ⋈ cp ON p` self-join fanned out buyers² per part with no bound
-    * but the data model's geometry). Pairs come from each surviving
-    * part's SORTED buyer array via codegen'd array HOFs — one
-    * groupBy(part) shuffle total, pairs materialize map-side straight
-    * into the downstream partial agg, where the self-join spelling
-    * shuffled the projection twice and pushed every pair through a join.
-    * Per-part fan-out is ≤ C(cap, 2) = 2016 rows by construction
-    * (Round12Spec pins the bound on an adversarial hot-part fixture).
-    * Output: one (ca, cb) row per unordered buyer pair per surviving
-    * part, ca < cb.
+  /** Capped, join-free pair counting for the co-purchase projection —
+    * `(ca, cb, cnt)` = unordered buyer pairs (ca < cb) with the number
+    * of parts they share. Parts keep at most `cap` distinct buyers'
+    * pairs — hotter parts are DROPPED before pairing (r11 verdict #1:
+    * the old `cp ⋈ cp ON p` self-join fanned out buyers² per part with
+    * no bound but the data model's geometry). Pairs come from each
+    * surviving part's SORTED buyer array via codegen'd array HOFs — one
+    * groupBy(part) shuffle total — PACKED as `ca·2³² + cb` single
+    * BIGINTs so the pair aggregation hashes/shuffles one 8-byte key
+    * instead of a 16-byte struct (sound while keys < 2³¹ — the data
+    * model's custkey tops out at 15M even at sf100; ANSI mode would
+    * crash, not wrap, beyond it). Per-part fan-out is ≤ C(cap, 2) =
+    * 2016 rows by construction (Round12Spec pins the bound on an
+    * adversarial hot-part fixture).
     */
-  private[operators] def copurchasePairs(cp: DataFrame, cap: Int): DataFrame =
+  private[graft] def copurchasePairCounts(cp: DataFrame, cap: Int): DataFrame =
     cp.groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
       .filter(size(col("cs")).between(2, cap))
       .select(explode(expr(
         "flatten(transform(cs, (x, i) -> " +
           "transform(slice(cs, i + 2, size(cs)), " +
-          "y -> named_struct('ca', x, 'cb', y))))")).as("pr"))
-      .select(col("pr.ca").as("ca"), col("pr.cb").as("cb"))
+          "y -> x * 4294967296L + y)))")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      .select(expr("pk div 4294967296L").as("ca"),
+        expr("pk % 4294967296L").as("cb"), col("cnt"))
 
   private def q395(s: SparkSession, d: String): DataFrame = {
     val cp = Tables.lineitem(s, d)
@@ -272,23 +276,28 @@ object Graphs extends QueryModule {
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = copurchasePairs(cp, PartCap)
-      .groupBy(col("ca"), col("cb"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 2)
+    // no .distinct(): copurchasePairCounts' collect_set dedupes (c) within
+    // each part, so a pre-distinct would only add a 600k-row shuffle.
+    // the graph (401k edges at sf0.1) is read THREE times downstream
+    // (adjacency both directions + the existing-edge anti join);
+    // localCheckpoint materializes the 9M-pair projection ONCE instead
+    // of re-executing it per consumer (q138's fixpoint device) — edge
+    // rows are two longs, O(edges) executor storage
+    val edges = copurchasePairCounts(cp, PartCap)
+      .filter(col("cnt") >= 2)
       .select(col("ca"), col("cb"))
+      .localCheckpoint()
     val adj = edges.select(col("ca").as("src"), col("cb").as("dst"))
       .union(edges.select(col("cb").as("src"), col("ca").as("dst")))
     val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val mid = adj.select(col("src").as("n"), col("dst").as("u"))
-      .join(deg.select(col("src").as("n"), col("deg").as("dn")), Seq("n"))
-      .filter(col("dn") <= 64)
-      .select(col("n"), col("u"))
-    val wedges = mid
-      .join(mid.select(col("n"), col("u").as("v")), Seq("n"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    // wedges through each middle node: the SAME sorted-array pair
+    // generation as the projection (one groupBy(middle) shuffle, no
+    // mid ⋈ mid self-join); the ≤ 64 size cap IS the middle-degree cap —
+    // adj has no duplicate neighbors, so collect_set size ≡ deg(n)
+    val wedges = copurchasePairCounts(
+        adj.select(col("dst").as("c"), col("src").as("p")), 64)
+      .select(col("ca").as("u"), col("cb").as("v"),
+        col("cnt").as("common"))
     wedges
       .join(edges.select(col("ca").as("u"), col("cb").as("v")),
         Seq("u", "v"), "left_anti")

@@ -28,11 +28,11 @@ class Round12Spec extends SparkSpec {
       for (p <- 1 to 40; c <- 0 until 8)
         yield ((p * 1000 + c).toLong, p.toLong)
     val cp = (hot ++ small).toDF("c", "p")
-    val pairs = Graphs.copurchasePairs(cp, Graphs.PartCap).cache()
+    val pairs = Graphs.copurchasePairCounts(cp, Graphs.PartCap).cache()
     try {
-      val n = pairs.count()
-      // only the 40 small parts pair: 40 × C(8,2) rows — and in general
-      // ≤ parts × C(cap,2) by construction
+      val n = pairs.agg(sum(col("cnt"))).head().getLong(0)
+      // only the 40 small parts pair: 40 × C(8,2) pair instances — and
+      // in general ≤ parts × C(cap,2) by construction
       assert(n == 40L * 28L, s"expected 1120 small-part pairs, got $n")
       assert(n <= 41L * 2016L)
       val hotPairs = pairs.filter(col("ca") < 200L || col("cb") < 200L).count()
@@ -42,12 +42,14 @@ class Round12Spec extends SparkSpec {
 
   test("q395 pair generation is one grouped scan, not a self-join") {
     import spark.implicits._
-    val cp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("c", "p")
-    val pairs = Graphs.copurchasePairs(cp, 64)
+    val cp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("c", "p")
+    val pairs = Graphs.copurchasePairCounts(cp, 64)
     val plan = pairs.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), s"pair generation must not self-join:\n$plan")
-    val rows = pairs.as[(Long, Long)].collect().sorted.toSeq
-    assert(rows == Seq((1L, 2L), (1L, 3L), (2L, 3L)), rows.mkString(","))
+    val rows = pairs.as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rows == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      rows.mkString(","))
   }
 
   // ------------------------------------------------ q402 sorted fold
