@@ -206,7 +206,9 @@ object Bench {
     // round 12 additions: persisted ANN index lifecycle (first quote
     // includes the one-time train+commit; the warm re-quotes measure
     // serving from the committed artifact — AnnCheck separates the two)
-    "q407_ann_index_commit", "q408_ann_index_append"
+    "q407_ann_index_commit", "q408_ann_index_append",
+    "q409_ann_index_compact", "q410_ann_index_retrain",
+    "q411_stream_index_maint", "q412_late_interaction"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

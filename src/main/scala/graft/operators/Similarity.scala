@@ -2730,6 +2730,207 @@ object Similarity extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** INDEX COMPACTION — q326's estate compaction applied to the index:
+    * the lists snapshot's dirs (v1 base + the append's increment) merge
+    * into ONE dir clustered BY inverted list (`repartition(cid)` — the
+    * physical layout an IVF serves from: a probe reads its lists'
+    * blocks, nothing else), published as a `dataChange=false` version.
+    * Readers before/after see the SAME rows — Round12Spec pins it — and
+    * streaming subscribers skip the version entirely (the q326 rule). */
+  private[graft] def compactIvfIndex(s: SparkSession, root: String): Unit = {
+    val M = graft.sources.VersionedManifest
+    val lv = M.latestCommitted(s, s"$root/lists").getOrElse(
+      throw new IllegalStateException(s"no committed lists at $root"))
+    val dirs = M.resolveDataDirs(s, s"$root/lists", lv)
+    if (dirs.size <= 1) return // already compact (warm re-run)
+    val sub = s"d-k${lv + 1}"
+    s.read.parquet(dirs: _*).repartition(col("cid"))
+      .write.mode("overwrite").parquet(s"$root/lists/$sub")
+    M.commit(s, s"$root/lists", lv + 1,
+      Seq("compact inverted lists (list-clustered)", "dataChange=false",
+        s"data=$root/lists/$sub").mkString("\n"))
+  }
+
+  /** INDEX RETRAIN — the action q309's `hot` drift flag and q406's
+    * centroid-drift audit exist to trigger: retrain the coarse quantizer
+    * on the CURRENT corpus (base + arrivals), commit it as cents v2 with
+    * its OWN probe budget, and rebuild the inverted lists under it as
+    * the next lists version. Both artifacts version forward — a reader
+    * mid-flight on the old index keeps serving v1/v2 (snapshot
+    * isolation), new sessions pick up the retrained geometry, and time
+    * travel can reproduce any historical ranking. */
+  private[graft] def retrainIvfIndex(s: SparkSession, d: String,
+                                     root: String): Unit = {
+    val M = graft.sources.VersionedManifest
+    if (M.latestCommitted(s, s"$root/cents").exists(_ >= 2L)) return
+    val all = quantized(s, d)
+    val cents = lloydCents(all, seedCentsScaled(all))
+    val npr = ivfGeom(all).head().getLong(1)
+    cents.write.mode("overwrite").parquet(s"$root/cents/v=2")
+    M.commit(s, s"$root/cents", 2,
+      s"ivf coarse quantizer (retrained on full corpus)\nnpr=$npr")
+    val lv = M.latestCommitted(s, s"$root/lists").getOrElse(
+      throw new IllegalStateException(s"no committed lists at $root"))
+    val sub = s"d-r${lv + 1}"
+    assignTo(all, cents).join(all, "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"))
+      .write.mode("overwrite").parquet(s"$root/lists/$sub")
+    M.commit(s, s"$root/lists", lv + 1,
+      Seq("lists rebuilt under retrained quantizer",
+        s"data=$root/lists/$sub").mkString("\n"))
+  }
+
+  /** q409: COMMITTED-INDEX COMPACTION — build(v1) → frozen append(v2) →
+    * COMPACT(v3, dataChange=false): the small-increments problem every
+    * streaming-maintained index accumulates, solved the estate way. The
+    * rankings are IDENTICAL before and after (same oracle as q408 — a
+    * layout rewrite may never change results), which is exactly what
+    * `dataChange=false` asserts. */
+  private def q409(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "cmp")
+    buildIvfIndex(s, d, root, baseOnly = true)
+    appendToIvfIndex(s, d, root)
+    compactIvfIndex(s, root)
+    serveFromIvfIndex(s, d, root)
+  }
+
+  private def q409Sql = q408Sql
+
+  /** q410: DRIFT-TRIGGERED RETRAIN — the lifecycle's last arc: build on
+    * the base corpus (v1), absorb arrivals under the frozen quantizer
+    * (v2, the q309 discipline), then RETRAIN on the full corpus and
+    * rebuild the lists (cents v2 + lists v3). Serving from the retrained
+    * index equals a fresh full-corpus index — the oracle replays exactly
+    * q83's train+serve — so the retrain provably erased the drift the
+    * frozen-quantizer era accumulated. */
+  private def q410(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "rt")
+    buildIvfIndex(s, d, root, baseOnly = true)
+    appendToIvfIndex(s, d, root)
+    retrainIvfIndex(s, d, root)
+    serveFromIvfIndex(s, d, root)
+  }
+
+  private def q410Sql = q83Sql
+
+  /** q412: LATE-INTERACTION (MaxSim) SCORING — the multi-vector
+    * retrieval primitive (Khattab & Zaharia 2020, ColBERT: "Efficient
+    * and Effective Passage Search via Contextualized Late Interaction"):
+    * each 64-dim embedding is treated as M = 8 contextual sub-vectors of
+    * 8 dims (q218's PQ split geometry reused as the multi-vector
+    * layout), and score(q, d) = Σ_m max_m' ⟨q_m, d_m'⟩ — every query
+    * sub-vector matches its best document sub-vector instead of one
+    * pooled dot. All arithmetic is the exact integer quantization, so
+    * the scores (and the top-5 per query) are hash-exact cross-engine.
+    *
+    * Scale: the registered spelling is the BRUTE-FORCE correctness
+    * baseline (queries broadcast, corpus scanned once — q80's shape, 64
+    * multiplies per pair via codegen'd HOFs over the packed arrays, no
+    * token-level explosion); at index scale the candidate set comes from
+    * q83/q407's committed IVF shortlist and MaxSim re-scores candidates
+    * only (q359's two-stage discipline).
+    */
+  private def q412(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = vecs.select(col("vec_id").as("nid"), col("v").as("dv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
+          "acc + array_max(transform(sequence(0, 7), n -> " +
+          "graft_dot(slice(qv, m * 8 + 1, 8), slice(dv, n * 8 + 1, 8)))))")
+          .as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid")))
+        .cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q412Sql =
+    s"""WITH q AS ($quantizedSql),
+       |scored AS (
+       |  SELECT qq.vec_id AS qid, dd.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(0, 8), m ->
+       |      list_max(list_transform(range(0, 8), n ->
+       |        list_sum(list_transform(range(1, 9), i ->
+       |          qq.v[m * 8 + i] * dd.v[n * 8 + i])))))) AS BIGINT) AS score
+       |  FROM q qq CROSS JOIN q dd
+       |  WHERE qq.vec_id < 5 AND qq.vec_id <> dd.vec_id)
+       |SELECT qid, rank, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val q411Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q411: STREAMING INDEX MAINTENANCE — the arrival loop a serving
+    * estate actually runs, closing the q407–q410 lifecycle's last gap:
+    * arrivals flow as a FILE STREAM (one file per micro-batch), each
+    * epoch assigns its batch against the COMMITTED frozen quantizer and
+    * publishes one lists version through the OCC [[appendToIvfIndex]]
+    * machinery with q252/q367's `epoch=<n>` idempotence marker — a
+    * replayed epoch (streaming's at-least-once window) finds its marker
+    * in committed history and lands NOTHING, so the index is exactly-
+    * once maintained with state living in the TABLE, not the stream (no
+    * watermark, no state store, restart-safe by manifest alone). After
+    * the drain, serving reads the latest committed version; the final
+    * index content equals q408's single-batch append, so the SAME
+    * oracle replay checks that no epoch was lost or doubled.
+    *
+    * Scale: per epoch — one broadcast-k assignment pass over the batch
+    * and one manifest rename; serving cost is unchanged (committed
+    * centroids + probed lists). Estate keyed per RUN (q252's rule) so
+    * every bench attempt measures a real ingest, not a committed
+    * checkpoint's no-op resume.
+    */
+  private def q411(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    GraftFunctions.register(s)
+    val M = graft.sources.VersionedManifest
+    val run = q411Runs.incrementAndGet()
+    val root = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_stream_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val feed = graft.StagingDirs.register(s"${root}_feed")
+    val ckpt = graft.StagingDirs.register(s"${root}_ckpt")
+    buildIvfIndex(s, d, root, baseOnly = true)
+    val cents = M.readAt(s, s"$root/cents", 1)
+    // the arrival feed: 2 files -> 2 micro-batches (maxFilesPerTrigger=1)
+    val arrivals = quantized(s, d).filter(col("vec_id") % 5 === 4)
+    arrivals.repartition(2).write.mode("overwrite").parquet(feed)
+    val applyEpoch: (DataFrame, Long) => Unit = (batch, epoch) => {
+      val marker = s"epoch=$epoch"
+      val seen = M.committedVersions(s, s"$root/lists").exists(v =>
+        M.describe(s, s"$root/lists", v).linesIterator
+          .exists(_.trim == marker))
+      if (!seen && !batch.isEmpty)
+        M.appendBatch(s, s"$root/lists",
+          assignTo(batch, cents).join(batch, "vec_id")
+            .select(col("cid"), col("vec_id"), col("v")),
+          marker)
+    }
+    val q = s.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream.foreachBatch(applyEpoch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    serveFromIvfIndex(s, d, root)
+  }
+
+  private def q411Sql = q408Sql
+
   /** q407: PERSISTED ANN INDEX — train once, COMMIT the index (centroids
     * + inverted lists) as a versioned-table artifact, serve every query
     * from the committed version ([[buildIvfIndex]]/[[serveFromIvfIndex]]
@@ -2745,7 +2946,7 @@ object Similarity extends QueryModule {
     serveFromIvfIndex(s, d, root)
   }
 
-  private val q407Sql = q83Sql
+  private def q407Sql = q83Sql
 
   /** q408: COMMITTED-INDEX MAINTENANCE — the full lifecycle on one
     * estate: v1 = index trained on the BASE corpus (vec_id % 5 ≠ 4,
@@ -2807,6 +3008,10 @@ object Similarity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q407_ann_index_commit" -> q407,
     "q408_ann_index_append" -> q408,
+    "q409_ann_index_compact" -> q409,
+    "q410_ann_index_retrain" -> q410,
+    "q411_stream_index_maint" -> q411,
+    "q412_late_interaction" -> q412,
     "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
@@ -2841,6 +3046,10 @@ object Similarity extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "q407_ann_index_commit" -> q407Sql,
     "q408_ann_index_append" -> q408Sql,
+    "q409_ann_index_compact" -> q409Sql,
+    "q410_ann_index_retrain" -> q410Sql,
+    "q411_stream_index_maint" -> q411Sql,
+    "q412_late_interaction" -> q412Sql,
     "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,

@@ -211,6 +211,74 @@ class Round12Spec extends SparkSpec {
     assert(r1.toSeq == r2.toSeq)
   }
 
+  test("q409 compaction: one list-clustered dir, dataChange=false, rows identical") {
+    val q = SparkEntry.queries("q409_ann_index_compact")
+    val after = q(spark, sf0001).collect()
+    val root = idxRoot("cmp", sf0001)
+    val lv = VM.latestCommitted(spark, s"$root/lists").get
+    assert(lv == 3L, s"expected compaction at v3, got $lv")
+    assert(VM.resolveDataDirs(spark, s"$root/lists", 3).size == 1,
+      "compaction must merge to ONE list-clustered dir")
+    assert(!VM.dataChange(spark, s"$root/lists", 3),
+      "compaction must publish dataChange=false")
+    // a layout rewrite may never change results: serve from v2 == v3.
+    // (pre-compaction serving replayed via the q408 estate, whose lists
+    // v2 is the same logical content)
+    val pre = SparkEntry.queries("q408_ann_index_append")(spark, sf0001).collect()
+    assert(after.toSeq == pre.toSeq, "compaction changed serving results")
+  }
+
+  test("q410 retrain: cents v2 with own probe budget, lists rebuilt, old versions travelable") {
+    val q = SparkEntry.queries("q410_ann_index_retrain")
+    assert(q(spark, sf0001).collect().nonEmpty)
+    val root = idxRoot("rt", sf0001)
+    assert(VM.latestCommitted(spark, s"$root/cents").contains(2L))
+    assert(VM.describe(spark, s"$root/cents", 2).contains("npr="))
+    assert(VM.latestCommitted(spark, s"$root/lists").contains(3L))
+    // snapshot isolation: the pre-retrain index versions still read
+    assert(VM.readAt(spark, s"$root/cents", 1).count() > 0)
+    assert(VM.readAt(spark, s"$root/lists", 2).count() > 0)
+    // the retrained serving equals a fresh full-corpus index (q407's)
+    val fresh = SparkEntry.queries("q407_ann_index_commit")(spark, sf0001)
+      .collect()
+    assert(q(spark, sf0001).collect().toSeq == fresh.toSeq,
+      "retrain must erase frozen-quantizer drift")
+  }
+
+  test("q411 streaming maintenance converges to q408's batch append") {
+    // stream-batch parity: one epoch per arrival file through the
+    // epoch-marked OCC append ≡ the single-batch frozen-quantizer append
+    val streamed = SparkEntry.queries("q411_stream_index_maint")(spark, sf0001)
+      .collect()
+    val batch = SparkEntry.queries("q408_ann_index_append")(spark, sf0001)
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("q412 MaxSim dominates the pooled dot product pair-wise") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Σ_m max_m' ⟨q_m, d_m'⟩ ≥ Σ_m ⟨q_m, d_m⟩ = ⟨q, d⟩ for EVERY pair
+    // (the max over m' includes m' = m) — the property that makes late
+    // interaction a refinement of single-vector retrieval
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("v"))
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val viol = vecs.select(col("vec_id").as("nid"), col("v").as("dv"))
+      .crossJoin(broadcast(q))
+      .select(
+        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
+          "acc + array_max(transform(sequence(0, 7), n -> " +
+          "graft_dot(slice(qv, m * 8 + 1, 8), slice(dv, n * 8 + 1, 8)))))")
+          .as("maxsim"),
+        expr("graft_dot(qv, dv)").as("pooled"))
+      .filter(col("maxsim") < col("pooled")).count()
+    assert(viol == 0L, s"$viol pairs where MaxSim < pooled dot")
+  }
+
   test("q408 appends under the frozen quantizer: v2 re-addresses v1 untouched") {
     val q = SparkEntry.queries("q408_ann_index_append")
     assert(q(spark, sf0001).collect().nonEmpty)
