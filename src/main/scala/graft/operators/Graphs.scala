@@ -259,9 +259,21 @@ object Graphs extends QueryModule {
     * 2016 rows by construction (Round12Spec pins the bound on an
     * adversarial hot-part fixture).
     */
-  private[graft] def copurchasePairCounts(cp: DataFrame, cap: Int): DataFrame =
-    cp.groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
-      .filter(size(col("cs")).between(2, cap))
+  private[graft] def copurchasePairCounts(cp: DataFrame, cap: Int): DataFrame = {
+    // the cap applies BEFORE any buyer list materializes: a bounded-state
+    // distinct-count pass finds the surviving parts, and only their rows
+    // reach collect_set — so no aggregation buffer ever exceeds `cap`
+    // elements. A size filter AFTER collect_set would build the hot
+    // part's FULL buyer array in the agg buffer first: exactly the heap
+    // blow-up the sf10 gauge hit on hub nodes in the wedge stage. (A
+    // KMV-sketch collector bounds state in one pass but pays typed-udaf
+    // encoder costs — measured 13% slower than this all-codegen shape.)
+    // The two aggregates and the semi join share the (p) partitioning.
+    val keep = cp.groupBy(col("p")).agg(countDistinct(col("c")).as("b"))
+      .filter(col("b").between(2, cap))
+      .select(col("p"))
+    cp.join(keep, Seq("p"), "left_semi")
+      .groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
       .select(explode(expr(
         "flatten(transform(cs, (x, i) -> " +
           "transform(slice(cs, i + 2, size(cs)), " +
@@ -269,6 +281,7 @@ object Graphs extends QueryModule {
       .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
       .select(expr("pk div 4294967296L").as("ca"),
         expr("pk % 4294967296L").as("cb"), col("cnt"))
+  }
 
   private def q395(s: SparkSession, d: String): DataFrame = {
     val cp = Tables.lineitem(s, d)

@@ -46,7 +46,12 @@ class Round12Spec extends SparkSpec {
       .toDF("c", "p")
     val pairs = Graphs.copurchasePairCounts(cp, 64)
     val plan = pairs.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("Join"), s"pair generation must not self-join:\n$plan")
+    // the only join is the degree-cap LEFT SEMI (bounded-state); pairs
+    // themselves come from the array expansion, never an inner self-join
+    assert(!plan.contains("Join Inner"),
+      s"pair generation must not self-join:\n$plan")
+    assert(plan.contains("Generate"),
+      s"pairs must come from the array expansion:\n$plan")
     val rows = pairs.as[(Long, Long, Long)].collect().sorted.toSeq
     assert(rows == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)),
       rows.mkString(","))
