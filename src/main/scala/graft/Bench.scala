@@ -208,7 +208,8 @@ object Bench {
     // serving from the committed artifact — AnnCheck separates the two)
     "q407_ann_index_commit", "q408_ann_index_append",
     "q409_ann_index_compact", "q410_ann_index_retrain",
-    "q411_stream_index_maint", "q412_late_interaction"
+    "q411_stream_index_maint", "q412_late_interaction",
+    "q413_two_stage_serving"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -2694,8 +2694,13 @@ object Similarity extends QueryModule {
     * train+serve from the base tables, and the bit-exact integer
     * training is what makes "serve from the committed artifact" and
     * "replay" provably identical. */
-  private[graft] def serveFromIvfIndex(s: SparkSession, d: String,
-                                           root: String): DataFrame = {
+  /** Candidate generation from the COMMITTED index: probe budget and
+    * centroids from the cents manifest, candidates from the probed
+    * inverted lists only — (qid, qv, nid, dv) pairs for whatever scorer
+    * sits on top (exact cosine in [[serveFromIvfIndex]], MaxSim in
+    * q413's two-stage rerank). */
+  private def ivfCandidatePairs(s: SparkSession, d: String,
+                                root: String): DataFrame = {
     val M = graft.sources.VersionedManifest
     val cv = M.latestCommitted(s, s"$root/cents").getOrElse(
       throw new IllegalStateException(s"no committed index at $root"))
@@ -2719,16 +2724,22 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("qv"), col("cid"))
     probes.join(lists, "cid")
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        (dotExpr("qv", "v").cast(DoubleType) /
-          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("v", "v")))).as("cos"))
+      .select(col("qid"), col("qv"), col("vec_id").as("nid"),
+        col("v").as("dv"))
+  }
+
+  private[graft] def serveFromIvfIndex(s: SparkSession, d: String,
+                                       root: String): DataFrame =
+    ivfCandidatePairs(s, d, root)
+      .select(col("qid"), col("nid"),
+        (dotExpr("qv", "dv").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("dv", "dv")))).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid")))
         .cast(LongType))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
       .orderBy(col("qid"), col("rank"))
-  }
 
   /** INDEX COMPACTION — q326's estate compaction applied to the index:
     * the lists snapshot's dirs (v1 base + the append's increment) merge
@@ -2864,6 +2875,77 @@ object Similarity extends QueryModule {
        |          qq.v[m * 8 + i] * dd.v[n * 8 + i])))))) AS BIGINT) AS score
        |  FROM q qq CROSS JOIN q dd
        |  WHERE qq.vec_id < 5 AND qq.vec_id <> dd.vec_id)
+       |SELECT qid, rank, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** q413: TWO-STAGE SERVING ON THE COMMITTED INDEX — the production
+    * retrieval architecture end to end: the COMMITTED IVF index (q407's
+    * artifact) generates the candidate shortlist (probed inverted lists
+    * only, never the corpus), and q412's late-interaction MaxSim
+    * re-scores ONLY those candidates — ColBERT's serving shape (ANN
+    * first stage, contextual re-rank second) on the estate's own index.
+    * Top-5 per query by (MaxSim DESC, nid), exact integers throughout.
+    *
+    * Scale: stage 1 touches ~nprobe/nlist of the corpus through the
+    * committed layout; stage 2's 64-multiply MaxSim runs on the
+    * shortlist alone — the expensive scorer never sees a non-candidate
+    * (q359's truncated-rerank economics, with the index persisted
+    * instead of in-plan). The oracle replays train → probe → candidate →
+    * MaxSim from base tables; bit-exact integer training makes artifact
+    * and replay provably identical.
+    */
+  private def q413(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "full")
+    buildIvfIndex(s, d, root, baseOnly = false)
+    ivfCandidatePairs(s, d, root)
+      .select(col("qid"), col("nid"),
+        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
+          "acc + array_max(transform(sequence(0, 7), n -> " +
+          "graft_dot(slice(qv, m * 8 + 1, 8), slice(dv, n * 8 + 1, 8)))))")
+          .as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid")))
+        .cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q413Sql =
+    s"""WITH q AS ($quantizedSql),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM q a CROSS JOIN cents c WHERE a.vec_id < 10)
+       |  WHERE pr <= (SELECT npr FROM geom)),
+       |scored AS (
+       |  SELECT p.qid, m.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(0, 8), mm ->
+       |      list_max(list_transform(range(0, 8), nn ->
+       |        list_sum(list_transform(range(1, 9), i ->
+       |          qq.v[mm * 8 + i] * dd.v[nn * 8 + i])))))) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assigned m ON p.cid = m.cid
+       |  JOIN q qq ON qq.vec_id = p.qid
+       |  JOIN q dd ON dd.vec_id = m.vec_id
+       |  WHERE p.qid <> m.vec_id)
        |SELECT qid, rank, nid, score FROM (
        |  SELECT qid, nid, score,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -3012,6 +3094,7 @@ object Similarity extends QueryModule {
     "q410_ann_index_retrain" -> q410,
     "q411_stream_index_maint" -> q411,
     "q412_late_interaction" -> q412,
+    "q413_two_stage_serving" -> q413,
     "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
@@ -3050,6 +3133,7 @@ object Similarity extends QueryModule {
     "q410_ann_index_retrain" -> q410Sql,
     "q411_stream_index_maint" -> q411Sql,
     "q412_late_interaction" -> q412Sql,
+    "q413_two_stage_serving" -> q413Sql,
     "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,

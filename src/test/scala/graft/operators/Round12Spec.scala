@@ -284,6 +284,17 @@ class Round12Spec extends SparkSpec {
     assert(viol == 0L, s"$viol pairs where MaxSim < pooled dot")
   }
 
+  test("q413 two-stage serving reads the committed index, never trains") {
+    val df = SparkEntry.queries("q413_two_stage_serving")(spark, sf0001)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivfidx_full"),
+      "stage-1 candidates must come from the committed index artifact")
+    assert(!df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("posexplode"),
+      "serving plan must not contain the training superstep")
+  }
+
   test("q408 appends under the frozen quantizer: v2 re-addresses v1 untouched") {
     val q = SparkEntry.queries("q408_ann_index_append")
     assert(q(spark, sf0001).collect().nonEmpty)
