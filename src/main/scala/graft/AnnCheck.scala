@@ -11,6 +11,12 @@ package graft
   * corpus.
   *
   * Usage: runMain graft.AnnCheck <dirA> [dirB ...]
+  *
+  * r13: the root is the engine's own DURABLE estate
+  * ([[operators.Similarity.ivfIndexRoot]]) — when the artifact already
+  * exists (committed by a PREVIOUS process over the same data), the build
+  * step is skipped and reported as `build=SKIPPED (committed estate)`:
+  * the cross-session serving story measured, not just asserted.
   */
 object AnnCheck {
 
@@ -18,10 +24,9 @@ object AnnCheck {
     val spark = GraftSession.get(GraftSession.cpus("32"))
     require(args.nonEmpty, "usage: AnnCheck <dir> [dir ...]")
     args.foreach { d =>
-      val tag = d.replaceAll("[^A-Za-z0-9.-]", "_")
-      val root = StagingDirs.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_anncheck_" +
-          s"${spark.sparkContext.applicationId}_$tag")
+      val root = operators.Similarity.ivfIndexRoot(spark, d, "full")
+      val preCommitted = graft.sources.VersionedManifest
+        .latestCommitted(spark, s"$root/lists").nonEmpty
       val t0 = System.nanoTime()
       operators.Similarity.buildIvfIndex(spark, d, root, baseOnly = false)
       val tBuild = (System.nanoTime() - t0) / 1e9
@@ -34,7 +39,10 @@ object AnnCheck {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t1) / 1e9
       }.min
-      println(f"[ann] $d build+commit=$tBuild%.2f s serve=$tServe%.2f s " +
+      val buildNote =
+        if (preCommitted) f"SKIPPED (committed estate, ${tBuild}%.2f s probe)"
+        else f"$tBuild%.2f s"
+      println(f"[ann] $d build+commit=$buildNote serve=$tServe%.2f s " +
         f"(serve/build=${tServe / tBuild}%.3f)")
       CacheHygiene.release(spark)
     }

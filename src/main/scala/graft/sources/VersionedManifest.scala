@@ -85,18 +85,27 @@ object VersionedManifest {
       // two same-JVM threads (or two local processes) racing one slot can
       // BOTH "win" and silently overwrite each other (found by the
       // Round12Spec N-writer property test). POSIX O_CREAT|O_EXCL is the
-      // local equivalent of HDFS's namenode-atomic exclusive create, so
-      // the local binding goes through NIO's CREATE_NEW.
-      val out =
-        try java.nio.file.Files.newOutputStream(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => return false
-        }
-      try out.write(meta.getBytes("UTF-8")) finally out.close()
-      true
+      // local equivalent of HDFS's namenode-atomic exclusive create.
+      //
+      // CONTENT atomicity matters here too (r12 ADVICE #1): the body
+      // carries load-bearing `data=` addressing, and a concurrent reader
+      // (appendBatch's rebase loop reading latestCommitted +
+      // carriedDataLines) must never observe an empty/truncated body —
+      // so the body is written to a writer-unique temp file first and
+      // PUBLISHED atomically via hard link: Files.createLink is atomic
+      // on POSIX, throws FileAlreadyExistsException on a lost race, and
+      // the linked name carries the complete content from its first
+      // visible instant.
+      val local = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmp = local.resolveSibling(
+        s".${n}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, meta.getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(local, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val out =
         try f.create(dst, false)
@@ -759,6 +768,51 @@ object VersionedManifest {
             s"staged $sub left for vacuum")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** FIXED-SLOT OCC append: stage `source` under a writer-unique dir and
+    * try to publish it as EXACTLY version `n` on top of snapshot `n-1` —
+    * the idempotent-append primitive for writers whose batch content is
+    * DETERMINISTIC given the base snapshot (the committed-ANN-index
+    * lifecycle: two racers staging the same arrivals under the same
+    * frozen quantizer). Where [[appendBatch]] rebases and commits at the
+    * NEXT free slot (each racer lands its own batch), tryAppendAt treats
+    * a lost race as "this batch is already committed": exactly one racer
+    * publishes slot `n`, every loser returns false with its stage left
+    * for [[vacuum]], and duplicate rows are impossible by construction
+    * (r12 ADVICE #3 — the check-then-act `latestCommitted` guard alone
+    * let two threads both append). Returns true iff THIS writer
+    * published `n`. Refuses (exception) on schema/constraint violations,
+    * exactly like appendBatch; returns false without staging if `n-1`
+    * is not the latest committed snapshot.
+    */
+  def tryAppendAt(s: SparkSession, dir: String, n: Long, source: DataFrame,
+                  meta: String): Boolean = {
+    if (!latestCommitted(s, dir).contains(n - 1)) return false
+    requireUniformParquet(s, dir, n - 1, "tryAppendAt")
+    val sub = s"v=$n-${java.util.UUID.randomUUID.toString.take(8)}"
+    source.write.mode("overwrite").parquet(s"$dir/$sub")
+    val staged = s.read.parquet(s"$dir/$sub")
+    val schemaProblems = readSchema(s, dir) match {
+      case None => Nil
+      case Some(declared) => conformProblems(declared, staged.schema)
+    }
+    if (schemaProblems.nonEmpty) throw new IllegalStateException(
+      s"append refused: ${schemaProblems.mkString("; ")}")
+    val cs = constraints(s, dir)
+    val bad = violationCounts(staged, cs).filter(_._2 > 0)
+    if (bad.nonEmpty) throw new IllegalStateException(
+      "append refused: " + bad.map { case (nm, c) =>
+        s"constraint $nm violated by $c staged rows" }.mkString("; "))
+    // carried lines are read from the latest snapshot; if a concurrent
+    // commit advanced it past n-1 meanwhile, our tryCommit at slot n
+    // fails (the slot is taken) — the carried set can never be stale in
+    // a PUBLISHED manifest
+    if (!latestCommitted(s, dir).contains(n - 1)) return false
+    val body = (Seq(meta) ++
+      (carriedDataLines(s, dir) :+ s"data=$dir/$sub") ++
+      cs.map { case (nm, p) => s"constraint=$nm:$p" }).mkString("\n")
+    tryCommit(s, dir, n, body)
   }
 
   /** LAST-WRITER-WINS merge — the CDC-apply flavor of [[merge]]: a
@@ -1445,7 +1499,8 @@ object VersionedManifest {
   private[sources] def hadoopFs(dir: String, s: SparkSession): FileSystem =
     fs(dir, s)
 
-  def vacuum(s: SparkSession, dir: String): Seq[Long] = {
+  def vacuum(s: SparkSession, dir: String,
+             stageRetainMs: Long = 0L): Seq[Long] = {
     val f = fs(dir, s)
     val committed = committedVersions(s, dir).toSet
     val root = new Path(dir)
@@ -1472,6 +1527,17 @@ object VersionedManifest {
       resolveDataDirs(s, dir, n)
         .filter(_.startsWith(s"$dir/"))
         .map(_.stripPrefix(dir).stripPrefix("/").split('/').head))
+    // Token-staged dirs (`d-*` and `v=<n>-<token>`) are UNREFERENCED from
+    // the moment a writer lands them until its tryCommit wins — and
+    // appendBatch's rebase loop (constraint re-scan per round) makes that
+    // window long (r12 ADVICE #2). `stageRetainMs` gates their
+    // reclamation on an mtime age: a concurrent vacuum with a real
+    // retention (estates: >= the longest plausible commit latency) can
+    // never delete an in-flight writer's stage out from under its
+    // winning commit. The 0 default reclaims immediately — correct only
+    // when the caller KNOWS no writer is in flight (specs, the
+    // single-threaded q249 maintenance pass).
+    val cutoff = System.currentTimeMillis() - stageRetainMs
     entries
       .filter { p =>
         val nm = p.getName
@@ -1479,7 +1545,9 @@ object VersionedManifest {
         // are reclaimed by the same referenced-set rule as `d-*`
         (nm.startsWith("d-") ||
           (nm.startsWith("v=") &&
-            !nm.stripPrefix("v=").matches("[0-9]+"))) && !referenced(nm)
+            !nm.stripPrefix("v=").matches("[0-9]+"))) && !referenced(nm) &&
+          (stageRetainMs <= 0L ||
+            f.getFileStatus(p).getModificationTime <= cutoff)
       }
       .foreach(p => f.delete(p, true))
     orphans.map(_._1).sorted

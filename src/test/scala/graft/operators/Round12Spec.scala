@@ -190,9 +190,10 @@ class Round12Spec extends SparkSpec {
 
   // ------------------------------------------------ persisted ANN index
 
+  // the engine's own (durable, fingerprint-keyed) root — r13 moved the
+  // estate out of the applicationId namespace, see Similarity.ivfIndexRoot
   private def idxRoot(tag: String, d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${tag}_" +
-      s"${spark.sparkContext.applicationId}_${d.replaceAll("[^A-Za-z0-9.-]", "_")}"
+    Similarity.ivfIndexRoot(spark, d, tag)
 
   test("q407 trains once, commits once, serves from the committed version") {
     val q = SparkEntry.queries("q407_ann_index_commit")
@@ -205,7 +206,7 @@ class Round12Spec extends SparkSpec {
     assert(VM.describe(spark, s"$root/cents", 1).contains("npr="))
     val again = q(spark, sf0001)
     val plan = again.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_ivfidx_full"),
+    assert(plan.contains("ivfidx2_full"),
       "serving must scan the committed index artifact")
     assert(!again.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("posexplode"),
@@ -288,7 +289,7 @@ class Round12Spec extends SparkSpec {
     val df = SparkEntry.queries("q413_two_stage_serving")(spark, sf0001)
     assert(df.collect().nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_ivfidx_full"),
+    assert(plan.contains("ivfidx2_full"),
       "stage-1 candidates must come from the committed index artifact")
     assert(!df.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("posexplode"),

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.sources.{VersionedManifest => VM}
+import org.apache.spark.sql.functions._
+
+/** Round-13 contracts: the r12 verdict's asks (durable cross-session index
+  * estate, driver-proof evidence chain) plus the r12 ADVICE items
+  * (content-atomic tryCommit, retention-gated stage vacuum, OCC index
+  * lifecycle via fixed-slot appends).
+  */
+class Round13Spec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_r13_${tag}_" +
+        spark.sparkContext.applicationId)
+
+  // ------------------------------------------- durable index estate (r12 #2)
+
+  test("committed index estate: a FRESH session serves train-free and write-free") {
+    // land (or find) the committed artifact — idempotent across sessions
+    val r1 = SparkEntry.queries("q407_ann_index_commit")(spark, sf0001).collect()
+    val root = Similarity.ivfIndexRoot(spark, sf0001, "full")
+    assert(!root.contains(spark.sparkContext.applicationId),
+      "estate root must be session-independent (durable)")
+    def estateSig: Seq[(String, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => (f.toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toVector.sortBy(_._1)
+      finally st.close()
+    }
+    val before = estateSig
+    // a FRESH session (new session state, no cached plans/views) must
+    // serve from the committed artifact: no Lloyd superstep in the plan,
+    // no build I/O against the estate
+    val s2 = spark.newSession()
+    val df = SparkEntry.queries("q407_ann_index_commit")(s2, sf0001)
+    assert(!df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("posexplode"),
+      "fresh-session serving plan must not contain the training superstep")
+    assert(df.queryExecution.executedPlan.toString.contains("ivfidx2_full"),
+      "fresh-session serving must scan the committed index artifact")
+    val r2 = df.collect()
+    assert(r2.toSeq == r1.toSeq)
+    assert(estateSig == before,
+      "fresh-session serving must not write a single byte to the estate")
+  }
+
+  test("N racing builders publish ONE index version with unmixed data dirs") {
+    val d = sf0001
+    val root = tmp("occbuild")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try Similarity.buildIvfIndex(spark, d, root, baseOnly = false)
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"${failures.peek()}")
+    assert(VM.committedVersions(spark, s"$root/cents") == Seq(1L))
+    assert(VM.committedVersions(spark, s"$root/lists") == Seq(1L))
+    // the committed version addresses exactly ONE writer-unique stage —
+    // racing attempts can never interleave files in a shared dir
+    assert(VM.resolveDataDirs(spark, s"$root/cents", 1).size == 1)
+    assert(VM.resolveDataDirs(spark, s"$root/lists", 1).size == 1)
+    // and serving equals the single-builder result
+    val served = Similarity.serveFromIvfIndex(spark, d, root).collect()
+    val ref = SparkEntry.queries("q407_ann_index_commit")(spark, d).collect()
+    assert(served.toSeq == ref.toSeq)
+  }
+
+  // -------------------------------------- fixed-slot OCC append (ADVICE #3)
+
+  test("tryAppendAt: N racers land a deterministic batch exactly once") {
+    import spark.implicits._
+    val dir = tmp("tryapp")
+    Seq((0L, "seed")).toDF("id", "src").write.mode("overwrite")
+      .parquet(s"$dir/v=1")
+    VM.commit(spark, dir, 1, "seed")
+    val batch = spark.range(10)
+      .select((col("id") + 100L).as("id"), lit("arrivals").as("src"))
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        try { if (VM.tryAppendAt(spark, dir, 2, batch, "arrivals"))
+          wins.incrementAndGet() }
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"${failures.peek()}")
+    assert(wins.get == 1, s"expected exactly one winner, got ${wins.get}")
+    assert(VM.committedVersions(spark, dir) == Seq(1L, 2L),
+      "losers must not rebase to new slots — the batch is already committed")
+    val n = VM.readLatest(spark, dir)
+      .filter(col("src") === "arrivals").count()
+    assert(n == 10L, s"arrivals landed $n rows — duplicates or loss")
+  }
+
+  test("tryAppendAt refuses a stale base snapshot without staging") {
+    import spark.implicits._
+    val dir = tmp("stale")
+    Seq((0L, 0L)).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/v=1")
+    VM.commit(spark, dir, 1, "seed")
+    def stages = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("v=3-"))
+    assert(!VM.tryAppendAt(spark, dir, 3, Seq((1L, 1L)).toDF("id", "x"), "gap"),
+      "slot 3 on a v1 table would create a version gap")
+    assert(stages == 0, "a refused stale append must not stage")
+  }
+
+  // --------------------------------- content-atomic tryCommit (ADVICE #1)
+
+  test("tryCommit never exposes a torn manifest body (racing readers)") {
+    val dir = tmp("atomic")
+    new java.io.File(dir).mkdirs()
+    // 8 writers race ONE slot with distinct multi-KB bodies ending in a
+    // terminator line; a reader polls the slot the whole time. With the
+    // createLink publish, the first visible byte set IS the full body.
+    val bodies = (1 to 8).map(i =>
+      (s"writer=$i\n" + (s"pad=$dir/d-w$i-line\n" * 200) + "END").ensuring(
+        _.length > 4000))
+    val winner = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val p = java.nio.file.Paths.get(dir, "_commits", "1")
+      while (!stop.get) {
+        if (java.nio.file.Files.exists(p)) {
+          val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          if (!body.endsWith("END")) torn.add(body.take(60))
+        }
+      }
+    })
+    reader.start()
+    val writers = (1 to 8).map { i =>
+      new Thread(() => {
+        if (VM.tryCommit(spark, dir, 1, bodies(i - 1))) winner.set(i)
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    stop.set(true); reader.join()
+    assert(torn.isEmpty, s"reader observed ${torn.size} torn bodies: ${torn.peek()}")
+    assert(winner.get > 0)
+    assert(VM.describe(spark, dir, 1) == bodies(winner.get - 1),
+      "committed body must be the winner's complete body")
+    // no .tmp residue in _commits
+    val residue = new java.io.File(s"$dir/_commits").listFiles()
+      .filter(_.getName.endsWith(".tmp"))
+    assert(residue.isEmpty, s"tmp residue: ${residue.map(_.getName).toSeq}")
+  }
+
+  // --------------------------------- retention-gated stage vacuum (ADVICE #2)
+
+  test("vacuum with a retention age spares young unreferenced stages") {
+    import spark.implicits._
+    val dir = tmp("retain")
+    Seq((1L, 1L)).toDF("id", "x").write.mode("overwrite").parquet(s"$dir/v=1")
+    VM.commit(spark, dir, 1, "seed")
+    // an in-flight writer's freshly-landed stage (unreferenced until its
+    // tryCommit wins)
+    Seq((2L, 2L)).toDF("id", "x").write.mode("overwrite")
+      .parquet(s"$dir/v=2-inflight")
+    def stage = new java.io.File(s"$dir/v=2-inflight")
+    VM.vacuum(spark, dir, stageRetainMs = 10 * 60 * 1000L)
+    assert(stage.exists, "a young stage must survive a retention-gated vacuum")
+    // age the stage past the retention window → reclaimable
+    java.nio.file.Files.setLastModifiedTime(stage.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60 * 60 * 1000L))
+    VM.vacuum(spark, dir, stageRetainMs = 10 * 60 * 1000L)
+    assert(!stage.exists, "an aged-out orphan stage must be reclaimed")
+    // committed data untouched throughout
+    assert(VM.readLatest(spark, dir).count() == 1L)
+  }
+}
