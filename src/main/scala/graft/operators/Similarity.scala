@@ -2764,17 +2764,29 @@ object Similarity extends QueryModule {
     * inverted lists only — (qid, qv, nid, dv) pairs for whatever scorer
     * sits on top (exact cosine in [[serveFromIvfIndex]], MaxSim in
     * q413's two-stage rerank). */
+  /** Probe budget committed with the index's coarse quantizer (rides the
+    * cents manifest body — serving never re-derives geometry). */
+  private[graft] def committedNpr(s: SparkSession, root: String): Long = {
+    val M = graft.sources.VersionedManifest
+    val cv = M.latestCommitted(s, s"$root/cents").getOrElse(
+      throw new IllegalStateException(s"no committed index at $root"))
+    M.describe(s, s"$root/cents", cv).linesIterator
+      .find(_.startsWith("npr=")).map(_.stripPrefix("npr=").toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"committed index at $root carries no npr"))
+  }
+
   private def ivfCandidatePairs(s: SparkSession, d: String,
-                                root: String): DataFrame = {
+                                root: String,
+                                nprOverride: Option[Long] = None): DataFrame = {
     val M = graft.sources.VersionedManifest
     val cv = M.latestCommitted(s, s"$root/cents").getOrElse(
       throw new IllegalStateException(s"no committed index at $root"))
     val lv = M.latestCommitted(s, s"$root/lists").getOrElse(
       throw new IllegalStateException(s"no committed lists at $root"))
-    val npr = M.describe(s, s"$root/cents", cv).linesIterator
-      .find(_.startsWith("npr=")).map(_.stripPrefix("npr=").toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"committed index at $root carries no npr"))
+    // nprOverride: the RecallCheck gauge sweeps the probe budget around
+    // the committed default — the quality dial a serving estate watches
+    val npr = nprOverride.getOrElse(committedNpr(s, root))
     val cents = M.readAt(s, s"$root/cents", cv)
     val lists = M.readAt(s, s"$root/lists", lv)
     val queries = quantized(s, d).filter(col("vec_id") < 10)
@@ -2794,8 +2806,10 @@ object Similarity extends QueryModule {
   }
 
   private[graft] def serveFromIvfIndex(s: SparkSession, d: String,
-                                       root: String): DataFrame =
-    ivfCandidatePairs(s, d, root)
+                                       root: String,
+                                       nprOverride: Option[Long] = None)
+      : DataFrame =
+    ivfCandidatePairs(s, d, root, nprOverride)
       .select(col("qid"), col("nid"),
         (dotExpr("qv", "dv").cast(DoubleType) /
           (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("dv", "dv")))).as("cos"))
@@ -2940,27 +2954,84 @@ object Similarity extends QueryModule {
     * q83/q407's committed IVF shortlist and MaxSim re-scores candidates
     * only (q359's two-stage discipline).
     */
-  private def q412(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val vecs = quantized(s, d)
-    val queries = vecs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val scored = vecs.select(col("vec_id").as("nid"), col("v").as("dv"))
-      .crossJoin(broadcast(queries))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
-          "acc + array_max(transform(sequence(0, 7), n -> " +
-          "graft_dot(slice(qv, m * 8 + 1, 8), slice(dv, n * 8 + 1, 8)))))")
-          .as("score"))
-    scored
+  /** MaxSim over the M=8 × 8-dim multi-vector layout: Σ_m max_n
+    * ⟨q_m, d_n⟩ on columns `qv`/`dv` (codegen'd HOFs, exact integers). */
+  private def maxSimScore =
+    expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
+      "acc + array_max(transform(sequence(0, 7), n -> " +
+      "graft_dot(slice(qv, m * 8 + 1, 8), slice(dv, n * 8 + 1, 8)))))")
+
+  private def maxSimTop5(pairs: DataFrame): DataFrame =
+    pairs.select(col("qid"), col("nid"), maxSimScore.as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid")))
         .cast(LongType))
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), col("score"))
       .orderBy(col("qid"), col("rank"))
+
+  /** Exact (brute-force) cosine top-5 for queries vec_id < `nq` — the
+    * stage-1 geometry's own oracle, so the RecallCheck gauge can split
+    * "shortlist misses cosine neighbors" (index quality) from "cosine
+    * shortlist misses MaxSim winners" (scorer/geometry mismatch). */
+  private[graft] def exactCosineTop5(s: SparkSession, d: String,
+                                     nq: Long): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val queries = vecs.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    vecs.select(col("vec_id").as("nid"), col("v").as("dv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotExpr("qv", "dv").cast(DoubleType) /
+          (sqrt(dotExpr("qv", "qv")) * sqrt(dotExpr("dv", "dv")))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("cos"), col("nid")))
+        .cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
   }
+
+  /** Exact (brute-force) MaxSim top-5 for queries vec_id < `nq` — the
+    * correctness baseline the RecallCheck gauge scores the two-stage
+    * pipeline against (linear in corpus, q80's shape). */
+  private[graft] def exactMaxSimTop5(s: SparkSession, d: String,
+                                     nq: Long): DataFrame = {
+    GraftFunctions.register(s)
+    val vecs = quantized(s, d)
+    val queries = vecs.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    maxSimTop5(vecs.select(col("vec_id").as("nid"), col("v").as("dv"))
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid")))
+  }
+
+  /** Two-stage serving from the committed index: IVF shortlist (probed
+    * inverted lists only) → MaxSim re-rank of candidates — q413's body,
+    * with the probe budget overridable for the recall/latency sweep.
+    *
+    * DEFAULT BUDGET = 4 × the committed cosine budget: the RecallCheck
+    * gauge (r13, three scales) measured that stage 1's single-vector
+    * cosine geometry recalls its OWN neighbors fine at the committed
+    * budget (cosine recall@5 0.88–0.96) but misses MaxSim winners badly
+    * (maxsim recall@5 0.20–0.40) — the known single-vector-ANN-for-
+    * late-interaction gap (ColBERT serves from a widened candidate set
+    * for the same reason). At 4× the budget maxsim recall@5 is
+    * 0.64–1.00 while the rerank still touches ~4·nprobe/nlist of the
+    * corpus, never the corpus itself. */
+  private[graft] def twoStageMaxSimTop5(s: SparkSession, d: String,
+                                        root: String,
+                                        nprOverride: Option[Long] = None)
+      : DataFrame = {
+    GraftFunctions.register(s)
+    val npr = nprOverride.getOrElse(4L * committedNpr(s, root))
+    maxSimTop5(ivfCandidatePairs(s, d, root, Some(npr)))
+  }
+
+  private def q412(s: SparkSession, d: String): DataFrame =
+    exactMaxSimTop5(s, d, 5)
 
   private val q412Sql =
     s"""WITH q AS ($quantizedSql),
@@ -2999,18 +3070,7 @@ object Similarity extends QueryModule {
     GraftFunctions.register(s)
     val root = ivfIndexRoot(s, d, "full")
     buildIvfIndex(s, d, root, baseOnly = false)
-    ivfCandidatePairs(s, d, root)
-      .select(col("qid"), col("nid"),
-        expr("aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
-          "acc + array_max(transform(sequence(0, 7), n -> " +
-          "graft_dot(slice(qv, m * 8 + 1, 8), slice(dv, n * 8 + 1, 8)))))")
-          .as("score"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(desc("score"), col("nid")))
-        .cast(LongType))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("nid"), col("score"))
-      .orderBy(col("qid"), col("rank"))
+    twoStageMaxSimTop5(s, d, root)
   }
 
   private val q413Sql =
@@ -3031,7 +3091,7 @@ object Similarity extends QueryModule {
        |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
        |        c.cid) AS pr
        |    FROM q a CROSS JOIN cents c WHERE a.vec_id < 10)
-       |  WHERE pr <= (SELECT npr FROM geom)),
+       |  WHERE pr <= 4 * (SELECT npr FROM geom)),
        |scored AS (
        |  SELECT p.qid, m.vec_id AS nid,
        |    CAST(list_sum(list_transform(range(0, 8), mm ->

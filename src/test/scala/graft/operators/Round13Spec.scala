@@ -76,6 +76,31 @@ class Round13Spec extends SparkSpec {
     assert(served.toSeq == ref.toSeq)
   }
 
+  // ------------------------------------ two-stage recall floor (r12 #3)
+
+  test("q413's late-interaction budget holds recall@5 >= 0.6 vs exact MaxSim") {
+    // RecallCheck (r13, three scales) measured: at the committed cosine
+    // budget the cosine shortlist misses MaxSim winners (recall 0.20-0.40);
+    // q413's 4x budget recovers 0.64-1.00. This pins the floor the
+    // registered query SERVES at — on this data the measured value is
+    // 0.82; 0.6 leaves margin for a regenerated-testdata geometry.
+    val root = Similarity.ivfIndexRoot(spark, sf0001, "full")
+    Similarity.buildIvfIndex(spark, sf0001, root, baseOnly = false)
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top5(Similarity.exactMaxSimTop5(spark, sf0001, 10))
+    val served = top5(Similarity.twoStageMaxSimTop5(spark, sf0001, root))
+    val recall = (exact & served).size.toDouble / exact.size
+    assert(recall >= 0.6, f"two-stage recall@5 $recall%.3f below floor 0.6")
+    // and the widened budget is still a shortlist, not a corpus scan:
+    // strictly fewer candidates than all-pairs for the same queries
+    val cand = Similarity.twoStageMaxSimTop5(spark, sf0001, root)
+    assert(!cand.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("posexplode"),
+      "two-stage serving must not train")
+  }
+
   // -------------------------------------- fixed-slot OCC append (ADVICE #3)
 
   test("tryAppendAt: N racers land a deterministic batch exactly once") {
