@@ -390,6 +390,29 @@ object Bench {
       }
       targets = dirtyRows()
     }
+    // HEADLINE DE-NOISE (r12 verdict #5): the 49-row comparable subtotal
+    // swung 0.94×–1.11× on host weather alone — the per-query retry logic
+    // catches steal bursts but not uniform session-wide slowdowns (cpu
+    // frequency, co-tenant memory bandwidth), which inflate every row a
+    // little and the subtotal a lot. Bursts outlast back-to-back retries
+    // but not the ~minutes between the first sweep and this one, so the
+    // comparable subset is re-swept IN FULL at session end (it costs
+    // ~40 s quiet) and each row keeps the min over both sweeps: the
+    // headline becomes min-of-2 temporally-separated sweeps of unchanged
+    // code. `sweep2_improved` records how many rows the second sweep won
+    // — a high count means the first sweep ran into a slow window.
+    val comparable = headline.take(49).filter(state.contains)
+    var sweep2Improved = 0
+    comparable.foreach { name =>
+      val (best, tc, sf, aNew, err) = measure(name)
+      if (err.isEmpty && best < Double.MaxValue) {
+        val (v0, tc0, sf0, a0) = state(name)
+        if (v0 < 0 || best < v0) {
+          if (v0 >= 0) sweep2Improved += 1
+          state(name) = (best, tc, sf, a0 + aNew)
+        } else state(name) = (v0, tc0, sf0, a0 + aNew)
+      }
+    }
     val inflated = state.collect {
       case (n, (v, _, _, _)) if v > 0 && firstQuote(n) > 2 * v => n
     }.toSeq
@@ -418,7 +441,7 @@ object Bench {
     val total = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     val contaminated =
       results.count { case (_, v, _, sf, _) => v >= 0 && sf > 0.02 }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"construct":$cjson,"steal":$sjson,"attempts":$ajson,"requote":$rqjson,"inflated":$ijson,"contaminated":$contaminated,"requote_rounds":$round,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"construct":$cjson,"steal":$sjson,"attempts":$ajson,"requote":$rqjson,"inflated":$ijson,"contaminated":$contaminated,"requote_rounds":$round,"comparable_sweeps":2,"sweep2_improved":$sweep2Improved,"quiet_budget_exhausted":${quietBudgetMs <= 0},"errors":$ejson,"failed":${errors.size},"sf":"$sfDir"}"""
     // The driver archives only a ~2 KB stdout TAIL of the sbt run and
     // json-parses what it finds there. The full line above is ~30 KB at
     // 300+ queries, so printing it truncates mid-map and the driver
@@ -436,7 +459,7 @@ object Bench {
     val qCompact = results.collect {
       case (k, v, _, _, _) if compactSet(k) => "\"" + k + "\":" + r2(v)
     }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qCompact,"n_queries":${results.size},"failed":${errors.size},"contaminated":$contaminated,"requote_rounds":$round,"quiet_budget_exhausted":${quietBudgetMs <= 0},"full":"target/bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qCompact,"n_queries":${results.size},"failed":${errors.size},"contaminated":$contaminated,"requote_rounds":$round,"comparable_sweeps":2,"sweep2_improved":$sweep2Improved,"quiet_budget_exhausted":${quietBudgetMs <= 0},"full":"target/bench_latest.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
