@@ -209,7 +209,9 @@ object Bench {
     "q407_ann_index_commit", "q408_ann_index_append",
     "q409_ann_index_compact", "q410_ann_index_retrain",
     "q411_stream_index_maint", "q412_late_interaction",
-    "q413_two_stage_serving"
+    "q413_two_stage_serving",
+    // round 13 addition: the recall audit (exact baseline ∩ two-stage)
+    "q414_two_stage_recall"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -259,7 +259,20 @@ object Graphs extends QueryModule {
     * 2016 rows by construction (Round12Spec pins the bound on an
     * adversarial hot-part fixture).
     */
-  private[graft] def copurchasePairCounts(cp: DataFrame, cap: Int): DataFrame = {
+  private[graft] def copurchasePairCounts(cp: DataFrame, cap: Int): DataFrame =
+    copurchasePairCounts(cp, cap, 0)
+
+  /** `pairParts > 0` widens the PAIR exchange (r12 verdict #6 — the sf10
+    * spill diet): the expanded pk rows repartition to `pairParts`
+    * hash(pk) partitions and the count aggregates IN-STAGE on the
+    * receive side. This trades map-side combine (which at decade scale
+    * combined little — pairs from one part land once — while its
+    * aggregation hash map spilled sorted runs repeatedly) for bounded
+    * per-reducer state: each final hash map holds pairs/pairParts
+    * entries. 0 keeps the default plan (partial+final agg across a
+    * 32-way exchange), which map-side-combines fine at bench scale. */
+  private[graft] def copurchasePairCounts(cp: DataFrame, cap: Int,
+                                          pairParts: Int): DataFrame = {
     // the cap applies BEFORE any buyer list materializes: a bounded-state
     // distinct-count pass finds the surviving parts, and only their rows
     // reach collect_set — so no aggregation buffer ever exceeds `cap`
@@ -272,18 +285,39 @@ object Graphs extends QueryModule {
     val keep = cp.groupBy(col("p")).agg(countDistinct(col("c")).as("b"))
       .filter(col("b").between(2, cap))
       .select(col("p"))
-    cp.join(keep, Seq("p"), "left_semi")
+    val expanded = cp.join(keep, Seq("p"), "left_semi")
       .groupBy(col("p")).agg(sort_array(collect_set(col("c"))).as("cs"))
       .select(explode(expr(
         "flatten(transform(cs, (x, i) -> " +
           "transform(slice(cs, i + 2, size(cs)), " +
           "y -> x * 4294967296L + y)))")).as("pk"))
+    val spread =
+      if (pairParts > 0) expanded.repartition(pairParts, col("pk"))
+      else expanded
+    spread
       .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
       .select(expr("pk div 4294967296L").as("ca"),
         expr("pk % 4294967296L").as("cb"), col("cnt"))
   }
 
+  /** Scale probe for [[q395]]'s pair-exchange width, memoized per dataset
+    * dir so warm bench re-quotes pay nothing (the count() itself is a
+    * column-free vectorized scan — row counts only). */
+  private val liRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def q395(s: SparkSession, d: String): DataFrame = {
+    // pair-exchange width (r12 verdict #6): keep the default 32-way
+    // exchange (with map-side combine) until the pair mass outgrows it,
+    // then widen linearly — ~500k lineitems of pair mass per reduce
+    // partition keeps every final aggregation map in memory. sf0.1–sf1
+    // keep today's plan; sf10 gets a 120-way pair exchange whose counts
+    // aggregate in-stage instead of spilling a 32-way hash map.
+    val liRows: Long =
+      liRowsMemo.computeIfAbsent(d, dd => Tables.lineitem(s, dd).count())
+    val defaultParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairParts =
+      if ((liRows / 500000L) <= defaultParts) 0 else (liRows / 500000L).toInt
     val cp = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -296,7 +330,7 @@ object Graphs extends QueryModule {
     // localCheckpoint materializes the 9M-pair projection ONCE instead
     // of re-executing it per consumer (q138's fixpoint device) — edge
     // rows are two longs, O(edges) executor storage
-    val edges = copurchasePairCounts(cp, PartCap)
+    val edges = copurchasePairCounts(cp, PartCap, pairParts)
       .filter(col("cnt") >= 2)
       .select(col("ca"), col("cb"))
       .localCheckpoint()
@@ -308,7 +342,7 @@ object Graphs extends QueryModule {
     // mid ⋈ mid self-join); the ≤ 64 size cap IS the middle-degree cap —
     // adj has no duplicate neighbors, so collect_set size ≡ deg(n)
     val wedges = copurchasePairCounts(
-        adj.select(col("dst").as("c"), col("src").as("p")), 64)
+        adj.select(col("dst").as("c"), col("src").as("p")), 64, pairParts)
       .select(col("ca").as("u"), col("cb").as("v"),
         col("cnt").as("common"))
     wedges

@@ -3110,6 +3110,97 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** q414: TWO-STAGE RECALL AUDIT — the serving-quality dial promoted
+    * from a gauge (graft.RecallCheck, r12 verdict "What's missing" #3)
+    * to an ORACLED query: per standard query (vec_id < 10), recall@5 of
+    * the committed-index shortlist → MaxSim rerank (q413's pipeline at
+    * its registered 4× probe budget) against the exact brute-force
+    * MaxSim top-5 (q412's scorer over the whole corpus) — `hits` =
+    * |top5_exact ∩ top5_two_stage| and `recall_ppm` = hits·10⁶/5. The
+    * oracle replays BOTH sides from base tables, so the driver's DuckDB
+    * compare certifies the recall NUMBER itself, not just rankings —
+    * the q311/q320 IR-eval discipline applied to the estate's own
+    * serving path.
+    *
+    * Scale: the exact side is the documented linear-scan baseline (an
+    * AUDIT runs at audit cadence over a sampled query set, not per
+    * serve); the two-stage side is the production path (committed
+    * centroids broadcast + probed lists only).
+    */
+  private def q414(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "full")
+    buildIvfIndex(s, d, root, baseOnly = false)
+    val exact = exactMaxSimTop5(s, d, 10)
+      .select(col("qid"), col("nid"))
+    val served = twoStageMaxSimTop5(s, d, root)
+      .select(col("qid").as("sqid"), col("nid").as("snid"))
+    exact.join(served,
+        col("qid") === col("sqid") && col("nid") === col("snid"), "left")
+      .groupBy(col("qid")).agg(count(col("sqid")).as("hits"))
+      .select(col("qid"), col("hits"),
+        expr("hits * 1000000 div 5").as("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  private val q414Sql =
+    s"""WITH q AS ($quantizedSql),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]))
+       |        + list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i]))
+       |        - 2 * list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*c.cv[i])),
+       |        c.cid) AS pr
+       |    FROM q a CROSS JOIN cents c WHERE a.vec_id < 10)
+       |  WHERE pr <= 4 * (SELECT npr FROM geom)),
+       |served_scored AS (
+       |  SELECT p.qid, m.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(0, 8), mm ->
+       |      list_max(list_transform(range(0, 8), nn ->
+       |        list_sum(list_transform(range(1, 9), i ->
+       |          qq.v[mm * 8 + i] * dd.v[nn * 8 + i])))))) AS BIGINT) AS score
+       |  FROM probes p
+       |  JOIN assigned m ON p.cid = m.cid
+       |  JOIN q qq ON qq.vec_id = p.qid
+       |  JOIN q dd ON dd.vec_id = m.vec_id
+       |  WHERE p.qid <> m.vec_id),
+       |served5 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, nid) AS rank
+       |    FROM served_scored)
+       |  WHERE rank <= 5),
+       |exact_scored AS (
+       |  SELECT qq.vec_id AS qid, dd.vec_id AS nid,
+       |    CAST(list_sum(list_transform(range(0, 8), mm ->
+       |      list_max(list_transform(range(0, 8), nn ->
+       |        list_sum(list_transform(range(1, 9), i ->
+       |          qq.v[mm * 8 + i] * dd.v[nn * 8 + i])))))) AS BIGINT) AS score
+       |  FROM q qq CROSS JOIN q dd
+       |  WHERE qq.vec_id < 10 AND qq.vec_id <> dd.vec_id),
+       |exact5 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, nid) AS rank
+       |    FROM exact_scored)
+       |  WHERE rank <= 5)
+       |SELECT e.qid, CAST(COUNT(s.qid) AS BIGINT) AS hits,
+       |  CAST(COUNT(s.qid) * 1000000 // 5 AS BIGINT) AS recall_ppm
+       |FROM exact5 e
+       |LEFT JOIN served5 s ON e.qid = s.qid AND e.nid = s.nid
+       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   private val q411Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** q411: STREAMING INDEX MAINTENANCE — the arrival loop a serving
@@ -3256,6 +3347,7 @@ object Similarity extends QueryModule {
     "q411_stream_index_maint" -> q411,
     "q412_late_interaction" -> q412,
     "q413_two_stage_serving" -> q413,
+    "q414_two_stage_recall" -> q414,
     "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
@@ -3295,6 +3387,7 @@ object Similarity extends QueryModule {
     "q411_stream_index_maint" -> q411Sql,
     "q412_late_interaction" -> q412Sql,
     "q413_two_stage_serving" -> q413Sql,
+    "q414_two_stage_recall" -> q414Sql,
     "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,
