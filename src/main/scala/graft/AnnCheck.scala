@@ -42,8 +42,9 @@ object AnnCheck {
       val buildNote =
         if (preCommitted) f"SKIPPED (committed estate, ${tBuild}%.2f s probe)"
         else f"$tBuild%.2f s"
-      println(f"[ann] $d build+commit=$buildNote serve=$tServe%.2f s " +
-        f"(serve/build=${tServe / tBuild}%.3f)")
+      val ratio =
+        if (preCommitted) "" else f" (serve/build=${tServe / tBuild}%.3f)"
+      println(f"[ann] $d build+commit=$buildNote serve=$tServe%.2f s$ratio")
       CacheHygiene.release(spark)
     }
     spark.stop()
