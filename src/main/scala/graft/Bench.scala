@@ -210,8 +210,9 @@ object Bench {
     "q409_ann_index_compact", "q410_ann_index_retrain",
     "q411_stream_index_maint", "q412_late_interaction",
     "q413_two_stage_serving",
-    // round 13 addition: the recall audit (exact baseline ∩ two-stage)
-    "q414_two_stage_recall"
+    // round 13 additions: the recall audit (exact baseline ∩ two-stage),
+    // the streaming serving face, and the committed-index near-dup
+    "q414_two_stage_recall", "q415_stream_two_stage", "q416_index_neardup"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

@@ -2778,7 +2778,9 @@ object Similarity extends QueryModule {
 
   private def ivfCandidatePairs(s: SparkSession, d: String,
                                 root: String,
-                                nprOverride: Option[Long] = None): DataFrame = {
+                                nprOverride: Option[Long] = None,
+                                queriesOverride: Option[DataFrame] = None)
+      : DataFrame = {
     val M = graft.sources.VersionedManifest
     val cv = M.latestCommitted(s, s"$root/cents").getOrElse(
       throw new IllegalStateException(s"no committed index at $root"))
@@ -2789,8 +2791,11 @@ object Similarity extends QueryModule {
     val npr = nprOverride.getOrElse(committedNpr(s, root))
     val cents = M.readAt(s, s"$root/cents", cv)
     val lists = M.readAt(s, s"$root/lists", lv)
-    val queries = quantized(s, d).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // queriesOverride: the streaming serving face (q415) probes for ONE
+    // micro-batch's queries; shape (qid, qv)
+    val queries = queriesOverride.getOrElse(
+      quantized(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
     val probes = queries.join(broadcast(cents))
       .select(col("qid"), col("qv"), col("cid"),
         (dotExpr("qv", "qv") + dotExpr("cv", "cv")
@@ -3023,11 +3028,12 @@ object Similarity extends QueryModule {
     * corpus, never the corpus itself. */
   private[graft] def twoStageMaxSimTop5(s: SparkSession, d: String,
                                         root: String,
-                                        nprOverride: Option[Long] = None)
+                                        nprOverride: Option[Long] = None,
+                                        queriesOverride: Option[DataFrame] = None)
       : DataFrame = {
     GraftFunctions.register(s)
     val npr = nprOverride.getOrElse(4L * committedNpr(s, root))
-    maxSimTop5(ivfCandidatePairs(s, d, root, Some(npr)))
+    maxSimTop5(ivfCandidatePairs(s, d, root, Some(npr), queriesOverride))
   }
 
   private def q412(s: SparkSession, d: String): DataFrame =
@@ -3201,6 +3207,125 @@ object Similarity extends QueryModule {
        |LEFT JOIN served5 s ON e.qid = s.qid AND e.nid = s.nid
        |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  private val q415Runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** q415: STREAMING TWO-STAGE SERVING — the committed index's ONLINE
+    * face, completing the lifecycle's read side the way q411 completed
+    * its write side: query vectors arrive as a FILE STREAM (one file per
+    * micro-batch), each epoch probes the COMMITTED index for ITS batch
+    * only (the [[twoStageMaxSimTop5]] pipeline with the batch as the
+    * query set) and lands results under an `epoch=<n>` dir — an already-
+    * landed epoch is skipped, so checkpoint replay (streaming's
+    * at-least-once window) cannot double-serve. Per-query top-5 ranks
+    * are computed WITHIN the batch, which is exact: ranking windows
+    * partition by qid and each qid lives in exactly one batch. The
+    * drained union therefore equals q413's batch serving row-for-row —
+    * same oracle, parity spec-pinned.
+    *
+    * Scale: per epoch — broadcast centroid ranking for the batch's
+    * queries + probed-list candidate join + MaxSim on candidates only;
+    * state lives in the output TABLE (no watermark, no state store),
+    * restart-safe by directory listing alone, the q252/q411 discipline.
+    */
+  private def q415(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "full")
+    buildIvfIndex(s, d, root, baseOnly = false)
+    val run = q415Runs.incrementAndGet()
+    val base = graft.StagingDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_servestream_" +
+        s"${s.sparkContext.applicationId}_r$run")
+    val feed = graft.StagingDirs.register(s"${base}_feed")
+    val out = graft.StagingDirs.register(s"${base}_out")
+    val ckpt = graft.StagingDirs.register(s"${base}_ckpt")
+    val queries = quantized(s, d).filter(col("vec_id") < 10)
+    queries.repartition(2).write.mode("overwrite").parquet(feed)
+    val serveEpoch: (DataFrame, Long) => Unit = (batch, epoch) => {
+      val dir = new java.io.File(s"$out/epoch=$epoch")
+      // epoch idempotence: landed results ARE the processed-marker
+      if (!dir.exists() && !batch.isEmpty)
+        twoStageMaxSimTop5(s, d, root, queriesOverride = Some(
+          batch.select(col("vec_id").as("qid"), col("v").as("qv"))))
+          .write.mode("overwrite").parquet(dir.getPath)
+    }
+    val q = s.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream.foreachBatch(serveEpoch)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("qid"), col("rank"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // Oracle ALIAS (intended): the streamed epochs' union must equal q413's
+  // batch two-stage serving row-for-row (per-qid windows are batch-local
+  // and each qid lives in one batch). Proven by Round13Spec "q415
+  // streaming serving equals q413's batch results".
+  private def q415Sql = q413Sql
+
+  /** q416: COMMITTED-INDEX NEAR-DUP — q82's embedding-cosine dedup with
+    * candidate generation from the INDEX instead of per-run LSH banding:
+    * candidate pairs are vectors sharing an inverted LIST in the
+    * committed artifact (same coarse cell ⇒ close in the quantizer's
+    * geometry), scored by exact cosine and reported as q82's decile
+    * histogram — directly comparable output, different candidate
+    * generator. This is how a 100 TB dedup actually runs once an index
+    * estate exists: the candidate structure is COMMITTED and amortized
+    * across every dedup/serving/audit job instead of re-hashed per run.
+    *
+    * Scale: pair fan-out is Σ_cells C(occupancy, 2) with occupancy ≈ √n
+    * (the ivfGeom sizing), i.e. ~n^1.5/2 candidate pairs — sub-quadratic
+    * and list-local (the pair join is one self-join per cell key, no
+    * global shuffle of vectors; lists already cluster BY cell after
+    * q409-style compaction). LSH banding (q82) bounds candidates by
+    * collision probability instead — the two generators are
+    * complementary, and the committed-index one is free once the index
+    * exists.
+    */
+  private def q416(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val M = graft.sources.VersionedManifest
+    val root = ivfIndexRoot(s, d, "full")
+    buildIvfIndex(s, d, root, baseOnly = false)
+    val lv = M.latestCommitted(s, s"$root/lists").getOrElse(
+      throw new IllegalStateException(s"no committed lists at $root"))
+    val lists = M.readAt(s, s"$root/lists", lv)
+    lists.as("a").join(lists.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+      .withColumn("cos", dotExpr("va", "vb").cast(DoubleType)
+        / (sqrt(dotExpr("va", "va")) * sqrt(dotExpr("vb", "vb"))))
+      .groupBy(floor(col("cos") * 10).cast(LongType).as("cos_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("cos_decile"))
+  }
+
+  private val q416Sql =
+    s"""WITH q AS ($quantizedSql),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |scored AS (
+       |  SELECT
+       |    CAST(list_sum(list_transform(range(1, len(qa.v)+1), i -> qa.v[i]*qb.v[i])) AS DOUBLE)
+       |      / (sqrt(list_sum(list_transform(qa.v, x -> x*x)))
+       |         * sqrt(list_sum(list_transform(qb.v, x -> x*x)))) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN q qa ON qa.vec_id = a.vec_id
+       |  JOIN q qb ON qb.vec_id = b.vec_id)
+       |SELECT CAST(FLOOR(cos * 10) AS BIGINT) AS cos_decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM scored GROUP BY 1 ORDER BY cos_decile""".stripMargin
+
   private val q411Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** q411: STREAMING INDEX MAINTENANCE — the arrival loop a serving
@@ -3348,6 +3473,8 @@ object Similarity extends QueryModule {
     "q412_late_interaction" -> q412,
     "q413_two_stage_serving" -> q413,
     "q414_two_stage_recall" -> q414,
+    "q415_stream_two_stage" -> q415,
+    "q416_index_neardup" -> q416,
     "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
@@ -3388,6 +3515,8 @@ object Similarity extends QueryModule {
     "q412_late_interaction" -> q412Sql,
     "q413_two_stage_serving" -> q413Sql,
     "q414_two_stage_recall" -> q414Sql,
+    "q415_stream_two_stage" -> q415Sql,
+    "q416_index_neardup" -> q416Sql,
     "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,

@@ -101,6 +101,31 @@ class Round13Spec extends SparkSpec {
       "two-stage serving must not train")
   }
 
+  test("q415 streaming serving equals q413's batch results") {
+    // per-qid windows are batch-local and each qid lives in one batch,
+    // so the drained epoch union must equal batch serving row-for-row —
+    // the read-side analog of q411's stream≡batch append parity
+    val streamed = SparkEntry.queries("q415_stream_two_stage")(spark, sf0001)
+      .collect()
+    val batch = SparkEntry.queries("q413_two_stage_serving")(spark, sf0001)
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
+  test("q416 candidates are list-local: far fewer pairs than all-pairs") {
+    import spark.implicits._
+    val hist = SparkEntry.queries("q416_index_neardup")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    val n = Similarity.exactCosineTop5(spark, sf0001, 1).count() // warms nothing; just assert engine alive
+    val candPairs = hist.values.sum
+    val corpus = graft.Tables.embeddings(spark, sf0001).count()
+    assert(candPairs > 0, "index cells must generate candidate pairs")
+    assert(candPairs < corpus * (corpus - 1) / 2 / 4,
+      s"candidate pairs $candPairs not meaningfully below all-pairs " +
+        s"${corpus * (corpus - 1) / 2}")
+    assert(n == 5L)
+  }
+
   // -------------------------------------- fixed-slot OCC append (ADVICE #3)
 
   test("tryAppendAt: N racers land a deterministic batch exactly once") {
