@@ -47,6 +47,14 @@ object AnnCheck {
       println(f"[ann] $d build+commit=$buildNote serve=$tServe%.2f s$ratio")
       CacheHygiene.release(spark)
     }
+    // retention sweep (r13 ADVICE #4): reclaim estate roots orphaned by
+    // dataset regenerations (7-day age gate protects anything a live
+    // session could still be building), vacuum live roots' lost stages
+    val reclaimed = operators.Similarity.vacuumEstate(spark,
+      operators.Similarity.estateBase, args.toSeq,
+      retainMs = 7L * 24 * 3600 * 1000)
+    println(s"[ann] estate sweep: ${reclaimed.size} stale roots reclaimed" +
+      (if (reclaimed.isEmpty) "" else s" (${reclaimed.take(3).mkString(", ")}…)"))
     spark.stop()
   }
 }

@@ -55,12 +55,36 @@ object RecallCheck {
         val recallCos = (exactCos &
           top5Set(S.serveFromIvfIndex(spark, d, root, Some(npr))))
           .size.toDouble / exactCos.size
+        val cand = S.ivfCandidatePairs(spark, d, root, Some(npr)).count()
         val mark =
           if (npr == committed) " <- committed cosine budget"
           else if (npr == 4 * committed) " <- q413 late-interaction budget (4x)"
           else ""
         println(f"[recall] $d nprobe=$npr%3d maxsim_recall@5=$recallMs%.3f " +
-          f"cosine_recall@5=$recallCos%.3f serve=$tServe%.2f s$mark")
+          f"cosine_recall@5=$recallCos%.3f cand=$cand%6d serve=$tServe%.2f s$mark")
+        CacheHygiene.release(spark)
+      }
+      // multi-vector (PLAID-style) candidate generation on the SAME
+      // artifact (q417): per-subvector budgets, union shortlist —
+      // `cand` (pairs the rerank scores) is the probed-volume axis to
+      // compare against the pooled rows above at equal recall
+      val subBudgets = (Seq(1L, 2L, 3L, 4L, 6L, 8L) ++
+        Seq(S.mvSubNpr(committed), committed)).distinct.sorted.filter(_ >= 1L)
+      subBudgets.foreach { sub =>
+        def serve() = S.multiVectorMaxSimTop5(spark, d, root, Some(sub))
+        serve().write.format("noop").mode("overwrite").save() // warm
+        val tServe = (1 to 2).map { _ =>
+          val t1 = System.nanoTime()
+          serve().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t1) / 1e9
+        }.min
+        val recallMs = (exactMs &
+          top5Set(serve())).size.toDouble / exactMs.size
+        val cand = S.multiVectorCandidatePairs(spark, d, root, Some(sub)).count()
+        val mark = if (sub == S.mvSubNpr(committed))
+          " <- q417 default (npr per subvector)" else ""
+        println(f"[recall] $d mv_subnpr=$sub%3d maxsim_recall@5=$recallMs%.3f " +
+          f"cand=$cand%6d serve=$tServe%.2f s$mark")
         CacheHygiene.release(spark)
       }
     }

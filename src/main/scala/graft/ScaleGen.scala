@@ -58,9 +58,21 @@ object ScaleGen {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     def wanted(n: String) = only.isEmpty || only(n)
-    // optional 5th arg "zipf": redistribute the hot foreign keys and the
-    // document duplicate-cluster sizes Zipf(1.0) — see [[zipfKey]]
-    val zipf = args.lift(4).contains("zipf")
+    // optional 5th arg: comma-separated modes —
+    //   "zipf": redistribute the hot foreign keys and the document
+    //     duplicate-cluster sizes Zipf(1.0) — see [[zipfKey]];
+    //   "perturb": deterministic ±0.02 jitter on DUPLICATED embeddings
+    //     (copies i>0) — verbatim copies make recall gauges degenerate at
+    //     decade scales (every query's top-5 is its own exact duplicates,
+    //     co-located in its own list ⇒ recall ≡ 1.0 at nprobe=1 — r13
+    //     verdict "What's missing" #2); jittered copies stay NEAR
+    //     neighbors without being trivially identical, so recall@5 is a
+    //     valid column at sf1/sf10
+    val modes: Set[String] = args.lift(4)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val zipf = modes("zipf")
+    val perturb = modes("perturb")
     val spark = GraftSession.get(GraftSession.cpus("32"))
 
     def load(n: String) = Tables(spark, src, n)
@@ -111,9 +123,22 @@ object ScaleGen {
             .select(out0.columns.map(col): _*)
         case _ => out0
       }
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scalegen] $name: ${out.count()} rows -> $dst/$name.parquet" +
-        (if (zipf) " (zipf)" else ""))
+      // perturb mode: jitter the REPLICA embeddings (vec_id >= sVec ⇔
+      // copy i > 0; copy 0 is bit-untouched so the standard query set and
+      // any cross-scale comparison keep their exact vectors). The jitter
+      // is seed-free-deterministic per (vec_id, component): uniform over
+      // ±0.020 in 0.001 steps — ±20 units in the engines' ×1000 integer
+      // quantization, ~2% of a unit-ish component.
+      val out1 =
+        if (!perturb || name != "embeddings") out
+        else out.withColumn("embedding", expr(
+          s"CASE WHEN vec_id >= $sVec THEN " +
+            "transform(embedding, (x, j) -> CAST(x + " +
+            "(pmod(xxhash64(vec_id, j), 41) - 20) / 1000.0 AS FLOAT)) " +
+            "ELSE embedding END"))
+      out1.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scalegen] $name: ${out1.count()} rows -> $dst/$name.parquet" +
+        (if (modes.nonEmpty) s" (${modes.toSeq.sorted.mkString(",")})" else ""))
     }
     // events scales like the facts — copies shift event_id (and user_id,
     // which some stateful queries key on) but keep TIMESTAMPS as-is, so

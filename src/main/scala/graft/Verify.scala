@@ -86,12 +86,23 @@ object Verify {
     if (missing.nonEmpty)
       die(s"${missing.size} result dirs missing/empty: " +
         missing.take(10).mkString(", "))
-    // full-sweep floor: every registered query must have dumped (a
-    // restricted `only` run is a local iteration tool, not the gate)
-    if (only.isEmpty && names.size < SparkEntry.queries.size)
-      die(s"only ${names.size} of ${SparkEntry.queries.size} registered " +
-        "queries ran")
+    // full-sweep floor (r13 ADVICE #5: the old `names.size <
+    // queries.size` check was tautological — names derives from
+    // queries.keys). The independent count here is the ORACLE registry:
+    // every oracled name must be a registered query AND must have dumped,
+    // so a module whose queries map lost entries its oracles map still
+    // carries can no longer pass silently.
+    if (only.isEmpty) {
+      val orphanOracles =
+        SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+      if (orphanOracles.nonEmpty)
+        die(s"${orphanOracles.size} oracles have no registered query: " +
+          orphanOracles.take(10).mkString(", "))
+      if (names.size < SparkEntry.oracleSql.size)
+        die(s"only ${names.size} results for " +
+          s"${SparkEntry.oracleSql.size} oracles")
+    }
     println(s"DUMP OK: ${names.size} results, " +
-      s"${SparkEntry.oracleSql.size} oracles, floor ${names.size}")
+      s"${SparkEntry.oracleSql.size} oracles")
   }
 }

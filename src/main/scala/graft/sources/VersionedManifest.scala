@@ -105,6 +105,18 @@ object VersionedManifest {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // no hard links on this mount (overlay/FUSE/network tmpdirs,
+          // r13 ADVICE #3) — fall back to the exclusive CREATE_NEW write:
+          // still exactly-one-winner; content tearing is bounded to these
+          // non-hardlink filesystems and the body stays tiny
+          try {
+            java.nio.file.Files.write(local, meta.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val out =
@@ -1550,6 +1562,18 @@ object VersionedManifest {
             f.getFileStatus(p).getModificationTime <= cutoff)
       }
       .foreach(p => f.delete(p, true))
+    // `.tmp` bodies in _commits (tryCommit's writer-unique staging): a
+    // crash between the body write and the createLink publish strands one
+    // forever (r13 ADVICE #3) — filtered from version listing but never
+    // reclaimed until here. Same retention gate as data stages: an
+    // in-flight writer's tmp is younger than any sane stageRetainMs.
+    val commits = new Path(dir, "_commits")
+    if (f.exists(commits)) {
+      f.listStatus(commits).toSeq
+        .filter(st => st.getPath.getName.endsWith(".tmp") &&
+          (stageRetainMs <= 0L || st.getModificationTime <= cutoff))
+        .foreach(st => f.delete(st.getPath, false))
+    }
     orphans.map(_._1).sorted
   }
 }
