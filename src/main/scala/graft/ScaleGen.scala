@@ -61,13 +61,15 @@ object ScaleGen {
     // optional 5th arg: comma-separated modes —
     //   "zipf": redistribute the hot foreign keys and the document
     //     duplicate-cluster sizes Zipf(1.0) — see [[zipfKey]];
-    //   "perturb": deterministic ±0.02 jitter on DUPLICATED embeddings
+    //   "perturb": deterministic ±0.2 jitter on DUPLICATED embeddings
     //     (copies i>0) — verbatim copies make recall gauges degenerate at
     //     decade scales (every query's top-5 is its own exact duplicates,
     //     co-located in its own list ⇒ recall ≡ 1.0 at nprobe=1 — r13
-    //     verdict "What's missing" #2); jittered copies stay NEAR
-    //     neighbors without being trivially identical, so recall@5 is a
-    //     valid column at sf1/sf10
+    //     verdict "What's missing" #2). The magnitude matters: ±0.02 was
+    //     measured to leave every sibling in the query's own coarse cell
+    //     (recall still ≡ 1.0); ±0.2 scatters siblings across NEIGHBORING
+    //     cells while keeping them the true near-neighbors, so recall@5
+    //     sweeps 0.66→0.90 with nprobe at sf1 — a valid column
     val modes: Set[String] = args.lift(4)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
@@ -134,7 +136,7 @@ object ScaleGen {
         else out.withColumn("embedding", expr(
           s"CASE WHEN vec_id >= $sVec THEN " +
             "transform(embedding, (x, j) -> CAST(x + " +
-            "(pmod(xxhash64(vec_id, j), 41) - 20) / 1000.0 AS FLOAT)) " +
+            "(pmod(xxhash64(vec_id, j), 401) - 200) / 1000.0 AS FLOAT)) " +
             "ELSE embedding END"))
       out1.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scalegen] $name: ${out1.count()} rows -> $dst/$name.parquet" +
