@@ -212,7 +212,10 @@ object Bench {
     "q413_two_stage_serving",
     // round 13 additions: the recall audit (exact baseline ∩ two-stage),
     // the streaming serving face, and the committed-index near-dup
-    "q414_two_stage_recall", "q415_stream_two_stage", "q416_index_neardup"
+    "q414_two_stage_recall", "q415_stream_two_stage", "q416_index_neardup",
+    // round 14 additions: multi-vector (PLAID-style) candidate
+    // generation, batch + streaming faces
+    "q417_multivec_serving", "q418_stream_multivec"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

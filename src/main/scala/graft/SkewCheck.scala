@@ -69,6 +69,35 @@ object SkewCheck {
         s"hot_shingles=${se.get(1)} cand_pairs_with_cap=${se.get(2)} " +
         s"cand_pairs_without_cap=${se.get(3)}")
 
+      // ---- q416 per-list occupancy-cap evidence (r14: the committed-
+      // index near-dup's pair stage is Σ C(min(occ, cap), 2) — duplicate
+      // clusters co-locate in ONE cell by construction, so a decade/Zipf
+      // corpus is exactly where the hottest list would square without
+      // the cap; this row shows the cap BINDING, the q395/shingle rows'
+      // pattern applied to the index estate)
+      try {
+        val S = operators.Similarity
+        val VM = sources.VersionedManifest
+        val root = S.ivfIndexRoot(spark, d, "full")
+        S.buildIvfIndex(spark, d, root, baseOnly = false)
+        val lv = VM.latestCommitted(spark, s"$root/lists").get
+        val cap = S.NearDupListCap
+        val le = VM.readAt(spark, s"$root/lists", lv)
+          .groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+          .agg(max(col("occ")).as("max_occ"),
+            sum(when(col("occ") > cap, 1L).otherwise(0L)).as("hot_lists"),
+            sum(least(col("occ"), lit(cap.toLong))
+              * (least(col("occ"), lit(cap.toLong)) - 1) / 2)
+              .as("pairs_capped"),
+            sum(col("occ") * (col("occ") - 1) / 2).as("pairs_uncapped"))
+          .head()
+        println(s"[skew] $d q416_list_cap: max_occ=${le.get(0)} " +
+          s"hot_lists=${le.get(1)} pairs_with_cap=${le.get(2)} " +
+          s"pairs_without_cap=${le.get(3)}")
+      } catch { case scala.util.control.NonFatal(e) =>
+        println(s"[skew] $d q416_list_cap: skipped (${e.getMessage})")
+      }
+
       // ---- warm min-of-2 timings, the ScaleCheck protocol
       roster.foreach { name =>
         val q = SparkEntry.queries(name)

@@ -89,6 +89,18 @@ class Round14Spec extends SparkSpec {
       "multi-vector serving must not train")
   }
 
+  test("q418 streaming multi-vector serving equals q417's batch results") {
+    // per-qid ranking windows are batch-local and each qid lives in one
+    // batch, so the drained epoch union must equal batch serving
+    // row-for-row — the q415/q413 parity argument on the recommended
+    // candidate generator
+    val streamed = SparkEntry.queries("q418_stream_multivec")(spark, sf0001)
+      .collect()
+    val batch = SparkEntry.queries("q417_multivec_serving")(spark, sf0001)
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   // --------------------- fingerprint collision guard (r13 ADVICE #2)
 
   test("a stored-signature mismatch re-keys the estate root") {
