@@ -24,6 +24,12 @@ import graft.sources.{VersionedManifest => VM}
   *   race <estate> <id>    — barrier on <estate>/.go, then race all
   *                           three protocols; prints one `[occ]` line per
   *                           outcome for the script to cross-count
+  *   ivf <estate> <id> <dataset> — barrier on <estate>/.go2, then both
+  *                           processes run the FULL buildIvfIndex against
+  *                           one root (the operation-level race the
+  *                           primitives exist for); prints the serving
+  *                           result's hash so the script can pin
+  *                           winner-loser result identity
   *   verify <estate>       — recheck every invariant from the committed
   *                           manifests + data; prints OCCRACE PASS/FAIL
   *                           and exits non-zero on FAIL
@@ -79,10 +85,54 @@ object OccRace {
         val v = VM.appendBatch(spark, tbl2, mine, s"proc=$id")
         println(s"[occ] $id appendBatch_v=$v")
 
+      case "ivf" =>
+        val id = args(2)
+        val dataset = args(3)
+        val root = s"$estate/ivf"
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(estate, s".ready2.$id"))
+        val go = java.nio.file.Paths.get(estate, ".go2")
+        while (!java.nio.file.Files.exists(go)) Thread.sleep(5)
+        operators.Similarity.buildIvfIndex(spark, dataset, root,
+          baseOnly = false)
+        val served = operators.Similarity
+          .serveFromIvfIndex(spark, dataset, root)
+          .collect().map(_.toString).mkString("|")
+        println(s"[occ] $id ivf_serve_hash=${served.hashCode}")
+
       case "verify" =>
-        var fails = List.empty[String]
-        def check(ok: Boolean, msg: String): Unit =
-          if (!ok) fails ::= msg
+        // operation-level build race (when the script ran mode `ivf`):
+        // exactly one committed version per index table, each addressing
+        // ONE writer-unique stage — two processes can never interleave
+        // files in a shared dir
+        if (new java.io.File(s"$estate/ivf/lists/_commits").isDirectory) {
+          val root = s"$estate/ivf"
+          Seq("cents", "lists").foreach { tbl =>
+            val vs = VM.committedVersions(spark, s"$root/$tbl")
+            if (vs != Seq(1L)) {
+              println(s"OCCRACE FAIL: ivf $tbl versions $vs != [1]")
+              spark.stop(); sys.exit(1)
+            }
+            val dirs = VM.resolveDataDirs(spark, s"$root/$tbl", 1)
+            if (dirs.size != 1) {
+              println(s"OCCRACE FAIL: ivf $tbl v1 addresses ${dirs.size} " +
+                "stages (must be exactly the winner's)")
+              spark.stop(); sys.exit(1)
+            }
+          }
+          println("[occ] ivf build race: one version per table, " +
+            "one winner stage each")
+        }
+        verifyPrimitives(spark, tbl1, tbl2)
+    }
+    spark.stop()
+  }
+
+  private def verifyPrimitives(spark: SparkSession, tbl1: String,
+      tbl2: String): Unit = {
+    var fails = List.empty[String]
+    def check(ok: Boolean, msg: String): Unit =
+      if (!ok) fails ::= msg
         // tryCommit invariants: every slot committed, body COMPLETE and
         // internally consistent (one winner id throughout — a torn or
         // mixed publish would break the pad lines or the terminator)
@@ -120,7 +170,5 @@ object OccRace {
           fails.reverse.foreach(m => println(s"OCCRACE FAIL: $m"))
           spark.stop(); sys.exit(1)
         }
-    }
-    spark.stop()
   }
 }

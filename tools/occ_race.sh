@@ -65,4 +65,28 @@ print("[occ] stdout cross-count ok: 8 slots one winner each, "
       "appendAt2 one winner, appendBatch rebased to [3, 4]")
 EOF
 
+# operation-level race: both processes run the FULL buildIvfIndex
+# against one root (train + stage + commit), then serve — the estate
+# operation the primitives exist for
+dataset="${GRAFT_OCC_DATASET:-/root/testdata/sf0.001}"
+run ivf "$estate" A "$dataset" >"$estate/ivf_a.log" 2>&1 &
+pa=$!
+run ivf "$estate" B "$dataset" >"$estate/ivf_b.log" 2>&1 &
+pb=$!
+for _ in $(seq 1 600); do
+  [[ -f "$estate/.ready2.A" && -f "$estate/.ready2.B" ]] && break
+  sleep 0.2
+done
+[[ -f "$estate/.ready2.A" && -f "$estate/.ready2.B" ]] || {
+  echo "OCCRACE FAIL: ivf racers never reached the barrier" >&2; exit 1; }
+touch "$estate/.go2"
+wait "$pa" "$pb"
+hashes=$(grep -h "ivf_serve_hash=" "$estate/ivf_a.log" "$estate/ivf_b.log" \
+  | sed 's/.*ivf_serve_hash=//' | sort -u)
+if [[ $(echo "$hashes" | wc -l) -ne 1 ]]; then
+  echo "OCCRACE FAIL: racing builders served different results: $hashes"
+  exit 1
+fi
+echo "[occ] ivf build race: both processes serve identical results"
+
 run verify "$estate"
