@@ -5,8 +5,12 @@ package graft
   * against the EXACT brute-force MaxSim top-5 (q412's scorer over the
   * whole corpus), swept over the probe budget `nprobe` — THE serving
   * quality dial a production retrieval estate watches. Per (dataset,
-  * nprobe): recall@5 over the 10 standard queries and warm min-of-2
-  * serve seconds, so the recall-vs-latency trade reads off one table.
+  * nprobe): recall@5 over the 10 standard queries, candidate-pair count
+  * (the probed-volume axis), and warm min-of-2 serve seconds, so the
+  * recall-vs-latency trade reads off one table. A second sweep covers
+  * the MULTI-VECTOR candidate generator (q417's PLAID-shaped path) over
+  * per-subvector budgets `mv_subnpr`, so the pooled-vs-multi-vector
+  * comparison (r13 verdict "next" #1) is measured on the same axes.
   *
   * The index is the engine's own durable estate
   * ([[operators.Similarity.ivfIndexRoot]]) — a committed artifact is
