@@ -97,6 +97,10 @@ object SkewCheck {
       } catch { case scala.util.control.NonFatal(e) =>
         println(s"[skew] $d q416_list_cap: skipped (${e.getMessage})")
       }
+      // the index build leaves session storage (checkpoint blocks) that
+      // the heavy dedup roster below cannot afford at decade scale —
+      // q85 at sf1z OOM'd the 8g default heap when this was missing
+      CacheHygiene.release(spark)
 
       // ---- warm min-of-2 timings, the ScaleCheck protocol
       roster.foreach { name =>
