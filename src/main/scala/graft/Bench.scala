@@ -214,8 +214,8 @@ object Bench {
     // the streaming serving face, and the committed-index near-dup
     "q414_two_stage_recall", "q415_stream_two_stage", "q416_index_neardup",
     // round 14 additions: multi-vector (PLAID-style) candidate
-    // generation, batch + streaming faces
-    "q417_multivec_serving", "q418_stream_multivec"
+    // generation (batch + streaming faces) and the SQ8 two-tier prune
+    "q417_multivec_serving", "q418_stream_multivec", "q419_plaid_pruned"
   )
 
   /** Cumulative steal ticks across all cpus (USER_HZ=100), 0 if unreadable. */

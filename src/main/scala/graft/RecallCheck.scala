@@ -91,6 +91,23 @@ object RecallCheck {
           f"cand=$cand%6d serve=$tServe%.2f s$mark")
         CacheHygiene.release(spark)
       }
+      // PLAID two-tier prune (q419): same candidates as the mv default,
+      // but the exact scorer touches only PlaidPruneK docs/query — the
+      // row shows what recall that budget costs vs the unpruned q417
+      S.buildSq8Sidecar(spark, d, root)
+      def servePruned() = S.plaidPrunedMaxSimTop5(spark, d, root)
+      servePruned().write.format("noop").mode("overwrite").save() // warm
+      val tPruned = (1 to 2).map { _ =>
+        val t1 = System.nanoTime()
+        servePruned().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t1) / 1e9
+      }.min
+      val recallPruned = (exactMs &
+        top5Set(servePruned())).size.toDouble / exactMs.size
+      println(f"[recall] $d plaid_pruned(K=${S.PlaidPruneK}) " +
+        f"maxsim_recall@5=$recallPruned%.3f exact_docs_per_q=${S.PlaidPruneK} " +
+        f"serve=$tPruned%.2f s <- q419")
+      CacheHygiene.release(spark)
     }
     spark.stop()
   }

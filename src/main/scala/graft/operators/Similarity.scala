@@ -3143,6 +3143,24 @@ object Similarity extends QueryModule {
     * probed-cell set (and thus the candidates and the final ranking) is
     * hash-exact cross-engine.
     */
+  /** The union-of-subvector probed cells (qid, cid) — stage 1 of q417's
+    * serving and of q419's pruned variant. */
+  private def mvProbedCells(queries: DataFrame, cents: DataFrame,
+      nprSub: Long): DataFrame = {
+    // per-subvector centroid affinity: best slice match, exact integers
+    val aff = expr("array_max(transform(sequence(0, 7), n -> " +
+      "graft_dot(slice(qv, m * 8 + 1, 8), slice(cv, n * 8 + 1, 8))))")
+    queries
+      .select(col("qid"), col("qv"), explode(expr("sequence(0, 7)")).as("m"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("m"), col("cid"), aff.as("aff"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid"), col("m"))
+          .orderBy(desc("aff"), col("cid"))))
+      .filter(col("pr") <= nprSub)
+      .select(col("qid"), col("cid")).distinct()
+  }
+
   private[graft] def multiVectorCandidatePairs(s: SparkSession, d: String,
       root: String, nprSubOverride: Option[Long] = None,
       queriesOverride: Option[DataFrame] = None): DataFrame = {
@@ -3157,22 +3175,30 @@ object Similarity extends QueryModule {
     val queries = queriesOverride.getOrElse(
       quantized(s, d).filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv")))
-    // per-subvector centroid affinity: best slice match, exact integers
-    val aff = expr("array_max(transform(sequence(0, 7), n -> " +
-      "graft_dot(slice(qv, m * 8 + 1, 8), slice(cv, n * 8 + 1, 8))))")
-    val probedCells = queries
-      .select(col("qid"), col("qv"), explode(expr("sequence(0, 7)")).as("m"))
-      .join(broadcast(cents))
-      .select(col("qid"), col("m"), col("cid"), aff.as("aff"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("qid"), col("m"))
-          .orderBy(desc("aff"), col("cid"))))
-      .filter(col("pr") <= nprSub)
-      .select(col("qid"), col("cid")).distinct()
+    val probedCells = mvProbedCells(queries, cents, nprSub)
     probedCells.join(queries, "qid").join(lists, "cid")
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qv"), col("vec_id").as("nid"),
         col("v").as("dv"))
+  }
+
+  /** Candidate IDS only — the q419 spelling: the lists scan is
+    * column-pruned to (cid, vec_id), so stage 1 never ships a full
+    * vector (the approximate tier scores from the committed 4-bit codes;
+    * full vectors are fetched for the pruned K′ ids alone). */
+  private def multiVectorCandidateIds(s: SparkSession, root: String,
+      queries: DataFrame, nprSub: Long): DataFrame = {
+    val M = graft.sources.VersionedManifest
+    val cv = M.latestCommitted(s, s"$root/cents").getOrElse(
+      throw new IllegalStateException(s"no committed index at $root"))
+    val lv = M.latestCommitted(s, s"$root/lists").getOrElse(
+      throw new IllegalStateException(s"no committed lists at $root"))
+    val cents = M.readAt(s, s"$root/cents", cv)
+    val lists = M.readAt(s, s"$root/lists", lv)
+      .select(col("cid"), col("vec_id"))
+    mvProbedCells(queries, cents, nprSub).join(lists, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"))
   }
 
   /** Default per-subvector probe budget: the committed cosine budget
@@ -3630,6 +3656,187 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Commit the SQ8 SIDECAR of the index estate: table `sq8` (vec_id,
+    * sc, c) — every corpus vector's q121/q364 symmetric int8 codes plus
+    * its per-vector scale — OCC-staged and published through the same
+    * manifest protocol as cents/lists. Built once per root; a fresh
+    * session finds the committed sidecar and serves without an encode
+    * pass. Backward compatible: roots without a sidecar keep serving
+    * q407–q418 unchanged.
+    *
+    * Why SQ8 and not PQ for the approximate tier: the 4-bit PQ spelling
+    * (q157's first-16 codebook) was built and MEASURED first — its
+    * approximate-MaxSim ranking recalled only 0.14–0.30 of exact
+    * winners at the driver scales (barely above the 32/|cand| random
+    * floor: 16 codewords in an 8-dim subspace reconstruct with error
+    * on the order of the vectors themselves). SQ8's per-component error
+    * is ~0.4%, so its approximate ranking tracks exact MaxSim — the
+    * memory economics (8 bytes/dim → 1) are the q364 trade, paid where
+    * it actually preserves the answer. */
+  private[graft] def buildSq8Sidecar(s: SparkSession, d: String,
+      root: String): Unit = {
+    val M = graft.sources.VersionedManifest
+    if (M.latestCommitted(s, s"$root/sq8").nonEmpty) return
+    GraftFunctions.register(s)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    // q121's integer-exact symmetric rounding (|c| ≤ 127); an all-zero
+    // vector (sc = 0) keeps all-zero codes instead of dividing by zero
+    val code = "IF(sc = 0, transform(v, x -> CAST(0 AS BIGINT)), " +
+      "transform(v, x -> IF(x >= 0, (x * 254 + sc) div (2 * sc), " +
+      "-(((-x) * 254 + sc) div (2 * sc)))))"
+    val coded = quantized(s, d)
+      .withColumn("sc", expr("array_max(transform(v, x -> abs(x)))"))
+      .select(col("vec_id"), col("sc"), expr(code).as("c"))
+    val dir = s"$root/sq8/d-s$token"
+    coded.write.mode("overwrite").parquet(dir)
+    // lost race ⇒ the identical sidecar is committed — read the winner's
+    M.tryCommit(s, s"$root/sq8", 1,
+      s"sq8 sidecar (vec_id, sc, c): q121/q364 symmetric int8\ndata=$dir")
+    ()
+  }
+
+  /** Exact-rerank budget of the PLAID-pruned pipeline: the expensive
+    * 64-multiply MaxSim touches at most this many documents per query;
+    * everything else is scored from the committed 4-bit codes. Mirrored
+    * verbatim in the oracle. */
+  private[graft] val PlaidPruneK = 32
+
+  /** PLAID-style TWO-TIER late-interaction serving from the committed
+    * estate (Santhanam et al. 2022's candidate generation → approximate
+    * code scoring → exact MaxSim on the survivors, with the
+    * approximate tier carried by the committed SQ8 sidecar):
+    *   1. candidate IDS from the union of per-subvector probes (q417's
+    *      stage 1, lists scan column-pruned to ids);
+    *   2. APPROXIMATE MaxSim over the candidates' int8 codes —
+    *      sc_d · Σ_m max_n ⟨q_m, c(d)_n⟩ (the per-vector SQ8 scale
+    *      multiplies the whole sum, so the integer product preserves
+    *      the per-query ranking; the 1/127 query-side factor is common
+    *      and drops) — reading 1 byte/dim instead of 8;
+    *   3. exact MaxSim top-5 over the top-[[PlaidPruneK]] survivors —
+    *      full vectors are fetched for K′ ids per query, nothing else.
+    * All arithmetic exact integers (ties by nid), so candidate set,
+    * prune, and final ranking replay hash-exact in DuckDB.
+    *
+    * Scale: this is the piece that makes late-interaction serving
+    * read-bounded at 100 TB — the scorer that touches every candidate
+    * reads the 8×-smaller resident codes, and the full-width
+    * 64-multiply MaxSim touches K′ documents per query instead of the
+    * whole shortlist (~2% of it at sf0.1). */
+  private[graft] def plaidPrunedMaxSimTop5(s: SparkSession, d: String,
+      root: String, pruneK: Int = PlaidPruneK): DataFrame = {
+    GraftFunctions.register(s)
+    val M = graft.sources.VersionedManifest
+    val queries = quantized(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val candIds = multiVectorCandidateIds(s, root, queries,
+      mvSubNpr(committedNpr(s, root)))
+    val sq8 = M.readAt(s, s"$root/sq8", 1)
+    // approximate MaxSim on the codes: the maxSimScore shape with the
+    // document side swapped for (sc, c)
+    val approxScore = expr(
+      "sc * aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, m) -> " +
+        "acc + array_max(transform(sequence(0, 7), n -> " +
+        "graft_dot(slice(qv, m * 8 + 1, 8), slice(dc, n * 8 + 1, 8)))))")
+    val approx = candIds
+      .join(sq8.select(col("vec_id").as("nid"), col("sc"),
+        col("c").as("dc")), "nid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"), approxScore.as("approx"))
+    val pruned = approx
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(desc("approx"), col("nid"))))
+      .filter(col("pr") <= pruneK)
+      .select(col("qid"), col("nid"))
+    val vecs = quantized(s, d)
+    maxSimTop5(pruned
+      .join(broadcast(queries), "qid")
+      .join(vecs.select(col("vec_id").as("nid"), col("v").as("dv")), "nid"))
+  }
+
+  /** q419: PLAID TWO-TIER SERVING — [[plaidPrunedMaxSimTop5]] on the
+    * committed estate: multi-vector candidates (q417's stage 1) →
+    * approximate MaxSim from the committed SQ8 sidecar → exact MaxSim
+    * on the top-32 survivors only. The oracle replays candidate
+    * generation, encode, approximate scoring, prune, and rerank from
+    * base tables — bit-exact integers end to end. */
+  private def q419(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val root = ivfIndexRoot(s, d, "full")
+    buildIvfIndex(s, d, root, baseOnly = false)
+    buildSq8Sidecar(s, d, root)
+    plaidPrunedMaxSimTop5(s, d, root)
+  }
+
+  private val q419Sql =
+    s"""WITH q AS ($quantizedSql),
+       |$trainedCentsSqlScaled,
+       |assigned AS (
+       |  SELECT vec_id, arg_min(cid,
+       |    (list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+       |     + list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i]))
+       |     - 2 * list_sum(list_transform(range(1, len(v)+1), i -> v[i]*cv[i]))) * 1024 + cid) AS cid
+       |  FROM q CROSS JOIN cents GROUP BY vec_id),
+       |mvaff AS (
+       |  SELECT a.vec_id AS qid, m.m AS m, c.cid,
+       |    list_max(list_transform(range(0, 8), n ->
+       |      list_sum(list_transform(range(1, 9), i ->
+       |        a.v[m.m * 8 + i] * c.cv[n * 8 + i])))) AS aff
+       |  FROM q a CROSS JOIN cents c
+       |  CROSS JOIN (SELECT unnest(range(8)) AS m) m
+       |  WHERE a.vec_id < 10),
+       |mvprobes AS (
+       |  SELECT DISTINCT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid, m
+       |        ORDER BY aff DESC, cid) AS pr
+       |    FROM mvaff)
+       |  WHERE pr <= (SELECT npr FROM geom)),
+       |cands AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM mvprobes p JOIN assigned a ON p.cid = a.cid
+       |  WHERE p.qid <> a.vec_id),
+       |sq8 AS (
+       |  SELECT vec_id, sc,
+       |    CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |    ELSE list_transform(v, x ->
+       |      CASE WHEN x >= 0 THEN (x * 254 + sc) // (2 * sc)
+       |      ELSE -(((-x) * 254 + sc) // (2 * sc)) END) END AS c
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS sc
+       |    FROM q)),
+       |approx AS (
+       |  SELECT cd.qid, cd.nid,
+       |    CAST(s8.sc * list_sum(list_transform(range(0, 8), mm ->
+       |      list_max(list_transform(range(0, 8), nn ->
+       |        list_sum(list_transform(range(1, 9), i ->
+       |          qq.v[mm * 8 + i] * s8.c[nn * 8 + i])))))) AS BIGINT) AS approx
+       |  FROM cands cd
+       |  JOIN sq8 s8 ON s8.vec_id = cd.nid
+       |  JOIN q qq ON qq.vec_id = cd.qid),
+       |pruned AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY approx DESC, nid) AS pr
+       |    FROM approx)
+       |  WHERE pr <= $PlaidPruneK),
+       |scored AS (
+       |  SELECT p.qid, p.nid,
+       |    CAST(list_sum(list_transform(range(0, 8), mm ->
+       |      list_max(list_transform(range(0, 8), nn ->
+       |        list_sum(list_transform(range(1, 9), i ->
+       |          qq.v[mm * 8 + i] * dd.v[nn * 8 + i])))))) AS BIGINT) AS score
+       |  FROM pruned p
+       |  JOIN q qq ON qq.vec_id = p.qid
+       |  JOIN q dd ON dd.vec_id = p.nid)
+       |SELECT qid, rank, nid, score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   private val q411Runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** q411: STREAMING INDEX MAINTENANCE — the arrival loop a serving
@@ -3781,6 +3988,7 @@ object Similarity extends QueryModule {
     "q416_index_neardup" -> q416,
     "q417_multivec_serving" -> q417,
     "q418_stream_multivec" -> q418,
+    "q419_plaid_pruned" -> q419,
     "q406_kmeans_refine" -> q406,
     "q385_shortlist_tuning" -> q385,
     "q383_filtered_ann" -> q383,
@@ -3825,6 +4033,7 @@ object Similarity extends QueryModule {
     "q416_index_neardup" -> q416Sql,
     "q417_multivec_serving" -> q417Sql,
     "q418_stream_multivec" -> q418Sql,
+    "q419_plaid_pruned" -> q419Sql,
     "q406_kmeans_refine" -> q406Sql,
     "q383_filtered_ann" -> q383Sql,
     "q385_shortlist_tuning" -> q385Sql,

@@ -89,6 +89,32 @@ class Round14Spec extends SparkSpec {
       "multi-vector serving must not train")
   }
 
+  test("q419 two-tier prune: recall matches unpruned q417 at a 32-doc exact budget") {
+    val root = Similarity.ivfIndexRoot(spark, sf0001, "full")
+    Similarity.buildIvfIndex(spark, sf0001, root, baseOnly = false)
+    Similarity.buildSq8Sidecar(spark, sf0001, root)
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top5(Similarity.exactMaxSimTop5(spark, sf0001, 10))
+    val unpruned = top5(Similarity.multiVectorMaxSimTop5(spark, sf0001, root))
+    val pruned = top5(Similarity.plaidPrunedMaxSimTop5(spark, sf0001, root))
+    val rUnpruned = (exact & unpruned).size.toDouble / exact.size
+    val rPruned = (exact & pruned).size.toDouble / exact.size
+    // RecallCheck r14 measured EQUALITY at all four scales; the floor
+    // leaves a small margin for a regenerated-testdata geometry
+    assert(rPruned >= rUnpruned - 0.1,
+      f"SQ8 prune lost recall: $rPruned%.3f vs unpruned $rUnpruned%.3f")
+    assert(rPruned >= 0.6, f"pruned recall $rPruned%.3f below floor")
+    // the sidecar is a committed artifact: a second serve is build-free
+    val before = graft.sources.VersionedManifest
+      .latestCommitted(spark, s"$root/sq8")
+    assert(before.contains(1L), "sq8 sidecar must be committed at v1")
+    Similarity.buildSq8Sidecar(spark, sf0001, root) // idempotent
+    assert(graft.sources.VersionedManifest
+      .latestCommitted(spark, s"$root/sq8").contains(1L))
+  }
+
   test("q418 streaming multi-vector serving equals q417's batch results") {
     // per-qid ranking windows are batch-local and each qid lives in one
     // batch, so the drained epoch union must equal batch serving
